@@ -1,0 +1,56 @@
+"""Query registry — the driver-facing surface of the engine.
+
+Every implemented operator from SURVEY.md §2 is exercised by at least one
+registered query.  A query is a pure function ``(spark, sf_dir) -> DataFrame``
+plus (when SQL-expressible) an equivalent DuckDB oracle SQL string; the
+driver runs both at sf0.01 and hash-compares results (BASELINE.md t2).
+
+Column-name contract: Spark result and oracle result must have identical
+column names (the compare sorts columns by name before hashing) — alias
+every computed column on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, None => rows-only check
+    covers: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 operator ids
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, *, oracle: str | None = None, covers: tuple[str, ...] = ()):  # decorator
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, covers=covers, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_registry() -> dict[str, QuerySpec]:
+    """Import all query modules (side-effect: registration) and return the registry."""
+    from briefly_spark.queries import (  # noqa: F401
+        dedup,
+        events,
+        pipeline,
+        relational,
+        similarity,
+        text,
+    )
+
+    return REGISTRY

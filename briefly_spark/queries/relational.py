@@ -1,0 +1,398 @@
+"""Relational operator pack — SURVEY.md §2.3–2.7 over the TPC-H-ish tables.
+
+Each query names the SURVEY §2 operator ids it covers.  Spark side is the
+DataFrame API (so broadcast hints / window specs are explicit and the plans
+are inspectable); the oracle is equivalent DuckDB SQL.
+
+Numerics: every SUM/AVG over a double measure uses the fixed-point pattern
+from :mod:`briefly_spark.numerics` so Spark and DuckDB agree bit-for-bit
+regardless of aggregation order (also what makes re-runs reproducible at
+100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table
+from briefly_spark.numerics import fixed_avg, fixed_sum, trunc4
+from briefly_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): filter + groupBy + many aggregates.
+# Covers P1 (projection pruning), A3/A8 (counts), fixed-point sums/avgs.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    covers=("P1", "A3", "A8"),
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum(floor(l_quantity * 100)) / 100.0                                   AS sum_qty,
+  sum(floor(l_extendedprice * 100)) / 100.0                              AS sum_base_price,
+  sum(floor(l_extendedprice * (1 - l_discount) * 100)) / 100.0           AS sum_disc_price,
+  sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)) / 100.0 AS sum_charge,
+  sum(floor(l_quantity * 100)) / count(*) / 100.0                        AS avg_qty,
+  sum(floor(l_extendedprice * 100)) / count(*) / 100.0                   AS avg_price,
+  count(*)                                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-filter-aggregate; the filter and 2-column group must push into the
+    parquet scan (ref behavior: sensor filtered scans, article_sensors.py:35-44)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fixed_sum("l_quantity").alias("sum_qty"),
+            fixed_sum("l_extendedprice").alias("sum_base_price"),
+            fixed_sum(disc_price).alias("sum_disc_price"),
+            fixed_sum(charge).alias("sum_charge"),
+            fixed_avg("l_quantity").alias("avg_qty"),
+            fixed_avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — top-k per group (W1/W2/W4/P10): row_number window, deterministic ties.
+# --------------------------------------------------------------------------
+@register(
+    "q02_topk_orders_per_customer",
+    covers=("W1", "W2", "W4", "P10"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def q02_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by price (ref: global top-k at
+    get_relevant_articles.py:138-139, per-feed head-n at raw_articles.py:89).
+    One shuffle on the partition key; ties broken by orderkey so the result
+    is deterministic under any physical ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — star-schema revenue rollup (J1 broadcast dim joins + A-series agg).
+# --------------------------------------------------------------------------
+@register(
+    "q03_revenue_by_nation",
+    covers=("J1", "A4"),
+    oracle="""
+SELECT n_name,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""",
+)
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim lookups as broadcast equi-joins (ref: per-article find_one dim
+    lookups, raw_articles.py:108-111 — the N+1 pattern becomes one broadcast
+    hash join; only the lineitem↔orders join may shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(fixed_sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — anti-join (J2/P5/U3): keys with no counterpart.
+# --------------------------------------------------------------------------
+@register(
+    "q04_customers_without_orders",
+    covers=("J2", "P5", "U3"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-dedup semantics (ref: driver-side set of existing URLs,
+    raw_articles.py:44-96) as a distributed left_anti join — no driver-side
+    key set at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — semi-join (J3/P7): FK-existence filtering.
+# --------------------------------------------------------------------------
+@register(
+    "q05_orders_with_heavy_items",
+    covers=("J3", "P7"),
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+""",
+)
+def q05_orders_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-existence as a left_semi join (ref: Pydantic validators querying the
+    dimension collections, models/article.py:34-50)."""
+    orders = load_table(spark, sf_dir, "orders")
+    heavy = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — distinct + sort dimension build (A1/A2/U4/W6).
+# --------------------------------------------------------------------------
+@register(
+    "q06_distinct_segments",
+    covers=("A1", "A2", "U4", "W6"),
+    oracle="""
+SELECT DISTINCT c_mktsegment AS segment,
+       lower(replace(c_mktsegment, ' ', '')) AS alias
+FROM customer
+ORDER BY segment
+""",
+)
+def q06_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension build: distinct + deterministic alias column (ref: topic
+    set-union + slugify, sources_and_topics.py:40-47)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .withColumn("alias", F.lower(F.replace(F.col("segment"), F.lit(" "), F.lit(""))))
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — conditional counts (A3/A4/A6 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q07_order_status_tallies",
+    covers=("A3", "A4", "A6"),
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                                          AS n_orders,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+       floor((sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              - 0.5 * sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END))
+             / count(*) * 10 * 10000) / 10000.0          AS score
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q07_order_status_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Success/failure tallies + the reference's fact-check score formula
+    ((confirmed - 0.5*refuted)/total*10, validation_utils.py:157-163) as a
+    conditional-count aggregate over status columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    n_f = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    n_p = F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        n_f.alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_big"),
+        trunc4((n_f - 0.5 * n_p) / F.count(F.lit(1)) * 10).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — set operations (U1/U2/U3).
+# --------------------------------------------------------------------------
+@register(
+    "q08_order_set_ops",
+    covers=("U1", "U2", "U3"),
+    oracle="""
+WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 180000),
+     recent AS (SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+     urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT o_orderkey, 'big_or_recent' AS tier FROM (SELECT * FROM big UNION SELECT * FROM recent)
+EXCEPT
+SELECT o_orderkey, 'big_or_recent' AS tier FROM urgent
+""",
+)
+def q08_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-list union + key set-difference (ref: unsummarized + needs-tts
+    union, article_sensors.py:45; new-vs-known partition diff,
+    embedding_sensors.py:64-65)."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 180000).select("o_orderkey")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        big.unionByName(recent)
+        .distinct()
+        .join(urgent, "o_orderkey", "left_anti")
+        .withColumn("tier", F.lit("big_or_recent"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — scalar function pack over part (F1/F2/F9/F10 analogues).
+# --------------------------------------------------------------------------
+@register(
+    "q09_part_scalar_funcs",
+    covers=("F1", "F2", "F9", "F10"),
+    oracle="""
+SELECT p_partkey,
+       lower(replace(p_name, ' ', ''))  AS slug,
+       md5(p_name)                      AS name_md5,
+       substr(p_type, 1, 5)             AS type_prefix,
+       array_to_string(list_transform(string_split(p_name, ' '), w -> lower(w[1])), '') AS initials,
+       length(p_name)                   AS name_len
+FROM part
+""",
+)
+def q09_part_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native scalar expressions: slugify-style fold (extract_utils.py:63-78),
+    initials alias (extract_utils.py:81-82), md5 surrogate ids
+    (embedded_articles.py:193-194), truncation (summarize_utils.py:70) —
+    all JVM-side, zero UDFs."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))).alias("slug"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.array_join(
+            F.transform(F.split("p_name", " "), lambda w: F.lower(F.substring(w, 1, 1))), ""
+        ).alias("initials"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — grouped head-n over events (P10/W4) with timestamp output.
+# --------------------------------------------------------------------------
+@register(
+    "q10_latest_events_per_user",
+    covers=("P10", "W2", "W4"),
+    oracle="""
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, rk
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rk
+  FROM events
+) WHERE rk <= 2
+""",
+)
+def q10_latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-priority selection (ref: sort published_date desc limit n,
+    embedding_sensors.py:56-58) per key; timestamps emitted as formatted
+    strings so the oracle compare is timezone-proof."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "rk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — incremental work-list predicate over events (T1/T4/P2/P3/P4 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q11_events_worklist",
+    covers=("T1", "T4", "P2", "P3", "P4"),
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE (event_type = 'error' AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50)
+   OR (event_type = 'signup' AND ts < TIMESTAMP '1997-06-01 00:00:00')
+""",
+)
+def q11_events_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-based work discovery — the engine's core incremental pattern
+    (ref: sensor $exists/$or queries + TTL staleness,
+    related_articles_sensor.py:35-55).  JSON props parsed JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    stale = F.col("ts") < F.lit("1997-06-01 00:00:00").cast("timestamp")
+    return events.filter(
+        ((F.col("event_type") == "error") & (k >= 50)) | ((F.col("event_type") == "signup") & stale)
+    ).select("event_id", "user_id", "event_type", k.alias("k"))
+
+
+# --------------------------------------------------------------------------
+# q12 — weighted two-signal scoring (A7) + hydration join (J6).
+# --------------------------------------------------------------------------
+@register(
+    "q12_weighted_customer_score",
+    covers=("A7", "J6"),
+    oracle="""
+SELECT c_custkey,
+       floor((0.7 * (sum(floor(o_totalprice * 100)) / count(*) / 100.0) / 100000
+              + 0.3 * (CASE WHEN any_value(c_acctbal) > 0 THEN any_value(c_acctbal) ELSE 0 END) / 10000)
+             * 10000) / 10000.0 AS combined_score
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def q12_weighted_customer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's combined score (0.7*sim*10 + 0.3*validation,
+    get_relevant_articles.py:129-131) generalized: weighted blend of an
+    aggregate signal and a joined attribute, with coalesce-style default."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    avg_price = fixed_avg("o_totalprice")
+    acct = F.any_value(F.col("c_acctbal"))
+    acct_pos = F.when(acct > 0, acct).otherwise(F.lit(0))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey")
+        .agg(trunc4(0.7 * avg_price / 100000 + 0.3 * acct_pos / 10000).alias("combined_score"))
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); production
+design point is a multi-executor cluster at ~100 TB.  Every knob set here is
+chosen to behave sensibly in BOTH modes:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion/promotion are the main levers that let one static
+  plan survive a 1000x scale-up.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE's coalescing makes the initial number mostly a ceiling.
+- Arrow enabled: every pandas-UDF operator in this engine is Arrow-batched.
+- Session timezone pinned to UTC so timestamp semantics are engine- and
+  host-independent (matters for the DuckDB correctness oracle too).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "briefly_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local master parallelism. If a session
+    already exists (e.g. the driver passed one in), config that can only be
+    set at build time is left as-is — all operators read config at call time
+    where it matters.
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long, the
+        # catalog converts to TimestampType (micros) on load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
