@@ -1,0 +1,160 @@
+"""Text scalar functions (SURVEY §2.8 F1–F12, §2.7 U5).
+
+All pure Column expressions — no UDFs except :func:`html_unescape` (stdlib
+``html.unescape`` has no Spark builtin).  Each function documents the
+reference behavior it reproduces (file:line under /root/reference) and any
+deliberate divergence (SURVEY §7.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Vietnamese diacritic folding (ref: utils/extraction/extract_utils.py:63-78).
+# The reference folds the plain-accent families; we fold the complete set
+# (adds ă/â families) so e.g. "Đà Nẵng" → "danang" — a documented superset.
+# ---------------------------------------------------------------------------
+_FOLD = {
+    "a": "áàảãạăắằẳẵặâấầẩẫậ",
+    "e": "éèẻẽẹêếềểễệ",
+    "i": "íìỉĩị",
+    "o": "óòỏõọôốồổỗộơớờởỡợ",
+    "u": "úùủũụưứừửữự",
+    "y": "ýỳỷỹỵ",
+    "d": "đ",
+}
+VIET_SRC = "".join("".join(chars) for chars in _FOLD.values())
+VIET_DST = "".join(base * len(chars) for base, chars in _FOLD.items())
+
+
+def fold_diacritics(col: Column) -> Column:
+    """Lower-case Vietnamese diacritics → ASCII (single JVM translate)."""
+    return F.translate(col, VIET_SRC, VIET_DST)
+
+
+def slugify(col: Column) -> Column:
+    """lower → fold diacritics → drop spaces (extract_utils.py:63-78)."""
+    return F.replace(fold_diacritics(F.lower(col)), F.lit(" "), F.lit(""))
+
+
+def alias_initials(col: Column) -> Column:
+    """First letter of each word, lowered, joined (extract_utils.py:81-82)."""
+    words = F.split(col, r"\s+")
+    return F.array_join(
+        F.transform(
+            F.filter(words, lambda w: w != ""), lambda w: F.lower(F.substring(w, 1, 1))
+        ),
+        "",
+    )
+
+
+# ---------------------------------------------------------------------------
+# clean_text (ref: utils/embedding/text_cleaner.py:8-35): photo-credit strip,
+# symbol strip, whitespace/dot collapse, then ORDER-PRESERVING sentence dedup
+# (U5) — all native: split + index-aware filter + array_join.
+# NOTE the char class uses \p{L}\p{N}_ (unicode-aware in both Java regex and
+# RE2) rather than Python's \w, so Spark and the DuckDB oracle agree.
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    c = F.regexp_replace(col, r"Ảnh: [^\.]+", "")
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}_\s.!?]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.regexp_replace(c, r"\.+", ".")
+
+
+def dedup_sentences(col: Column) -> Column:
+    """Drop repeated '. '-separated sentences keeping first occurrence;
+    result re-joined with a trailing '. ' (text_cleaner.py:23-32).
+
+    Deliberate divergence (SURVEY §7.2): each sentence is normalized by
+    stripping trailing periods BEFORE the seen-check.  The reference's
+    literal implementation keeps the final sentence's trailing '.' and so
+    fails to dedup it — its own golden test (src/tests/test_embedding.py:4-8,
+    expects "Đây là câu. ") encodes the intent we implement here."""
+    raw = F.split(col, r"\. ")
+    sents = F.transform(raw, lambda s: F.regexp_replace(s, r"\.+$", ""))
+    uniq = F.filter(sents, lambda s, i: (s != "") & (F.array_position(sents, s) == i + 1))
+    return F.when(F.size(uniq) > 0, F.concat(F.array_join(uniq, ". "), F.lit(". "))).otherwise(
+        F.lit("")
+    )
+
+
+def clean_text(col: Column) -> Column:
+    return dedup_sentences(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# clean_summary (ref: utils/summarization/clean_summary.py:3-24).
+# ---------------------------------------------------------------------------
+def clean_summary(col: Column) -> Column:
+    c = col
+    for pat in (
+        r"(?i)^Here are the \d+ concise points in Vietnamese:[\s\n]*",
+        r"(?i)^Here are \d+ concise points:[\s\n]*",
+        r"(?i)^Summary in \d+ points:[\s\n]*",
+        r"(?i)^Key points:[\s\n]*",
+    ):
+        c = F.regexp_replace(c, pat, "")
+    c = F.regexp_replace(c, r"(?m)^[•\-*–—]\s*", "")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.trim(c)
+
+
+def split_bullets(col: Column) -> Column:
+    """Summary text → array of non-empty trimmed bullet lines
+    (ref: summarize_utils.py:78)."""
+    # NB: must be a 1-arg lambda — passing F.trim directly would receive the
+    # element index as trim's second (trim-characters) argument.
+    return F.filter(F.transform(F.split(col, r"\n"), lambda x: F.trim(x)), lambda x: x != "")
+
+
+def join_bullets(col: Column, sep: str = ". ") -> Column:
+    """Array of bullets → text (ref: embedded_articles.py:65-68)."""
+    return F.array_join(col, sep)
+
+
+# ---------------------------------------------------------------------------
+# Misc extraction helpers.
+# ---------------------------------------------------------------------------
+def extract_img_src(col: Column) -> Column:
+    """First <img src> in an HTML snippet (ref: extract_utils.py:50-59),
+    as a native regexp instead of an HTML parser — returns '' when absent."""
+    return F.regexp_extract(col, r"""<img[^>]*\ssrc=["']([^"']+)["']""", 1)
+
+
+def strip_html_tags(col: Column) -> Column:
+    """Stored-HTML text approximation (ref S3/F11, extract_utils.py:28-44)."""
+    return F.trim(F.regexp_replace(F.regexp_replace(col, r"<[^>]+>", " "), r"\s+", " "))
+
+
+def md5_uuid(col: Column) -> Column:
+    """md5(url) formatted as a dashed UUID — the reference's Qdrant point id
+    (embedded_articles.py:193-194: uuid.UUID(md5(url)[:32]))."""
+    h = F.md5(col)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def _html_unescape2(s):
+    if s is None:
+        return None
+    import html
+
+    return html.unescape(html.unescape(s))
+
+
+#: Double HTML-unescape (ref: raw_articles.py:99 —
+#: html.unescape(html.unescape(title))).  Stdlib-only UDF; used once per
+#: ingested title, never in a hot analytical path.
+html_unescape = F.udf(_html_unescape2, T.StringType())

@@ -143,16 +143,17 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
 """,
 )
 def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-dedup semantics (ref: driver-side set of existing URLs,
     raw_articles.py:44-96) as a distributed left_anti join — no driver-side
-    key set at any scale."""
+    key set at any scale.  Anti-joins against the high-value subset so the
+    result is non-trivial at every sf."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 

@@ -1,1 +1,262 @@
-"""Placeholder — queries registered in later milestones."""
+"""Text/scalar pack — SURVEY §2.7 U5 + §2.8 F-series over ``documents``.
+
+The synthetic documents have no punctuation, so several queries first build
+a deterministic composite string (same expression on both engines) to
+exercise sentence boundaries, bullets, or HTML — the operator under test is
+the cleaning/splitting expression, not the construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table
+from briefly_spark.functions.text import (
+    VIET_DST,
+    VIET_SRC,
+    alias_initials,
+    clean_summary,
+    clean_text,
+    extract_img_src,
+    md5_uuid,
+    slugify,
+    split_bullets,
+)
+from briefly_spark.operators.chunking import chunk_fixed_expr
+from briefly_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# q20 — clean_text: normalization chain + order-preserving sentence dedup.
+# --------------------------------------------------------------------------
+@register(
+    "q20_clean_documents",
+    covers=("F5", "U5"),
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || '. ' || substr(text, 1, 40) || '. ' ||
+         substr(text, 41, 40) || '. Ảnh: Hoài Thanh' AS raw
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, 'Ảnh: [^\\.]+', '', 'g'),
+               '[^\\p{L}\\p{N}_\\s.!?]', ' ', 'g'),
+             '\\s+', ' ', 'g')),
+           '\\.+', '.', 'g') AS n
+  FROM synth
+), sent AS (
+  SELECT doc_id,
+         list_transform(string_split(n, '. '), s -> regexp_replace(s, '\\.+$', '')) AS sents
+  FROM norm
+), uniq AS (
+  SELECT doc_id,
+         list_filter(sents, (x, i) -> x <> '' AND list_position(sents, x) = i) AS u
+  FROM sent
+)
+SELECT doc_id,
+       CASE WHEN len(u) > 0 THEN array_to_string(u, '. ') || '. ' ELSE '' END AS cleaned
+FROM uniq
+""",
+)
+def q20_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text (text_cleaner.py:8-35): photo-credit strip, symbol fold,
+    whitespace/dot collapse, order-preserving sentence dedup — entirely
+    native Column expressions (split + index lambda + array_position)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(". "),
+        F.substring("text", 1, 40),
+        F.lit(". "),
+        F.substring("text", 41, 40),
+        F.lit(". Ảnh: Hoài Thanh"),
+    )
+    return docs.select("doc_id", clean_text(raw).alias("cleaned"))
+
+
+# --------------------------------------------------------------------------
+# q21 — native sliding-window chunk + posexplode (M1 scale path).
+# --------------------------------------------------------------------------
+@register(
+    "q21_chunk_fixed",
+    covers=("M1",),
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(0, greatest(length(text) - 1, 0) + 1, 350),
+                          i -> substr(text, i + 1, 400)),
+           ch -> length(ch) > 10) AS chunks
+  FROM documents
+)
+SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(chunks, (x, i) -> struct_pack(pos := i - 1, chunk := x))) AS u
+  FROM c
+)
+""",
+)
+def q21_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed sliding-window chunking (chunk 400 / overlap 50 per
+    chunk_splitter.py:16-21 params) as pure codegen: sequence → transform →
+    substring → posexplode.  The separator-aware variant (chunk_text_udf)
+    shares the output contract; see q22_chunk_recursive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(chunk_fixed_expr(F.col("text"))).alias("pos", "chunk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — separator-aware recursive chunker (pandas UDF; rows-only check,
+# semantics covered by golden tests in tests/test_text_ops.py).
+# --------------------------------------------------------------------------
+@register("q22_chunk_recursive", covers=("M1", "M2"))
+def q22_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-contract recursive chunker over sentence-composited text
+    (chunk_splitter.py:14-64 contract).  Arrow-batched UDF → posexplode;
+    not SQL-expressible, so the driver records a rows-only check."""
+    from briefly_spark.operators.chunking import chunk_text_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    # build multi-sentence text so separator logic matters
+    raw = F.concat_ws(
+        ". ", F.col("text"), F.col("text"), F.col("text"), F.col("text")
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunk_text_udf(raw)).alias("pos", "chunk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — dimension build with slugify + initials (A1/A2/F1/F2).
+# --------------------------------------------------------------------------
+@register(
+    "q23_doc_source_dims",
+    covers=("A1", "A2", "F1", "F2", "F9"),
+    oracle=f"""
+WITH names AS (SELECT DISTINCT 'Thời sự ' || source AS name FROM documents)
+SELECT name,
+       replace(translate(lower(name), '{VIET_SRC}', '{VIET_DST}'), ' ', '') AS alias,
+       array_to_string(list_transform(list_filter(string_split_regex(name, '\\s+'), w -> w <> ''),
+                                      w -> lower(w[1])), '') AS initials,
+       md5(name) AS source_id
+FROM names
+ORDER BY name
+""",
+)
+def q23_doc_source_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension build (sources_and_topics.py:15-47): distinct names +
+    slugify (Vietnamese fold, extract_utils.py:63-78) + initials alias
+    (extract_utils.py:81-82) + md5 surrogate key — zero UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    name = F.col("name")
+    return (
+        docs.select(F.concat(F.lit("Thời sự "), F.col("source")).alias("name"))
+        .distinct()
+        .select(
+            "name",
+            slugify(name).alias("alias"),
+            alias_initials(name).alias("initials"),
+            F.md5(name).alias("source_id"),
+        )
+        .orderBy("name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — clean_summary + bullet split/count (F6/F7/F8).
+# --------------------------------------------------------------------------
+@register(
+    "q24_summary_bullets",
+    covers=("F6", "F7", "F8"),
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         'Key points:' || chr(10) || '• ' || substr(text, 1, 30) || chr(10) ||
+         '- ' || substr(text, 31, 30) || chr(10) || chr(10) || '* ' || substr(text, 61, 30) AS raw
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(raw, '(?i)^Here are the \\d+ concise points in Vietnamese:[\\s\\n]*', ''),
+                   '(?i)^Here are \\d+ concise points:[\\s\\n]*', ''),
+                 '(?i)^Summary in \\d+ points:[\\s\\n]*', ''),
+               '(?i)^Key points:[\\s\\n]*', ''),
+             '(?m)^[•\\-*–—]\\s*', '', 'g'),
+           '\\n{2,}', chr(10), 'g')) AS s
+  FROM synth
+), bullets AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(s, chr(10)), x -> trim(x)), x -> x <> '') AS b
+  FROM cleaned
+)
+SELECT doc_id, len(b) AS n_bullets, array_to_string(b, '. ') AS joined
+FROM bullets
+""",
+)
+def q24_summary_bullets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_summary (clean_summary.py:3-24) then split-to-bullets
+    (summarize_utils.py:78) and re-join (embedded_articles.py:65-68)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Key points:\n• "),
+        F.substring("text", 1, 30),
+        F.lit("\n- "),
+        F.substring("text", 31, 30),
+        F.lit("\n\n* "),
+        F.substring("text", 61, 30),
+    )
+    bullets = split_bullets(clean_summary(raw))
+    return docs.select(
+        "doc_id",
+        F.size(bullets).alias("n_bullets"),
+        F.array_join(bullets, ". ").alias("joined"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — image-src extraction from HTML (S4) + md5-UUID point ids (F9).
+# --------------------------------------------------------------------------
+@register(
+    "q25_img_and_ids",
+    covers=("S4", "F9", "F12"),
+    oracle="""
+SELECT doc_id,
+       regexp_extract('<div><p>x</p><img class="thumb" src="' || source || '/img/' ||
+                      CAST(doc_id AS VARCHAR) || '.jpg" /></div>',
+                      '<img[^>]*\\ssrc="([^"]+)"', 1) AS img,
+       concat_ws('-', substr(md5('https://ex/' || CAST(doc_id AS VARCHAR)), 1, 8),
+                      substr(md5('https://ex/' || CAST(doc_id AS VARCHAR)), 9, 4),
+                      substr(md5('https://ex/' || CAST(doc_id AS VARCHAR)), 13, 4),
+                      substr(md5('https://ex/' || CAST(doc_id AS VARCHAR)), 17, 4),
+                      substr(md5('https://ex/' || CAST(doc_id AS VARCHAR)), 21, 12)) AS point_id
+FROM documents
+""",
+)
+def q25_img_and_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS description <img src> extraction as a native regexp
+    (extract_utils.py:50-59) and the md5→UUID point-id derivation
+    (embedded_articles.py:193-194)."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div><p>x</p><img class="thumb" src="'),
+        F.col("source"),
+        F.lit("/img/"),
+        F.col("doc_id").cast("string"),
+        F.lit('.jpg" /></div>'),
+    )
+    url = F.concat(F.lit("https://ex/"), F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id", extract_img_src(html).alias("img"), md5_uuid(url).alias("point_id")
+    )

@@ -1,0 +1,113 @@
+"""Golden tests for the text operators — fixtures from FIXTURES.md /
+the reference's own test expectations (src/tests/test_embedding.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from briefly_spark.functions.text import (
+    alias_initials,
+    clean_summary,
+    clean_text,
+    extract_img_src,
+    html_unescape,
+    md5_uuid,
+    slugify,
+    split_bullets,
+)
+from briefly_spark.operators.chunking import chunk_fixed_expr, chunk_text
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_clean_text_golden(spark):
+    # reference golden: dedup repeated sentence + drop photo credit
+    # (src/tests/test_embedding.py:4-8)
+    got = _one(spark, clean_text(F.lit("Đây là câu. Đây là câu. Ảnh: Hoài Thanh")))
+    assert got == "Đây là câu. "
+
+
+def test_clean_text_empty(spark):
+    assert _one(spark, clean_text(F.lit(""))) == ""
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("Tuổi Trẻ", "tuoitre"),
+        ("Thời sự", "thoisu"),
+        ("Giáo dục", "giaoduc"),
+        ("Đà Nẵng", "danang"),
+    ],
+)
+def test_slugify_fixtures(spark, name, expected):
+    assert _one(spark, slugify(F.lit(name))) == expected
+
+
+def test_alias_initials(spark):
+    assert _one(spark, alias_initials(F.lit("Thời sự"))) == "ts"
+    assert _one(spark, alias_initials(F.lit("Giáo dục Việt Nam"))) == "gdvn"
+
+
+def test_clean_summary_and_bullets(spark):
+    raw = "Key points:\n• one point here \n- two\n\n* three"
+    bullets = _one(spark, split_bullets(clean_summary(F.lit(raw))))
+    assert bullets == ["one point here", "two", "three"]
+
+
+def test_html_unescape_double(spark):
+    # &amp;amp; needs two passes — the reference unescapes twice
+    assert _one(spark, html_unescape(F.lit("a &amp;amp; b"))) == "a & b"
+
+
+def test_extract_img_src(spark):
+    html = '<p>t</p><img alt="x" src="https://e/i.jpg" />'
+    assert _one(spark, extract_img_src(F.lit(html))) == "https://e/i.jpg"
+    assert _one(spark, extract_img_src(F.lit("<p>no image</p>"))) == ""
+
+
+def test_md5_uuid_shape(spark):
+    got = _one(spark, md5_uuid(F.lit("https://example.com/a")))
+    parts = got.split("-")
+    assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+    assert got == got.lower()
+
+
+# ---------------------------------------------------------------------------
+# chunker: reference-contract properties (test_embedding.py:10-14 semantics)
+# ---------------------------------------------------------------------------
+def test_chunk_text_properties():
+    text = "Câu một dài hơn mười ký tự. " * 50
+    chunks = chunk_text(text)
+    assert len(chunks) >= 1
+    assert all(len(c) > 10 for c in chunks)
+    assert all(len(c) <= 400 + 50 for c in chunks)
+
+
+def test_chunk_text_short_and_empty():
+    assert chunk_text("") == []
+    assert chunk_text("tiny") == []  # ≤ 10 chars dropped
+    assert chunk_text("a sentence longer than ten characters") == [
+        "a sentence longer than ten characters"
+    ]
+
+
+def test_chunk_text_overlap_continuity():
+    # consecutive chunks share content (overlap ≤ 50 chars)
+    text = ". ".join(f"sentence number {i} with content" for i in range(60))
+    chunks = chunk_text(text)
+    assert len(chunks) > 1
+    joined = "".join(chunks)
+    # every sentence appears somewhere
+    for i in range(60):
+        assert f"sentence number {i}" in joined
+
+
+def test_chunk_fixed_expr(spark):
+    df = spark.createDataFrame([("x" * 1000,)], ["text"])
+    chunks = df.select(chunk_fixed_expr(F.col("text")).alias("c")).collect()[0].c
+    # windows start at 0, 350, 700 → lengths 400, 400, 300
+    assert [len(c) for c in chunks] == [400, 400, 300]
