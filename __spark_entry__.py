@@ -35,12 +35,13 @@ def _prepare(spark: SparkSession) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Star-schema revenue rollup: broadcast dim joins + fixed-point aggregate
-    (SURVEY §2 J1/A4) — exercises scan, join strategy and agg layers at once.
+    The reference's hardest operator end-to-end: related-articles ranking —
+    two-tier similarity top-k with cross-topic fallback, hydration join and
+    weighted re-rank (SURVEY §2 J4/J5/J6/A7/W1) as one set-oriented job.
     """
     _prepare(spark)
     registry = load_registry()
-    return registry["q03_revenue_by_nation"].fn(spark, SMOKE_SF_DIR)
+    return registry["q41_related_articles"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,241 @@
+"""Similarity search — SURVEY §2.4 J4/J5 (the reference's Qdrant ANN) and
+the training-pipeline ANN operators.
+
+Three tiers, same output contract (query_id, neighbor_id, rank, sim):
+
+- :func:`topk_cosine` — exact brute-force top-k: (blocked) pair join →
+  native cosine → per-query window.  The correctness baseline; also the
+  right choice whenever one side broadcasts (queries ≪ corpus).
+- :func:`hyperplane_signature` + :func:`lsh_topk` — approximate scale path:
+  deterministic random-hyperplane LSH (signs of dot products with md5-seeded
+  ±1 planes) → bucket equi-join → exact re-rank inside buckets.  Replaces
+  the O(|Q|·|C|) pair join with a bucketed join; recall tunable via
+  signature bits / probe radius.
+- :func:`related_topk` — the reference's full related-articles semantics
+  (get_relevant_articles.py:62-139): same-topic top-k, cross-topic fallback
+  fill to k, hydration join for validation_score, weighted re-rank
+  0.7·(sim·10) + 0.3·validation, final top-n.
+
+Scale design: vectors are unit-normalized once (amortized), the corpus side
+is repartitioned on the blocking key, and every ranking is a window over
+``partitionBy(query)`` — no collect, no driver loops, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from briefly_spark.functions.vectors import cosine
+from briefly_spark.numerics import trunc4
+
+
+def _ranked(pairs: DataFrame, k: int, *, score_col: str = "cos") -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    block: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k.  Inputs: queries(query_id, v[, block]),
+    corpus(neighbor_id, v[, block]).  Returns (query_id, neighbor_id, rank,
+    sim) with deterministic ties (sim desc, neighbor_id asc)."""
+    q = queries.alias("q")
+    c = corpus.alias("c")
+    cond = F.lit(True) if block is None else (F.col(f"q.{block}") == F.col(f"c.{block}"))
+    if exclude_self:
+        cond = cond & (F.col("q.query_id") != F.col("c.neighbor_id"))
+    pairs = q.join(c, cond).select(
+        "q.query_id", "c.neighbor_id", cosine(F.col("q.v"), F.col("c.v")).alias("cos")
+    )
+    return _ranked(pairs, k).select(
+        "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hyperplane LSH
+# ---------------------------------------------------------------------------
+def _plane_dot(v: Column, plane: Column, dims: int) -> Column:
+    """<v, h_plane> against an md5-seeded ±1 hyperplane — deterministic and
+    engine-portable (no RNG state): plane p, dim d is +1 iff the first hex
+    char of md5(p:d) is ≥ '8'."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dims)),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.element_at(v, d)
+        * F.when(
+            F.substring(
+                F.md5(F.concat(plane.cast("string"), F.lit(":"), d.cast("string"))), 1, 1
+            )
+            >= "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+
+
+def hyperplane_signature(v: Column, dims: int, bits: int = 16, offset: int = 0) -> Column:
+    """bits-char '0'/'1' signature from planes [offset, offset+bits)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(offset), F.lit(offset + bits - 1)),
+            lambda p: F.when(_plane_dot(v, p, dims) > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def signature_tables(v: Column, dims: int, bits: int, tables: int) -> Column:
+    """L independent bucket keys (table t uses planes [t·bits, (t+1)·bits)).
+    Multi-table LSH: a true neighbor is a candidate if it collides in ANY
+    table — recall ≈ 1-(1-p^bits)^tables for per-plane agreement p."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: hyperplane_signature_col(v, dims, bits, t * bits),
+    )
+
+
+def hyperplane_signature_col(v: Column, dims: int, bits: int, offset_col) -> Column:
+    """Signature where the plane offset is itself a Column expression."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda p: F.when(_plane_dot(v, offset_col + p, dims) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dims: int,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: both sides are
+    bucketed L times, candidates = bucket-join union over tables, exact
+    cosine re-rank on the deduped candidate set.  O(pairs-in-buckets)
+    instead of O(|Q|·|C|) — the 100 TB path; tune (bits, tables) for the
+    recall/cost point.  Same output contract as :func:`topk_cosine`."""
+    def banded(df: DataFrame, id_col: str) -> DataFrame:
+        return df.select(
+            id_col,
+            "v",
+            F.posexplode(signature_tables(F.col("v"), dims, bits, tables)).alias(
+                "tbl", "bucket"
+            ),
+        )
+
+    qb = banded(queries, "query_id").alias("q")
+    cb = banded(corpus, "neighbor_id").alias("c")
+    pairs = (
+        qb.join(
+            cb,
+            (F.col("q.tbl") == F.col("c.tbl"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.query_id") != F.col("c.neighbor_id")),
+        )
+        .select("q.query_id", "c.neighbor_id", cosine(F.col("q.v"), F.col("c.v")).alias("cos"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    return _ranked(pairs, k).select(
+        "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference related-articles semantics
+# ---------------------------------------------------------------------------
+def related_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    scores: DataFrame,
+    *,
+    k_candidates: int = 6,
+    k_final: int = 5,
+    sim_weight: float = 0.7,
+    score_weight: float = 0.3,
+    default_score: int = 5,
+) -> DataFrame:
+    """Two-tier similarity with fallback fill + weighted re-rank — the full
+    reference pipeline (get_relevant_articles.py) as ONE set-oriented job:
+
+    tier 0: same-topic top-``k_candidates`` (Qdrant filtered search, :62-88)
+    tier 1: cross-topic candidates filling remaining slots, excluding tier-0
+            hits and self (fallback search, :90-113)
+    hydrate: join validation_score, deterministic default when missing
+            (:119-127 — reference used random.randint(3,6); SURVEY §7.2)
+    re-rank: 0.7·(sim·10) + 0.3·validation_score, top-``k_final`` (:129-139)
+
+    Inputs: queries(query_id, topic, v), corpus(neighbor_id, topic, v),
+    scores(neighbor_id, validation_score).  Output: (query_id, neighbor_id,
+    rank, sim, combined_score).  The per-article N+1 lookup pattern of the
+    reference becomes two joins + two windows."""
+    q = queries.alias("q")
+    c = corpus.alias("c")
+    pairs = (
+        q.join(c, F.col("q.query_id") != F.col("c.neighbor_id"))
+        .select(
+            "q.query_id",
+            F.col("q.topic").alias("q_topic"),
+            "c.neighbor_id",
+            F.col("c.topic").alias("c_topic"),
+            cosine(F.col("q.v"), F.col("c.v")).alias("cos"),
+        )
+    )
+    # tier 0: same-topic top-k_candidates
+    w_topic = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    tier0 = (
+        pairs.filter(F.col("q_topic") == F.col("c_topic"))
+        .withColumn("rk", F.row_number().over(w_topic))
+        .filter(F.col("rk") <= k_candidates)
+        .select("query_id", "neighbor_id", "cos", F.lit(0).alias("tier"))
+    )
+    # tier 1: everything else, ranked; fill remaining slots
+    n0 = tier0.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_found"))
+    found = tier0.select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    rest = (
+        pairs.join(
+            found,
+            (pairs.query_id == found.t_qid) & (pairs.neighbor_id == found.t_nid),
+            "left_anti",
+        )
+        .withColumn("rk", F.row_number().over(w_topic))
+        .join(n0, "query_id", "left")
+        .filter(F.col("rk") <= F.lit(k_candidates) - F.coalesce(F.col("n_found"), F.lit(0)))
+        .select("query_id", "neighbor_id", "cos", F.lit(1).alias("tier"))
+    )
+    candidates = tier0.unionByName(rest)
+    # hydration + weighted score + final top-k
+    hydrated = candidates.join(F.broadcast(scores), "neighbor_id", "left").withColumn(
+        "vscore", F.coalesce(F.col("validation_score"), F.lit(default_score))
+    )
+    combined = F.lit(sim_weight) * (F.col("cos") * 10) + F.lit(score_weight) * F.col("vscore")
+    w_final = Window.partitionBy("query_id").orderBy(F.desc("combined"), F.asc("neighbor_id"))
+    return (
+        hydrated.withColumn("combined", combined)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k_final)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            trunc4(F.col("cos")).alias("sim"),
+            trunc4(F.col("combined")).alias("combined_score"),
+        )
+    )

@@ -1,1 +1,255 @@
-"""Placeholder — queries registered in later milestones."""
+"""Dedup pack — corpus-curation operators over ``documents`` / ``embeddings``.
+
+The synthetic corpus has no natural duplicates, so every query first builds
+a deterministic duplicated corpus (original ∪ mutated copy, identical
+expression in both engines) and then must re-discover exactly the planted
+pairs.  The operator under test is the dedup pipeline; the construction is
+shared scaffolding.
+
+All hashing is md5-hex-string based (see operators/dedup.py) so Spark and
+DuckDB compute byte-identical signatures — candidate sets match exactly,
+making even the probabilistic LSH stage hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table
+from briefly_spark.numerics import trunc4
+from briefly_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_dedup_pairs,
+    simhash_bits,
+    word_ngrams,
+)
+from briefly_spark.queries import register
+
+# shared corpus construction: original docs ∪ copy with last 5 words dropped
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id AS id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id, source,
+         array_to_string(
+           list_slice(string_split_regex(text, '\\s+'), 1,
+                      greatest(len(string_split_regex(text, '\\s+')) - 5, 1)),
+           ' ') AS text
+  FROM documents
+)
+"""
+
+_SHINGLES_SQL = """
+sh AS (
+  SELECT id, source,
+         list_distinct(
+           list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT id, source, string_split_regex(text, '\\s+') AS w FROM corpus)
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    mutant = F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))))
+    return docs.select(F.col("doc_id").alias("id"), "source", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("id"), "source", mutant.alias("text"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — exact dedup: hash-groupBy, deterministic survivor.
+# --------------------------------------------------------------------------
+@register(
+    "q30_exact_dedup",
+    covers=("P5", "U4"),
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL SELECT doc_id + 10000 AS id, text FROM documents
+)
+SELECT md5(text) AS content_md5, min(id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY content_md5
+""",
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5-groupBy keeping min id (deterministic
+    survivor, unlike the reference's random policies — SURVEY §7.2).  One
+    shuffle on the 16-byte digest, not the document text: at 100 TB the
+    shuffle payload is keys + ids only."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("id"), "text")
+    )
+    return exact_dedup(corpus, "text", "id")
+
+
+# --------------------------------------------------------------------------
+# q31 — MinHash + LSH near-dup pairs.
+# --------------------------------------------------------------------------
+@register(
+    "q31_minhash_lsh_pairs",
+    covers=("P5",),
+    oracle=f"""
+WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
+sig AS (
+  SELECT id, shingles,
+         list_transform(range(0, 8),
+           i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sg
+  FROM sh
+),
+banded AS (
+  SELECT id, shingles, b, md5(sg[2*b + 1] || '|' || sg[2*b + 2]) AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.shingles AS sa, b.shingles AS sb
+  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b,
+       floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa, sb))) * 10000) / 10000.0 AS jac
+FROM cand
+WHERE floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa, sb))) * 10000) / 10000.0 >= 0.4
+""",
+)
+def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (shingle → 8 min-hashes → 4 bands →
+    bucket self-join → exact-Jaccard verify ≥ 0.4).  Candidate generation is
+    a band-key equi-join — no quadratic stage; identical md5-string hashing
+    on both engines makes even the LSH bucketing hash-comparable."""
+    return minhash_dedup_pairs(_corpus(spark, sf_dir), "id", "text", n=3, k=8, bands=4, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# q32 — SimHash fingerprints (native bit arithmetic).
+# --------------------------------------------------------------------------
+@register(
+    "q32_simhash_fingerprints",
+    covers=("F9",),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS tokens
+  FROM documents
+),
+hv AS (
+  SELECT doc_id,
+         list_transform(tokens,
+           t -> list_transform(range(1, 9),
+                  j -> strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)) AS hexvals
+  FROM toks
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(range(0, 32), b ->
+           CASE WHEN list_sum(list_transform(hexvals, h ->
+                  2 * (CAST(floor(h[CAST(floor(b / 4) AS INT) + 1]
+                                  / pow(2, 3 - (b % 4))) AS INT) % 2) - 1)) > 0
+                THEN '1' ELSE '0' END),
+         '') AS simhash
+FROM hv
+""",
+)
+def q32_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document as pure array-lambda codegen (md5-hex
+    votes, sign aggregation) — fingerprints are engine-portable, so the
+    banded hamming join downstream behaves identically everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_bits(F.col("text"), 32).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# q33 — blocked n-gram Jaccard pairs (quadratic verify inside blocks).
+# --------------------------------------------------------------------------
+@register(
+    "q33_ngram_jaccard_pairs",
+    covers=("J4",),
+    oracle=f"""
+WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) * 10000) / 10000.0 AS jac
+  FROM sh a JOIN sh b ON a.source = b.source AND a.id < b.id
+)
+SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.6
+""",
+)
+def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup within blocking key (source): the
+    quadratic baseline that LSH (q31) approximates.  Blocking bounds the
+    pair count; the block join shuffles on the blocking key only."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select("id", "source", word_ngrams(F.col("text"), 3).alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = trunc4(jaccard(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jac"))
+        .filter(F.col("jac") >= 0.6)
+    )
+
+
+# --------------------------------------------------------------------------
+# q34 — embedding cosine near-dup (label-blocked).
+# --------------------------------------------------------------------------
+@register(
+    "q34_embedding_near_dup",
+    covers=("J4", "J5"),
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id AS id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id, label,
+         list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) + CASE WHEN i = 1 THEN 0.1 ELSE 0 END) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.id < b.id
+)
+SELECT id_a, id_b, floor(cos * 10000) / 10000.0 AS sim
+FROM pairs WHERE cos >= 0.99
+""",
+)
+def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pair join + native
+    zip_with/aggregate dot product, threshold 0.99.  The planted perturbed
+    copies (+0.1 on dim 0) are exactly what must be found.  At 100 TB the
+    blocking key comes from LSH bucketing (q31 pattern) instead of a label
+    column; the verify stage is unchanged."""
+    from briefly_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    orig = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") + F.when(i == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = orig.unionByName(pert)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= 0.99)
+        .select("id_a", "id_b", trunc4(F.col("cos")).alias("sim"))
+    )

@@ -1,1 +1,148 @@
-"""Placeholder — queries registered in later milestones."""
+"""Similarity-search pack — exact ANN baseline, the reference's full
+related-articles semantics, and the LSH scale path, over ``embeddings``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table
+from briefly_spark.operators.similarity import lsh_topk, related_topk, topk_cosine
+from briefly_spark.queries import register
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — exact brute-force cosine top-k (the ANN correctness baseline).
+# --------------------------------------------------------------------------
+@register(
+    "q40_ann_topk",
+    covers=("J4", "W1", "W5"),
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+q AS (SELECT * FROM emb WHERE id % 10 = 0),
+pairs AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id, {_cos_sql('q.v', 'c.v')} AS cos
+  FROM q JOIN emb c ON q.id <> c.id
+)
+SELECT query_id, neighbor_id, rank, floor(cos * 10000) / 10000.0 AS sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+WHERE rank <= 5
+""",
+)
+def q40_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for a 10% query sample: pair join →
+    native zip_with dot product → per-query window.  This is the exact
+    baseline the LSH path (q42) is measured against; at scale the query
+    side broadcasts and the corpus streams (no shuffle of the corpus)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("id") % 10 == 0).select(F.col("id").alias("query_id"), "v")
+    corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
+    return topk_cosine(queries, corpus, k=5)
+
+
+# --------------------------------------------------------------------------
+# q41 — the reference's related-articles pipeline, set-oriented (flagship).
+# --------------------------------------------------------------------------
+@register(
+    "q41_related_articles",
+    covers=("J4", "J5", "J6", "A7", "W1", "W5", "S8"),
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id AS id,
+         CASE WHEN label <= 7 THEN CAST(label AS VARCHAR)
+              ELSE 't' || CAST(vec_id % 90 AS VARCHAR) END AS topic,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM emb WHERE id % 20 = 0),
+pairs AS (
+  SELECT q.id AS query_id, q.topic AS q_topic, c.id AS neighbor_id, c.topic AS c_topic,
+         {_cos_sql('q.v', 'c.v')} AS cos
+  FROM q JOIN emb c ON q.id <> c.id
+),
+tier0 AS (
+  SELECT query_id, neighbor_id, cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM pairs WHERE q_topic = c_topic)
+  WHERE rk <= 6
+),
+n0 AS (SELECT query_id, count(*) AS n_found FROM tier0 GROUP BY query_id),
+rest AS (
+  SELECT r.query_id, r.neighbor_id, r.cos
+  FROM (
+    SELECT p.query_id, p.neighbor_id, p.cos,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY p.cos DESC, p.neighbor_id) AS rk
+    FROM pairs p
+    ANTI JOIN tier0 t ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+  ) r LEFT JOIN n0 ON r.query_id = n0.query_id
+  WHERE r.rk <= 6 - coalesce(n0.n_found, 0)
+),
+cand AS (SELECT * FROM tier0 UNION ALL SELECT * FROM rest),
+hyd AS (SELECT query_id, neighbor_id, cos,
+               0.7 * (cos * 10) + 0.3 * ((neighbor_id * 7) % 11) AS combined
+        FROM cand)
+SELECT query_id, neighbor_id, rank,
+       floor(cos * 10000) / 10000.0 AS sim,
+       floor(combined * 10000) / 10000.0 AS combined_score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY combined DESC, neighbor_id) AS rank
+      FROM hyd)
+WHERE rank <= 5
+""",
+)
+def q41_related_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest operator as ONE set-oriented job
+    (get_relevant_articles.py:26-153): same-topic top-6 → cross-topic
+    fallback fill → hydration join for validation_score → weighted re-rank
+    0.7·(sim·10) + 0.3·score → top-5.  Labels 8-9 are fragmented into
+    single-member topics so the fallback path (J5) is genuinely exercised.
+    validation_score is the deterministic (id·7) mod 11 — replacing the
+    reference's random default (SURVEY §7.2)."""
+    emb = _emb(spark, sf_dir)
+    topic = F.when(F.col("label") <= 7, F.col("label").cast("string")).otherwise(
+        F.concat(F.lit("t"), (F.col("id") % 90).cast("string"))
+    )
+    base = emb.select("id", topic.alias("topic"), "v")
+    queries = base.filter(F.col("id") % 20 == 0).select(
+        F.col("id").alias("query_id"), "topic", "v"
+    )
+    corpus = base.select(F.col("id").alias("neighbor_id"), "topic", "v")
+    scores = base.select(
+        F.col("id").alias("neighbor_id"), ((F.col("id") * 7) % 11).alias("validation_score")
+    )
+    return related_topk(queries, corpus, scores, k_candidates=6, k_final=5)
+
+
+# --------------------------------------------------------------------------
+# q42 — hyperplane-LSH approximate ANN (scale path; rows-only check,
+# recall measured against q40 in tests/test_similarity.py).
+# --------------------------------------------------------------------------
+@register("q42_lsh_ann", covers=("J4", "W5"))
+def q42_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate ANN: deterministic hyperplane signatures →
+    bucket equi-join → exact re-rank.  The O(|Q|·|C|) pair join becomes a
+    bucketed join — the 100 TB path.  Approximation ⇒ no SQL oracle; recall
+    vs the exact baseline is asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("id") % 10 == 0).select(F.col("id").alias("query_id"), "v")
+    corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
+    return lsh_topk(queries, corpus, dims=64, k=5, bits=4)

@@ -41,8 +41,8 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
-    assert set(df.columns) == {"n_name", "revenue", "n_items"}
+    assert len(rows) > 0
+    assert set(df.columns) == {"query_id", "neighbor_id", "rank", "sim", "combined_score"}
 
 
 def test_driver_contract_shapes():
