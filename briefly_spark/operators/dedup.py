@@ -98,11 +98,18 @@ def lsh_candidate_pairs(
     self-equi-join on (band, key) → distinct pairs.  The join is the only
     shuffle; no O(n²) stage exists anywhere."""
     rows = k // bands
-    sig = minhash_signature(F.col(shingle_col), k)
-    banded = df.select(
+    # Stage the signature in its own projection: higher-order lambdas have
+    # no CSE, so inlining it into band_keys would recompute the k min-hash
+    # passes once per band reference.
+    signed = df.select(
         F.col(id_col).alias("id"),
         F.col(shingle_col).alias("shingles"),
-        F.posexplode(band_keys(sig, bands, rows)).alias("band", "key"),
+        minhash_signature(F.col(shingle_col), k).alias("sig"),
+    )
+    banded = signed.select(
+        "id",
+        "shingles",
+        F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -150,21 +157,24 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_bits(col: Column, bits: int = 32) -> Column:
-    """SimHash fingerprint of a text column as a bit-string, fully native.
-
-    Per token: md5 hex → per-bit ±1 votes; fingerprint bit = sign of the
-    vote sum.  Uses the first bits/4 hex chars (4 bits each).  Everything is
-    array lambdas over identical md5 hex in any engine — no integer-hash
-    portability trap."""
+def token_hexvals(col: Column, bits: int = 32) -> Column:
+    """Per-token md5 nibble values (array<array<int>>), the SimHash input.
+    Materialize this in its own projection before :func:`simhash_from_hexvals`
+    — lambdas have no CSE, so inlining it would re-hash every token once per
+    fingerprint bit."""
     tokens = F.filter(F.split(col, r"\s+"), lambda w: w != "")
-    hexvals = F.transform(
+    return F.transform(
         tokens,
         lambda t: F.transform(
             F.sequence(F.lit(1), F.lit(bits // 4)),
             lambda j: F.instr(F.lit(HEX), F.substring(F.md5(t), j, 1)) - 1,
         ),
     )
+
+
+def simhash_from_hexvals(hexvals: Column, bits: int = 32) -> Column:
+    """SimHash bit-string from materialized per-token nibble arrays:
+    fingerprint bit = sign of the sum of per-token ±1 votes."""
     def bit_vote(b: Column) -> Column:
         hex_idx = F.floor(b / 4) + 1
         shift = F.pow(F.lit(2.0), F.lit(3) - b % 4)
@@ -182,3 +192,10 @@ def simhash_bits(col: Column, bits: int = 32) -> Column:
         ),
         "",
     )
+
+
+def simhash_bits(col: Column, bits: int = 32) -> Column:
+    """Single-expression SimHash — convenience for tests/small inputs; in
+    query plans stage :func:`token_hexvals` in its own projection first
+    (see queries/dedup.py q32) to avoid per-bit re-hashing."""
+    return simhash_from_hexvals(token_hexvals(col, bits), bits)

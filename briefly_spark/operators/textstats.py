@@ -1,0 +1,154 @@
+"""Text-analysis operators for corpus curation — language-ID, quality
+scoring, token counting, document fingerprinting.
+
+These extend the reference's text surface (SURVEY §2.8 — clean/slugify/
+chunk) with the analysis pass a 100 TB training-data pipeline runs before
+filtering: every operator is a pure native Column expression (whole-stage
+codegen, zero UDFs, zero shuffles), so the analysis pass is a single map
+stage over the corpus scan with full pushdown.
+
+Engine portability: anything hash-based uses md5 hex strings, and any
+tie-break is an explicit deterministic CASE priority — Spark and DuckDB
+produce byte-identical results (the oracle harness hash-compares them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small high-frequency lexicons for the stopword-overlap language heuristic.
+# Deliberately tiny: the operator contract is the *heuristic*, swappable for
+# real per-language tables at scale (broadcast-joined lexicon DataFrame).
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "que", "los", "una", "por", "con", "para"),
+    "fr": ("le", "les", "des", "est", "pas", "une", "dans", "pour"),
+}
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single punctuation.
+BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Non-empty whitespace tokens."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under a BPE-style pre-tokenizer (letter runs, digit
+    runs, punctuation marks) — the standard proxy for LLM token cost when
+    the real tokenizer isn't on the cluster."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT), 0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """|distinct tokens ∩ lexicon| / |distinct tokens|."""
+    toks = F.array_distinct(tokens(col))
+    lex = F.array(*[F.lit(w) for w in LEXICONS[lang]])
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_intersect(toks, lex)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-overlap score (deterministic heuristic)."""
+    return {lang: stopword_ratio(col, lang) for lang in LEXICONS}
+
+
+def language_id(col: Column) -> Column:
+    """Predicted language: argmax of stopword-overlap scores with a fixed
+    alphabetical priority on ties, 'und' (undetermined) when no lexicon
+    hits.  Expressed as a CASE chain so any engine evaluates it
+    identically — no struct-ordering or argmax portability traps."""
+    s = language_scores(col)
+    langs = sorted(LEXICONS)  # de, en, es, fr — priority order on ties
+    best: Column = F.lit(langs[0])
+    best_score: Column = s[langs[0]]
+    for lang in langs[1:]:
+        gt = s[lang] > best_score
+        best = F.when(gt, F.lit(lang)).otherwise(best)
+        best_score = F.when(gt, s[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    n_punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n > 0, n_punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column) -> Column:
+    n = F.length(col)
+    n_digit = n - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return F.when(n > 0, n_digit.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document quality in [0, 10]: rewards reasonable length,
+    natural word lengths and stopword presence; penalizes punctuation/digit
+    noise.  A deterministic rubric in the spirit of C4/Gopher heuristics —
+    each component is clamped to [0,1] then weighted."""
+    length_c = F.least(word_count(col).cast("double") / 50.0, F.lit(1.0))
+    stop_c = F.least(stopword_ratio(col, "en") * 5.0, F.lit(1.0))
+    wl = mean_word_len(col)
+    wordlen_c = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    noise = punct_ratio(col) + digit_ratio(col)
+    noise_c = F.greatest(F.lit(1.0) - noise * 4.0, F.lit(0.0))
+    return (length_c * 3 + stop_c * 3 + wordlen_c * 2 + noise_c * 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting (winnowing over a rolling hash)
+# ---------------------------------------------------------------------------
+def kgram_hashes(col: Column, k: int = 8) -> Column:
+    """md5 hash of every character k-gram (the rolling-hash stream)."""
+    n = F.length(col)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.md5(F.substring(col, i, k)))).otherwise(
+        F.array(F.md5(col))
+    )
+
+
+def window_minima(hashes: Column, w: int = 4) -> Column:
+    """Per-window minima over a hash stream (the winnowing step).
+
+    IMPORTANT: pass ``hashes`` as a *materialized column reference* (a
+    separate ``select`` stage), never the raw k-gram expression — Spark's
+    higher-order lambdas are interpreted without common-subexpression
+    elimination, so an inlined stream expression would be recomputed once
+    per window (O(n²) hashing)."""
+    n = F.size(hashes)
+    widx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    return F.when(
+        n >= w, F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    ).otherwise(F.array(F.array_min(hashes)))
+
+
+def winnow_fingerprint(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): the
+    distinct set of per-window minima over the k-gram hash stream, as a
+    sorted array.  Guarantees any shared substring of length ≥ k+w-1
+    contributes a shared fingerprint — the standard near-dup/plagiarism
+    sketch.  Pure array lambdas: identical output in Spark and DuckDB.
+
+    Single-expression form — fine for tests/small inputs.  In query plans
+    use the staged form (kgram_hashes → window_minima across separate
+    projections, see queries/textstats.py q53) so each stage is evaluated
+    once per row instead of once per window."""
+    return F.array_sort(F.array_distinct(window_minima(kgram_hashes(col, k), w)))

@@ -51,6 +51,7 @@ def load_registry() -> dict[str, QuerySpec]:
         relational,
         similarity,
         text,
+        textstats,
     )
 
     return REGISTRY

@@ -22,7 +22,8 @@ from briefly_spark.operators.dedup import (
     exact_dedup,
     jaccard,
     minhash_dedup_pairs,
-    simhash_bits,
+    simhash_from_hexvals,
+    token_hexvals,
     word_ngrams,
 )
 from briefly_spark.queries import register
@@ -158,9 +159,12 @@ FROM hv
 def q32_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document as pure array-lambda codegen (md5-hex
     votes, sign aggregation) — fingerprints are engine-portable, so the
-    banded hamming join downstream behaves identically everywhere."""
+    banded hamming join downstream behaves identically everywhere.  Token
+    hashes are staged in their own projection so they're computed once per
+    document, not once per fingerprint bit (no CSE in lambdas)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash_bits(F.col("text"), 32).alias("simhash"))
+    staged = docs.select("doc_id", token_hexvals(F.col("text"), 32).alias("hv"))
+    return staged.select("doc_id", simhash_from_hexvals(F.col("hv"), 32).alias("simhash"))
 
 
 # --------------------------------------------------------------------------

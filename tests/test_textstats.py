@@ -1,0 +1,59 @@
+"""Unit tests for text-analysis operators (language-ID, quality, tokens,
+winnowing) — property checks at sf0.001; cross-engine equivalence is
+covered by the oracle harness (tests/test_queries_oracle.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from briefly_spark.operators.textstats import (
+    bpe_token_count,
+    language_id,
+    quality_score,
+    winnow_fingerprint,
+    word_count,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["text"]).select(col.alias("v")).first()["v"]
+
+
+def test_language_id_lexicon_hits(spark):
+    assert _one(spark, "the cat and the hat is a cat", language_id(F.col("text"))) == "en"
+    assert _one(spark, "der hund und die katze ist", language_id(F.col("text"))) == "de"
+    assert _one(spark, "xyzzy plugh qwerty", language_id(F.col("text"))) == "und"
+
+
+def test_language_id_tie_prefers_alphabetical(spark):
+    # one hit each for de ('und') and en ('the') → tie → 'de' wins (priority)
+    assert _one(spark, "und the zzz", language_id(F.col("text"))) == "de"
+
+
+def test_token_counts(spark):
+    assert _one(spark, "hello, world! x9", word_count(F.col("text"))) == 3
+    # hello , world ! x 9 → 6 BPE-ish tokens
+    assert _one(spark, "hello, world! x9", bpe_token_count(F.col("text"))) == 6
+
+
+def test_quality_bounds(spark, sf_dir):
+    from briefly_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 10.0 for r in rows)
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # winnow(k=8, w=4): any shared run >= k+w-1 = 11 chars must share a hash
+    shared = "abcdefghijklmnop"
+    df = spark.createDataFrame(
+        [("x" + shared + "qqq",), ("zzzz" + shared,)], ["text"]
+    ).select(winnow_fingerprint(F.col("text"), k=8, w=4).alias("fp"))
+    a, b = [set(r["fp"]) for r in df.collect()]
+    assert a & b
+
+
+def test_winnow_short_text_fallback(spark):
+    fp = _one(spark, "tiny", winnow_fingerprint(F.col("text"), k=8, w=4))
+    assert len(fp) == 1
