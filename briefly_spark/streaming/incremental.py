@@ -1,0 +1,111 @@
+"""Streaming primitives: file-source streams, watermarked windows, and the
+foreachBatch → idempotent-merge sink.
+
+Scale design: a file-source stream with ``maxFilesPerTrigger`` is the T6
+rate limiter; the state store holds only open windows (watermark bounds
+state); and the merge sink rewrites only the target table's matched keys —
+the same single-merge-per-stage discipline as the batch jobs.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from briefly_spark.storage import Warehouse
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet directory.  Schema is inferred
+    from the existing files via a batch read (file streams require an
+    explicit schema); the events nanos→micros normalization matches
+    catalog.load_table."""
+    batch = spark.read.parquet(path)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(path)
+    if "ts" in sdf.columns and isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked windowed count/sum — the streaming twin of q70/q71
+    (same `window()` expression; only the watermark is stream-specific).
+    Late rows beyond ``watermark`` are dropped and their windows' state
+    evicted — state size is O(open windows × groups), independent of
+    stream length."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    grouped = events.withWatermark("ts", watermark).groupBy(w, *(by or []))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 100)) / 100.0).alias("total_value"),
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        *(by or []),
+        "n_events",
+        "total_value",
+    )
+
+
+def available_now_to_memory(
+    sdf: DataFrame, *, query_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with Trigger.AvailableNow
+    into a memory sink and return the result as a batch DataFrame — the
+    reference's periodic sweep (T3) as one checkpointed pass."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def merge_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    table: str,
+    key: list[str],
+    *,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Stream → idempotent keyed merge (T2's exactly-once intent without a
+    partition registry): every micro-batch is optionally transformed then
+    MERGEd on ``key``.  Checkpointing makes progress exactly-once at the
+    source; the idempotent merge makes replays harmless at the sink —
+    re-delivery of a batch leaves the table unchanged."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform else batch_df
+        df = df.dropDuplicates(key)
+        if df.take(1):
+            wh.merge_upsert(df, table, key)
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,71 @@
+"""Streaming tests: batch/stream agreement for windowed aggregates, and
+exactly-once table state via checkpoint + idempotent merge."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table, table_path
+from briefly_spark.storage import Warehouse
+from briefly_spark.streaming import (
+    available_now_to_memory,
+    merge_stream,
+    read_parquet_stream,
+    windowed_counts,
+)
+
+
+def _events_dir(sf_dir, tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "part-0.parquet")
+    return str(d)
+
+
+def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
+    src = _events_dir(sf_dir, tmp_path)
+    sdf = read_parquet_stream(spark, src)
+    got = available_now_to_memory(
+        windowed_counts(sdf, window="1 hour", by=["event_type"]), output_mode="complete"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    expected = windowed_counts(batch, window="1 hour", by=["event_type"])
+    key = lambda r: (r["win_start"], r["event_type"])  # noqa: E731
+    g = {key(r): (r["n_events"], r["total_value"]) for r in got.collect()}
+    e = {key(r): (r["n_events"], r["total_value"]) for r in expected.collect()}
+    assert g == e
+    assert len(g) > 100
+
+
+def test_merge_stream_exactly_once_table_state(spark, sf_dir, tmp_path):
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs = load_table(spark, sf_dir, "documents")
+    docs.limit(30).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = lambda: merge_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/"),
+        wh,
+        "docs",
+        ["doc_id"],
+        checkpoint=ckpt,
+        transform=lambda df: df.select("doc_id", "text", "source"),
+    )
+    stream()
+    n1 = wh.read("docs").count()
+    assert n1 == 30
+
+    # re-run with nothing new: checkpoint skips processed files
+    stream()
+    assert wh.read("docs").count() == 30
+
+    # second batch overlaps the first (20 old + 20 new): merge dedups
+    docs.filter(F.col("doc_id") < 40).write.mode("overwrite").parquet(str(src / "batch2"))
+    stream()
+    got = wh.read("docs")
+    assert got.count() == got.select("doc_id").distinct().count()
+    assert got.count() >= 40
