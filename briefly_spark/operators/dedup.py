@@ -37,17 +37,39 @@ HEX = "0123456789abcdef"
 # shingling
 # ---------------------------------------------------------------------------
 def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (native)."""
+    """Distinct word n-gram shingles of a text column (native).
+
+    NOTE: ``col`` is referenced n+1 times inside the gram lambda; pass an
+    already-materialized *array attribute* via :func:`with_shingles` in
+    query plans — passing the raw split expression re-tokenizes the text
+    once per n-gram element (interpreted lambdas have no CSE)."""
     words = F.split(col, r"\s+")
+    return ngrams_of_words(words, n)
+
+
+def ngrams_of_words(words: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
     return F.array_distinct(F.transform(idx, gram))
 
 
+def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+    """Plan-safe shingling: tokenize ONCE into a staged column, then build
+    n-grams off the attribute.  The words column is referenced n+1 times by
+    the gram expression, which blocks CollapseProject from re-inlining the
+    split — per-row cost drops from O(grams × tokenize) to O(tokenize)."""
+    staged = df.withColumn("__words", F.split(F.col(text_col), r"\s+"))
+    return staged.withColumn(out, ngrams_of_words(F.col("__words"), n)).drop("__words")
+
+
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays."""
+    """Exact Jaccard over two distinct-element arrays.
+
+    |A∪B| is computed as |A|+|B|−|A∩B| (exact for sets) instead of
+    materializing ``array_union`` — on a quadratic verify stage the union
+    allocation doubles per-pair cost for no information."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
@@ -68,15 +90,41 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(shingles: Column, k: int = 8) -> Column:
-    """k-element signature: sig[i] = min over shingles of md5(i:shingle)
-    (lexicographic min of hex strings — portable across engines)."""
+def minhash_signature(hashes: Column, k: int = 8) -> Column:
+    """k-element signature over pre-hashed shingles: sig[i] = min over
+    shingles of md5(shingle)[4i+1 .. 4i+4] — k independent 16-bit hash
+    families from ONE digest per shingle (k·4 ≤ 32 hex chars), with
+    lexicographic-min hex strings portable across engines.
+
+    Lambda form for tests/small inputs ONLY.  In plans use
+    :func:`minhash_signatures_exploded`: staged projections do NOT protect
+    this expression — CollapseProject re-inlines single-reference aliases,
+    after which the inner lambda re-evaluates the entire upstream chain
+    (shingling + hashing) once per signature element."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
+        lambda i: F.array_min(F.transform(hashes, lambda h: F.substring(h, i * 4 + 1, 4))),
     )
+
+
+def minhash_signatures_exploded(
+    df: DataFrame, id_col: str, shingle_col: str, k: int = 8
+) -> DataFrame:
+    """MinHash signatures via explode + grouped min — the plan-safe form.
+
+    explode shingles → one md5 per shingle (CSE'd codegen projection) → k
+    substring slices → groupBy(id) min per slice → re-assemble the
+    signature array.  Pure whole-stage codegen with a map-side partial min,
+    so the shuffle is O(ids × k), independent of shingle count — and no
+    optimizer rule can turn it back into per-element re-evaluation.
+    Returns (id, sig)."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(F.col(shingle_col)).alias("s"))
+    h = F.md5("s")
+    slices = ex.select(
+        "id", *[F.substring(h, i * 4 + 1, 4).alias(f"m{i}") for i in range(k)]
+    )
+    mins = slices.groupBy("id").agg(*[F.min(f"m{i}").alias(f"m{i}") for i in range(k)])
+    return mins.select("id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -98,35 +146,35 @@ def lsh_candidate_pairs(
     self-equi-join on (band, key) → distinct pairs.  The join is the only
     shuffle; no O(n²) stage exists anywhere."""
     rows = k // bands
-    # Stage the signature in its own projection: higher-order lambdas have
-    # no CSE, so inlining it into band_keys would recompute the k min-hash
-    # passes once per band reference.
-    signed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(shingle_col).alias("shingles"),
-        minhash_signature(F.col(shingle_col), k).alias("sig"),
-    )
+    # Signatures via explode + grouped min (plan-safe codegen; see
+    # minhash_signatures_exploded).  Band join on (band, key, id) ONLY —
+    # the shingle arrays must not ride through the ×bands explode and its
+    # shuffle (at 100 TB that multiplies the shuffle payload by the feature
+    # size); they're re-attached to the small candidate set afterwards by
+    # two id-joins.
+    signed = minhash_signatures_exploded(df, id_col, shingle_col, k)
     banded = signed.select(
-        "id",
-        "shingles",
-        F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key"),
+        "id", F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("shingles_a"),
-            F.col("b.shingles").alias("shingles_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    sh = df.select(F.col(id_col).alias("id"), F.col(shingle_col).alias("shingles"))
+    return (
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("shingles", "shingles_a")
+        .join(sh.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("shingles", "shingles_b")
+        .select("id_a", "id_b", "shingles_a", "shingles_b")
     )
 
 
@@ -144,7 +192,9 @@ def minhash_dedup_pairs(
     exact-Jaccard verify ≥ threshold.  Returns (id_a, id_b, jac)."""
     from briefly_spark.numerics import trunc4
 
-    shingled = df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("sh"))
+    shingled = with_shingles(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, n, out="sh"
+    ).select("id", "sh")
     cands = lsh_candidate_pairs(shingled, "id", "sh", k=k, bands=bands)
     jac = jaccard(F.col("shingles_a"), F.col("shingles_b"))
     return (
@@ -199,3 +249,35 @@ def simhash_bits(col: Column, bits: int = 32) -> Column:
     query plans stage :func:`token_hexvals` in its own projection first
     (see queries/dedup.py q32) to avoid per-bit re-hashing."""
     return simhash_from_hexvals(token_hexvals(col, bits), bits)
+
+
+def simhash_exploded(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash via explode + grouped vote sums — the fast/scale path.
+
+    The array-lambda form is interpreted (no codegen for higher-order
+    functions); this form is pure whole-stage codegen: explode tokens →
+    native nibble extraction (md5 CSE'd within the projection) → one
+    partial-agg shuffle summing ``bits`` vote columns → bit-string
+    assembly.  Identical output to :func:`simhash_bits` (documents with
+    zero tokens are dropped rather than fingerprinted as all-zeros).
+    Returns (id_col, simhash)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")).alias("tok"),
+    )
+    h = F.md5("tok")
+    nib = [F.instr(F.lit(HEX), F.substring(h, j + 1, 1)) - 1 for j in range(bits // 4)]
+    votes = toks.select(
+        F.col(id_col),
+        *[
+            (2 * (F.floor(nib[b // 4] / float(2 ** (3 - b % 4))) % 2) - 1)
+            .cast("long")
+            .alias(f"v{b}")
+            for b in range(bits)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
+    bitstr = F.concat(
+        *[F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    )
+    return sums.select(F.col(id_col), bitstr.alias("simhash"))

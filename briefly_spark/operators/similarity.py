@@ -16,9 +16,16 @@ Three tiers, same output contract (query_id, neighbor_id, rank, sim):
   fill to k, hydration join for validation_score, weighted re-rank
   0.7·(sim·10) + 0.3·validation, final top-n.
 
-Scale design: vectors are unit-normalized once (amortized), the corpus side
-is repartitioned on the blocking key, and every ranking is a window over
-``partitionBy(query)`` — no collect, no driver loops, skew handled by AQE.
+Pair-scoring cost discipline: vector norms are computed ONCE per row in a
+staged projection before the join, so each joined pair evaluates a single
+dot-product fold (`dot/(qn·cn)` is IEEE-identical to cosine computed
+per-pair, keeping oracle hash-equality).  Inlining the norm into the pair
+expression would triple the per-pair fold count — the dominant cost of a
+quadratic verify stage.
+
+Scale design: the corpus side is repartitioned on the blocking key, every
+ranking is a window over ``partitionBy(query)`` — no collect, no driver
+loops; skew handled by AQE.
 """
 
 from __future__ import annotations
@@ -26,13 +33,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from briefly_spark.functions.vectors import cosine
+from briefly_spark.functions.vectors import dot, l2_norm
 from briefly_spark.numerics import trunc4
 
 
 def _ranked(pairs: DataFrame, k: int, *, score_col: str = "cos") -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("neighbor_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _with_norm(df: DataFrame, norm_col: str) -> DataFrame:
+    """Stage ||v|| once per row (separate projection — no CSE in lambdas)."""
+    return df.withColumn(norm_col, l2_norm(F.col("v")))
+
+
+def _pair_cos(qn: str = "q.qn", cn: str = "c.cn") -> Column:
+    """cos from pre-staged norms; same zero-norm guard as vectors.cosine."""
+    qn_c, cn_c = F.col(qn), F.col(cn)
+    return F.when(
+        (qn_c > 0) & (cn_c > 0), dot(F.col("q.v"), F.col("c.v")) / (qn_c * cn_c)
+    ).otherwise(F.lit(0.0))
 
 
 def topk_cosine(
@@ -46,14 +66,12 @@ def topk_cosine(
     """Exact cosine top-k.  Inputs: queries(query_id, v[, block]),
     corpus(neighbor_id, v[, block]).  Returns (query_id, neighbor_id, rank,
     sim) with deterministic ties (sim desc, neighbor_id asc)."""
-    q = queries.alias("q")
-    c = corpus.alias("c")
+    q = _with_norm(queries, "qn").alias("q")
+    c = _with_norm(corpus, "cn").alias("c")
     cond = F.lit(True) if block is None else (F.col(f"q.{block}") == F.col(f"c.{block}"))
     if exclude_self:
         cond = cond & (F.col("q.query_id") != F.col("c.neighbor_id"))
-    pairs = q.join(c, cond).select(
-        "q.query_id", "c.neighbor_id", cosine(F.col("q.v"), F.col("c.v")).alias("cos")
-    )
+    pairs = q.join(c, cond).select("q.query_id", "c.neighbor_id", _pair_cos().alias("cos"))
     return _ranked(pairs, k).select(
         "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
     )
@@ -62,56 +80,45 @@ def topk_cosine(
 # ---------------------------------------------------------------------------
 # deterministic hyperplane LSH
 # ---------------------------------------------------------------------------
-def _plane_dot(v: Column, plane: Column, dims: int) -> Column:
-    """<v, h_plane> against an md5-seeded ±1 hyperplane — deterministic and
-    engine-portable (no RNG state): plane p, dim d is +1 iff the first hex
-    char of md5(p:d) is ≥ '8'."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(dims)),
-        F.lit(0.0),
-        lambda acc, d: acc
-        + F.element_at(v, d)
-        * F.when(
-            F.substring(
-                F.md5(F.concat(plane.cast("string"), F.lit(":"), d.cast("string"))), 1, 1
-            )
-            >= "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+def plane_matrix(dims: int, n_planes: int, offset: int = 0) -> list[list[float]]:
+    """md5-seeded ±1 hyperplanes, computed ONCE on the driver: plane p,
+    dim d (1-based) is +1 iff the first hex char of md5("p:d") is ≥ '8'.
+    Deterministic and engine-free — the matrix is folded into the plan as
+    literals, so executors never hash plane coordinates (doing it in-plan
+    cost planes×dims md5 calls *per row*)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] >= "8" else -1.0
+            for d in range(1, dims + 1)
+        ]
+        for p in range(offset, offset + n_planes)
+    ]
 
 
-def hyperplane_signature(v: Column, dims: int, bits: int = 16, offset: int = 0) -> Column:
-    """bits-char '0'/'1' signature from planes [offset, offset+bits)."""
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(offset), F.lit(offset + bits - 1)),
-            lambda p: F.when(_plane_dot(v, p, dims) > 0, F.lit("1")).otherwise(F.lit("0")),
-        ),
-        "",
-    )
+def hyperplane_signature(v: Column, planes: list[list[float]]) -> Column:
+    """'0'/'1' signature of v against literal ±1 planes: one zip_with fold
+    per plane (sign of <v, plane>)."""
+    bits = []
+    for row in planes:
+        lit_plane = F.array(*[F.lit(x) for x in row])
+        d = F.aggregate(
+            F.zip_with(v, lit_plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(d > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
 
 
 def signature_tables(v: Column, dims: int, bits: int, tables: int) -> Column:
     """L independent bucket keys (table t uses planes [t·bits, (t+1)·bits)).
     Multi-table LSH: a true neighbor is a candidate if it collides in ANY
     table — recall ≈ 1-(1-p^bits)^tables for per-plane agreement p."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(tables - 1)),
-        lambda t: hyperplane_signature_col(v, dims, bits, t * bits),
-    )
-
-
-def hyperplane_signature_col(v: Column, dims: int, bits: int, offset_col) -> Column:
-    """Signature where the plane offset is itself a Column expression."""
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda p: F.when(_plane_dot(v, offset_col + p, dims) > 0, F.lit("1")).otherwise(
-                F.lit("0")
-            ),
-        ),
-        "",
+    return F.array(
+        *[
+            hyperplane_signature(v, plane_matrix(dims, bits, offset=t * bits))
+            for t in range(tables)
+        ]
     )
 
 
@@ -130,16 +137,19 @@ def lsh_topk(
     instead of O(|Q|·|C|) — the 100 TB path; tune (bits, tables) for the
     recall/cost point.  Same output contract as :func:`topk_cosine`."""
     def banded(df: DataFrame, id_col: str) -> DataFrame:
-        return df.select(
+        # signature staged in its own projection (computed once per row)
+        signed = df.select(
             id_col,
             "v",
-            F.posexplode(signature_tables(F.col("v"), dims, bits, tables)).alias(
-                "tbl", "bucket"
-            ),
+            l2_norm(F.col("v")).alias("n"),
+            signature_tables(F.col("v"), dims, bits, tables).alias("sigs"),
+        )
+        return signed.select(
+            id_col, "v", "n", F.posexplode("sigs").alias("tbl", "bucket")
         )
 
-    qb = banded(queries, "query_id").alias("q")
-    cb = banded(corpus, "neighbor_id").alias("c")
+    qb = banded(queries, "query_id").withColumnRenamed("n", "qn").alias("q")
+    cb = banded(corpus, "neighbor_id").withColumnRenamed("n", "cn").alias("c")
     pairs = (
         qb.join(
             cb,
@@ -147,7 +157,7 @@ def lsh_topk(
             & (F.col("q.bucket") == F.col("c.bucket"))
             & (F.col("q.query_id") != F.col("c.neighbor_id")),
         )
-        .select("q.query_id", "c.neighbor_id", cosine(F.col("q.v"), F.col("c.v")).alias("cos"))
+        .select("q.query_id", "c.neighbor_id", _pair_cos().alias("cos"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos").alias("cos"))
     )
@@ -184,8 +194,8 @@ def related_topk(
     scores(neighbor_id, validation_score).  Output: (query_id, neighbor_id,
     rank, sim, combined_score).  The per-article N+1 lookup pattern of the
     reference becomes two joins + two windows."""
-    q = queries.alias("q")
-    c = corpus.alias("c")
+    q = _with_norm(queries, "qn").alias("q")
+    c = _with_norm(corpus, "cn").alias("c")
     pairs = (
         q.join(c, F.col("q.query_id") != F.col("c.neighbor_id"))
         .select(
@@ -193,7 +203,7 @@ def related_topk(
             F.col("q.topic").alias("q_topic"),
             "c.neighbor_id",
             F.col("c.topic").alias("c_topic"),
-            cosine(F.col("q.v"), F.col("c.v")).alias("cos"),
+            _pair_cos().alias("cos"),
         )
     )
     # tier 0: same-topic top-k_candidates

