@@ -1,0 +1,153 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` content with
+typed metadata, plus decode / feature-extract / frame-sample operators.
+
+The 100 TB pattern: media rides in parquet as a BinaryType column next to
+a typed metadata struct; all *structural* work (routing by media_type,
+frame/window offsets, byte ranges, content hashing) is native and
+column-level, and only the actual decode runs Python — one Arrow-batched
+``mapInPandas`` stage with a per-executor backend singleton (same harness
+discipline as operators/embedding.py).
+
+Real decoders (PIL/librosa/av) are NOT in this container, so the decode
+backends are import-gated: ``fake`` is a deterministic md5-based feature
+extractor (bit-identical to the native expression twin, so the plumbing
+itself is oracle-checked); ``pil`` raises NotImplementedError with the
+wiring in place.  Batch shape, schema, and partitioning are real either
+way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def _nib(h: Column, j: int) -> Column:
+    return F.instr(F.lit(HEX), F.substring(h, j, 1)) - 1
+
+
+def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a media corpus from a text table: UTF-8 bytes as the
+    opaque ``content`` blob + a typed ``meta`` struct (media_type routed by
+    id, fake-but-deterministic dimensions from the content hash).  In
+    production this is the parquet schema written by the media ingestion
+    job; everything downstream only sees (id, content, meta)."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    h = F.md5(content)
+    mtype = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col(id_col) % 3 + 1).cast("int")
+    )
+    meta = F.struct(
+        mtype.alias("media_type"),
+        (_nib(h, 1) * 64 + 256).cast("int").alias("width"),
+        (_nib(h, 2) * 64 + 256).cast("int").alias("height"),
+        (_nib(h, 3) * 1000 + 1000).cast("int").alias("duration_ms"),
+        F.length(content).cast("long").alias("n_bytes"),
+    )
+    return df.select(F.col(id_col).alias("media_id"), content.alias("content"), meta.alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (decode stub) — native twin + Arrow harness
+# ---------------------------------------------------------------------------
+def fake_features_expr(content: Column, dims: int = 8) -> Column:
+    """Deterministic 'decoded' feature vector from the raw bytes, fully
+    native: dim d = int(md5(content ⧺ ':d')[:4], 16) / 65536 − 0.5.  The
+    stand-in for image-embedding/audio-fingerprint output, byte-identical
+    to the fake Python backend."""
+    def dim_val(d: Column) -> Column:
+        h = F.md5(F.concat(content, F.encode(F.concat(F.lit(":"), d.cast("string")), "UTF-8")))
+        scaled = _nib(h, 1) * 4096 + _nib(h, 2) * 256 + _nib(h, 3) * 16 + _nib(h, 4)
+        return scaled / F.lit(65536.0) - F.lit(0.5)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dims - 1)), dim_val)
+
+
+def fake_features_py(content: bytes, dims: int = 8) -> list[float]:
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(content + f":{d}".encode()).hexdigest()
+        out.append(int(h[:4], 16) / 65536.0 - 0.5)
+    return out
+
+
+def _load_decoder(backend: str, dims: int):
+    if backend == "fake":
+        return lambda blobs: [fake_features_py(b, dims) for b in blobs]
+    if backend == "pil":  # pragma: no cover - image libs not shipped
+        try:
+            from PIL import Image  # type: ignore  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "pil backend needs Pillow on executors; use backend='fake' for tests"
+            ) from exc
+        raise NotImplementedError("real image decode wired but not implemented in-container")
+    raise ValueError(f"unknown decode backend {backend!r}")
+
+
+def decode_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dims: int = 8,
+    backend: str = "fake",
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract: (id, content) → (id, features).
+    One mapInPandas stage; parallelism = partition count, batch size =
+    spark.sql.execution.arrow.maxRecordsPerBatch — the real shape of a GPU
+    decode stage (route partitions to GPU executors, batch into the model)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        fn = _load_decoder(backend, dims)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "features": fn(list(pdf[content_col]))}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen, schema=f"`{id_col}` long, features array<double>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling (video/audio windowing) — native byte-range algebra
+# ---------------------------------------------------------------------------
+def sample_frames(
+    df: DataFrame,
+    *,
+    n_frames: int = 4,
+    frame_bytes: int = 32,
+    content_col: str = "content",
+) -> DataFrame:
+    """Evenly-spaced frame sampling as byte-range extraction: n offsets over
+    the blob, a ``substring`` slice per frame, and a content hash per frame
+    — all native (the blob is never shipped to Python).  Output one row per
+    (media_id, frame_idx) with the frame bytes and their md5; a real
+    pipeline hands ``frame`` to :func:`decode_features`."""
+    content = F.col(content_col)
+    n = F.length(content)
+    stride = F.greatest((n - frame_bytes) / F.lit(max(n_frames - 1, 1)), F.lit(1.0))
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i * stride).cast("long"),
+    )
+    framed = df.select("*", F.posexplode(offsets).alias("frame_idx", "off"))
+    frame = F.expr(f"substring({content_col}, off + 1, {frame_bytes})")
+    return framed.select(
+        "media_id",
+        "frame_idx",
+        "off",
+        frame.alias("frame"),
+        F.md5(frame).alias("frame_md5"),
+    )

@@ -47,6 +47,7 @@ def load_registry() -> dict[str, QuerySpec]:
     from briefly_spark.queries import (  # noqa: F401
         dedup,
         events,
+        multimodal,
         pipeline,
         relational,
         similarity,

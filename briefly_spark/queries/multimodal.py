@@ -1,0 +1,138 @@
+"""Multimodal pack — binary media columns with typed metadata, decode-stub
+feature extraction, and frame sampling, over a media corpus synthesized
+from ``documents``.
+
+Oracle note: DuckDB has no blob md5/slicing, but ``md5(VARCHAR)`` hashes
+the string's UTF-8 bytes — and the synthetic text is pure ASCII, so
+byte-offsets == char-offsets and every Spark-side binary operation has an
+exact VARCHAR mirror.  The operators still run on real BinaryType columns
+in Spark (the thing being certified); only the oracle spells them over
+text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table
+from briefly_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    fake_features_expr,
+    sample_frames,
+)
+from briefly_spark.queries import register
+
+_H = "0123456789abcdef"
+
+
+def _sql_nib(h: str, j: int) -> str:
+    return f"(strpos('{_H}', substr({h}, {j}, 1)) - 1)"
+
+
+_VEC_STR = "array_to_string(list_transform({v}, x -> CAST(CAST(floor(x * 10000) AS BIGINT) AS VARCHAR)), ',')"
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_media(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q80 — media metadata projection + per-type rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q80_media_metadata",
+    covers=("S4", "K6"),
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         {_sql_nib('md5(text)', 1)} * 64 + 256 AS width,
+         {_sql_nib('md5(text)', 2)} * 64 + 256 AS height,
+         {_sql_nib('md5(text)', 3)} * 1000 + 1000 AS duration_ms,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_md5
+  FROM documents
+)
+SELECT media_type, count(*) AS n, sum(n_bytes) AS total_bytes,
+       min(width) AS min_w, max(height) AS max_h,
+       sum(duration_ms) AS total_ms
+FROM m GROUP BY media_type
+""",
+)
+def q80_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata algebra over opaque blobs: route by media_type and
+    roll up sizes/dimensions/durations without ever decoding — the storage
+    accounting pass of a media lake (meta columns prune; the blob column
+    is never read when only meta is referenced)."""
+    media = _media(spark, sf_dir)
+    return media.groupBy(F.col("meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.min("meta.width").alias("min_w"),
+        F.max("meta.height").alias("max_h"),
+        F.sum("meta.duration_ms").alias("total_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — Arrow decode harness (binary → features) under oracle.
+# --------------------------------------------------------------------------
+@register(
+    "q81_media_decode_arrow",
+    covers=("M3", "M7"),
+    oracle=f"""
+SELECT doc_id AS media_id,
+       {_VEC_STR.format(v="list_transform(range(0, 8), d -> ("
+           + "(strpos('0123456789abcdef', substr(md5(text || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1) * 4096"
+           + " + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(d AS VARCHAR)), 2, 1)) - 1) * 256"
+           + " + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(d AS VARCHAR)), 3, 1)) - 1) * 16"
+           + " + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(d AS VARCHAR)), 4, 1)) - 1)"
+           + ") / 65536.0 - 0.5)")} AS vec
+FROM documents
+""",
+)
+def q81_media_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stage's real plumbing: BinaryType blobs through an
+    Arrow-batched mapInPandas with a per-executor decoder singleton (fake
+    backend — md5 features, byte-identical to the native twin).  A real
+    image/audio decoder swaps in behind the same (id, content) → (id,
+    features) contract; the import-gated 'pil' backend marks the seam."""
+    media = _media(spark, sf_dir)
+    feats = decode_features(media, dims=8, backend="fake")
+    return feats.select(
+        "media_id",
+        F.array_join(
+            F.transform("features", lambda x: F.floor(x * 10000).cast("long").cast("string")),
+            ",",
+        ).alias("vec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q82 — frame sampling as native byte-range extraction.
+# --------------------------------------------------------------------------
+@register(
+    "q82_frame_sample",
+    covers=("M7", "F10"),
+    oracle="""
+WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT media_id, text, n, k.k AS frame_idx,
+         CAST(floor(k.k * greatest(CAST(n - 32 AS DOUBLE) / 3, 1.0)) AS BIGINT) AS off
+  FROM m, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT media_id, frame_idx, off,
+       md5(substr(text, CAST(off + 1 AS INT), 32)) AS frame_md5
+FROM f
+""",
+)
+def q82_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame/window sampling over the blob: native offsets,
+    byte-range substring, per-frame content hash — one Generate, no
+    Python, no blob shuffle (frames are cut where the blob already lives).
+    ASCII corpus ⇒ the VARCHAR oracle mirrors the byte math exactly."""
+    media = _media(spark, sf_dir)
+    frames = sample_frames(media, n_frames=4, frame_bytes=32)
+    return frames.select("media_id", "frame_idx", "off", "frame_md5")
