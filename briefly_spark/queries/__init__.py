@@ -47,12 +47,14 @@ def load_registry() -> dict[str, QuerySpec]:
     from briefly_spark.queries import (  # noqa: F401
         dedup,
         events,
+        ingest,
         multimodal,
         pipeline,
         relational,
         similarity,
         text,
         textstats,
+        tts,
     )
 
     return REGISTRY
