@@ -55,6 +55,7 @@ def load_registry() -> dict[str, QuerySpec]:
         text,
         textstats,
         tts,
+        worklists,
     )
 
     return REGISTRY

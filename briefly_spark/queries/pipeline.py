@@ -154,7 +154,7 @@ def q61_factcheck_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q62_summarize_worklist",
-    covers=("M5", "P2", "W2", "T1", "T6", "F7", "F10"),
+    covers=("M5", "P2", "W2", "T1", "T6", "F7", "F10", "S9"),
     oracle=r"""
 WITH wl AS (
   SELECT doc_id, text FROM documents
