@@ -73,6 +73,61 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted index — the scalable form
+    of the quadratic baseline (replaces raw_articles.py:44-96's set-based
+    dedup idea with content similarity).
+
+    Instead of a blocked cartesian join with a per-pair
+    ``array_intersect`` (O(pairs × |shingles|) array work on every pair,
+    including the overwhelming majority sharing nothing), explode each
+    document's *distinct* shingles into postings and equi-join postings on
+    ``(shingle, *block_cols)``: only pairs that actually share a shingle
+    are ever generated, ``|A∩B|`` falls out of a count aggregation (all
+    whole-stage codegen, map-side partial agg), and
+    ``|A∪B| = |A|+|B|−|A∩B|`` needs no union materialization.  At the
+    100 TB design point the shuffle is on the shingle key — bounded by
+    corpus token count, not doc-pair count; hot shingles (boilerplate) are
+    the skew axis and split by AQE skew-join.
+
+    Returns ``(id_a, id_b, jac)`` with ``jac >= threshold`` (untruncated;
+    callers round for hash-stable output).
+    """
+    sh = with_shingles(df, text_col, n)
+    post = sh.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    a, b = post.alias("a"), post.alias("b")
+    cond = F.col("a.s") == F.col("b.s")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col("a.id") < F.col("b.id"))
+    # size-ratio prune: jac ≤ min(sa,sb)/max(sa,sb), so pairs whose size
+    # ratio is below the threshold can never qualify — drop them before the
+    # count aggregation (exact, not approximate).
+    cond = cond & (
+        F.least(F.col("a.sz"), F.col("b.sz"))
+        >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
+    )
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.max("a.sz").alias("sa"), F.max("b.sz").alias("sb"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    return inter.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

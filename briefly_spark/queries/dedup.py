@@ -22,6 +22,7 @@ from briefly_spark.operators.dedup import (
     exact_dedup,
     jaccard,
     minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     simhash_exploded,
     with_shingles,
 )
@@ -188,25 +189,21 @@ SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.6
 """,
 )
 def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup within blocking key (source, lang):
-    the quadratic baseline that LSH (q31) approximates.  Blocking by
-    (source, language) is the standard curation cut — cross-language pairs
-    can't be near-dups of each other — and bounds the in-block pair count;
-    the block join shuffles on the blocking key only."""
+    """Exact n-gram Jaccard near-dup within blocking key (source, lang) —
+    the exact baseline that LSH (q31) approximates, in inverted-index form
+    (see :func:`~briefly_spark.operators.dedup.ngram_jaccard_pairs`): only
+    pairs sharing ≥1 shingle are generated, |A∩B| is a count aggregation,
+    and the shuffle is keyed on (shingle, source, lang) — O(postings), not
+    O(block²).  The oracle states the same semantics as the literal
+    blocked cartesian; both engines agree because shingle sets are
+    distinct arrays.  Threshold note: jac ≥ 0.6 ⟺ trunc4(jac) ≥ 0.6
+    (0.6·10⁴ is integral), so filtering untruncated then truncating for
+    output is hash-identical."""
     corpus = _corpus(spark, sf_dir)
-    sh = with_shingles(corpus, "text", 3).select("id", "source", "lang", "shingles")
-    a, b = sh.alias("a"), sh.alias("b")
-    jac = trunc4(jaccard(F.col("a.shingles"), F.col("b.shingles")))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jac"))
-        .filter(F.col("jac") >= 0.6)
+    pairs = ngram_jaccard_pairs(
+        corpus, "id", "text", n=3, threshold=0.6, block_cols=("source", "lang")
     )
+    return pairs.select("id_a", "id_b", trunc4(F.col("jac")).alias("jac"))
 
 
 # --------------------------------------------------------------------------
