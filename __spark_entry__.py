@@ -30,6 +30,11 @@ def _prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # single-file tables must not scan as a single partition (serializes
+    # every downstream narrow stage) — see briefly_spark/session.py
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum", str(spark.sparkContext.defaultParallelism)
+    )
     # see briefly_spark/session.py — re-evaluates computed-array explodes
     spark.conf.set(
         "spark.sql.optimizer.excludedRules",

@@ -56,6 +56,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure a DataFrame occupies at least the cluster's parallelism.
+
+    A small table is one parquet file with one row group — it scans as a
+    SINGLE partition no matter what ``spark.sql.files.minPartitionNum``
+    says (a row group is the minimum read unit), which serializes every
+    downstream narrow stage: shingling, signatures, Arrow UDF batches,
+    nested-loop pair joins all run on one core.  One narrow shuffle here
+    buys full-width execution for everything after.  When the scan is
+    already wide (the 100 TB case — files ≫ cores) this is a no-op.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from briefly_spark.catalog import spread
 from briefly_spark.functions.vectors import dot, l2_norm
 from briefly_spark.numerics import trunc4
 
@@ -67,7 +68,12 @@ def topk_cosine(
     corpus(neighbor_id, v[, block]).  Returns (query_id, neighbor_id, rank,
     sim) with deterministic ties (sim desc, neighbor_id asc)."""
     q = _with_norm(queries, "qn").alias("q")
-    c = _with_norm(corpus, "cn").alias("c")
+    # The self-exclusion predicate makes this a broadcast-nested-loop join
+    # (queries broadcast, corpus streamed) whose parallelism is exactly the
+    # corpus's partition count — a single small parquet file streams as ONE
+    # task.  Spread the corpus across the cluster before the quadratic
+    # stage; one narrow shuffle of the thin side buys full-width execution.
+    c = _with_norm(spread(corpus), "cn").alias("c")
     cond = F.lit(True) if block is None else (F.col(f"q.{block}") == F.col(f"c.{block}"))
     if exclude_self:
         cond = cond & (F.col("q.query_id") != F.col("c.neighbor_id"))
@@ -201,7 +207,8 @@ def related_topk(
     rank, sim, combined_score).  The per-article N+1 lookup pattern of the
     reference becomes two joins + two windows."""
     q = _with_norm(queries, "qn").alias("q")
-    c = _with_norm(corpus, "cn").alias("c")
+    # same BNLJ-parallelism fix as topk_cosine: stream side must be spread
+    c = _with_norm(spread(corpus), "cn").alias("c")
     pairs = (
         q.join(c, F.col("q.query_id") != F.col("c.neighbor_id"))
         .select(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.numerics import trunc4
 from briefly_spark.operators.dedup import (
     exact_dedup,
@@ -54,7 +54,7 @@ sh AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), r"\s+")
     mutant = F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))))
     return docs.select(F.col("doc_id").alias("id"), "source", "lang", "text").unionByName(
@@ -241,7 +241,7 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     column; the verify stage is unchanged."""
     from briefly_spark.functions.vectors import dot, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     orig = emb.select(
         F.col("vec_id").alias("id"),
         "label",
@@ -255,16 +255,47 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x.cast("double") + F.when(i == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
         ).alias("v"),
     )
-    # norms staged once per row before the quadratic join; dot/(na·nb) is
-    # IEEE-identical to per-pair cosine, at a third of the fold cost.
-    corpus = orig.unionByName(pert).withColumn("n", l2_norm(F.col("v")))
-    a, b = corpus.alias("a"), corpus.alias("b")
+    # Staged per-row stats: full norm n, the first-8-dims head slice h, and
+    # the tail norm tn = ||v[9..64]||.  Cauchy–Schwarz gives the exact upper
+    # bound  dot(a,b) ≤ dot(a.h,b.h) + a.tn·b.tn,  so the join condition
+    # can prune any pair that provably cannot reach cos ≥ 0.99 with an
+    # 8-dim fold instead of the 64-dim one — on random-vector blocks the
+    # bound evaluates to ≈0.875·na·nb, killing ~all non-dup pairs before
+    # the expensive fold.  The final cos formula is untouched (same fold,
+    # same operand order), so oracle hashes cannot move.
+    corpus = (
+        orig.unionByName(pert)
+        .withColumn("n", l2_norm(F.col("v")))
+        .withColumn("h", F.slice(F.col("v"), 1, 8))
+        .withColumn("t", F.slice(F.col("v"), 9, 56))
+        .withColumn("tn", l2_norm(F.col("t")))
+        .drop("t")
+    )
+    # Slice-salt the pair join: blocking on `label` alone leaves ≤10
+    # distinct join keys — at most 10 parallel tasks for the quadratic
+    # stage regardless of cluster size.  Salting side b into SLICES
+    # id-hash groups and replicating side a across all slices keeps the
+    # pair set identical while multiplying parallelism (the standard
+    # exact block-join parallelization; same trick scales to 1000
+    # executors at the 100 TB design point).
+    SLICES = 16
+    a = corpus.withColumn(
+        "slice", F.explode(F.sequence(F.lit(0), F.lit(SLICES - 1)))
+    ).alias("a")
+    b = corpus.withColumn("slice", F.pmod(F.xxhash64("id"), F.lit(SLICES))).alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
+    upper = dot(F.col("a.h"), F.col("b.h")) + F.col("a.tn") * F.col("b.tn")
     cos = F.when(
         (na > 0) & (nb > 0), dot(F.col("a.v"), F.col("b.v")) / (na * nb)
     ).otherwise(F.lit(0.0))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (upper >= F.lit(0.99) * na * nb),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
         .filter(F.col("cos") >= 0.99)
         .select("id_a", "id_b", trunc4(F.col("cos")).alias("sim"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.functions.text import extract_img_src
 from briefly_spark.operators.ingest import lenient_ts, parse_rss_udf, unescape2_expr
 from briefly_spark.queries import register
@@ -82,7 +82,7 @@ def q90_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup vs existing URLs → broadcast dim join for source_id → FK
     semi-join.  One shuffle (the per-source groupBy building feeds); dims
     broadcast; everything else is map-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     # per-source channel XML (the fetch result; transport-injected fetch of
     # real feeds shares this exact downstream, see operators/ingest.py)

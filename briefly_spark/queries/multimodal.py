@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.multimodal import (
     attach_media,
     decode_features,
@@ -35,7 +35,7 @@ _VEC_STR = "array_to_string(list_transform({v}, x -> CAST(CAST(floor(x * 10000) 
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return attach_media(load_table(spark, sf_dir, "documents"))
+    return attach_media(spread(load_table(spark, sf_dir, "documents")))
 
 
 # --------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.functions.vectors import mean_pool
 from briefly_spark.numerics import trunc4
 from briefly_spark.operators.chunking import chunk_fixed_expr
@@ -84,7 +84,7 @@ def q60_chunk_embed_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean is exact and order-independent — the whole job hash-matches
     the oracle despite float aggregation.  Plan: codegen map (chunk+embed)
     → posexplode → two narrow shuffles (mean_pool); linear in rows×dims."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     chunked = docs.select(
         "doc_id", F.posexplode(chunk_fixed_expr(F.col("text"))).alias("pos", "chunk")
     )
@@ -131,7 +131,7 @@ def q61_factcheck_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50% confirmed / ~19% refuted — SURVEY §7.2 replaces the reference's
     random buckets); the aggregation is the real A6 operator: explode →
     conditional counts → arithmetic, one partial-agg shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     stmts = docs.select(
         "doc_id", F.explode(chunk_fixed_expr(F.col("text"), 100, 0)).alias("stmt")
     )
@@ -184,7 +184,7 @@ def q62_summarize_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-word sentences joined by newline (the reference's exactly-4-points
     contract), with the 500-char-truncation fallback + status tag for
     short inputs (summarize_utils.py:67-70, SURVEY §7.2)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     wl = (
         docs.filter(F.col("doc_id") % 3 != 0)
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -227,6 +227,6 @@ def q63_embed_arrow_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch iteration, type coercion) is what the oracle certifies.  The
     'model' backend swaps in sentence-transformers behind the same
     signature (import-gated; NotImplementedError in this container)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     emb = embed_map_in_pandas(docs, "text", "doc_id", dims=16, backend="hash")
     return emb.select("doc_id", _vec_str(F.col("vector")).alias("vec"))

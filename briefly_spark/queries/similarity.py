@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.similarity import lsh_topk, related_topk, topk_cosine
 from briefly_spark.queries import register
 
@@ -21,7 +21,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    return spread(load_table(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("id"),
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.functions.text import (
     VIET_DST,
     VIET_SRC,
@@ -67,7 +67,7 @@ def q20_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_text (text_cleaner.py:8-35): photo-credit strip, symbol fold,
     whitespace/dot collapse, order-preserving sentence dedup — entirely
     native Column expressions (split + index lambda + array_position)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     raw = F.concat(
         F.substring("text", 1, 40),
         F.lit(". "),
@@ -107,7 +107,7 @@ def q21_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_splitter.py:16-21 params) as pure codegen: sequence → transform →
     substring → posexplode.  The separator-aware variant (chunk_text_udf)
     shares the output contract; see q22_chunk_recursive."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.posexplode(chunk_fixed_expr(F.col("text"))).alias("pos", "chunk")
     )
@@ -124,7 +124,7 @@ def q22_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-expressible, so the driver records a rows-only check."""
     from briefly_spark.operators.chunking import chunk_text_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # build multi-sentence text so separator logic matters
     raw = F.concat_ws(
         ". ", F.col("text"), F.col("text"), F.col("text"), F.col("text")
@@ -155,7 +155,7 @@ def q23_doc_source_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension build (sources_and_topics.py:15-47): distinct names +
     slugify (Vietnamese fold, extract_utils.py:63-78) + initials alias
     (extract_utils.py:81-82) + md5 surrogate key — zero UDFs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     name = F.col("name")
     return (
         docs.select(F.concat(F.lit("Thời sự "), F.col("source")).alias("name"))
@@ -208,7 +208,7 @@ FROM bullets
 def q24_summary_bullets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_summary (clean_summary.py:3-24) then split-to-bullets
     (summarize_utils.py:78) and re-join (embedded_articles.py:65-68)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     raw = F.concat(
         F.lit("Key points:\n• "),
         F.substring("text", 1, 30),
@@ -248,7 +248,7 @@ def q25_img_and_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS description <img src> extraction as a native regexp
     (extract_utils.py:50-59) and the md5→UUID point-id derivation
     (embedded_articles.py:193-194)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit('<div><p>x</p><img class="thumb" src="'),
         F.col("source"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.numerics import sql_fixed_avg, trunc4
 from briefly_spark.operators.textstats import (
     LEXICONS,
@@ -88,7 +88,7 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace and BPE-style token counts per document — the cost model
     for LLM pipelines.  Pure codegen map; at 100 TB this reads exactly two
     columns from parquet."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         word_count(F.col("text")).cast("long").alias("n_ws"),
@@ -124,7 +124,7 @@ def q51_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic alphabetical tie priority, 'und' on zero evidence.
     The lexicons are compile-time literals here; the scale path swaps in a
     broadcast lexicon table without changing the plan shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     scores = language_scores(F.col("text"))
     best = F.greatest(*scores.values())
     return docs.select(
@@ -155,7 +155,7 @@ def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     each clamped and weighted.  The filter gate for corpus curation
     (`quality >= threshold`) composes with this as a plain predicate that
     Catalyst pushes into the same map stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         trunc4(quality_score(F.col("text"))).alias("quality"),
@@ -200,7 +200,7 @@ def q53_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Staged projections (hashes → minima → fp) keep each stream evaluated
     once per row — higher-order lambdas have no CSE, so inlining the hash
     stream into the window expression would be O(n²) per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     hashed = docs.select("doc_id", kgram_hashes(F.col("text"), k=8).alias("hashes"))
     mins = hashed.select("doc_id", window_minima(F.col("hashes"), w=4).alias("mins"))
     return mins.select(
@@ -229,7 +229,7 @@ def q54_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and low-quality counts — the decision table for dropping/reweighting
     sources.  One partial-agg shuffle on `source`; the quality expression
     fuses into the scan stage ahead of it."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     q = docs.select("source", quality_score(F.col("text")).alias("quality"))
     return q.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table
+from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.tts import VOICES, pick_voice, synthesize_speech
 from briefly_spark.queries import register
 
@@ -38,7 +38,7 @@ def q91_tts_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     + size audit columns.  The upload sink (foreachPartition + token
     lifecycle + idempotency keys) is exercised in tests — side effects
     don't belong in a query result."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     url = F.concat(F.lit("https://ex/"), F.col("doc_id").cast("string"))
     audio = synthesize_speech(docs, "text", "doc_id", backend="fake")
     voices = docs.select("doc_id", pick_voice(url).alias("voice"))

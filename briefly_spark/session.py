@@ -50,6 +50,12 @@ def get_spark(app_name: str = "briefly_spark", *, shuffle_partitions: int | None
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # A small parquet table is one file => ONE scan partition, which
+        # serializes every downstream narrow stage (shingling, signatures,
+        # nested-loop pair joins run at parallelism 1).  Force file splits
+        # to at least the core count; at 100 TB files outnumber cores and
+        # this floor is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         # InferFiltersFromGenerate clones the generator's child expression
         # into a size()>0 filter at the scan; for computed-array explodes
         # (shingles, chunks, signatures) that re-evaluates the whole array
