@@ -178,6 +178,71 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells — the coarse-quantizer
+    scale path complementing :func:`lsh_topk`.
+
+    Deterministic "training": the ``n_cells`` centroids are the corpus
+    vectors with the lexicographically smallest ``md5(neighbor_id)`` — a
+    seeded sample standing in for k-means (SURVEY §7.2 bans nondeterminism;
+    at 100 TB you'd run ``spark.ml`` KMeans once offline and broadcast the
+    model the same way).  Every corpus vector is assigned to its nearest
+    centroid (one broadcast join against ``n_cells`` rows); each query
+    probes its ``n_probe`` nearest cells and scores only those cells'
+    vectors.  Cost: O(|C|·n_cells) assignment + O(|Q|·|C|·n_probe/n_cells)
+    scoring — the quadratic pair join shrinks by ~n_cells/n_probe with
+    recall controlled by n_probe.  Same output contract as
+    :func:`topk_cosine`; recall vs the exact baseline is asserted in
+    tests (approximate ⇒ no SQL oracle).
+    """
+    c = _with_norm(spread(corpus), "cn")
+    centroids = (
+        c.withColumn("ck", F.md5(F.col("neighbor_id").cast("string")))
+        .orderBy("ck")
+        .limit(n_cells)
+        .select(F.col("neighbor_id").alias("cell_id"), F.col("v").alias("cv"), F.col("cn").alias("cvn"))
+    )
+    cent_cos = F.when(
+        (F.col("n") > 0) & (F.col("cvn") > 0),
+        dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cvn")),
+    ).otherwise(F.lit(0.0))
+
+    def assign(df: DataFrame, id_col: str, norm_col: str, keep: int) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell_id"))
+        return (
+            df.withColumnRenamed(norm_col, "n")
+            .join(F.broadcast(centroids), how="cross")
+            .withColumn("ccos", cent_cos)
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= keep)
+            .drop("cv", "cvn", "ccos", "crk")
+            .withColumnRenamed("n", norm_col)
+        )
+
+    cb = assign(c, "neighbor_id", "cn", 1).alias("c")
+    qb = assign(_with_norm(queries, "qn"), "query_id", "qn", n_probe).alias("q")
+    pairs = (
+        qb.join(
+            cb,
+            (F.col("q.cell_id") == F.col("c.cell_id"))
+            & (F.col("q.query_id") != F.col("c.neighbor_id")),
+        )
+        .select("q.query_id", "c.neighbor_id", _pair_cos().alias("cos"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    return _ranked(pairs, k).select(
+        "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # reference related-articles semantics
 # ---------------------------------------------------------------------------

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
-from briefly_spark.operators.similarity import lsh_topk, related_topk, topk_cosine
+from briefly_spark.operators.similarity import ivf_topk, lsh_topk, related_topk, topk_cosine
 from briefly_spark.queries import register
 
 
@@ -146,3 +146,21 @@ def q42_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("id") % 10 == 0).select(F.col("id").alias("query_id"), "v")
     corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
     return lsh_topk(queries, corpus, dims=64, k=5, bits=4)
+
+
+# --------------------------------------------------------------------------
+# q43 — IVF-cell approximate ANN (coarse-quantizer scale path; rows-only
+# check, recall measured against q40 in tests/test_similarity.py).
+# --------------------------------------------------------------------------
+@register("q43_ivf_ann", covers=("J4", "W5"))
+def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate ANN: deterministic coarse centroids → cell
+    assignment via one broadcast join → queries probe their n_probe nearest
+    cells → exact re-rank inside probed cells.  The second scale path next
+    to hyperplane LSH (q42): cost shrinks by ~n_cells/n_probe, recall rises
+    with n_probe — at 100 TB centroids come from an offline spark.ml KMeans
+    fit, broadcast exactly like this seeded stand-in."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("id") % 10 == 0).select(F.col("id").alias("query_id"), "v")
+    corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
+    return ivf_topk(queries, corpus, k=5, n_cells=16, n_probe=4)

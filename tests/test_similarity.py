@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from briefly_spark.functions.vectors import cosine, mean_pool
-from briefly_spark.operators.similarity import lsh_topk, related_topk, topk_cosine
+from briefly_spark.operators.similarity import ivf_topk, lsh_topk, related_topk, topk_cosine
 
 
 def test_cosine_known_values(spark):
@@ -48,6 +48,26 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     # multi-table LSH (4 tables × 4 bits) over *random* vectors — real
     # corpora with genuine near-dups recall far higher; assert usability.
     assert recall > 0.3, f"LSH recall degenerate: {recall:.2f}"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from briefly_spark.queries.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("id") % 10 == 0).select(F.col("id").alias("query_id"), "v")
+    corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_cosine(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(queries, corpus, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 4/16 cells probed over *random* vectors (no cluster structure) — the
+    # worst case for IVF; assert usability, not production recall.
+    assert recall > 0.3, f"IVF recall degenerate: {recall:.2f}"
 
 
 def test_related_topk_fallback_and_default(spark):
