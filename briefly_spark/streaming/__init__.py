@@ -26,3 +26,4 @@ from briefly_spark.streaming.incremental import (  # noqa: F401
     read_parquet_stream,
     windowed_counts,
 )
+from briefly_spark.streaming.stateful import stateful_dedup  # noqa: F401

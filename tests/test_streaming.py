@@ -69,3 +69,26 @@ def test_merge_stream_exactly_once_table_state(spark, sf_dir, tmp_path):
     got = wh.read("docs")
     assert got.count() == got.select("doc_id").distinct().count()
     assert got.count() >= 40
+
+
+def test_stateful_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    from briefly_spark.streaming import stateful_dedup
+
+    src = tmp_path / "dedup_stream"
+    src.mkdir()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # batch1: ids 0..19; batch2: ids 10..29 (10 duplicate keys) — one file
+    # per micro-batch via maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < 20).coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    sdf = read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1)
+    out = available_now_to_memory(
+        stateful_dedup(sdf, "doc_id"), query_name="dedup_t", output_mode="append"
+    )
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    # every key exactly once despite appearing in two micro-batches
+    assert sorted(ids) == list(range(30))
+    assert all(r.n_dups_prior == 0 for r in rows)
