@@ -108,6 +108,42 @@ class Warehouse:
                 out_cols.append(F.col(c))
         self.overwrite(joined.select(*out_cols), table, partition_by=partition_by)
 
+    # -- K6: bucketed layout (co-located joins, shuffle-free at read time) ----
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        key: list[str],
+        *,
+        buckets: int = 32,
+    ) -> None:
+        """Hash-bucketed, bucket-sorted table registered in the session
+        catalog — the 100 TB replacement for the reference's B-tree indexes
+        (K6, mongo_io_manager.py:46-51) on the JOIN side: two tables
+        bucketed on the same key with the same bucket count sort-merge-join
+        with NO exchange on either side, so the recurring big joins
+        (articles ⋈ embeddings ⋈ related) pay their shuffle once at write
+        time instead of per query.  Bucket pruning also serves point
+        lookups (S6): an equality predicate on the key scans one bucket.
+
+        Requires a catalog table (bucket metadata lives in the metastore),
+        so this writes through ``saveAsTable`` with an explicit path under
+        the warehouse root; read it back with :meth:`read_catalog`.
+        """
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, *key)
+            .sortBy(*key)
+            .option("path", self.path(table))
+            .saveAsTable(table)
+        )
+
+    def read_catalog(self, table: str) -> DataFrame:
+        """Read a catalog-registered (e.g. bucketed) table — bucket layout
+        is only honored via the catalog, not a bare parquet path scan."""
+        return self.spark.table(table)
+
     # -- K4: bronze snapshot (partitioned append-style JSON/parquet) ----------
     def write_bronze(self, df: DataFrame, table: str, run_id: str) -> str:
         """Raw snapshot under ``bronze/{table}/run_id={run_id}/`` — the S3

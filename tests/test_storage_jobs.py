@@ -98,3 +98,27 @@ def test_relate_threshold_gate(spark, sf_dir, tmp_path):
     embed_batch(wh, 100)
     assert relate_batch(wh, min_eligible=50).processed == 0  # T5 gate holds
     assert relate_batch(wh, min_eligible=0).processed > 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    from briefly_spark.catalog import load_table
+
+    wh = Warehouse(spark, str(tmp_path / "wh_bucketed"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    wh.write_bucketed(orders, "orders_b", ["o_orderkey"], buckets=8)
+    wh.write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b",
+                      ["o_orderkey"], buckets=8)
+    try:
+        # forbid broadcast so the join must be sort-merge — the bucketed
+        # layout should make it exchange-free on BOTH sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = wh.read_catalog("orders_b").join(wh.read_catalog("lineitem_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
