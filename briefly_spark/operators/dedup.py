@@ -48,7 +48,13 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
 
 
 def ngrams_of_words(words: Column, n: int = 3) -> Column:
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    # CAREFUL: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+    # a doc with fewer than n words must yield an empty index list, not an
+    # out-of-bounds element_at crash.
+    last = F.size(words) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
     return F.array_distinct(F.transform(idx, gram))
 
