@@ -55,9 +55,9 @@ WITH m AS (
          md5(text) AS content_md5
   FROM documents
 )
-SELECT media_type, count(*) AS n, sum(n_bytes) AS total_bytes,
+SELECT media_type, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        min(width) AS min_w, max(height) AS max_h,
-       sum(duration_ms) AS total_ms
+       CAST(sum(duration_ms) AS BIGINT) AS total_ms
 FROM m GROUP BY media_type
 """,
 )

@@ -114,8 +114,8 @@ WITH c AS (
 s AS (SELECT doc_id, unnest(stmts) AS stmt FROM c),
 t AS (SELECT doc_id, strpos('0123456789abcdef', substr(md5(stmt), 1, 1)) - 1 AS nib FROM s)
 SELECT doc_id,
-       sum(CASE WHEN nib < 8 THEN 1 ELSE 0 END) AS n_confirmed,
-       sum(CASE WHEN nib >= 8 AND nib < 11 THEN 1 ELSE 0 END) AS n_refuted,
+       CAST(sum(CASE WHEN nib < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed,
+       CAST(sum(CASE WHEN nib >= 8 AND nib < 11 THEN 1 ELSE 0 END) AS BIGINT) AS n_refuted,
        count(*) AS n_total,
        floor(least(greatest(
          (sum(CASE WHEN nib < 8 THEN 1 ELSE 0 END)

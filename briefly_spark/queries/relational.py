@@ -214,9 +214,9 @@ def q06_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        count(*)                                          AS n_orders,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
        floor((sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
               - 0.5 * sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END))
              / count(*) * 10 * 10000) / 10000.0          AS score

@@ -220,7 +220,7 @@ q AS (SELECT source, ({_SQL_QUALITY}) AS quality FROM t)
 SELECT source,
        count(*) AS n_docs,
        {sql_fixed_avg('quality', 10000, 'avg_quality')},
-       sum(CASE WHEN quality < 5.0 THEN 1 ELSE 0 END) AS n_low
+       CAST(sum(CASE WHEN quality < 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
 FROM q GROUP BY source
 """,
 )
