@@ -147,31 +147,39 @@ def lsh_topk(
     bucketed L times, candidates = bucket-join union over tables, exact
     cosine re-rank on the deduped candidate set.  O(pairs-in-buckets)
     instead of O(|Q|·|C|) — the 100 TB path; tune (bits, tables) for the
-    recall/cost point.  Same output contract as :func:`topk_cosine`."""
-    def banded(df: DataFrame, id_col: str) -> DataFrame:
-        # signature staged in its own projection (computed once per row)
-        signed = df.select(
-            id_col,
-            "v",
-            l2_norm(F.col("v")).alias("n"),
-            signature_tables(F.col("v"), dims, bits, tables).alias("sigs"),
-        )
-        return signed.select(
-            id_col, "v", "n", F.posexplode("sigs").alias("tbl", "bucket")
-        )
+    recall/cost point.  Same output contract as :func:`topk_cosine`.
 
-    qb = banded(queries, "query_id").withColumnRenamed("n", "qn").alias("q")
-    cb = banded(corpus, "neighbor_id").withColumnRenamed("n", "cn").alias("c")
-    pairs = (
+    Shuffle-payload discipline (mirrors ``lsh_candidate_pairs``,
+    dedup.py): the ×tables posexplode and the banded self-join carry ONLY
+    (id, tbl, bucket) — never the vector or its norm, which would multiply
+    shuffle bytes by the table count.  Candidate pairs are deduped while
+    still thin (one groupBy on two ids), and v/norm are re-attached by two
+    id equi-joins on the deduped set before the single exact re-rank.  This
+    also scores each distinct pair ONCE instead of once per colliding
+    table."""
+    def banded_ids(df: DataFrame, id_col: str) -> DataFrame:
+        # signature staged in its own projection (computed once per row)
+        signed = df.select(id_col, signature_tables(F.col("v"), dims, bits, tables).alias("sigs"))
+        return signed.select(id_col, F.posexplode("sigs").alias("tbl", "bucket"))
+
+    qb = banded_ids(queries, "query_id").alias("qb")
+    cb = banded_ids(corpus, "neighbor_id").alias("cb")
+    cand = (
         qb.join(
             cb,
-            (F.col("q.tbl") == F.col("c.tbl"))
-            & (F.col("q.bucket") == F.col("c.bucket"))
-            & (F.col("q.query_id") != F.col("c.neighbor_id")),
+            (F.col("qb.tbl") == F.col("cb.tbl"))
+            & (F.col("qb.bucket") == F.col("cb.bucket"))
+            & (F.col("qb.query_id") != F.col("cb.neighbor_id")),
         )
-        .select("q.query_id", "c.neighbor_id", _pair_cos().alias("cos"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cos").alias("cos"))
+        .select("qb.query_id", "cb.neighbor_id")
+        .distinct()
+    )
+    qv = _with_norm(queries, "qn").alias("q")
+    cv = _with_norm(spread(corpus), "cn").alias("c")
+    pairs = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", _pair_cos().alias("cos"))
     )
     return _ranked(pairs, k).select(
         "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
@@ -240,6 +248,68 @@ def ivf_topk(
     )
     return _ranked(pairs, k).select(
         "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
+    )
+
+
+def ann_recall_audit(
+    approx: DataFrame, exact: DataFrame, queries: DataFrame, *, k: int, floor: float
+) -> DataFrame:
+    """Deterministic recall gate for an approximate ANN result — the bridge
+    that puts LSH/IVF under the SQL-oracle hash check even though their
+    output can't match an exact oracle row-for-row.
+
+    Emits (qid, metric, ok):
+      - one ``topk_complete`` row per query in ``exact``: did the approximate
+        tier return exactly ``k`` neighbors for it,
+      - one ``mean_recall_floor`` summary row (qid = -1): is the mean
+        recall@k vs the exact baseline ≥ ``floor``.
+
+    The oracle side asserts the *expected* outcome — ``ok = true`` for every
+    row — so the driver's value-hash matches iff every invariant actually
+    holds.  Recall itself can't be a per-query assertion: on unstructured
+    (random) vectors single queries legitimately hit recall 0 (measured at
+    every SF), so the per-query rows check shape and the floor is aggregate.
+    Both inputs use the same (score desc, neighbor_id asc) tiebreak, making
+    the intersection deterministic.  Cost: one equi-join on
+    (query_id, neighbor_id) + one rollup aggregation — scale-safe.
+
+    Single-pass plan discipline: ``approx`` and ``exact`` are each consumed
+    exactly ONCE (their lineages are the expensive ANN/baseline jobs —
+    referencing them from two plan branches would recompute them), the query
+    list comes from the cheap ``queries`` input scan, and both output
+    granularities (per-query + global) fall out of one ``rollup``
+    aggregation instead of two branches over the joined set.
+    """
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    per_q = (
+        a.join(e, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    rows = (
+        queries.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n"), F.lit(0)) == k).alias("ok_shape"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+    )
+    return rows.rollup("query_id").agg(
+        F.min("ok_shape").alias("all_ok"), F.avg("recall").alias("mean_recall")
+    ).select(
+        F.coalesce(F.col("query_id"), F.lit(-1)).cast("long").alias("qid"),
+        F.when(F.col("query_id").isNull(), F.lit("mean_recall_floor"))
+        .otherwise(F.lit("topk_complete"))
+        .alias("metric"),
+        F.when(F.col("query_id").isNull(), F.col("mean_recall") >= floor)
+        .otherwise(F.col("all_ok"))
+        .alias("ok"),
     )
 
 
