@@ -134,29 +134,23 @@ def signature_tables(v: Column, dims: int, bits: int, tables: int) -> Column:
     )
 
 
-def lsh_topk(
+def lsh_candidate_ids(
     queries: DataFrame,
     corpus: DataFrame,
     *,
     dims: int,
-    k: int = 5,
     bits: int = 8,
     tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k via multi-table hyperplane LSH: both sides are
-    bucketed L times, candidates = bucket-join union over tables, exact
-    cosine re-rank on the deduped candidate set.  O(pairs-in-buckets)
-    instead of O(|Q|·|C|) — the 100 TB path; tune (bits, tables) for the
-    recall/cost point.  Same output contract as :func:`topk_cosine`.
+    """Thin multi-table LSH candidate generation: both sides are bucketed L
+    times, candidates = bucket equi-join union over tables, deduped to
+    distinct (query_id, neighbor_id).
 
-    Shuffle-payload discipline (mirrors ``lsh_candidate_pairs``,
-    dedup.py): the ×tables posexplode and the banded self-join carry ONLY
-    (id, tbl, bucket) — never the vector or its norm, which would multiply
-    shuffle bytes by the table count.  Candidate pairs are deduped while
-    still thin (one groupBy on two ids), and v/norm are re-attached by two
-    id equi-joins on the deduped set before the single exact re-rank.  This
-    also scores each distinct pair ONCE instead of once per colliding
-    table."""
+    Shuffle-payload discipline (mirrors ``lsh_candidate_pairs``, dedup.py):
+    the ×tables posexplode and the banded join carry ONLY (id, tbl, bucket)
+    — never the vector or its norm, which would multiply shuffle bytes by
+    the table count.  Callers re-attach payloads by id equi-joins on the
+    deduped set."""
     def banded_ids(df: DataFrame, id_col: str) -> DataFrame:
         # signature staged in its own projection (computed once per row)
         signed = df.select(id_col, signature_tables(F.col("v"), dims, bits, tables).alias("sigs"))
@@ -164,7 +158,7 @@ def lsh_topk(
 
     qb = banded_ids(queries, "query_id").alias("qb")
     cb = banded_ids(corpus, "neighbor_id").alias("cb")
-    cand = (
+    return (
         qb.join(
             cb,
             (F.col("qb.tbl") == F.col("cb.tbl"))
@@ -174,28 +168,50 @@ def lsh_topk(
         .select("qb.query_id", "cb.neighbor_id")
         .distinct()
     )
+
+
+def _score_candidates(cand: DataFrame, queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Re-attach v/norm to a thin candidate-id set and score each distinct
+    pair exactly once: two id equi-joins + one cosine fold per pair."""
     qv = _with_norm(queries, "qn").alias("q")
     cv = _with_norm(spread(corpus), "cn").alias("c")
-    pairs = (
+    return (
         cand.join(qv, "query_id")
         .join(cv, "neighbor_id")
         .select("query_id", "neighbor_id", _pair_cos().alias("cos"))
     )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dims: int,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH:
+    :func:`lsh_candidate_ids` → payload re-attach → exact cosine re-rank on
+    the deduped candidate set.  O(pairs-in-buckets) instead of O(|Q|·|C|) —
+    the 100 TB path; tune (bits, tables) for the recall/cost point.  Same
+    output contract as :func:`topk_cosine`."""
+    cand = lsh_candidate_ids(queries, corpus, dims=dims, bits=bits, tables=tables)
+    pairs = _score_candidates(cand, queries, corpus)
     return _ranked(pairs, k).select(
         "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
     )
 
 
-def ivf_topk(
+def ivf_candidate_ids(
     queries: DataFrame,
     corpus: DataFrame,
     *,
-    k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) cells — the coarse-quantizer
-    scale path complementing :func:`lsh_topk`.
+    """Thin IVF (inverted-file) candidate generation — the coarse-quantizer
+    scale path complementing :func:`lsh_candidate_ids`.
 
     Deterministic "training": the ``n_cells`` centroids are the corpus
     vectors with the lexicographically smallest ``md5(neighbor_id)`` — a
@@ -203,13 +219,12 @@ def ivf_topk(
     at 100 TB you'd run ``spark.ml`` KMeans once offline and broadcast the
     model the same way).  Every corpus vector is assigned to its nearest
     centroid (one broadcast join against ``n_cells`` rows); each query
-    probes its ``n_probe`` nearest cells and scores only those cells'
-    vectors.  Cost: O(|C|·n_cells) assignment + O(|Q|·|C|·n_probe/n_cells)
-    scoring — the quadratic pair join shrinks by ~n_cells/n_probe with
-    recall controlled by n_probe.  Same output contract as
-    :func:`topk_cosine`; recall vs the exact baseline is asserted in
-    tests (approximate ⇒ no SQL oracle).
-    """
+    probes its ``n_probe`` nearest cells.  Candidates = cell equi-join,
+    distinct by construction (corpus keep=1 × disjoint probed cells).
+    Cost: O(|C|·n_cells) assignment + O(|Q|·|C|·n_probe/n_cells) candidate
+    pairs — the quadratic join shrinks by ~n_cells/n_probe with recall
+    controlled by n_probe.  Only (id, cell_id) rides the cell join; callers
+    re-attach payloads on the thin candidate set."""
     c = _with_norm(spread(corpus), "cn")
     centroids = (
         c.withColumn("ck", F.md5(F.col("neighbor_id").cast("string")))
@@ -230,22 +245,32 @@ def ivf_topk(
             .withColumn("ccos", cent_cos)
             .withColumn("crk", F.row_number().over(w))
             .filter(F.col("crk") <= keep)
-            .drop("cv", "cvn", "ccos", "crk")
-            .withColumnRenamed("n", norm_col)
+            .select(id_col, "cell_id")
         )
 
     cb = assign(c, "neighbor_id", "cn", 1).alias("c")
     qb = assign(_with_norm(queries, "qn"), "query_id", "qn", n_probe).alias("q")
-    pairs = (
-        qb.join(
-            cb,
-            (F.col("q.cell_id") == F.col("c.cell_id"))
-            & (F.col("q.query_id") != F.col("c.neighbor_id")),
-        )
-        .select("q.query_id", "c.neighbor_id", _pair_cos().alias("cos"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cos").alias("cos"))
-    )
+    return qb.join(
+        cb,
+        (F.col("q.cell_id") == F.col("c.cell_id"))
+        & (F.col("q.query_id") != F.col("c.neighbor_id")),
+    ).select("q.query_id", "c.neighbor_id")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF cells: :func:`ivf_candidate_ids` → payload
+    re-attach → exact cosine re-rank inside probed cells.  Same output
+    contract as :func:`topk_cosine`; recall vs the exact baseline is under
+    the q43 audit oracle and asserted in tests."""
+    cand = ivf_candidate_ids(queries, corpus, n_cells=n_cells, n_probe=n_probe)
+    pairs = _score_candidates(cand, queries, corpus)
     return _ranked(pairs, k).select(
         "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
     )
@@ -326,6 +351,13 @@ def related_topk(
     sim_weight: float = 0.7,
     score_weight: float = 0.3,
     default_score: int = 5,
+    tier: str = "exact",
+    exact_max_corpus: int = 100_000,
+    dims: int | None = None,
+    bits: int = 8,
+    tables: int = 4,
+    n_cells: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Two-tier similarity with fallback fill + weighted re-rank — the full
     reference pipeline (get_relevant_articles.py) as ONE set-oriented job:
@@ -340,19 +372,45 @@ def related_topk(
     Inputs: queries(query_id, topic, v), corpus(neighbor_id, topic, v),
     scores(neighbor_id, validation_score).  Output: (query_id, neighbor_id,
     rank, sim, combined_score).  The per-article N+1 lookup pattern of the
-    reference becomes two joins + two windows."""
+    reference becomes two joins + two windows.
+
+    Candidate generation is pluggable (``tier``): ``"exact"`` scores every
+    (query, corpus) pair — the correctness baseline, quadratic and only
+    sane below ~1e5 corpus rows; ``"lsh"`` / ``"ivf"`` reuse
+    :func:`lsh_candidate_ids` / :func:`ivf_candidate_ids` so the candidate
+    set is bucket-bounded — the 100 TB path, identical downstream
+    semantics applied to the candidate subset.  ``"auto"`` picks exact
+    below ``exact_max_corpus`` corpus rows (one cheap count job) and LSH
+    above — the production default: small collections get exact results,
+    large ones get the scale-safe plan without a code change."""
+    if tier == "auto":
+        tier = "exact" if corpus.count() <= exact_max_corpus else "lsh"
     q = _with_norm(queries, "qn").alias("q")
     # same BNLJ-parallelism fix as topk_cosine: stream side must be spread
     c = _with_norm(spread(corpus), "cn").alias("c")
-    pairs = (
-        q.join(c, F.col("q.query_id") != F.col("c.neighbor_id"))
-        .select(
-            "q.query_id",
-            F.col("q.topic").alias("q_topic"),
-            "c.neighbor_id",
-            F.col("c.topic").alias("c_topic"),
-            _pair_cos().alias("cos"),
+    if tier == "exact":
+        pairs = q.join(c, F.col("q.query_id") != F.col("c.neighbor_id"))
+    elif tier in ("lsh", "ivf"):
+        if tier == "lsh":
+            if dims is None:
+                raise ValueError("tier='lsh' requires dims")
+            cand = lsh_candidate_ids(queries, corpus, dims=dims, bits=bits, tables=tables)
+        else:
+            cand = ivf_candidate_ids(queries, corpus, n_cells=n_cells, n_probe=n_probe)
+        pairs = (
+            cand.withColumnRenamed("query_id", "cand_qid")
+            .withColumnRenamed("neighbor_id", "cand_nid")
+            .join(q, F.col("cand_qid") == F.col("q.query_id"))
+            .join(c, F.col("cand_nid") == F.col("c.neighbor_id"))
         )
+    else:
+        raise ValueError(f"unknown tier {tier!r}")
+    pairs = pairs.select(
+        "q.query_id",
+        F.col("q.topic").alias("q_topic"),
+        "c.neighbor_id",
+        F.col("c.topic").alias("c_topic"),
+        _pair_cos().alias("cos"),
     )
     # tier 0: same-topic top-k_candidates
     w_topic = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

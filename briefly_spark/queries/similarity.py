@@ -123,6 +123,17 @@ def q41_related_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-member topics so the fallback path (J5) is genuinely exercised.
     validation_score is the deterministic (id·7) mod 11 — replacing the
     reference's random default (SURVEY §7.2)."""
+    queries, corpus, scores = _related_inputs(spark, sf_dir)
+    # tier="auto": exact below the corpus threshold (all local SFs — keeps
+    # the exact-oracle hash), LSH candidate generation above it.
+    return related_topk(queries, corpus, scores, k_candidates=6, k_final=5, tier="auto", dims=64)
+
+
+def _related_inputs(spark: SparkSession, sf_dir: str):
+    """Shared inputs for the related-articles queries (q41/q44): labels 8-9
+    are fragmented into single-member topics so the fallback path (J5) is
+    genuinely exercised; validation_score is the deterministic (id·7) mod 11
+    replacing the reference's random default (SURVEY §7.2)."""
     emb = _emb(spark, sf_dir)
     topic = F.when(F.col("label") <= 7, F.col("label").cast("string")).otherwise(
         F.concat(F.lit("t"), (F.col("id") % 90).cast("string"))
@@ -135,7 +146,7 @@ def q41_related_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = base.select(
         F.col("id").alias("neighbor_id"), ((F.col("id") * 7) % 11).alias("validation_score")
     )
-    return related_topk(queries, corpus, scores, k_candidates=6, k_final=5)
+    return queries, corpus, scores
 
 
 # Shared oracle for the approximate-ANN audit queries (q42/q43): the oracle
@@ -196,3 +207,35 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(queries, corpus, k=5, n_cells=16, n_probe=4)
     exact = topk_cosine(queries, corpus, k=5)
     return ann_recall_audit(approx, exact, queries, k=5, floor=0.30)
+
+
+# --------------------------------------------------------------------------
+# q44 — LSH-tier related-articles pipeline under the recall-floor oracle:
+# the scale path of the flagship operator, oracle-gated.
+# --------------------------------------------------------------------------
+@register(
+    "q44_related_lsh",
+    covers=("J4", "J5", "J6", "A7", "W5"),
+    oracle="""
+SELECT vec_id AS qid, 'topk_complete' AS metric, true AS ok
+FROM embeddings WHERE vec_id % 20 = 0
+UNION ALL
+SELECT CAST(-1 AS BIGINT), 'mean_recall_floor', true
+""",
+)
+def q44_related_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The related-articles pipeline on its 100 TB candidate tier: the same
+    two-tier + fallback + hydrate + re-rank semantics as q41, but candidates
+    come from :func:`lsh_candidate_ids` instead of the quadratic pair join.
+    Emits :func:`ann_recall_audit` of the LSH-tier final top-5 against the
+    exact-tier final top-5 — per-query completeness plus mean overlap ≥ 0.25
+    (measured 0.34-0.38 across sf0.001/0.01/0.1; the weighted re-rank
+    amplifies candidate-set differences, so the floor sits below the plain
+    ANN one).  Deterministic per dataset ⇒ hash-stable under the driver
+    gate."""
+    queries, corpus, scores = _related_inputs(spark, sf_dir)
+    approx = related_topk(
+        queries, corpus, scores, k_candidates=6, k_final=5, tier="lsh", dims=64, bits=4, tables=4
+    )
+    exact = related_topk(queries, corpus, scores, k_candidates=6, k_final=5)
+    return ann_recall_audit(approx, exact, queries, k=5, floor=0.25)

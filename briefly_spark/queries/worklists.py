@@ -78,19 +78,34 @@ def q93_two_tier_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     here doc_id%5=0 stands for `related_ids IS NULL`) is taken first, the
     remainder of the batch filled from the refresh tier (stale TTL —
     doc_id%7=0 for `updated_at < now − 1d`), with a total order inside
-    each tier.  One window over the filtered scan; Catalyst pushes the
-    tier predicates into the parquet scan."""
+    each tier.
+
+    The batch semantics need a total order, but NOT a total sort: the
+    ``orderBy().limit(50)`` compiles to TakeOrderedAndProject — every
+    partition keeps its local top-50 and only 50·partitions rows reach the
+    merge — so no single-partition sort ever sees the full eligible set.
+    The rank over the ≤50 survivors is assigned without a global window
+    (WindowExec with an empty partition spec warns regardless of the
+    GlobalLimit bound): pack the bounded batch into one sorted struct array
+    and posexplode — position = rank.  Catalyst pushes the tier predicates
+    into the parquet scan."""
     docs = load_table(spark, sf_dir, "documents")
     tiers = docs.filter((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 0)).select(
         "doc_id",
         "n_chars",
         F.when(F.col("doc_id") % 5 == 0, 0).otherwise(1).alias("tier"),
     )
-    w = Window.orderBy("tier", F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        tiers.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
-        .select("doc_id", "tier", "rn")
+    top = tiers.orderBy("tier", F.desc("n_chars"), F.asc("doc_id")).limit(50)
+    # struct fields encode the sort key (asc, asc, asc): negate n_chars
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct("tier", (-F.col("n_chars")).alias("neg_chars"), "doc_id"))
+        ).alias("batch")
+    )
+    return packed.select(F.posexplode("batch").alias("pos", "r")).select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.tier").alias("tier"),
+        (F.col("pos") + 1).alias("rn"),
     )
 
 
