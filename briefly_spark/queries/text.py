@@ -114,14 +114,29 @@ def q21_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q22 — separator-aware recursive chunker (pandas UDF; rows-only check,
-# semantics covered by golden tests in tests/test_text_ops.py).
+# q22 — separator-aware recursive chunker (pandas UDF) under a golden-
+# fixture oracle.
 # --------------------------------------------------------------------------
-@register("q22_chunk_recursive", covers=("M1", "M2"))
+@register(
+    "q22_chunk_recursive",
+    covers=("M1", "M2"),
+    oracle="""
+SELECT doc_id, pos, chunk
+FROM read_parquet('/root/repo/tests/fixtures/q22_chunks_sf001.parquet')
+""",
+)
 def q22_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-contract recursive chunker over sentence-composited text
-    (chunk_splitter.py:14-64 contract).  Arrow-batched UDF → posexplode;
-    not SQL-expressible, so the driver records a rows-only check."""
+    (chunk_splitter.py:14-64 contract).  Arrow-batched UDF → posexplode.
+
+    The recursion (separator hierarchy + greedy overlap merge + token
+    re-split) is pure and deterministic but not SQL-expressible, so the
+    oracle is a golden parquet fixture of the exact sf0.01 output
+    (regenerate: tools/make_q22_fixture.py) — the driver gate runs at
+    sf=0.01, where fixture equality pins full observable behavior.  The
+    algorithm itself is held honest by hand-computed golden cases in
+    tests/test_text_ops.py; at any other sf_dir this oracle intentionally
+    mismatches (the fixture is SF-specific)."""
     from briefly_spark.operators.chunking import chunk_text_udf
 
     docs = spread(load_table(spark, sf_dir, "documents"))
