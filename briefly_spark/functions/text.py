@@ -8,6 +8,7 @@ deliberate divergence (SURVEY §7.2).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -146,15 +147,12 @@ def md5_uuid(col: Column) -> Column:
     )
 
 
-def _html_unescape2(s):
-    if s is None:
-        return None
+@F.pandas_udf(T.StringType())
+def html_unescape(s: pd.Series) -> pd.Series:
+    """Double HTML-unescape (ref: raw_articles.py:99 —
+    html.unescape(html.unescape(title))).  The full named/numeric entity
+    table has no Spark builtin; Arrow-batched pandas UDF (the package's
+    only Python call site) instead of a row-at-a-time scalar UDF."""
     import html
 
-    return html.unescape(html.unescape(s))
-
-
-#: Double HTML-unescape (ref: raw_articles.py:99 —
-#: html.unescape(html.unescape(title))).  Stdlib-only UDF; used once per
-#: ingested title, never in a hot analytical path.
-html_unescape = F.udf(_html_unescape2, T.StringType())
+    return s.map(lambda x: html.unescape(html.unescape(x)) if x is not None else None)

@@ -161,7 +161,16 @@ def minhash_signature(hashes: Column, k: int = 8) -> Column:
     :func:`minhash_signatures_exploded`: staged projections do NOT protect
     this expression — CollapseProject re-inlines single-reference aliases,
     after which the inner lambda re-evaluates the entire upstream chain
-    (shingling + hashing) once per signature element."""
+    (shingling + hashing) once per signature element.
+
+    Empty-shingle divergence (VERIFIED): for a row whose shingle array is
+    empty (an empty/whitespace-only document) this form emits a signature of
+    k nulls — and because concat_ws skips nulls, band_keys turns that into
+    the CONSTANT md5('') key, so all empty docs band together and emit
+    candidate pairs.  The exploded form emits no row at all (explode of an
+    empty array), so empty docs produce no pairs.  The exploded behavior is
+    the intended semantics (nothing shingles ⇒ nothing to compare); filter
+    size(shingles) == 0 upstream when using THIS form outside tests."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(F.transform(hashes, lambda h: F.substring(h, i * 4 + 1, 4))),

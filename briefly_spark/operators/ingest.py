@@ -7,8 +7,9 @@ The reference fetches 91 RSS feeds in a serial loop with sleeps
 parallelism is the partition count, with the HTTP transport *injected* so
 tests (and the DuckDB oracle) run against deterministic local content —
 the same seam that makes the LLM operators testable.  Parsing uses stdlib
-``xml.etree`` (feedparser isn't shipped); politeness delays and retries
-live inside the UDF per SURVEY §4.
+``xml.etree`` with a tag-soup regex recovery path for malformed feeds
+(feedparser isn't shipped; real feeds are often not well-formed XML);
+politeness delays and retries live inside the UDF per SURVEY §4.
 """
 
 from __future__ import annotations
@@ -79,15 +80,52 @@ def fetch_documents(
 # ---------------------------------------------------------------------------
 # S2 — RSS/Atom parse (stdlib, deterministic)
 # ---------------------------------------------------------------------------
+def _soup_field(block: str, tag: str) -> str:
+    import re
+
+    m = re.search(rf"<{tag}\b[^>]*>(.*?)</{tag}\s*>", block, re.S | re.I)
+    if not m:
+        return ""
+    val = m.group(1)
+    cd = re.search(r"<!\[CDATA\[(.*?)\]\]>", val, re.S)
+    return (cd.group(1) if cd else val).strip()
+
+
+def parse_rss_soup(xml_text: str) -> list[dict]:
+    """Tag-soup recovery parse for malformed feeds: regex entry split on
+    ``<item>…</item>`` blocks + per-field extraction with CDATA unwrap.
+    Real-world RSS is frequently not well-formed XML (unescaped ampersands,
+    stray tags); feedparser tolerates that (the reference relies on it,
+    extract_utils.py:84-100) while strict ElementTree rejects the whole
+    document.  This recovers every entry whose item block is intact —
+    deterministic, no dependency."""
+    import re
+
+    out = []
+    for m in re.finditer(r"<item\b[^>]*>(.*?)</item\s*>", xml_text, re.S | re.I):
+        block = m.group(1)
+        out.append(
+            {
+                "title": _soup_field(block, "title"),
+                "link": _soup_field(block, "link"),
+                "description": _soup_field(block, "description"),
+                "pub_date": _soup_field(block, "pubDate"),
+            }
+        )
+    return out
+
+
 def parse_rss_py(xml_text: str) -> list[dict]:
     """channel/item → [{title, link, description, pub_date}] via stdlib
-    ElementTree; malformed XML → [] (counted upstream as a failed feed)."""
+    ElementTree; malformed XML falls back to the tag-soup recovery path
+    (:func:`parse_rss_soup`) so a single bad entity no longer drops the
+    whole feed — a feed is [] only when even recovery finds no items."""
     import xml.etree.ElementTree as ET
 
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:
-        return []
+        return parse_rss_soup(xml_text)
     out = []
     for item in root.iter("item"):
         def txt(tag: str) -> str:

@@ -11,9 +11,11 @@ discipline as operators/embedding.py).
 Real decoders (PIL/librosa/av) are NOT in this container, so the decode
 backends are import-gated: ``fake`` is a deterministic md5-based feature
 extractor (bit-identical to the native expression twin, so the plumbing
-itself is oracle-checked); ``pil`` raises NotImplementedError with the
-wiring in place.  Batch shape, schema, and partitioning are real either
-way.
+itself is oracle-checked); ``pil`` is implemented against the public
+Pillow API (open → grayscale → thumbnail → column-mean features) and
+raises NotImplementedError only when Pillow is absent — the branch is
+exercised in tests via a mock-injected PIL module.  Batch shape, schema,
+and partitioning are real either way.
 """
 
 from __future__ import annotations
@@ -81,14 +83,27 @@ def fake_features_py(content: bytes, dims: int = 8) -> list[float]:
 def _load_decoder(backend: str, dims: int):
     if backend == "fake":
         return lambda blobs: [fake_features_py(b, dims) for b in blobs]
-    if backend == "pil":  # pragma: no cover - image libs not shipped
+    if backend == "pil":
         try:
-            from PIL import Image  # type: ignore  # noqa: F401
+            from PIL import Image  # type: ignore
         except ImportError as exc:
             raise NotImplementedError(
                 "pil backend needs Pillow on executors; use backend='fake' for tests"
             ) from exc
-        raise NotImplementedError("real image decode wired but not implemented in-container")
+        import io
+
+        def decode(blobs: list[bytes]) -> list[list[float]]:
+            out = []
+            for b in blobs:
+                # grayscale thumbnail → per-column mean luminance in [-0.5, 0.5)
+                img = Image.open(io.BytesIO(b)).convert("L").resize((dims, dims))
+                px = list(img.getdata())  # row-major, dims×dims
+                out.append(
+                    [sum(px[c::dims]) / (255.0 * dims) - 0.5 for c in range(dims)]
+                )
+            return out
+
+        return decode
     raise ValueError(f"unknown decode backend {backend!r}")
 
 

@@ -45,28 +45,49 @@ def fake_audio_py(text: str) -> bytes:
     return (hashlib.md5(text.encode()).hexdigest() * k).encode()
 
 
+def _load_tts_backend(backend: str, voice: str = "alloy") -> Callable[[str], bytes]:
+    """Resolve the synthesis function — called INSIDE the mapInPandas
+    generator so resolution happens once per executor process (clients are
+    not picklable; never capture them in a driver-side closure).  'openai'
+    is implemented against the public sdk surface
+    (client.audio.speech.create, tts_utils.py:56-63's call shape) and
+    import-gated: NotImplementedError when the sdk is absent (this
+    container); the branch is exercised in tests via a mock-injected
+    ``openai`` module."""
+    if backend == "fake":
+        return fake_audio_py
+    if backend == "openai":
+        try:
+            from openai import OpenAI  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "openai TTS backend requires the sdk + OPENAI_API_KEY on "
+                "executors; use backend='fake' for deterministic tests"
+            ) from exc
+        client = OpenAI()
+
+        def synth(text: str) -> bytes:
+            resp = client.audio.speech.create(model="tts-1", voice=voice, input=text)
+            return resp.content
+
+        return synth
+    raise ValueError(f"unknown tts backend {backend!r}")
+
+
 def synthesize_speech(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
     backend: str = "fake",
+    voice: str = "alloy",
 ) -> DataFrame:
     """(id, text) → (id, audio, n_bytes): one Arrow-batched stage, backend
-    resolved once per executor.  'openai' requires the sdk + OPENAI_API_KEY
-    on executors and raises NotImplementedError here (wiring is the
-    deliverable; the deterministic backend is the test/oracle path)."""
-    if backend == "fake":
-        synth = fake_audio_py
-    elif backend == "openai":  # pragma: no cover - sdk/network not shipped
-        raise NotImplementedError(
-            "openai TTS backend requires the sdk + credentials on executors; "
-            "use backend='fake' for deterministic tests"
-        )
-    else:
-        raise ValueError(f"unknown tts backend {backend!r}")
+    resolved once per executor via :func:`_load_tts_backend`.  The
+    deterministic 'fake' backend is the test/oracle path."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        synth = _load_tts_backend(backend, voice)
         for pdf in batches:
             if len(pdf) == 0:
                 continue

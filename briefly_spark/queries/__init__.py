@@ -27,16 +27,28 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, None => rows-only check
     covers: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 operator ids
     doc: str = ""
+    #: sf_dir basename the oracle is pinned to (golden-fixture oracles are
+    #: SF-specific); None = valid at any SF.  The driver gate runs at sf0.01.
+    oracle_sf: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, *, oracle: str | None = None, covers: tuple[str, ...] = ()):  # decorator
+def register(
+    name: str,
+    *,
+    oracle: str | None = None,
+    covers: tuple[str, ...] = (),
+    oracle_sf: str | None = None,
+):  # decorator
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, covers=covers, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, covers=covers, doc=fn.__doc__ or "",
+            oracle_sf=oracle_sf,
+        )
         return fn
 
     return deco

@@ -124,6 +124,7 @@ def q21_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, pos, chunk
 FROM read_parquet('/root/repo/tests/fixtures/q22_chunks_sf001.parquet')
 """,
+    oracle_sf="sf0.01",
 )
 def q22_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-contract recursive chunker over sentence-composited text

@@ -56,6 +56,24 @@ def test_parse_rss_golden_and_malformed():
     assert parse_rss_py("<not xml") == []
 
 
+def test_parse_rss_malformed_feed_recovers_entries():
+    # unescaped ampersand + stray unclosed tag make this invalid XML
+    # (ElementTree raises); real feeds look like this and feedparser copes —
+    # the tag-soup fallback must recover every intact item block.
+    soup = (
+        "<rss><channel><lastBuildDate>now<item>"
+        "<title><![CDATA[Tom & Jerry]]></title><link>http://x/1?a=1&b=2</link>"
+        "<description>R&D news</description><pubDate>p1</pubDate></item>"
+        "<item><title>Second</title><link>l2</link></item>"
+        "</channel></rss>"
+    )
+    got = parse_rss_py(soup)
+    assert len(got) == 2
+    assert got[0]["title"] == "Tom & Jerry"  # CDATA unwrapped
+    assert got[0]["link"] == "http://x/1?a=1&b=2"
+    assert got[1] == {"title": "Second", "link": "l2", "description": "", "pub_date": ""}
+
+
 def test_unescape2_matches_stdlib_on_common_entities(spark):
     cases = ["T &amp;amp; B", "&lt;b&gt;", "a &quot;q&quot; &#39;s&#39;", "plain"]
     df = spark.createDataFrame([(c,) for c in cases], ["t"])

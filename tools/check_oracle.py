@@ -71,8 +71,13 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
-        if spec.oracle is None:
-            print(f"rows-only  {name}: {s_fp[0]} rows in {time.time()-t0:.1f}s")
+        sf_pinned_elsewhere = (
+            spec.oracle_sf is not None
+            and spec.oracle_sf != sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        )
+        if spec.oracle is None or sf_pinned_elsewhere:
+            tag = "sf-pinned " if sf_pinned_elsewhere else "rows-only"
+            print(f"{tag}  {name}: {s_fp[0]} rows in {time.time()-t0:.1f}s")
             if s_fp[0] == 0:
                 failures.append(name)
                 print(f"FAIL  {name}: zero rows")
