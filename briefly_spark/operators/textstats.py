@@ -152,3 +152,128 @@ def winnow_fingerprint(col: Column, k: int = 8, w: int = 4) -> Column:
     projections, see queries/textstats.py q53) so each stage is evaluated
     once per row instead of once per window."""
     return F.array_sort(F.array_distinct(window_minima(kgram_hashes(col, k), w)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document-composition rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+#: published Gopher bounds, used by :func:`gopher_keep`
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WORDLEN_LO = 3.0
+GOPHER_WORDLEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+def doc_lines(col: Column) -> Column:
+    """Non-empty lines."""
+    return F.filter(F.split(col, r"\n"), lambda l: l != "")
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """1 − |distinct lines| / |lines| — the Gopher repetition signal (the
+    n-gram variants follow the same shape over shingle arrays)."""
+    ls = doc_lines(col)
+    return F.when(
+        F.size(ls) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / F.size(ls),
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# of '#' chars + # of '...' runs) per word — Gopher's symbol-noise
+    rule.  '...' is counted by non-overlapping replace, identical
+    left-to-right semantics in Spark and DuckDB."""
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ell = (F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))) / 3
+    wc = word_count(col)
+    return F.when(wc > 0, (n_hash + n_ell).cast("double") / wc).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(col: Column) -> Column:
+    """Fraction of lines starting with a bullet marker ('- ' or '* ')."""
+    ls = doc_lines(col)
+    bullets = F.filter(
+        ls, lambda l: (F.substring(l, 1, 2) == "- ") | (F.substring(l, 1, 2) == "* ")
+    )
+    return F.when(
+        F.size(ls) > 0, F.size(bullets).cast("double") / F.size(ls)
+    ).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(col: Column) -> Column:
+    """Fraction of lines ending in an ellipsis ('...')."""
+    ls = doc_lines(col)
+    ell = F.filter(ls, lambda l: F.substring(l, F.length(l) - 2, 3) == F.lit("..."))
+    return F.when(
+        F.size(ls) > 0, F.size(ell).cast("double") / F.size(ls)
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(col: Column) -> Column:
+    """Fraction of words containing at least one ASCII letter."""
+    toks = tokens(col)
+    alpha = F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    return F.when(
+        F.size(toks) > 0, F.size(alpha).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """|distinct tokens ∩ lexicon| — Gopher requires ≥ 2 distinct hits."""
+    lex = F.array(*[F.lit(w) for w in LEXICONS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens(col)), lex))
+
+
+def gopher_keep(col: Column) -> Column:
+    """The Gopher quality gate as ONE boolean Column: word count, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction and stopword hits all within the published bounds.  Pure
+    whole-stage-codegen — the 100 TB filter pass is a map stage."""
+    wc = word_count(col)
+    wl = mean_word_len(col)
+    return (
+        (wc >= GOPHER_MIN_WORDS)
+        & (wc <= GOPHER_MAX_WORDS)
+        & (wl >= GOPHER_WORDLEN_LO)
+        & (wl <= GOPHER_WORDLEN_HI)
+        & (symbol_word_ratio(col) < GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_line_fraction(col) < GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_line_fraction(col) < GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_word_fraction(col) > GOPHER_MIN_ALPHA_FRAC)
+        & (stopword_hits(col) >= GOPHER_MIN_STOP_HITS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (C4/RefinedWeb-style cleaning)
+# ---------------------------------------------------------------------------
+#: (kind, pattern, placeholder) — patterns kept alternation-free so Java
+#: regex (Spark) and RE2 (DuckDB) agree byte-for-byte on every match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (audit columns for the scrub pass)."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact PII with typed placeholders — chained native regexp_replace
+    in PII_PATTERNS order (email first: its local part may contain digit
+    runs the narrower patterns would otherwise split)."""
+    out = col
+    for _, pat, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, placeholder)
+    return out

@@ -238,3 +238,171 @@ def q54_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("quality") < 5.0, 1).otherwise(0)).alias("n_low"),
     )
+
+
+# --------------------------------------------------------------------------
+# q55 — Gopher-style composition rules (repetition, symbols, bullets,
+# alphabetic fraction) + keep gate.
+# --------------------------------------------------------------------------
+# Deterministic multi-line synthesis shared by Spark and the oracle: break
+# the single-line corpus into 8-word lines, plant a guaranteed duplicate
+# line pair, and a bullet line on every 4th doc — so every rule sees
+# non-degenerate input.  Spark uses $1 for the backreference, DuckDB \1;
+# the pattern itself is alternation-free so both regex engines agree.
+_ML_SPARK_PATTERN = r"((\S+\s+){7}\S+)\s+"
+_SQL_ML = (
+    r"regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g')"
+    r" || chr(10) || 'END OF DOC' || chr(10) || 'END OF DOC'"
+    r" || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- promoted bullet ...' ELSE '' END"
+)
+_SQL_LINES = "list_filter(string_split(ml, chr(10)), l -> l <> '')"
+_SQL_MLTOKS = r"list_filter(string_split_regex(ml, '\s+'), w -> w <> '')"
+
+
+@register(
+    "q55_gopher_rules",
+    covers=("P7", "F5"),
+    oracle=f"""
+WITH m AS (SELECT doc_id, ({_SQL_ML}) AS ml FROM documents),
+s AS (
+  SELECT doc_id, ml,
+         {_SQL_LINES} AS ls,
+         {_SQL_MLTOKS} AS toks,
+         CAST(len(ml) - len(replace(ml, '#', '')) AS DOUBLE) AS n_hash,
+         CAST(len(ml) - len(replace(ml, '...', '')) AS DOUBLE) / 3 AS n_ell
+  FROM m
+),
+r AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(ls) > 0
+              THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS dup_f,
+         CASE WHEN len(toks) > 0 THEN (n_hash + n_ell) / len(toks) ELSE 0.0 END AS sym_f,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> substr(l, 1, 2) = '- ' OR substr(l, 1, 2) = '* ')) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS bullet_f,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l -> substr(l, len(l) - 2, 3) = '...')) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS ellipsis_f,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS alpha_f,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, w -> CAST(len(w) AS DOUBLE))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS wl,
+         len(list_intersect(list_distinct(toks), {_sql_lex('en')})) AS stop_hits
+  FROM s
+)
+SELECT doc_id, n_words,
+       floor(dup_f * 10000) / 10000.0 AS dup_line_frac,
+       floor(sym_f * 10000) / 10000.0 AS symbol_ratio,
+       floor(bullet_f * 10000) / 10000.0 AS bullet_frac,
+       floor(ellipsis_f * 10000) / 10000.0 AS ellipsis_frac,
+       floor(alpha_f * 10000) / 10000.0 AS alpha_frac,
+       (n_words >= 50 AND n_words <= 100000
+        AND wl >= 3.0 AND wl <= 10.0
+        AND sym_f < 0.1 AND bullet_f < 0.9 AND ellipsis_f < 0.3
+        AND alpha_f > 0.8 AND stop_hits >= 2) AS keep
+FROM r
+""",
+)
+def q55_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-composition rules (Rae et al. 2021 A1.1) as one
+    native map stage: duplicate-line fraction, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, and the
+    combined keep gate.  Multi-line structure is synthesized
+    deterministically (8-word lines + a planted duplicate pair + a bullet
+    line on every 4th doc) so each rule sees non-degenerate input; at
+    100 TB this pass runs at parquet-scan speed (zero shuffles)."""
+    from briefly_spark.operators.textstats import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        duplicate_line_fraction,
+        ellipsis_line_fraction,
+        gopher_keep,
+        symbol_word_ratio,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ml = F.concat(
+        F.regexp_replace(F.col("text"), _ML_SPARK_PATTERN, "$1\n"),
+        F.lit("\nEND OF DOC\nEND OF DOC"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\n- promoted bullet ...")).otherwise(
+            F.lit("")
+        ),
+    )
+    staged = docs.select("doc_id", ml.alias("ml"))
+    c = F.col("ml")
+    return staged.select(
+        "doc_id",
+        word_count(c).alias("n_words"),
+        trunc4(duplicate_line_fraction(c)).alias("dup_line_frac"),
+        trunc4(symbol_word_ratio(c)).alias("symbol_ratio"),
+        trunc4(bullet_line_fraction(c)).alias("bullet_frac"),
+        trunc4(ellipsis_line_fraction(c)).alias("ellipsis_frac"),
+        trunc4(alpha_word_fraction(c)).alias("alpha_frac"),
+        gopher_keep(c).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q26-style PII scrub lives here with the other curation passes: detection
+# counts + typed-placeholder redaction, hash-pinned.
+# --------------------------------------------------------------------------
+@register(
+    "q56_pii_scrub",
+    covers=("P7", "F5"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(t, '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS n_phone,
+         len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS scrubbed
+  FROM p
+)
+SELECT doc_id, n_email, n_phone, n_ipv4, md5(scrubbed) AS scrubbed_md5
+FROM s
+""",
+)
+def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (C4/RefinedWeb-style cleaning): per-kind
+    match counts and typed-placeholder scrub, all chained native
+    regexp_replace (alternation-free patterns ⇒ Java regex and RE2 agree
+    byte-for-byte).  PII is planted deterministically per doc_id so counts
+    are non-trivial; the scrubbed text is hash-pinned (md5) to keep the
+    whole redaction under the oracle without shipping full text."""
+    from briefly_spark.operators.textstats import pii_counts, pii_scrub
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    staged = docs.select("doc_id", planted.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return staged.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(pii_scrub(F.col("t"))).alias("scrubbed_md5"),
+    )

@@ -4,6 +4,7 @@ covered by the oracle harness (tests/test_queries_oracle.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from briefly_spark.operators.textstats import (
@@ -57,3 +58,44 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
 def test_winnow_short_text_fallback(spark):
     fp = _one(spark, "tiny", winnow_fingerprint(F.col("text"), k=8, w=4))
     assert len(fp) == 1
+
+
+def test_gopher_rule_components(spark):
+    from briefly_spark.operators.textstats import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        duplicate_line_fraction,
+        ellipsis_line_fraction,
+        symbol_word_ratio,
+    )
+
+    text = "the cat sat\nthe cat sat\n- bullet one\nreading on...\n# # tag"
+    df = spark.createDataFrame([(text,)], ["t"])
+    r = df.select(
+        duplicate_line_fraction(F.col("t")).alias("dup"),
+        bullet_line_fraction(F.col("t")).alias("bul"),
+        ellipsis_line_fraction(F.col("t")).alias("ell"),
+        alpha_word_fraction(F.col("t")).alias("alpha"),
+        symbol_word_ratio(F.col("t")).alias("sym"),
+    ).collect()[0]
+    assert r.dup == pytest.approx(1 - 4 / 5)   # one duplicated line of 5
+    assert r.bul == pytest.approx(1 / 5)
+    assert r.ell == pytest.approx(1 / 5)
+    assert r.alpha == pytest.approx(11 / 14)   # '-', '#', '#' have no letter
+    assert r.sym == pytest.approx((2 + 1) / 14)  # two '#' + one '...'
+
+
+def test_pii_scrub_and_counts(spark):
+    from briefly_spark.operators.textstats import pii_counts, pii_scrub
+
+    text = "mail a.b+c@ex.org or 555-123-4567, host 10.0.0.7 end"
+    df = spark.createDataFrame([(text,)], ["t"])
+    counts = pii_counts(F.col("t"))
+    r = df.select(
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+        pii_scrub(F.col("t")).alias("s"),
+    ).collect()[0]
+    assert (r.e, r.p, r.i) == (1, 1, 1)
+    assert r.s == "mail <EMAIL> or <PHONE>, host <IP> end"
