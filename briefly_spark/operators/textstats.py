@@ -277,3 +277,71 @@ def pii_scrub(col: Column) -> Column:
     for _, pat, placeholder in PII_PATTERNS:
         out = F.regexp_replace(out, pat, placeholder)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: split / mixture / packing
+# ---------------------------------------------------------------------------
+HEX = "0123456789abcdef"
+
+
+def _hash16(id_col: Column) -> Column:
+    """First 4 md5 hex digits of the id as an int in [0, 65536) — the same
+    engine-portable nibble arithmetic as the embedding stubs (instr-based,
+    byte-identical in Spark and DuckDB; no base-conversion builtins)."""
+    h = F.md5(id_col.cast("string"))
+
+    def nib(j: int) -> Column:
+        return F.instr(F.lit(HEX), F.substring(h, j, 1)) - 1
+
+    return nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+
+
+def hash_split(id_col: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
+    """Deterministic train/val/test assignment from a content-stable hash:
+    bucket = hash16(id) mod 100.  Stable under reshuffles, re-partitioning
+    and incremental appends — the property random splits lose at 100 TB
+    (a re-run must not migrate rows between splits)."""
+    bucket = _hash16(id_col) % 100
+    return (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def mixture_accept(id_col: Column, rate: Column) -> Column:
+    """Deterministic per-row acceptance for domain-mixture resampling:
+    accept iff hash16(id)/65536 < rate.  Feeding per-domain target rates
+    (a broadcast-joined weights table) reproduces any target mixture in
+    expectation while staying reproducible row-for-row."""
+    return _hash16(id_col).cast("double") / 65536.0 < rate
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a training
+    sequence (bin) so every bin holds ~``budget`` tokens, preserving a
+    deterministic order.  bin = floor((cumsum(tokens) − tokens) / budget)
+    over a per-group running sum — the streaming-friendly approximation of
+    greedy first-fit packing (bins can overflow by < one document, never
+    underfill by more than one; exact bin packing is NP-hard and
+    order-destroying).  One window per group — shuffle keyed on
+    ``group_col``, no global sort, scales with group cardinality."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return df.withColumn(
+        "bin", F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("long")
+    )

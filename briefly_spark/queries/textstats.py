@@ -406,3 +406,139 @@ def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].alias("n_ipv4"),
         F.md5(pii_scrub(F.col("t"))).alias("scrubbed_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q57/q58/q59 — dataset assembly: deterministic split, domain-mixture
+# resampling, token-budget sequence packing.
+# --------------------------------------------------------------------------
+# hash16(x) = first 4 md5 hex digits as int — DuckDB mirror of
+# operators/textstats._hash16 (same instr/strpos nibble arithmetic).
+def _sql_hash16(expr: str) -> str:
+    nib = lambda j: f"(strpos('0123456789abcdef', substr(md5({expr}), {j}, 1)) - 1)"
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+@register(
+    "q57_hash_split",
+    covers=("P7", "A3"),
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {_sql_hash16('CAST(doc_id AS VARCHAR)')} % 100 < 5 THEN 'val'
+              WHEN {_sql_hash16('CAST(doc_id AS VARCHAR)')} % 100 < 10 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""",
+)
+def q57_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (5/5/90) from a content-stable
+    hash bucket: re-runs, reshuffles and incremental appends never migrate
+    a row between splits — the reproducibility property a 100 TB training
+    corpus needs and `rand()`-based splits lack.  One map stage + one
+    partial-agg rollup."""
+    from briefly_spark.operators.textstats import hash_split
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(hash_split(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q58_mixture_resample",
+    covers=("P7", "A4"),
+    oracle=f"""
+WITH r AS (
+  SELECT source,
+         0.25 + ({_sql_hash16('source')} % 8) / 16.0 AS rate
+  FROM (SELECT DISTINCT source FROM documents)
+),
+a AS (
+  SELECT d.source, r.rate,
+         CASE WHEN {_sql_hash16('CAST(d.doc_id AS VARCHAR)')} / 65536.0 < r.rate
+              THEN 1 ELSE 0 END AS acc
+  FROM documents d JOIN r ON d.source = r.source
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(acc) AS BIGINT) AS n_accepted,
+       floor(any_value(rate) * 10000) / 10000.0 AS target_rate
+FROM a GROUP BY source
+""",
+)
+def q58_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: a per-source target rate (broadcast
+    weights dim — here derived deterministically from the source hash, in
+    production the output of a mixture solver) and a reproducible per-row
+    accept decision (hash-fraction < rate).  The 100 TB shape: broadcast
+    join of the tiny weights table + one map-stage filter; acceptance is
+    row-stable so incremental re-runs keep identical samples."""
+    from briefly_spark.operators.textstats import _hash16, mixture_accept
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select("source", (0.25 + (_hash16(F.col("source")) % 8) / 16.0).alias("rate"))
+    )
+    joined = docs.join(F.broadcast(rates), "source").select(
+        "source",
+        "rate",
+        mixture_accept(F.col("doc_id"), F.col("rate")).cast("int").alias("acc"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("acc").alias("n_accepted"),
+        trunc4(F.first("rate")).alias("target_rate"),
+    )
+
+
+@register(
+    "q59_pack_sequences",
+    covers=("W4", "A3"),
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS toks
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, toks,
+         sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+b AS (
+  SELECT source, CAST(floor((cum - toks) / 512.0) AS BIGINT) AS bin, toks
+  FROM c
+)
+SELECT source, bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+FROM b GROUP BY source, bin
+""",
+)
+def q59_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-sequence assembly): each
+    document lands in bin floor((cumsum − toks)/512) within its source, a
+    deterministic first-fit approximation whose bins overflow by < one
+    document.  One window per source partition — the shuffle is keyed on
+    the group column, no global sort; bins then roll up with a partial
+    agg."""
+    from briefly_spark.operators.textstats import pack_sequences
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("source", "doc_id", word_count(F.col("text")).alias("toks"))
+    packed = pack_sequences(
+        t, group_col="source", order_col="doc_id", tokens_col="toks", budget=512
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("bin_tokens")
+    )

@@ -99,3 +99,52 @@ def test_pii_scrub_and_counts(spark):
     ).collect()[0]
     assert (r.e, r.p, r.i) == (1, 1, 1)
     assert r.s == "mail <EMAIL> or <PHONE>, host <IP> end"
+
+
+def test_hash_split_stable_and_partitioned(spark):
+    from briefly_spark.operators.textstats import hash_split
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    got = df.select("doc_id", hash_split(F.col("doc_id")).alias("s")).collect()
+    by_split = {}
+    for r in got:
+        by_split.setdefault(r.s, set()).add(r.doc_id)
+    assert set(by_split) == {"train", "val", "test"}
+    # ~5% val / ~5% test with hash noise
+    assert 40 <= len(by_split["val"]) <= 160
+    assert 40 <= len(by_split["test"]) <= 160
+    # stability: re-evaluation and subset evaluation agree row-for-row
+    again = {r.doc_id: r.s for r in
+             df.filter(F.col("doc_id") < 500)
+               .select("doc_id", hash_split(F.col("doc_id")).alias("s")).collect()}
+    for doc_id, s in again.items():
+        assert doc_id in by_split[s]
+
+
+def test_pack_sequences_budget_property(spark):
+    from briefly_spark.operators.textstats import pack_sequences
+
+    rows = [("a", i, 100 + (i * 37) % 200) for i in range(50)] + [
+        ("b", i, 400) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, ord long, toks long")
+    packed = pack_sequences(df, group_col="g", order_col="ord", tokens_col="toks", budget=512)
+    out = packed.collect()
+    # bin assignment is deterministic and order-monotone within a group
+    bins = {}
+    for r in sorted(out, key=lambda r: (r.g, r.ord)):
+        bins.setdefault((r.g, r.bin), []).append(r.toks)
+        prev = [x.bin for x in out if x.g == r.g and x.ord < r.ord]
+        assert all(b <= r.bin for b in prev)
+    for (_, _), toks in bins.items():
+        # first-fit approximation: a bin exceeds budget by less than its
+        # final document, and only the last doc can overflow
+        assert sum(toks) - toks[-1] < 512
+
+
+def test_mixture_accept_matches_rate(spark):
+    from briefly_spark.operators.textstats import mixture_accept
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    n = df.filter(mixture_accept(F.col("doc_id"), F.lit(0.3))).count()
+    assert 0.25 * 5000 < n < 0.35 * 5000
