@@ -46,9 +46,18 @@ def windowed_counts(
 ) -> DataFrame:
     """Watermarked windowed count/sum — the streaming twin of q70/q71
     (same `window()` expression; only the watermark is stream-specific).
-    Late rows beyond ``watermark`` are dropped and their windows' state
-    evicted — state size is O(open windows × groups), independent of
-    stream length."""
+
+    Watermark contract (per the Structured Streaming spec, VERIFIED against
+    this Spark version in tests/test_streaming.py): the guarantee is
+    one-directional — data within ``watermark`` delay of max event time is
+    NEVER dropped, and windows older than the watermark are finalized
+    (append mode emits them exactly once) and their state EVICTED, so state
+    size is O(open windows × groups) independent of stream length.  Data
+    later than the delay is not guaranteed to be dropped: if its window's
+    state was already evicted, Spark may aggregate it into fresh state
+    (observed: numRowsDroppedByWatermark stays 0 for aggregations).
+    Downstream consumers needing strict late-row rejection must filter
+    ``ts`` explicitly or deduplicate on (window, key) at the sink merge."""
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
     grouped = events.withWatermark("ts", watermark).groupBy(w, *(by or []))
     return grouped.agg(

@@ -92,3 +92,76 @@ def test_stateful_dedup_across_microbatches(spark, sf_dir, tmp_path):
     # every key exactly once despite appearing in two micro-batches
     assert sorted(ids) == list(range(30))
     assert all(r.n_dups_prior == 0 for r in rows)
+
+
+def test_watermark_finalizes_and_evicts_state(spark, tmp_path):
+    """The GUARANTEED watermark semantics, verified across real
+    micro-batches (append mode):
+
+    - data within the watermark delay is never dropped (a within-delay
+      late row still lands in its window),
+    - a window is emitted exactly once, only after the watermark passes
+      its end (append finalization),
+    - finalized windows leave the state store (state stays bounded by the
+      open-window count).
+
+    Dropping of data later than the delay is deliberately NOT asserted:
+    the spec guarantees only the keep-direction, and this Spark version
+    aggregates beyond-delay rows into fresh state when the old window's
+    state is already gone (see windowed_counts docstring)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wm_stream"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        ts, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(list(ts), pa.timestamp("us", tz="UTC")),
+                    "value": pa.array(list(vals), pa.float64()),
+                }
+            ),
+            str(d / name),
+        )
+
+    # batch 0: five rows 10:00..10:24 → watermark after batch = 10:14
+    write("f1.parquet", [(base + dt.timedelta(minutes=6 * i), 1.0) for i in range(5)])
+    time.sleep(1.1)  # file source orders batches by modification time (ms)
+    # batch 1: a within-delay late row (10:20 ≥ watermark 10:14 — MUST be
+    # kept) and a fresh row at 12:30 that pushes the watermark past 11:00
+    write(
+        "f2.parquet",
+        [(base + dt.timedelta(minutes=20), 1.0), (base + dt.timedelta(hours=2, minutes=30), 1.0)],
+    )
+    os.utime(d / "f1.parquet", (time.time() - 60, time.time() - 60))
+
+    sdf = read_parquet_stream(spark, str(d), max_files_per_trigger=1)
+    name = "wm_final"
+    q = (
+        windowed_counts(sdf, window="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+
+    # multi-batch run actually happened (maxFilesPerTrigger honored)
+    assert len(q.recentProgress) >= 2
+    # [10:00, 11:00) finalized EXACTLY once, within-delay late row included
+    tens = [r for r in got if r["win_start"] == base]
+    assert len(tens) == 1 and tens[0]["n_events"] == 6
+    # the still-open [12:00, 13:00) window is not emitted in append mode
+    assert all(r["win_start"].hour != 12 for r in got)
+    # finalized window state was evicted: only the open window remains
+    assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
