@@ -156,3 +156,22 @@ def html_unescape(s: pd.Series) -> pd.Series:
     import html
 
     return s.map(lambda x: html.unescape(html.unescape(x)) if x is not None else None)
+
+
+def canonical_url(col: Column) -> Column:
+    """URL canonicalization for URL-keyed dedup (the reference keys
+    articles by url, raw_articles.py:104-110; at corpus scale the same url
+    arrives with case-variant hosts, tracking params and fragments):
+    lowercase scheme+host, drop the #fragment, strip utm_* tracking params,
+    and trim a trailing '?' or '/'.  Pure native string algebra — the same
+    step sequence is mirrored in the q26 oracle, so both engines agree
+    byte-for-byte."""
+    scheme = F.lower(F.substring_index(col, "://", 1))
+    rest = F.substring_index(col, "://", -1)  # everything after '://'
+    host = F.lower(F.substring_index(rest, "/", 1))
+    tail = rest.substr(F.length(host) + 1, F.length(rest))
+    tail = F.regexp_replace(tail, "#.*$", "")
+    tail = F.regexp_replace(tail, r"[?&]utm_[A-Za-z]+=[^&#]*", "")
+    tail = F.replace(tail, F.lit("/&"), F.lit("/?"))
+    tail = F.regexp_replace(tail, r"[?/]$", "")
+    return F.concat(scheme, F.lit("://"), host, tail)

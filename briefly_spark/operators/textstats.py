@@ -345,3 +345,15 @@ def pack_sequences(
     return df.withColumn(
         "bin", F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("long")
     )
+
+
+def word_ngrams(words: Column, n: int = 2) -> Column:
+    """Word n-grams WITH duplicates (repetition counting needs multiplicity;
+    the dedup shingler's distinct variant is ngrams_of_words).  Same
+    descending-sequence guard: fewer than n words ⇒ empty array."""
+    last = F.size(words) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
+    return F.transform(idx, gram)

@@ -276,3 +276,72 @@ def q25_img_and_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", extract_img_src(html).alias("img"), md5_uuid(url).alias("point_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q26 — URL canonicalization (dedup key normalization).
+# --------------------------------------------------------------------------
+@register(
+    "q26_url_canonical",
+    covers=("F9", "P5"),
+    oracle=r"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https://EX.com' ELSE 'https://ex.com' END)
+           || '/news/' || CAST(doc_id AS VARCHAR)
+           || '/?utm_source=feed&utm_medium=rss&id=' || CAST(doc_id % 7 AS VARCHAR)
+           || '#frag' AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url,
+         lower(split_part(url, '://', 1)) AS scheme,
+         split_part(url, '://', 2) AS rest
+  FROM u
+),
+d AS (
+  SELECT doc_id, url, scheme,
+         lower(split_part(rest, '/', 1)) AS host,
+         substr(rest, len(split_part(rest, '/', 1)) + 1) AS tail
+  FROM c
+),
+e AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_replace(
+           replace(
+             regexp_replace(regexp_replace(tail, '#.*$', ''), '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g'),
+             '/&', '/?'),
+           '[?/]$', '') AS tail
+  FROM d
+)
+SELECT doc_id, scheme || '://' || host || tail AS canon,
+       (scheme || '://' || host || tail <> url) AS changed
+FROM e
+""",
+)
+def q26_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization as the dedup-key normalizer (the reference
+    keys articles by raw url; at corpus scale case-variant hosts, utm_*
+    tracking params and fragments make one article look like many):
+    lowercase scheme+host, strip fragment + tracking params, trim trailing
+    separators — all native string algebra, mirrored step-for-step in the
+    oracle.  URLs are synthesized deterministically per doc_id (mixed-case
+    host on evens) so every rule fires."""
+    from briefly_spark.functions.text import canonical_url
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://EX.com")).otherwise(
+            F.lit("https://ex.com")
+        ),
+        F.lit("/news/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&utm_medium=rss&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    staged = docs.select("doc_id", url.alias("url"))
+    canon = canonical_url(F.col("url"))
+    return staged.select(
+        "doc_id", canon.alias("canon"), (canon != F.col("url")).alias("changed")
+    )

@@ -542,3 +542,63 @@ def q59_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("bin_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — top n-gram repetition (the shuffle-based Gopher repetition rule:
+# fraction of the document covered by its most frequent word 2-gram).
+# --------------------------------------------------------------------------
+@register(
+    "q35_top_ngram_repetition",
+    covers=("A4", "W4"),
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM t WHERE len(ws) >= 2
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+p AS (
+  SELECT doc_id, gram, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS total,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c
+)
+SELECT doc_id, gram AS top_gram, cnt AS top_cnt,
+       floor(CAST(cnt AS DOUBLE) / total * 10000) / 10000.0 AS top_frac
+FROM p WHERE rn = 1
+""",
+)
+def q35_top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word 2-gram per document and the fraction of all
+    2-grams it accounts for — the Gopher repetition rule that needs a
+    shuffle (unlike the q55 map-only rules): explode grams → partial-agg
+    count keyed (doc, gram) → per-doc argmax by window.  At 100 TB the
+    shuffle is bounded by distinct (doc, gram) pairs with map-side
+    combine; ties break deterministically (cnt desc, gram desc)."""
+    from pyspark.sql import Window
+
+    from briefly_spark.operators.textstats import word_ngrams
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    ex = staged.select("doc_id", F.explode(word_ngrams(F.col("ws"), 2)).alias("gram"))
+    counts = ex.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w_tot = Window.partitionBy("doc_id")
+    w_rnk = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("gram"))
+    return (
+        counts.withColumn("total", F.sum("cnt").over(w_tot))
+        .withColumn("rn", F.row_number().over(w_rnk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_cnt"),
+            trunc4(F.col("cnt") / F.col("total")).alias("top_frac"),
+        )
+    )

@@ -111,3 +111,18 @@ def test_chunk_fixed_expr(spark):
     chunks = df.select(chunk_fixed_expr(F.col("text")).alias("c")).collect()[0].c
     # windows start at 0, 350, 700 → lengths 400, 400, 300
     assert [len(c) for c in chunks] == [400, 400, 300]
+
+
+def test_canonical_url(spark):
+    from briefly_spark.functions.text import canonical_url
+
+    cases = {
+        "https://EX.com/a/1/?utm_source=x&utm_medium=y&id=3#frag": "https://ex.com/a/1/?id=3",
+        "HTTPS://News.EX.com/path/": "https://news.ex.com/path",
+        "https://ex.com/a?utm_campaign=z": "https://ex.com/a",
+        "https://ex.com/a?id=1&utm_term=q": "https://ex.com/a?id=1",
+        "https://ex.com/clean?id=2": "https://ex.com/clean?id=2",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases
