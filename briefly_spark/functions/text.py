@@ -128,9 +128,24 @@ def extract_img_src(col: Column) -> Column:
     return F.regexp_extract(col, r"""<img[^>]*\ssrc=["']([^"']+)["']""", 1)
 
 
+#: non-content containers the reference's bs4 pass decomposes WITH their
+#: contents (extract_utils.py:21-45: script/style/iframe/nav)
+_DROP_BLOCKS = ("script", "style", "iframe", "nav")
+
+
 def strip_html_tags(col: Column) -> Column:
-    """Stored-HTML text approximation (ref S3/F11, extract_utils.py:28-44)."""
-    return F.trim(F.regexp_replace(F.regexp_replace(col, r"<[^>]+>", " "), r"\s+", " "))
+    """Stored-HTML → text (ref S3/F11, extract_utils.py:21-45): first
+    remove the non-content blocks *including their contents* (what bs4
+    ``decompose()`` does — a bare tag-strip would leak JS/CSS text into the
+    corpus), then comments, then remaining tags, then collapse
+    whitespace.  Native regexp chain; (?is) = case-insensitive + dotall so
+    multi-line blocks match."""
+    c = col
+    for tag in _DROP_BLOCKS:
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
 def md5_uuid(col: Column) -> Column:

@@ -126,3 +126,69 @@ def test_canonical_url(spark):
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests — chunker invariants hold for ALL inputs, not
+# just the fixture corpus
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _texts = st.lists(
+        st.sampled_from(list("abcdef .!?\n") + ["xyzzy", "lorem "]),
+        max_size=600,
+    ).map("".join)
+
+    @given(_texts)
+    @settings(max_examples=200, deadline=None)
+    def test_chunk_text_invariants(text):
+        from briefly_spark.operators.chunking import (
+            CHUNK_SIZE,
+            MIN_CHUNK_CHARS,
+            chunk_text,
+        )
+
+        chunks = chunk_text(text)
+        for c in chunks:
+            # never emits sub-minimum fragments
+            assert len(c) > MIN_CHUNK_CHARS
+            # every chunk is a contiguous substring of the input: splits keep
+            # separators, merges join adjacent pieces, strips only trim ends
+            assert c in text
+            # character budget holds (token re-split only shrinks chunks on
+            # whitespace-token inputs)
+            assert len(c) <= CHUNK_SIZE
+        # deterministic
+        assert chunks == chunk_text(text)
+
+    @given(_texts)
+    @settings(max_examples=200, deadline=None)
+    def test_chunk_text_coverage(text):
+        from briefly_spark.operators.chunking import chunk_text
+
+        chunks = chunk_text(text)
+        # any long input must produce chunks (nothing silently dropped
+        # beyond short fragments and whitespace)
+        if len(text.strip()) > 60:
+            assert chunks, f"no chunks for {text!r}"
+
+except ImportError:  # pragma: no cover - hypothesis always shipped here
+    pass
+
+
+def test_strip_html_tags_drops_noncontent_blocks(spark):
+    from briefly_spark.functions.text import strip_html_tags
+
+    html_doc = (
+        "<html><head><STYLE>body { color: red }</STYLE>"
+        "<script type='text/js'>\nvar leak = 'SECRET';\n</script></head>"
+        "<body><nav><a href='/'>Home</a></nav>"
+        "<!-- hidden comment --><p>Real <b>content</b> here.</p>"
+        "<iframe src='x'>fallback junk</iframe></body></html>"
+    )
+    got = spark.createDataFrame([(html_doc,)], ["h"]).select(
+        strip_html_tags(F.col("h")).alias("t")
+    ).collect()[0].t
+    assert got == "Real content here."
