@@ -300,3 +300,60 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.99)
         .select("id_a", "id_b", trunc4(F.col("cos")).alias("sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# q36 — benchmark decontamination (cross-corpus n-gram overlap).
+# --------------------------------------------------------------------------
+@register(
+    "q36_decontaminate",
+    covers=("J3", "A4"),
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+        FROM documents)
+),
+bench AS (SELECT doc_id AS bench_id, shingles FROM sh WHERE doc_id % 50 = 0),
+pairs AS (
+  SELECT s.doc_id, b.bench_id,
+         len(list_intersect(s.shingles, b.shingles)) AS shared
+  FROM sh s JOIN bench b ON s.doc_id <> b.bench_id
+)
+SELECT doc_id,
+       count(*) AS n_bench_matches,
+       CAST(max(shared) AS BIGINT) AS max_shared
+FROM pairs WHERE shared >= 2
+GROUP BY doc_id
+""",
+)
+def q36_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene pass
+    (flag training documents sharing ≥ 2 distinct word 3-grams with any
+    eval-set document; doc_id%50 stands in for the benchmark sample).
+
+    Spark-first shape: NO doc×bench pair join — both sides explode to
+    shingle postings and meet in an equi-join keyed on the shingle, so the
+    shuffle is O(postings) and the join fans out only where an actual
+    overlap exists (the same inverted-index discipline as q33).  The
+    oracle states identical semantics as a literal pair join, which DuckDB
+    can afford at gate scale."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = with_shingles(docs.select("doc_id", "text"), "text", 3)
+    postings = sh.select("doc_id", F.explode("shingles").alias("s"))
+    bench = postings.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    shared = (
+        postings.join(bench, "s")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    return shared.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("shared").alias("max_shared"),
+    )
