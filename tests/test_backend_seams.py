@@ -180,3 +180,32 @@ def test_openai_tts_backend_gated_without_lib():
     assert "openai" not in sys.modules
     with pytest.raises(NotImplementedError):
         _load_tts_backend("openai")
+
+
+# ---------------------------------------------------------------------------
+# pyvi seam (operators/chunking.py vi_segment)
+# ---------------------------------------------------------------------------
+def test_pyvi_segmentation_runs_with_mock(clean_modules):
+    from briefly_spark.operators.chunking import chunk_text, vi_segment
+
+    pyvi = types.ModuleType("pyvi")
+
+    class ViTokenizer:
+        @staticmethod
+        def tokenize(text):
+            # the real tokenizer joins Vietnamese compounds with underscores
+            return text.replace("xin chào", "xin_chào")
+
+    pyvi.ViTokenizer = ViTokenizer
+    clean_modules("pyvi", pyvi)
+    assert vi_segment("xin chào thế giới") == "xin_chào thế giới"
+    # segment=True routes chunking through the tokenizer pre-pass
+    chunks = chunk_text("xin chào " * 60, segment=True)
+    assert chunks and all("xin_chào" in c for c in chunks)
+
+
+def test_pyvi_identity_without_lib():
+    from briefly_spark.operators.chunking import vi_segment
+
+    assert "pyvi" not in sys.modules
+    assert vi_segment("xin chào") == "xin chào"
