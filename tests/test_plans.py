@@ -1,0 +1,95 @@
+"""Physical-plan regression tests — pin the scale-design claims.
+
+Each query's docstring makes a concrete claim about its plan (broadcast
+join, filter pushdown, thin shuffles, no global sort).  These tests assert
+those claims against the executed plan string so an innocent-looking
+refactor can't silently turn a broadcast into a sort-merge join or start
+shipping vectors through a banded shuffle.  Plan strings are version-
+sensitive; assertions stick to coarse, stable markers.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from briefly_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffle_exchanges(plan: str) -> list[str]:
+    """Lines of shuffle (non-broadcast) exchanges."""
+    return [
+        l for l in plan.splitlines() if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+
+
+def test_q03_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # the dim joins must not fall back to shuffle joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_q94_worklist_broadcasts_into_hydration_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q94_worklist_hydration")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1)
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m is not None
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    # 7 needed columns, not the 16-column table
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"} <= cols
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q50_token_stats", "q52_quality_score", "q55_gopher_rules", "q56_pii_scrub",
+     "q26_url_canonical"],
+)
+def test_curation_passes_are_map_only(spark, sf_dir, name):
+    # one exchange allowed: catalog.spread()'s repartition of the
+    # single-file scan — nothing else may shuffle
+    plan = plan_of(spark, sf_dir, name)
+    assert len(shuffle_exchanges(plan)) <= 1, plan
+
+
+def test_q42_banded_shuffles_never_carry_vectors(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q42_lsh_ann")
+    offenders = [l for l in shuffle_exchanges(plan) if re.search(r"\bv#\d+", l)]
+    assert not offenders, offenders
+
+
+def test_q31_banded_shuffles_never_carry_shingles(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q31_minhash_lsh_pairs")
+    offenders = [l for l in shuffle_exchanges(plan) if "shingles#" in l]
+    assert not offenders, offenders
+
+
+def test_q93_uses_take_ordered_not_global_sort_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q93_two_tier_worklist")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q30_exact_dedup_single_agg_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q30_exact_dedup")
+    assert len(shuffle_exchanges(plan)) <= 2  # spread + the one hash-agg
