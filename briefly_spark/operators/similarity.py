@@ -216,35 +216,70 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(corpus: DataFrame, n_cells: int, *, seed: int = 7) -> DataFrame:
+    """Real coarse-quantizer training: ``spark.ml`` KMeans over the corpus
+    vectors, returning the same (cell_id, cv, cvn) centroid-dim contract the
+    seeded-sample path produces.  Seeded k-means|| init → reproducible for
+    a fixed dataset/partitioning; fit once offline at 100 TB and broadcast
+    the centers exactly like the stand-in.  The model's centers are a
+    driver-side list (n_cells × dims floats) — collecting them is the
+    broadcast, not a data collect."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())]
+    centers = spark.createDataFrame(rows, "cell_id long, cv array<double>")
+    return centers.select("cell_id", "cv", l2_norm(F.col("cv")).alias("cvn"))
+
+
 def ivf_candidate_ids(
     queries: DataFrame,
     corpus: DataFrame,
     *,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: str = "sample",
 ) -> DataFrame:
     """Thin IVF (inverted-file) candidate generation — the coarse-quantizer
     scale path complementing :func:`lsh_candidate_ids`.
 
-    Deterministic "training": the ``n_cells`` centroids are the corpus
-    vectors with the lexicographically smallest ``md5(neighbor_id)`` — a
-    seeded sample standing in for k-means (SURVEY §7.2 bans nondeterminism;
-    at 100 TB you'd run ``spark.ml`` KMeans once offline and broadcast the
-    model the same way).  Every corpus vector is assigned to its nearest
-    centroid (one broadcast join against ``n_cells`` rows); each query
-    probes its ``n_probe`` nearest cells.  Candidates = cell equi-join,
-    distinct by construction (corpus keep=1 × disjoint probed cells).
-    Cost: O(|C|·n_cells) assignment + O(|Q|·|C|·n_probe/n_cells) candidate
-    pairs — the quadratic join shrinks by ~n_cells/n_probe with recall
-    controlled by n_probe.  Only (id, cell_id) rides the cell join; callers
-    re-attach payloads on the thin candidate set."""
+    ``centroids="sample"`` (default, oracle path): the ``n_cells``
+    centroids are the corpus vectors with the lexicographically smallest
+    ``md5(neighbor_id)`` — a seeded sample that is byte-reproducible in any
+    engine (SURVEY §7.2 bans nondeterminism in oracle paths).
+    ``centroids="kmeans"``: real ``spark.ml`` KMeans training
+    (:func:`kmeans_centroids`) — better-shaped cells, deterministic per
+    dataset via a fixed seed but not SQL-mirrorable, so it's covered by the
+    recall unit test rather than the hash oracle.
+
+    Every corpus vector is assigned to its nearest centroid (one broadcast
+    join against ``n_cells`` rows); each query probes its ``n_probe``
+    nearest cells.  Candidates = cell equi-join, distinct by construction
+    (corpus keep=1 × disjoint probed cells).  Cost: O(|C|·n_cells)
+    assignment + O(|Q|·|C|·n_probe/n_cells) candidate pairs — the quadratic
+    join shrinks by ~n_cells/n_probe with recall controlled by n_probe.
+    Only (id, cell_id) rides the cell join; callers re-attach payloads on
+    the thin candidate set."""
     c = _with_norm(spread(corpus), "cn")
-    centroids = (
-        c.withColumn("ck", F.md5(F.col("neighbor_id").cast("string")))
-        .orderBy("ck")
-        .limit(n_cells)
-        .select(F.col("neighbor_id").alias("cell_id"), F.col("v").alias("cv"), F.col("cn").alias("cvn"))
-    )
+    if centroids == "kmeans":
+        cent = kmeans_centroids(corpus, n_cells)
+    elif centroids == "sample":
+        cent = (
+            c.withColumn("ck", F.md5(F.col("neighbor_id").cast("string")))
+            .orderBy("ck")
+            .limit(n_cells)
+            .select(
+                F.col("neighbor_id").alias("cell_id"),
+                F.col("v").alias("cv"),
+                F.col("cn").alias("cvn"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    centroids_df = cent
     cent_cos = F.when(
         (F.col("n") > 0) & (F.col("cvn") > 0),
         dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cvn")),
@@ -254,7 +289,7 @@ def ivf_candidate_ids(
         w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell_id"))
         return (
             df.withColumnRenamed(norm_col, "n")
-            .join(F.broadcast(centroids), how="cross")
+            .join(F.broadcast(centroids_df), how="cross")
             .withColumn("ccos", cent_cos)
             .withColumn("crk", F.row_number().over(w))
             .filter(F.col("crk") <= keep)

@@ -89,3 +89,25 @@ def test_related_topk_fallback_and_default(spark):
     # unscored neighbor got the deterministic default 5
     assert abs(rows[99].combined_score - (0.7 * rows[99].sim * 10 + 0.3 * 5)) < 2e-3
     assert [r.rank for r in sorted(rows.values(), key=lambda r: r.rank)] == [1, 2, 3, 4]
+
+
+def test_ivf_kmeans_centroids_recall(spark, sf_dir):
+    from briefly_spark.operators.similarity import ivf_candidate_ids, topk_cosine
+    from briefly_spark.queries.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("id") % 10 == 0).select(F.col("id").alias("query_id"), "v")
+    corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in topk_cosine(queries, corpus, k=5).collect()
+    }
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_candidate_ids(
+            queries, corpus, n_cells=16, n_probe=4, centroids="kmeans"
+        ).collect()
+    }
+    # trained cells should put a usable share of true neighbors in probed
+    # cells even on structureless random vectors
+    recall = len(exact & cand) / len(exact)
+    assert recall > 0.3, f"kmeans-IVF candidate recall degenerate: {recall:.2f}"
