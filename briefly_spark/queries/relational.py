@@ -397,3 +397,97 @@ def q12_weighted_customer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(trunc4(0.7 * avg_price / 100000 + 0.3 * acct_pos / 10000).alias("combined_score"))
     )
+
+
+# --------------------------------------------------------------------------
+# q13 — CUBE aggregation with grouping_id (multi-granularity rollups).
+# --------------------------------------------------------------------------
+@register(
+    "q13_cube_revenue",
+    covers=("A4", "A8"),
+    oracle="""
+SELECT coalesce(n_name, '<all>') AS nation,
+       coalesce(c_mktsegment, '<all>') AS segment,
+       CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+""",
+)
+def q13_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity revenue rollup via CUBE(nation, segment): all four
+    grouping sets in ONE pass (per-pair, per-nation, per-segment, grand
+    total) with grouping_id disambiguating the levels — the OLAP shape that
+    replaces four separate groupBy jobs with one expand + partial-agg
+    shuffle.  Dims broadcast; the cents-integer sum keeps the hash
+    float-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        j.cube("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("<all>")).alias("segment"),
+            "gid",
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — running-window analytics (cumulative sums, lag deltas, ntile).
+# --------------------------------------------------------------------------
+@register(
+    "q14_running_totals",
+    covers=("W2", "A7"),
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           - lag(CAST(floor(o_totalprice * 100) AS BIGINT), 1, CAST(0 AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_cents,
+         ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+  FROM orders
+)
+SELECT * FROM w WHERE o_custkey % 100 = 0
+""",
+)
+def q14_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics in one window pass: running revenue
+    (cumulative cents), order-over-order delta (lag), and ntile quartiles —
+    all three share ONE (partition, order) spec so Spark plans a single
+    sort+window stage, shuffle keyed on the customer.  Deterministic order:
+    (o_orderdate, o_orderkey)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(cents).over(run).alias("run_cents"),
+            (cents - F.lag(cents, 1, 0).over(w)).alias("delta_cents"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("o_custkey") % 100 == 0)
+    )
