@@ -1,0 +1,106 @@
+"""Temporal join operators Spark lacks as builtins — as-of join and range
+join — expressed as compositions of native DataFrame ops (brief §custom
+operators; DuckDB has both natively, which is exactly what makes them
+oracle-checkable).
+
+Scale shapes:
+
+- :func:`asof_join` — the union trick: tag both sides, one window over
+  (key, ts) carrying the last non-null right payload forward.  ONE shuffle
+  keyed on the join key, state = one row — the classic
+  point-in-time-correct enrichment (feature stores, slowly-changing
+  profiles) without any inequality join.
+- :func:`range_join` — point-in-interval matching via bin banding: ranges
+  explode to the coarse bins they cover, points compute their bin, the
+  join is an equi-join on the bin plus a residual BETWEEN filter.  Shuffle
+  is O(points + ranges·span/width) instead of the O(points·ranges)
+  broadcast-nested-loop a naive inequality join plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` for the same ``key`` (DuckDB/kdb ASOF JOIN
+    semantics, ties included).
+
+    Implementation: union both sides with a ``src`` tag ordered so right
+    rows at an equal timestamp sort first, then one window per key carries
+    ``last(value, ignorenulls)`` forward; left rows read the carried value.
+    Requires the right side to be unique per (key, right_ts) — enforce
+    upstream (e.g. keep the max value per timestamp) for deterministic
+    output."""
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in value_cols],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    ).select(*lcols, "__ts", "__src", *[f"__v_{v}" for v in value_cols])
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        "__src",
+        *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
+    ).filter(F.col("__src") == 1).drop("__src")
+    if how == "inner":
+        carried = carried.filter(F.col(value_cols[0]).isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how {how!r}")
+    return carried
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    *,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Match each point to every range with lo ≤ point ≤ hi, as a banded
+    equi-join: ranges explode to the coarse bins [floor(lo/w), floor(hi/w)]
+    they cover, points join on their own bin, and the exact BETWEEN runs
+    only on bin-collocated pairs.  ``bin_width`` trades replication
+    (ranges appear in span/width bins) against candidate precision — set
+    it near the typical range span."""
+    w = float(bin_width)
+    pb = points.withColumn("__bin", F.floor(F.col(point_col) / w).cast("long"))
+    rb = ranges.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    return pb.join(rb, "__bin").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    ).drop("__bin")

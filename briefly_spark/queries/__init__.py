@@ -64,6 +64,7 @@ def load_registry() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         similarity,
+        temporal,
         text,
         textstats,
         tts,

@@ -1,0 +1,99 @@
+"""Unit tests for the temporal join operators (as-of, range) — edge
+semantics the oracle queries don't isolate: equal-timestamp ties, no-match
+rows under inner/left, inclusive range boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from briefly_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(30)), (3, "u", _ts(5))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(10), 100.0), ("u", _ts(20), 200.0)],
+        "user_id string, rts timestamp, profile_value double",
+    )
+    got = {
+        r.event_id: r.profile_value
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["profile_value"], how="inner",
+        ).collect()
+    }
+    # tie at ts==rts matches (<=); later left row sees the newest right row;
+    # a left row before any right row is dropped under inner
+    assert got == {1: 100.0, 2: 200.0}
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(1)), (2, "v", _ts(9))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("v", _ts(2), 7.0)], "user_id string, rts timestamp, profile_value double"
+    )
+    rows = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["profile_value"], how="left",
+    ).collect()
+    got = {r.event_id: r.profile_value for r in rows}
+    assert got == {1: None, 2: 7.0}
+
+
+def test_range_join_inclusive_bounds_and_bin_edges(spark):
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 10.0, 15.0, 25.0])],
+        "pid long, value double",
+    )
+    ranges = spark.createDataFrame(
+        [(100, 5.0, 15.0), (200, -3.0, 0.0)], "range_id long, lo double, hi double"
+    )
+    got = {
+        (r.range_id, r.pid)
+        for r in range_join(
+            points, ranges, point_col="value", lo_col="lo", hi_col="hi", bin_width=10.0
+        ).collect()
+    }
+    # both endpoints inclusive; ranges spanning bin boundaries still match
+    # points in every covered bin; negative-lo bins handled
+    assert got == {(100, 1), (100, 2), (100, 3), (200, 0)}
+
+
+def test_range_join_matches_naive_join(spark):
+    import random
+
+    rnd = random.Random(11)
+    points = spark.createDataFrame(
+        [(i, rnd.uniform(0, 100)) for i in range(300)], "pid long, value double"
+    )
+    ranges = spark.createDataFrame(
+        [(i, lo := rnd.uniform(0, 95), lo + rnd.uniform(0, 12)) for i in range(40)],
+        "range_id long, lo double, hi double",
+    )
+    banded = {
+        (r.range_id, r.pid)
+        for r in range_join(
+            points, ranges, point_col="value", lo_col="lo", hi_col="hi", bin_width=8.0
+        ).collect()
+    }
+    naive = {
+        (r.range_id, r.pid)
+        for r in ranges.crossJoin(points)
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .collect()
+    }
+    assert banded == naive and banded
