@@ -491,3 +491,33 @@ def q14_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_custkey") % 100 == 0)
     )
+
+
+# --------------------------------------------------------------------------
+# q15 — correlated scalar subquery via the spark.sql surface (TPC-H Q17
+# shape; Catalyst decorrelates it into an aggregate + join).
+# --------------------------------------------------------------------------
+_Q15_SQL = """
+SELECT l_partkey,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_lot_cents,
+       count(*) AS n_small
+FROM lineitem l1
+WHERE l_quantity < 0.5 * (SELECT avg(l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+@register("q15_small_lot_revenue", covers=("P3", "A3"), oracle=_Q15_SQL)
+def q15_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape: line items under half
+    their part's average quantity), deliberately written on the
+    ``spark.sql`` surface with the SAME text as the DuckDB oracle — the
+    declarative contract both engines must agree on.  Catalyst
+    decorrelates the subquery into a per-part aggregate joined back to
+    the fact (visible as one extra partial-agg shuffle, not a per-row
+    subquery execution); the avg itself is exact in both engines because
+    l_quantity values are integral doubles summed over small groups."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q15_SQL)
