@@ -432,6 +432,9 @@ def related_topk(
     above — the production default: small collections get exact results,
     large ones get the scale-safe plan without a code change."""
     if tier == "auto":
+        # One count job against the raw corpus scan.  Column pruning reduces
+        # it to a parquet-metadata rowcount, so it is NOT worth a persist —
+        # the expensive lineage (scored pairs) below is consumed linearly.
         tier = "exact" if corpus.count() <= exact_max_corpus else "lsh"
     q = _with_norm(queries, "qn").alias("q")
     # same BNLJ-parallelism fix as topk_cosine: stream side must be spread
@@ -460,31 +463,43 @@ def related_topk(
         F.col("c.topic").alias("c_topic"),
         _pair_cos().alias("cos"),
     )
-    # tier 0: same-topic top-k_candidates
-    w_topic = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    tier0 = (
-        pairs.filter(F.col("q_topic") == F.col("c_topic"))
-        .withColumn("rk", F.row_number().over(w_topic))
-        .filter(F.col("rk") <= k_candidates)
-        .select("query_id", "neighbor_id", "cos", F.lit(0).alias("tier"))
+    # Tier selection as ONE linear pass over the scored pairs.  The naive
+    # form (filter→window for tier 0, then anti-join + count-join for the
+    # tier-1 fill) consumes `pairs` from three plan branches, so the
+    # quadratic scoring stage is recomputed per branch (the r02 q41 plan
+    # showed 9 FileScans / 0 ReusedExchange).  Instead, every tier decision
+    # is a window function over one shared spec — one shuffle + sort of the
+    # scored pairs, scanned exactly once:
+    #   run_same  running count of same-topic rows  == rank among tier-0
+    #             eligibles (the reference's filtered-search rank, :62-88)
+    #   cnt_same  partition total of same-topic rows → n_found = min(k, cnt)
+    #   rest_rk   rn_all − running tier-0 count == rank among non-tier-0
+    #             rows, i.e. the fallback-search rank (:90-113) without the
+    #             anti-join
+    w_ord = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    annotated = (
+        pairs.withColumn("same", (F.col("q_topic") == F.col("c_topic")).cast("int"))
+        .withColumn("rn_all", F.row_number().over(w_ord))
+        .withColumn("run_same", F.sum("same").over(w_run))
+        .withColumn("cnt_same", F.sum("same").over(w_full))
+        .withColumn("is_t0", (F.col("same") == 1) & (F.col("run_same") <= k_candidates))
     )
-    # tier 1: everything else, ranked; fill remaining slots
-    n0 = tier0.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_found"))
-    found = tier0.select(
-        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
-    )
-    rest = (
-        pairs.join(
-            found,
-            (pairs.query_id == found.t_qid) & (pairs.neighbor_id == found.t_nid),
-            "left_anti",
+    # run_t0 reads is_t0 (itself a window result) — same spec, so Spark
+    # appends a second Window over the already-shuffled/sorted partitions.
+    n_found = F.least(F.lit(k_candidates), F.col("cnt_same"))
+    candidates = (
+        annotated.withColumn("run_t0", F.sum(F.col("is_t0").cast("int")).over(w_run))
+        .withColumn("rest_rk", F.col("rn_all") - F.col("run_t0"))
+        .filter(F.col("is_t0") | (F.col("rest_rk") <= F.lit(k_candidates) - n_found))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            F.when(F.col("is_t0"), F.lit(0)).otherwise(F.lit(1)).alias("tier"),
         )
-        .withColumn("rk", F.row_number().over(w_topic))
-        .join(n0, "query_id", "left")
-        .filter(F.col("rk") <= F.lit(k_candidates) - F.coalesce(F.col("n_found"), F.lit(0)))
-        .select("query_id", "neighbor_id", "cos", F.lit(1).alias("tier"))
     )
-    candidates = tier0.unionByName(rest)
     # hydration + weighted score + final top-k
     hydrated = candidates.join(F.broadcast(scores), "neighbor_id", "left").withColumn(
         "vscore", F.coalesce(F.col("validation_score"), F.lit(default_score))
