@@ -39,10 +39,14 @@ def asof_join(
 
     Implementation: union both sides with a ``src`` tag ordered so right
     rows at an equal timestamp sort first, then one window per key carries
-    ``last(value, ignorenulls)`` forward; left rows read the carried value.
-    Requires the right side to be unique per (key, right_ts) — enforce
-    upstream (e.g. keep the max value per timestamp) for deterministic
-    output."""
+    the last RIGHT ROW forward as a single struct; left rows unpack it.
+    Carrying the whole row (not per-column ``last(value, ignorenulls)``)
+    keeps row presence separate from value nullability: a matched right row
+    whose payload is legitimately NULL yields that NULL (not an older
+    non-null value), and ``how="inner"`` keeps the row — exactly DuckDB's
+    ASOF JOIN. Requires the right side to be unique per (key, right_ts) —
+    enforce upstream (e.g. keep the max value per timestamp) for
+    deterministic output."""
     lcols = [c for c in left.columns]
     l = left.select(
         *lcols,
@@ -63,16 +67,22 @@ def asof_join(
         .orderBy("__ts", "__src")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        *lcols,
-        "__src",
-        *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
-    ).filter(F.col("__src") == 1).drop("__src")
+    # NULL for left rows, a (never-NULL) struct for right rows — so
+    # last(..., ignorenulls) finds the latest right ROW even when every
+    # payload field in it is NULL.
+    right_row = F.when(
+        F.col("__src") == 0,
+        F.struct(*[F.col(f"__v_{v}").alias(v) for v in value_cols]),
+    )
+    carried = (
+        u.select(*lcols, "__src", F.last(right_row, ignorenulls=True).over(w).alias("__m"))
+        .filter(F.col("__src") == 1)
+    )
     if how == "inner":
-        carried = carried.filter(F.col(value_cols[0]).isNotNull())
+        carried = carried.filter(F.col("__m").isNotNull())
     elif how != "left":
         raise ValueError(f"unsupported how {how!r}")
-    return carried
+    return carried.select(*lcols, *[F.col("__m")[v].alias(v) for v in value_cols])
 
 
 def range_join(
@@ -83,23 +93,42 @@ def range_join(
     lo_col: str,
     hi_col: str,
     bin_width: float,
+    max_span_bins: int = 4096,
 ) -> DataFrame:
     """Match each point to every range with lo ≤ point ≤ hi, as a banded
     equi-join: ranges explode to the coarse bins [floor(lo/w), floor(hi/w)]
     they cover, points join on their own bin, and the exact BETWEEN runs
     only on bin-collocated pairs.  ``bin_width`` trades replication
     (ranges appear in span/width bins) against candidate precision — set
-    it near the typical range span."""
+    it near the typical range span.
+
+    Guardrails (the explode is the one place a single bad row can sink an
+    executor): an interval covering more than ``max_span_bins`` bins fails
+    the stage with a clear error instead of materializing an unbounded
+    ``sequence`` (one row with lo=0, hi=1e12 would otherwise OOM at any
+    scale) — raise ``max_span_bins`` or widen ``bin_width`` for legitimately
+    wide ranges.  Inverted intervals (hi < lo) match nothing by definition
+    and are filtered before the explode (``F.sequence`` would silently
+    DESCEND, manufacturing spurious bins)."""
     w = float(bin_width)
     pb = points.withColumn("__bin", F.floor(F.col(point_col) / w).cast("long"))
-    rb = ranges.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w).cast("long"),
-                F.floor(F.col(hi_col) / w).cast("long"),
+    lo_bin = F.floor(F.col(lo_col) / w).cast("long")
+    hi_bin = F.floor(F.col(hi_col) / w).cast("long")
+    # guard lives inside the used expression so the optimizer can't prune it
+    guarded_hi = F.when(hi_bin - lo_bin < max_span_bins, hi_bin).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("range_join: interval ["),
+                F.col(lo_col).cast("string"),
+                F.lit(", "),
+                F.col(hi_col).cast("string"),
+                F.lit(f"] covers more than max_span_bins={max_span_bins} bins of "
+                      f"width {w}; widen bin_width or drop the malformed row"),
             )
-        ),
+        ).cast("long")
+    )
+    rb = ranges.filter(F.col(hi_col) >= F.col(lo_col)).withColumn(
+        "__bin", F.explode(F.sequence(lo_bin, guarded_hi))
     )
     return pb.join(rb, "__bin").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))

@@ -97,3 +97,49 @@ def test_range_join_matches_naive_join(spark):
         .collect()
     }
     assert banded == naive and banded
+
+
+def test_asof_join_null_valued_match_is_not_skipped(spark):
+    # The right row AT the match point has a NULL payload: the as-of value
+    # is that NULL (not the older 5.0), and inner mode keeps the row —
+    # row presence is tracked separately from value nullability.
+    left = spark.createDataFrame(
+        [(1, "u", _ts(30))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(10), 5.0), ("u", _ts(20), None)],
+        "user_id string, rts timestamp, profile_value double",
+    )
+    for how in ("inner", "left"):
+        rows = asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["profile_value"], how=how,
+        ).collect()
+        assert [(r.event_id, r.profile_value) for r in rows] == [(1, None)], how
+
+
+def test_range_join_pathological_span_fails_gracefully(spark):
+    import pytest
+
+    points = spark.createDataFrame([(1, 5.0)], "pid long, value double")
+    ranges = spark.createDataFrame(
+        [(100, 0.0, 1.0e12)], "range_id long, lo double, hi double"
+    )
+    with pytest.raises(Exception, match="max_span_bins"):
+        range_join(
+            points, ranges, point_col="value", lo_col="lo", hi_col="hi", bin_width=1.0
+        ).collect()
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    points = spark.createDataFrame([(1, 5.0)], "pid long, value double")
+    ranges = spark.createDataFrame(
+        [(100, 10.0, 0.0), (200, 4.0, 6.0)], "range_id long, lo double, hi double"
+    )
+    got = {
+        (r.range_id, r.pid)
+        for r in range_join(
+            points, ranges, point_col="value", lo_col="lo", hi_col="hi", bin_width=10.0
+        ).collect()
+    }
+    assert got == {(200, 1)}
