@@ -129,8 +129,9 @@ def extract_img_src(col: Column) -> Column:
 
 
 #: non-content containers the reference's bs4 pass decomposes WITH their
-#: contents (extract_utils.py:21-45: script/style/iframe/nav)
-_DROP_BLOCKS = ("script", "style", "iframe", "nav")
+#: contents (extract_utils.py:30-33: script/style/iframe/nav/header/footer).
+#: The \b after the tag name keeps '<header>' from matching '<head>'.
+_DROP_BLOCKS = ("script", "style", "iframe", "nav", "header", "footer")
 
 
 def strip_html_tags(col: Column) -> Column:

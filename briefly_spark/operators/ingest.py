@@ -93,52 +93,87 @@ def _soup_field(block: str, tag: str) -> str:
 
 def parse_rss_soup(xml_text: str) -> list[dict]:
     """Tag-soup recovery parse for malformed feeds: regex entry split on
-    ``<item>…</item>`` blocks + per-field extraction with CDATA unwrap.
-    Real-world RSS is frequently not well-formed XML (unescaped ampersands,
-    stray tags); feedparser tolerates that (the reference relies on it,
-    extract_utils.py:84-100) while strict ElementTree rejects the whole
-    document.  This recovers every entry whose item block is intact —
+    RSS ``<item>…</item>`` or Atom ``<entry>…</entry>`` blocks +
+    per-field extraction with CDATA unwrap.  Real-world feeds are
+    frequently not well-formed XML (unescaped ampersands, stray tags);
+    feedparser tolerates that — and handles both dialects — (the reference
+    relies on it, extract_utils.py:84-100) while strict ElementTree rejects
+    the whole document.  This recovers every entry whose block is intact —
     deterministic, no dependency."""
     import re
 
     out = []
-    for m in re.finditer(r"<item\b[^>]*>(.*?)</item\s*>", xml_text, re.S | re.I):
-        block = m.group(1)
+    for m in re.finditer(
+        r"<(item|entry)\b[^>]*>(.*?)</\1\s*>", xml_text, re.S | re.I
+    ):
+        kind, block = m.group(1).lower(), m.group(2)
+        if kind == "item":
+            link = _soup_field(block, "link")
+            desc = _soup_field(block, "description")
+            pub = _soup_field(block, "pubDate")
+        else:  # Atom: <link href=…/>, <summary>/<content>, <updated>
+            href = re.search(
+                r"""<link\b[^>]*\bhref=["']([^"']+)["']""", block, re.I
+            )
+            link = href.group(1) if href else _soup_field(block, "link")
+            desc = _soup_field(block, "summary") or _soup_field(block, "content")
+            pub = _soup_field(block, "updated") or _soup_field(block, "published")
         out.append(
             {
                 "title": _soup_field(block, "title"),
-                "link": _soup_field(block, "link"),
-                "description": _soup_field(block, "description"),
-                "pub_date": _soup_field(block, "pubDate"),
+                "link": link,
+                "description": desc,
+                "pub_date": pub,
             }
         )
     return out
 
 
 def parse_rss_py(xml_text: str) -> list[dict]:
-    """channel/item → [{title, link, description, pub_date}] via stdlib
-    ElementTree; malformed XML falls back to the tag-soup recovery path
-    (:func:`parse_rss_soup`) so a single bad entity no longer drops the
-    whole feed — a feed is [] only when even recovery finds no items."""
+    """RSS ``channel/item`` or Atom ``feed/entry`` →
+    [{title, link, description, pub_date}] via stdlib ElementTree, matching
+    on namespace-stripped local tag names (Atom elements live under
+    ``http://www.w3.org/2005/Atom``, so literal tag lookups see nothing).
+    Field mapping mirrors feedparser's normalization (the reference's
+    parser, extract_utils.py:84-100): Atom ``link[@href]``
+    (rel="alternate" preferred), ``summary``/``content``,
+    ``updated``/``published``.  Malformed XML falls back to the tag-soup
+    recovery path (:func:`parse_rss_soup`) so a single bad entity no longer
+    drops the whole feed — a feed is [] only when even recovery finds no
+    entries."""
     import xml.etree.ElementTree as ET
+
+    def local(tag) -> str:
+        return tag.rsplit("}", 1)[-1].lower() if isinstance(tag, str) else ""
 
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:
         return parse_rss_soup(xml_text)
     out = []
-    for item in root.iter("item"):
-        def txt(tag: str) -> str:
-            el = item.find(tag)
-            return (el.text or "") if el is not None else ""
+    for item in root.iter():
+        kind = local(item.tag)
+        if kind not in ("item", "entry"):
+            continue
+        children: dict[str, list] = {}
+        for child in item:
+            children.setdefault(local(child.tag), []).append(child)
 
+        def txt(name: str) -> str:
+            els = children.get(name)
+            return (els[0].text or "") if els else ""
+
+        if kind == "item":
+            link, desc, pub = txt("link"), txt("description"), txt("pubdate")
+        else:
+            links = children.get("link", [])
+            alt = [e for e in links if e.get("rel") in (None, "alternate")]
+            pick = (alt or links)[:1]
+            link = (pick[0].get("href") or pick[0].text or "") if pick else ""
+            desc = txt("summary") or txt("content")
+            pub = txt("updated") or txt("published")
         out.append(
-            {
-                "title": txt("title"),
-                "link": txt("link"),
-                "description": txt("description"),
-                "pub_date": txt("pubDate"),
-            }
+            {"title": txt("title"), "link": link, "description": desc, "pub_date": pub}
         )
     return out
 

@@ -74,6 +74,50 @@ def test_parse_rss_malformed_feed_recovers_entries():
     assert got[1] == {"title": "Second", "link": "l2", "description": "", "pub_date": ""}
 
 
+def test_parse_atom_feed_namespaced():
+    # Well-formed Atom: namespaced tags, link via href (rel=alternate
+    # preferred over rel=self), summary + updated mapped onto the RSS
+    # field contract.
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>Blog</title>'
+        '<entry><title>First</title>'
+        '<link rel="self" href="http://x/self.xml"/>'
+        '<link rel="alternate" href="http://x/posts/1"/>'
+        "<summary>s1</summary><updated>2024-01-05T10:00:00Z</updated></entry>"
+        '<entry><title>Second</title><link href="http://x/posts/2"/>'
+        "<content>c2</content><published>2024-01-06T10:00:00Z</published></entry>"
+        "</feed>"
+    )
+    got = parse_rss_py(xml)
+    assert got == [
+        {
+            "title": "First",
+            "link": "http://x/posts/1",
+            "description": "s1",
+            "pub_date": "2024-01-05T10:00:00Z",
+        },
+        {
+            "title": "Second",
+            "link": "http://x/posts/2",
+            "description": "c2",
+            "pub_date": "2024-01-06T10:00:00Z",
+        },
+    ]
+
+
+def test_parse_atom_malformed_recovers_entries():
+    # invalid XML (unescaped &) → tag-soup path must still see <entry>
+    soup = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>A & B</title>'
+        '<link href="http://x/1"/><summary>s</summary>'
+        "<updated>u1</updated></entry></feed>"
+    )
+    got = parse_rss_py(soup)
+    assert got == [
+        {"title": "A & B", "link": "http://x/1", "description": "s", "pub_date": "u1"}
+    ]
+
+
 def test_unescape2_matches_stdlib_on_common_entities(spark):
     cases = ["T &amp;amp; B", "&lt;b&gt;", "a &quot;q&quot; &#39;s&#39;", "plain"]
     df = spark.createDataFrame([(c,) for c in cases], ["t"])

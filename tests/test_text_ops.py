@@ -184,9 +184,10 @@ def test_strip_html_tags_drops_noncontent_blocks(spark):
     html_doc = (
         "<html><head><STYLE>body { color: red }</STYLE>"
         "<script type='text/js'>\nvar leak = 'SECRET';\n</script></head>"
-        "<body><nav><a href='/'>Home</a></nav>"
+        "<body><header>Site banner</header><nav><a href='/'>Home</a></nav>"
         "<!-- hidden comment --><p>Real <b>content</b> here.</p>"
-        "<iframe src='x'>fallback junk</iframe></body></html>"
+        "<iframe src='x'>fallback junk</iframe>"
+        "<footer>© 2024 boilerplate</footer></body></html>"
     )
     got = spark.createDataFrame([(html_doc,)], ["h"]).select(
         strip_html_tags(F.col("h")).alias("t")
