@@ -188,6 +188,10 @@ def canonical_url(col: Column) -> Column:
     tail = rest.substr(F.length(host) + 1, F.length(rest))
     tail = F.regexp_replace(tail, "#.*$", "")
     tail = F.regexp_replace(tail, r"[?&]utm_[A-Za-z]+=[^&#]*", "")
-    tail = F.replace(tail, F.lit("/&"), F.lit("/?"))
+    # Stripping a leading '?utm_…' leaves the next param dangling on '&'
+    # ('/a&id=3'); promote the FIRST '&' to '?' iff no '?' survives before
+    # it — the anchored [^?&]* cannot cross an existing '?', so the rewrite
+    # is a no-op on well-formed tails regardless of param order.
+    tail = F.regexp_replace(tail, r"^([^?&]*)&", "$1?")
     tail = F.regexp_replace(tail, r"[?/]$", "")
     return F.concat(scheme, F.lit("://"), host, tail)

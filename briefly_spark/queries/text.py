@@ -8,6 +8,8 @@ the cleaning/splitting expression, not the construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -117,12 +119,20 @@ def q21_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q22 — separator-aware recursive chunker (pandas UDF) under a golden-
 # fixture oracle.
 # --------------------------------------------------------------------------
+#: golden fixture resolved relative to this checkout (hardcoding an
+#: absolute path would break the oracle for any other clone location)
+_Q22_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "q22_chunks_sf001.parquet",
+)
+
+
 @register(
     "q22_chunk_recursive",
     covers=("M1", "M2"),
-    oracle="""
+    oracle=f"""
 SELECT doc_id, pos, chunk
-FROM read_parquet('/root/repo/tests/fixtures/q22_chunks_sf001.parquet')
+FROM read_parquet('{_Q22_FIXTURE}')
 """,
     oracle_sf="sf0.01",
 )
@@ -308,9 +318,9 @@ d AS (
 e AS (
   SELECT doc_id, url, scheme, host,
          regexp_replace(
-           replace(
+           regexp_replace(
              regexp_replace(regexp_replace(tail, '#.*$', ''), '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g'),
-             '/&', '/?'),
+             '^([^?&]*)&', '\1?'),
            '[?/]$', '') AS tail
   FROM d
 )

@@ -581,11 +581,14 @@ def q35_top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine; ties break deterministically (cnt desc, gram desc)."""
     from pyspark.sql import Window
 
-    from briefly_spark.operators.textstats import word_ngrams
+    from briefly_spark.operators.textstats import tokens, word_ngrams
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # tokens() (empty-filtered split) — a raw F.split would emit an empty
+    # first token for leading-whitespace text, diverging from the oracle's
+    # list_filter semantics.
     staged = docs.select(
-        "doc_id", F.split(F.col("text"), r"\s+").alias("ws")
+        "doc_id", tokens(F.col("text")).alias("ws")
     ).filter(F.size("ws") >= 2)
     ex = staged.select("doc_id", F.explode(word_ngrams(F.col("ws"), 2)).alias("gram"))
     counts = ex.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))

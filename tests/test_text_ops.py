@@ -122,6 +122,11 @@ def test_canonical_url(spark):
         "https://ex.com/a?utm_campaign=z": "https://ex.com/a",
         "https://ex.com/a?id=1&utm_term=q": "https://ex.com/a?id=1",
         "https://ex.com/clean?id=2": "https://ex.com/clean?id=2",
+        # no-trailing-slash path with a LEADING utm param: stripping it
+        # must promote the next param's '&' to '?' — both param orders of
+        # the same logical URL canonicalize to the same dedup key
+        "https://ex.com/a?utm_source=x&id=3": "https://ex.com/a?id=3",
+        "https://ex.com/a?id=3&utm_source=x": "https://ex.com/a?id=3",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
