@@ -24,6 +24,19 @@ from briefly_spark.session import get_spark
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+#: signature-heavy queries (16-plane fold expressions) that pay a measured
+#: ~1s fixed plan/codegen cost per run at toy scale; benched a second time
+#: at the target SF so the constant is separable from data cost
+#: (BENCH_NOTES.md round-3 practice; warm times land in the "warm" key).
+LSH_FAMILY = (
+    "q31_minhash_lsh_pairs",
+    "q32_simhash_fingerprints",
+    "q33_ngram_jaccard_pairs",
+    "q42_lsh_ann",
+    "q43_ivf_ann",
+    "q44_related_lsh",
+)
+
 
 def sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -53,6 +66,20 @@ def main() -> None:
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # second (warm-plan) iteration for the signature-heavy family: the
+    # first run above is the recorded number; the delta vs this one is the
+    # fixed plan/codegen constant.
+    warm: dict[str, float] = {}
+    for name in LSH_FAMILY:
+        if timings.get(name, -1.0) < 0:
+            continue
+        t0 = time.perf_counter()
+        try:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"bench warm error {name}: {e}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -61,6 +88,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm": warm,
                 "sf": sf_of(sf_dir),
                 "n_queries": len(timings),
             }

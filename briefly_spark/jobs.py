@@ -45,6 +45,23 @@ class JobResult:
     processed: int
 
 
+def _merge_batch(batch: DataFrame, merge) -> int:
+    """Materialize a work batch ONCE across its two actions: every job ends
+    with ``count()`` (did we find work?) followed by a keyed merge — without
+    a persist the whole work-list lineage (scan → filter → sort → limit →
+    transform) is evaluated twice per job.  Batches are bounded (by
+    ``batch_size``, or the caller's ingest slice), so persistence is safe
+    at any table size."""
+    batch.persist()
+    try:
+        n = batch.count()
+        if n:
+            merge(batch)
+    finally:
+        batch.unpersist()
+    return n
+
+
 # ---------------------------------------------------------------------------
 # ingest (§3.1): normalize → validate → dedup → merge
 # ---------------------------------------------------------------------------
@@ -73,9 +90,7 @@ def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
     if wh.exists(ARTICLES):
         existing = wh.read(ARTICLES).select("url")
         batch = batch.join(existing, "url", "left_anti")
-    n = batch.count()
-    if n:
-        wh.merge_upsert(batch, ARTICLES, ["url"])
+    n = _merge_batch(batch, lambda b: wh.merge_upsert(b, ARTICLES, ["url"]))
     return JobResult("ingest", n)
 
 
@@ -97,11 +112,12 @@ def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
         summary_status(F.col("content")).alias("summary_status"),
         factcheck_score(F.col("content")).alias("validation_score"),
     )
-    n = delta.count()
-    if n:
-        wh.merge_update(
-            delta, ARTICLES, ["url"], ["summary", "summary_status", "validation_score"]
-        )
+    n = _merge_batch(
+        delta,
+        lambda d: wh.merge_update(
+            d, ARTICLES, ["url"], ["summary", "summary_status", "validation_score"]
+        ),
+    )
     return JobResult("summarize", n)
 
 
@@ -131,11 +147,13 @@ def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResu
     pooled = mean_pool(emb, ["url", "source"], "vector", out_col="vector").withColumn(
         "point_id", F.md5(F.col("url"))
     )
-    n = pooled.count()
-    if n:
-        wh.merge_upsert(pooled, EMBEDDINGS, ["url"])
-        status = pooled.select("url", F.lit("completed").alias("embedding_status"))
+    def merge(p: DataFrame) -> None:
+        # the persisted batch feeds BOTH merges — three actions, one lineage
+        wh.merge_upsert(p, EMBEDDINGS, ["url"])
+        status = p.select("url", F.lit("completed").alias("embedding_status"))
         wh.merge_update(status, ARTICLES, ["url"], ["embedding_status"])
+
+    n = _merge_batch(pooled, merge)
     return JobResult("embed", n)
 
 
@@ -167,7 +185,9 @@ def relate_batch(
             | stale
         )
     )
-    if eligible.count() < min_eligible:
+    # gate count only when a threshold is set — the default (0) skips the
+    # extra job over the articles scan entirely
+    if min_eligible and eligible.count() < min_eligible:
         return JobResult("relate", 0)
     work = eligible.orderBy(F.desc("n_chars"), F.asc("url")).limit(batch_size)
 
@@ -198,9 +218,12 @@ def relate_batch(
             F.current_timestamp().alias("related_ids_updated_at"),
         )
     )
-    n = related.count()
-    if n:
-        wh.merge_update(related, ARTICLES, ["url"], ["related_ids", "related_ids_updated_at"])
+    n = _merge_batch(
+        related,
+        lambda r: wh.merge_update(
+            r, ARTICLES, ["url"], ["related_ids", "related_ids_updated_at"]
+        ),
+    )
     return JobResult("relate", n)
 
 

@@ -111,3 +111,30 @@ def test_ivf_kmeans_centroids_recall(spark, sf_dir):
     # cells even on structureless random vectors
     recall = len(exact & cand) / len(exact)
     assert recall > 0.3, f"kmeans-IVF candidate recall degenerate: {recall:.2f}"
+
+
+def test_related_topk_lsh_tier_end_to_end(spark, sf_dir):
+    # The flagship's 100 TB candidate tier, end-to-end on the real sf0.001
+    # tables (entry()'s tier="auto" resolves to exact at every local SF, so
+    # without this the LSH tier only runs inside the q44 sf0.01 audit):
+    # same pipeline, candidates from lsh_candidate_ids, sanity overlap vs
+    # the exact tier.
+    from briefly_spark.queries.similarity import _related_inputs
+
+    queries, corpus, scores = _related_inputs(spark, sf_dir)
+    kw = dict(k_candidates=6, k_final=5)
+    approx = related_topk(queries, corpus, scores, tier="lsh", dims=64, bits=4, **kw)
+    exact = related_topk(queries, corpus, scores, tier="exact", **kw)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    per_q = {q for q, _ in e}
+    # every query answered with a full top-5, and the weighted re-rank over
+    # LSH candidates overlaps the exact tier meaningfully even on random
+    # vectors (q44 measures 0.34-0.38 at sf0.01; floor well below)
+    assert {q for q, _ in a} == per_q
+    from collections import Counter
+
+    counts = Counter(q for q, _ in a)
+    assert set(counts.values()) == {5}
+    overlap = len(a & e) / len(e)
+    assert overlap > 0.15, f"LSH-tier overlap degenerate: {overlap:.2f}"
