@@ -93,3 +93,14 @@ def test_q93_uses_take_ordered_not_global_sort_window(spark, sf_dir):
 def test_q30_exact_dedup_single_agg_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q30_exact_dedup")
     assert len(shuffle_exchanges(plan)) <= 2  # spread + the one hash-agg
+
+
+def test_q41_related_pipeline_scans_each_input_once(spark, sf_dir):
+    # the tier-0/tier-1 selection is ONE linear pass over the scored pairs
+    # (operators/similarity.py): a regression to branched lineage would
+    # re-run the quadratic scoring stage per branch and show up here as
+    # extra FileScans of the embeddings table.
+    plan = plan_of(spark, sf_dir, "q41_related_articles")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    # queries + corpus + scores — all derived from embeddings, scanned once each
+    assert len(scans) == 3, plan
