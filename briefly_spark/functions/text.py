@@ -149,6 +149,33 @@ def strip_html_tags(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def paragraph_text(col: Column) -> Column:
+    """Paragraph-scoped content extraction — the reference's full-page
+    fidelity (extract_utils.py:36-44: join the text of ``<p>``/``<article>``
+    elements only) rather than :func:`strip_html_tags`'s keep-everything
+    approximation: on a noisy page, sidebars/figure captions/cookie banners
+    outside content containers never enter the corpus (and so never pollute
+    dedup shingles or embeddings downstream).
+
+    Native chain: drop non-content blocks with contents, extract every
+    ``<p>``/``<article>`` block (non-greedy, leftmost-first — a ``<p>``
+    nested inside a matched ``<article>`` is NOT re-extracted, deliberately
+    avoiding bs4 find_all's parent+child text duplication), strip residual
+    inline tags, collapse whitespace."""
+    c = col
+    for tag in _DROP_BLOCKS:
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    blocks = F.regexp_extract_all(
+        c, F.lit(r"(?is)<(?:p|article)\b[^>]*>(.*?)</(?:p|article)\s*>"), 1
+    )
+    # residual inline tags strip to EMPTY (bs4 get_text concatenates text
+    # nodes with no separator: 'First <b>para</b>.' → 'First para.');
+    # paragraph boundaries themselves are joined with ' ' above.
+    joined = F.regexp_replace(F.array_join(blocks, " "), r"<[^>]+>", "")
+    return F.trim(F.regexp_replace(joined, r"\s+", " "))
+
+
 def md5_uuid(col: Column) -> Column:
     """md5(url) formatted as a dashed UUID — the reference's Qdrant point id
     (embedded_articles.py:193-194: uuid.UUID(md5(url)[:32]))."""

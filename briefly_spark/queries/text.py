@@ -355,3 +355,49 @@ def q26_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", canon.alias("canon"), (canon != F.col("url")).alias("changed")
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — paragraph-scoped content extraction (reference full-page fidelity).
+# --------------------------------------------------------------------------
+@register(
+    "q27_paragraph_extract",
+    covers=("S3", "F11"),
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace('Lead: ' || substr(text, 1, 40) || ' ' || text,
+                           '\s+', ' ', 'g')) AS content,
+       len(trim(regexp_replace('Lead: ' || substr(text, 1, 40) || ' ' || text,
+                               '\s+', ' ', 'g'))) AS content_chars
+FROM documents
+""",
+)
+def q27_paragraph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-page content extraction at reference fidelity
+    (extract_utils.py:21-44): non-content blocks (script/style/iframe/nav/
+    header/footer) decomposed with their contents, then ONLY ``<p>``/
+    ``<article>`` element text joined — sidebars and banners outside
+    content containers never reach the corpus.  Pages are synthesized
+    deterministically around each document (banner + nav + lead paragraph
+    + sidebar div + article body + comment + footer) and the oracle
+    reconstructs the expected extraction directly from the base text, so a
+    leak of ANY non-content region breaks the hash.  Map-only at any
+    scale."""
+    from briefly_spark.functions.text import paragraph_text
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    page = F.concat(
+        F.lit('<html><head><title>T</title><style>.x { color: red }</style></head>'
+              '<body><header>Site banner</header><nav><a href="/">Home</a></nav>'
+              '<p>Lead: '),
+        F.substring("text", 1, 40),
+        F.lit('</p><div class="sidebar">Trending '),
+        F.col("doc_id").cast("string"),
+        F.lit("</div><article>"),
+        F.col("text"),
+        F.lit("</article><!-- tracking --><footer>© feed</footer></body></html>"),
+    )
+    staged = docs.select("doc_id", paragraph_text(page).alias("content"))
+    return staged.select(
+        "doc_id", "content", F.length("content").cast("long").alias("content_chars")
+    )

@@ -198,3 +198,30 @@ def test_strip_html_tags_drops_noncontent_blocks(spark):
         strip_html_tags(F.col("h")).alias("t")
     ).collect()[0].t
     assert got == "Real content here."
+
+
+def test_paragraph_text_keeps_only_content_containers(spark):
+    from briefly_spark.functions.text import paragraph_text
+
+    html_doc = (
+        "<html><head><style>.x{}</style></head><body>"
+        "<header>Banner</header><nav>Menu</nav>"
+        "<div class='sidebar'>Trending junk</div>"
+        "<p>First <b>para</b>.</p>"
+        "<aside>caption junk</aside>"
+        "<article>Body text here.</article>"
+        "<!-- note --><footer>© boilerplate</footer></body></html>"
+    )
+    got = spark.createDataFrame([(html_doc,)], ["h"]).select(
+        paragraph_text(F.col("h")).alias("t")
+    ).collect()[0].t
+    assert got == "First para. Body text here."
+
+
+def test_paragraph_text_no_content_containers_is_empty(spark):
+    from briefly_spark.functions.text import paragraph_text
+
+    got = spark.createDataFrame([("<div>only divs</div>",)], ["h"]).select(
+        paragraph_text(F.col("h")).alias("t")
+    ).collect()[0].t
+    assert got == ""
