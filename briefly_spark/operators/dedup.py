@@ -351,3 +351,85 @@ def simhash_exploded(df: DataFrame, id_col: str, text_col: str, bits: int = 32) 
         *[F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     )
     return sums.select(F.col(id_col), bitstr.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: every node gets
+    ``component`` = the smallest id reachable over the (undirected) edge
+    set, so one deterministic survivor per cluster (``component == id``)
+    and singletons label themselves.  This is the step a curation pipeline
+    runs after :func:`minhash_dedup_pairs` — pairs alone can't answer
+    "which copy do we keep" when duplicates chain A~B~C.
+
+    Min-label propagation as an iterative DataFrame loop — the one operator
+    class that is legitimately driver-looped: each round is ONE shuffle
+    (labels join the symmetrized edges, per-node min aggregate) over data
+    that never leaves the cluster; the driver sees only a scalar
+    changed-count per round.  ``localCheckpoint`` truncates lineage every
+    round so the plan stays O(1) deep instead of O(iters).
+
+    Convergence: O(graph diameter) rounds.  Near-dup graphs are unions of
+    quasi-cliques (duplicates of one document all pair with each other), so
+    the diameter is small; at 100 TB with adversarial chain-shaped
+    components, switch to the large-star/small-star variant (O(log n)
+    rounds — Kiveris et al., "Connected Components in MapReduce") — the
+    per-round join/agg shape below is unchanged, only the edge rewrite
+    differs.  Non-convergence within ``max_iters`` raises rather than
+    returning silently-partial labels."""
+    sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    )
+    # the edge set joins into EVERY round — materialize once or the whole
+    # upstream pair-generation pipeline re-runs per iteration
+    sym = sym.persist()
+    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("lbl"))
+    try:
+        return _propagate_min(sym, labels, id_col, max_iters)
+    finally:
+        sym.unpersist()
+
+
+def _propagate_min(
+    sym: DataFrame, labels: DataFrame, id_col: str, max_iters: int
+) -> DataFrame:
+    for _ in range(max_iters):
+        nb_min = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl").alias("nlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nb_min, "u", "left")
+            .select(
+                "u",
+                "lbl",
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = stepped.select("u", F.col("new_lbl").alias("lbl"))
+        if n_changed == 0:
+            return labels.select(
+                F.col("u").alias(id_col), F.col("lbl").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds; "
+        "the graph has a longer-than-expected chain — raise max_iters or "
+        "use the large-star/small-star variant"
+    )

@@ -357,3 +357,69 @@ def q36_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bench_matches"),
         F.max("shared").alias("max_shared"),
     )
+
+
+# --------------------------------------------------------------------------
+# q37 — near-dup cluster resolution: pairs → connected components →
+# deterministic survivor per cluster.
+# --------------------------------------------------------------------------
+@register(
+    "q37_dup_clusters",
+    covers=("P5",),
+    oracle=f"""
+WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLES_SQL},
+hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hh FROM sh),
+sig AS (
+  SELECT id, shingles,
+         list_transform(range(0, 8),
+           i -> list_min(list_transform(hh, h -> substr(h, CAST(i * 4 + 1 AS INT), 4)))) AS sg
+  FROM hs
+),
+banded AS (
+  SELECT id, shingles, b, md5(sg[2*b + 1] || '|' || sg[2*b + 2]) AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.shingles AS sa, b.shingles AS sb
+  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa, sb))) * 10000) / 10000.0 >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT id AS u, id AS lbl FROM corpus
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS id, min(lbl) AS component, (min(lbl) = u) AS is_survivor
+FROM reach GROUP BY u
+""",
+)
+def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER near-dup pair generation: resolve the q31 MinHash-LSH
+    pair set into duplicate clusters via :func:`connected_components`
+    (iterative min-label propagation, one shuffle per round,
+    lineage-truncated) and elect the smallest id as each cluster's
+    deterministic survivor.  Pairs alone can't answer "which copy do we
+    keep" once duplicates chain A~B~C; the component label can.  The
+    oracle computes the same fixpoint with a recursive CTE (min reachable
+    id per node), certifying the distributed iteration against a
+    declarative ground truth — singletons label themselves, survivors are
+    component minima."""
+    from briefly_spark.operators.dedup import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
+    comp = connected_components(
+        corpus.select("id"), pairs.select("id_a", "id_b")
+    )
+    return comp.select(
+        "id", "component", (F.col("component") == F.col("id")).alias("is_survivor")
+    )

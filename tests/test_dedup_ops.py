@@ -49,3 +49,25 @@ def test_exact_dedup_min_id_survivor(spark):
     )
     got = {r.keep_id: r.n_copies for r in exact_dedup(df, "text", "id").collect()}
     assert got == {2: 2, 9: 1}
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from briefly_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "id long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    # chain 1-2-3 resolves transitively; pair 10-11; singleton labels itself
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from briefly_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    # a 4-chain needs >1 round to reach the far end
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iters=1)
