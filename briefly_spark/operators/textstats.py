@@ -14,7 +14,7 @@ produce byte-identical results (the oracle harness hash-compares them).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small high-frequency lexicons for the stopword-overlap language heuristic.
@@ -316,6 +316,34 @@ def mixture_accept(id_col: Column, rate: Column) -> Column:
     (a broadcast-joined weights table) reproduces any target mixture in
     expectation while staying reproducible row-for-row."""
     return _hash16(id_col).cast("double") / 65536.0 < rate
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas: DataFrame,
+    *,
+    stratum_col: str,
+    id_col: str,
+    rank_col: str = "samp_rank",
+) -> DataFrame:
+    """Exact-quota stratified sampling — the deterministic-count complement
+    to :func:`mixture_accept` (which hits a target mixture only in
+    expectation): each stratum contributes exactly ``min(quota, |stratum|)``
+    rows, selected by a content-stable pseudo-random order
+    (``md5(id)``), so the sample is uniform within stratum yet
+    byte-reproducible across runs, engines and repartitioning.
+
+    ``quotas`` is a small (stratum, quota) spec — broadcast-joined, never
+    shuffled.  Cost: ONE shuffle (the per-stratum ranking window); at
+    100 TB the window is per-stratum and AQE handles stratum skew."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col(rank_col) <= F.col("quota"))
+    )
 
 
 def pack_sequences(

@@ -605,3 +605,54 @@ def q35_top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc4(F.col("cnt") / F.col("total")).alias("top_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — exact-quota stratified sampling (deterministic within-stratum order).
+# --------------------------------------------------------------------------
+@register(
+    "q38_stratified_quota_sample",
+    covers=("P10", "W4"),
+    oracle="""
+WITH q AS (
+  SELECT source, CAST(5 + ord(substr(md5(source), 1, 1)) % 7 AS INT) AS quota
+  FROM (SELECT DISTINCT source FROM documents)
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS samp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.samp_rank, q.quota
+FROM r JOIN q USING (source)
+WHERE r.samp_rank <= q.quota
+""",
+)
+def q38_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling for training-mixture construction —
+    the deterministic-count complement to q58's hash-fraction resample:
+    each source contributes exactly min(quota, count) documents, chosen by
+    a content-stable md5 order so the sample is uniform within stratum and
+    byte-reproducible across runs/engines/partitionings.  Quotas come from
+    a broadcast (stratum, quota) spec (derived here from the source hash;
+    in production the output of a mixture solver).  ONE shuffle — the
+    per-stratum ranking window; quota join is broadcast."""
+    from briefly_spark.operators.textstats import stratified_sample
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    quotas = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.lit(5) + F.ascii(F.substring(F.md5("source"), 1, 1)) % 7)
+            .cast("int")
+            .alias("quota"),
+        )
+    )
+    samp = stratified_sample(
+        docs.select("doc_id", "source"), quotas, stratum_col="source", id_col="doc_id"
+    )
+    return samp.select("doc_id", "source", "samp_rank", "quota")

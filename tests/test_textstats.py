@@ -148,3 +148,24 @@ def test_mixture_accept_matches_rate(spark):
     df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
     n = df.filter(mixture_accept(F.col("doc_id"), F.lit(0.3))).count()
     assert 0.25 * 5000 < n < 0.35 * 5000
+
+
+def test_stratified_sample_exact_quotas_and_stability(spark):
+    from briefly_spark.operators.textstats import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b") for i in range(50)], "doc_id long, source string"
+    )
+    quotas = spark.createDataFrame([("a", 7), ("b", 100)], "source string, quota int")
+    out = stratified_sample(df, quotas, stratum_col="source", id_col="doc_id")
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    # exact quota when the stratum is large enough; whole stratum when not
+    assert len(by["a"]) == 7 and len(by["b"]) == 10
+    # content-stable: identical selection regardless of input partitioning
+    again = stratified_sample(
+        df.repartition(13), quotas, stratum_col="source", id_col="doc_id"
+    ).collect()
+    assert {(r.source, r.doc_id) for r in again} == {(r.source, r.doc_id) for r in rows}
