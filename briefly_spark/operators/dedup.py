@@ -386,23 +386,35 @@ def connected_components(
     rounds — Kiveris et al., "Connected Components in MapReduce") — the
     per-round join/agg shape below is unchanged, only the edge rewrite
     differs.  Non-convergence within ``max_iters`` raises rather than
-    returning silently-partial labels."""
+    returning silently-partial labels.
+
+    Only edge-INCIDENT vertices ride the loop: in a deduplicated corpus the
+    overwhelming majority of documents touch no near-dup pair, and pushing
+    them through every round would multiply the per-round shuffle by
+    |V|/|V_incident| for rows whose label never changes.  Singletons get
+    their identity label by a final left join against ``nodes``."""
     sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).unionByName(
         edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     )
     # the edge set joins into EVERY round — materialize once or the whole
     # upstream pair-generation pipeline re-runs per iteration
     sym = sym.persist()
-    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("lbl"))
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
     try:
-        return _propagate_min(sym, labels, id_col, max_iters)
+        converged = _propagate_min(sym, labels, max_iters)
     finally:
         sym.unpersist()
+    return (
+        nodes.select(F.col(id_col).alias("u"))
+        .join(converged, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce(F.col("lbl"), F.col("u")).alias("component"),
+        )
+    )
 
 
-def _propagate_min(
-    sym: DataFrame, labels: DataFrame, id_col: str, max_iters: int
-) -> DataFrame:
+def _propagate_min(sym: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     for _ in range(max_iters):
         nb_min = (
             sym.join(
@@ -425,9 +437,7 @@ def _propagate_min(
         n_changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
         labels = stepped.select("u", F.col("new_lbl").alias("lbl"))
         if n_changed == 0:
-            return labels.select(
-                F.col("u").alias(id_col), F.col("lbl").alias("component")
-            )
+            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds; "
         "the graph has a longer-than-expected chain — raise max_iters or "
