@@ -346,6 +346,52 @@ def stratified_sample(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    min_docs: int = 10,
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level cleanup with cross-corpus boilerplate
+    removal — the line-granularity complement to the document-granularity
+    Gopher rules: (1) per-line filters keep only lines with ≥ ``min_words``
+    words AND terminal punctuation (C4's sentence heuristics); (2) any
+    surviving line occurring in ≥ ``min_docs`` distinct documents is
+    corpus-wide boilerplate (cookie banners, subscribe prompts) and is
+    removed everywhere; (3) kept lines reassemble in original order.
+
+    Returns (id, clean_text, n_kept).  Scale shape: per-line filters are
+    map-side; the cross-doc count shuffles ``md5(line)`` + doc id (never
+    line text); the resulting boilerplate key set is tiny by construction
+    (only lines repeated across ≥ min_docs docs) and broadcasts into a
+    map-side anti-join; one final per-doc aggregation restores order via
+    in-aggregate struct sort."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    rules = (F.size(tokens(F.col("line"))) >= min_words) & F.col("line").rlike(r"[.!?]$")
+    cand = lines.filter(rules).withColumn("lk", F.md5("line"))
+    boiler = (
+        cand.groupBy("lk")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lk")
+    )
+    kept = cand.join(F.broadcast(boiler), "lk", "left_anti")
+    return kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

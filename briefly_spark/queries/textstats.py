@@ -656,3 +656,78 @@ def q38_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source"), quotas, stratum_col="source", id_col="doc_id"
     )
     return samp.select("doc_id", "source", "samp_rank", "quota")
+
+
+# --------------------------------------------------------------------------
+# q39 — C4-style line filters + cross-corpus boilerplate line removal.
+# --------------------------------------------------------------------------
+@register(
+    "q39_line_boilerplate_filter",
+    covers=("F5", "P7"),
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         'Intro ' || substr(text, 1, 30) || '.' || chr(10) ||
+         'Accept cookies to continue.' || chr(10) ||
+         'Body ' || substr(text, 31, 60) || '.' || chr(10) ||
+         'OK.' || chr(10) ||
+         'tag ' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'Subscribe to our newsletter today.' ELSE '' END AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u['pos'] AS pos, u['line'] AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(t, chr(10)),
+                                 (x, i) -> struct_pack(pos := i - 1, line := x))) AS u
+    FROM raw
+  )
+),
+cand AS (
+  SELECT doc_id, pos, line, md5(line) AS lk
+  FROM lines
+  WHERE len(list_filter(string_split_regex(line, '\s+'), w -> w <> '')) >= 3
+    AND regexp_matches(line, '[.!?]$')
+),
+boiler AS (
+  SELECT lk FROM cand GROUP BY lk HAVING count(DISTINCT doc_id) >= 10
+)
+SELECT doc_id,
+       array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+       count(*) AS n_kept
+FROM cand
+WHERE lk NOT IN (SELECT lk FROM boiler)
+GROUP BY doc_id
+""",
+)
+def q39_line_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-granularity curation (C4 §2.1 / RefinedWeb line filters),
+    complementing the document-granularity Gopher rules (q55): per-line
+    keep rules (≥3 words, terminal punctuation) run map-side; lines
+    surviving the rules but occurring in ≥10 distinct documents are
+    corpus-wide boilerplate (the planted cookie banner on every doc and
+    the newsletter prompt on evens) and are removed everywhere via a
+    broadcast anti-join on md5(line) — line text never rides the counting
+    shuffle.  Multi-line text is synthesized deterministically per
+    document: two unique content lines (kept), a too-short line and an
+    unpunctuated tag line (per-line rules), and the two planted
+    boilerplate lines (cross-doc rule)."""
+    from briefly_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.concat(
+        F.lit("Intro "), F.substring("text", 1, 30), F.lit(".\n"),
+        F.lit("Accept cookies to continue.\n"),
+        F.lit("Body "), F.substring("text", 31, 60), F.lit(".\n"),
+        F.lit("OK.\n"),
+        F.lit("tag "), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\nSubscribe to our newsletter today."))
+        .otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", t.alias("t"))
+    out = remove_boilerplate_lines(
+        staged, id_col="doc_id", text_col="t", min_words=3, min_docs=10
+    )
+    return out.select(F.col("id").alias("doc_id"), "clean_text", "n_kept")

@@ -169,3 +169,27 @@ def test_stratified_sample_exact_quotas_and_stability(spark):
         df.repartition(13), quotas, stratum_col="source", id_col="doc_id"
     ).collect()
     assert {(r.source, r.doc_id) for r in again} == {(r.source, r.doc_id) for r in rows}
+
+
+def test_remove_boilerplate_lines(spark):
+    from briefly_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = [
+        (i, f"Unique content line {i} stays.\nShared cookie banner text here.\nno punct\nHi.")
+        for i in range(12)
+    ]
+    # doc 99 contains ONLY boilerplate/rule-failing lines → absent from output
+    docs.append((99, "Shared cookie banner text here.\nxx"))
+    df = spark.createDataFrame(docs, "doc_id long, t string")
+    out = {
+        r.id: (r.clean_text, r.n_kept)
+        for r in remove_boilerplate_lines(
+            df, id_col="doc_id", text_col="t", min_words=3, min_docs=10
+        ).collect()
+    }
+    assert 99 not in out
+    assert set(out) == set(range(12))
+    for i in range(12):
+        # banner (13 docs ≥ 10) dropped corpus-wide; short/unpunctuated
+        # lines dropped by per-line rules; unique content survives in order
+        assert out[i] == (f"Unique content line {i} stays.", 1)
