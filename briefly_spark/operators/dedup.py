@@ -399,7 +399,10 @@ def connected_components(
     # the edge set joins into EVERY round — materialize once or the whole
     # upstream pair-generation pipeline re-runs per iteration
     sym = sym.persist()
-    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    # seed each vertex with min(self, direct neighbors) — one aggregation
+    # that runs the first propagation round for free, so clique-shaped dup
+    # clusters (the common case) converge on the confirmation round
+    labels = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("lbl"))
     try:
         converged = _propagate_min(sym, labels, max_iters)
     finally:
