@@ -731,3 +731,49 @@ def q39_line_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged, id_col="doc_id", text_col="t", min_words=3, min_docs=10
     )
     return out.select(F.col("id").alias("doc_id"), "clean_text", "n_kept")
+
+
+# --------------------------------------------------------------------------
+# q66 — curriculum bucketing by corpus-wide quality percentiles.
+# --------------------------------------------------------------------------
+@register(
+    "q66_curriculum_buckets",
+    covers=("P7", "A3"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id, ({_SQL_QUALITY}) AS qual FROM t),
+c AS (SELECT quantile_cont(qual, [0.25, 0.5, 0.75]) AS cuts FROM q)
+SELECT doc_id,
+       floor(qual * 10000) / 10000.0 AS quality,
+       CAST(CASE WHEN qual < cuts[1] THEN 0
+                 WHEN qual < cuts[2] THEN 1
+                 WHEN qual < cuts[3] THEN 2
+                 ELSE 3 END AS INT) AS bucket
+FROM q, c
+""",
+)
+def q66_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality-tier assignment: every document lands in a
+    quartile bucket of the CORPUS-WIDE quality distribution — the ordering
+    key for curriculum schedules and the partition key for quality-tiered
+    mixtures.  Two passes by nature (global cutoffs, then assignment): the
+    cutoff aggregate collapses to ONE broadcast row, so assignment is
+    map-side; quality is the exact `percentile` here (hash-mirrorable
+    against DuckDB quantile_cont — same linear interpolation), and at
+    100 TB the cutoff pass swaps to the GK sketch already used by q74
+    (identical plan shape, one broadcast row either way)."""
+    from briefly_spark.operators.textstats import quality_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("qual"))
+    cuts = q.agg(F.expr("percentile(qual, array(0.25D, 0.5D, 0.75D))").alias("cuts"))
+    qc = q.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("qual") < F.element_at("cuts", 1), F.lit(0))
+        .when(F.col("qual") < F.element_at("cuts", 2), F.lit(1))
+        .when(F.col("qual") < F.element_at("cuts", 3), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return qc.select(
+        "doc_id", trunc4(F.col("qual")).alias("quality"), bucket.cast("int").alias("bucket")
+    )
