@@ -206,12 +206,17 @@ def canonical_url(col: Column) -> Column:
     articles by url, raw_articles.py:104-110; at corpus scale the same url
     arrives with case-variant hosts, tracking params and fragments):
     lowercase scheme+host, drop the #fragment, strip utm_* tracking params,
-    and trim a trailing '?' or '/'.  Pure native string algebra — the same
-    step sequence is mirrored in the q26 oracle, so both engines agree
+    sort the surviving query params into one canonical order, and trim a
+    trailing '?' or '/'.  Pure native string algebra — the same step
+    sequence is mirrored in the q26 oracle, so both engines agree
     byte-for-byte."""
     scheme = F.lower(F.substring_index(col, "://", 1))
     rest = F.substring_index(col, "://", -1)  # everything after '://'
-    host = F.lower(F.substring_index(rest, "/", 1))
+    # host ends at the first '/', '?' OR '#' — a path-less URL like
+    # 'ex.com?id=3' must not swallow its query string into the host
+    host = F.lower(
+        F.substring_index(F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1)
+    )
     tail = rest.substr(F.length(host) + 1, F.length(rest))
     tail = F.regexp_replace(tail, "#.*$", "")
     tail = F.regexp_replace(tail, r"[?&]utm_[A-Za-z]+=[^&#]*", "")
@@ -220,5 +225,13 @@ def canonical_url(col: Column) -> Column:
     # it — the anchored [^?&]* cannot cross an existing '?', so the rewrite
     # is a no-op on well-formed tails regardless of param order.
     tail = F.regexp_replace(tail, r"^([^?&]*)&", "$1?")
+    # canonical param order: '?b=2&a=1' and '?a=1&b=2' are the same logical
+    # URL and must produce ONE dedup key — sort the query params (binary
+    # collation, identical in DuckDB's list_sort)
+    path = F.substring_index(tail, "?", 1)
+    qsorted = F.array_join(
+        F.array_sort(F.split(tail.substr(F.length(path) + 2, F.length(tail)), "&")), "&"
+    )
+    tail = F.when(tail.contains("?"), F.concat(path, F.lit("?"), qsorted)).otherwise(tail)
     tail = F.regexp_replace(tail, r"[?/]$", "")
     return F.concat(scheme, F.lit("://"), host, tail)

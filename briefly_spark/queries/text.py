@@ -311,22 +311,30 @@ c AS (
 ),
 d AS (
   SELECT doc_id, url, scheme,
-         lower(split_part(rest, '/', 1)) AS host,
-         substr(rest, len(split_part(rest, '/', 1)) + 1) AS tail
+         lower(split_part(split_part(split_part(rest, '/', 1), '?', 1), '#', 1)) AS host,
+         substr(rest, len(split_part(split_part(split_part(rest, '/', 1), '?', 1), '#', 1)) + 1) AS tail
   FROM c
 ),
 e AS (
   SELECT doc_id, url, scheme, host,
          regexp_replace(
-           regexp_replace(
-             regexp_replace(regexp_replace(tail, '#.*$', ''), '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g'),
-             '^([^?&]*)&', '\1?'),
-           '[?/]$', '') AS tail
+           regexp_replace(regexp_replace(tail, '#.*$', ''), '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g'),
+           '^([^?&]*)&', '\1?') AS t1
   FROM d
+),
+e2 AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_replace(
+           CASE WHEN contains(t1, '?')
+                THEN split_part(t1, '?', 1) || '?' ||
+                     array_to_string(list_sort(string_split(substr(t1, len(split_part(t1, '?', 1)) + 2), '&')), '&')
+                ELSE t1 END,
+           '[?/]$', '') AS tail
+  FROM e
 )
 SELECT doc_id, scheme || '://' || host || tail AS canon,
        (scheme || '://' || host || tail <> url) AS changed
-FROM e
+FROM e2
 """,
 )
 def q26_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

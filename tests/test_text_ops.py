@@ -127,6 +127,10 @@ def test_canonical_url(spark):
         # the same logical URL canonicalize to the same dedup key
         "https://ex.com/a?utm_source=x&id=3": "https://ex.com/a?id=3",
         "https://ex.com/a?id=3&utm_source=x": "https://ex.com/a?id=3",
+        # params sort into one canonical order
+        "https://ex.com/a?b=2&a=1": "https://ex.com/a?a=1&b=2",
+        # path-less URL: query must not be swallowed into the host
+        "https://EX.com?id=3&utm_source=x": "https://ex.com?id=3",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
@@ -225,3 +229,49 @@ def test_paragraph_text_no_content_containers_is_empty(spark):
         paragraph_text(F.col("h")).alias("t")
     ).collect()[0].t
     assert got == ""
+
+
+# canonical_url property tests: idempotence and utm-order invariance for
+# ALL urls of this shape, not just the fixture table
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _params = st.lists(
+        st.sampled_from(
+            ["id=3", "a=1", "b=xy", "utm_source=x", "utm_medium=rss", "utm_campaign=z"]
+        ),
+        max_size=4,
+        unique=True,
+    )
+
+    @given(
+        st.sampled_from(["https://EX.com", "http://news.ex.com"]),
+        st.sampled_from(["/a", "/a/", "/news/55", ""]),
+        _params,
+        st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_canonical_url_idempotent_and_order_invariant(scheme_host, path, params, frag):
+        import itertools
+
+        from briefly_spark.functions.text import canonical_url
+        from briefly_spark.session import get_spark
+
+        spark = get_spark()
+        url = scheme_host + path
+        variants = [
+            url + ("?" + "&".join(p) if p else "") + ("#f" if frag else "")
+            for p in itertools.permutations(params)
+        ] or [url + ("#f" if frag else "")]
+        df = spark.createDataFrame([(u,) for u in variants], ["u"])
+        out = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+        # every param order of the same logical URL → ONE dedup key
+        assert len(set(out)) == 1, (variants, out)
+        # idempotent: canonicalizing the canonical form is a no-op
+        df2 = spark.createDataFrame([(out[0],)], ["u"])
+        again = df2.select(canonical_url(F.col("u")).alias("c")).collect()[0].c
+        assert again == out[0]
+
+except ImportError:  # pragma: no cover
+    pass
