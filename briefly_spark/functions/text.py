@@ -134,18 +134,23 @@ def extract_img_src(col: Column) -> Column:
 _DROP_BLOCKS = ("script", "style", "iframe", "nav", "header", "footer")
 
 
-def strip_html_tags(col: Column) -> Column:
-    """Stored-HTML → text (ref S3/F11, extract_utils.py:21-45): first
-    remove the non-content blocks *including their contents* (what bs4
+def _strip_noncontent(col: Column) -> Column:
+    """Shared prelude of :func:`strip_html_tags` and :func:`paragraph_text`:
+    drop the non-content blocks *including their contents* (what bs4
     ``decompose()`` does — a bare tag-strip would leak JS/CSS text into the
-    corpus), then comments, then remaining tags, then collapse
-    whitespace.  Native regexp chain; (?is) = case-insensitive + dotall so
+    corpus), then comments.  (?is) = case-insensitive + dotall so
     multi-line blocks match."""
     c = col
     for tag in _DROP_BLOCKS:
         c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
-    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
-    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    return F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+
+
+def strip_html_tags(col: Column) -> Column:
+    """Stored-HTML → text (ref S3/F11, extract_utils.py:21-45): drop
+    non-content blocks + comments (:func:`_strip_noncontent`), then
+    remaining tags, then collapse whitespace.  Native regexp chain."""
+    c = F.regexp_replace(_strip_noncontent(col), r"<[^>]+>", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
@@ -157,17 +162,18 @@ def paragraph_text(col: Column) -> Column:
     outside content containers never enter the corpus (and so never pollute
     dedup shingles or embeddings downstream).
 
-    Native chain: drop non-content blocks with contents, extract every
-    ``<p>``/``<article>`` block (non-greedy, leftmost-first — a ``<p>``
-    nested inside a matched ``<article>`` is NOT re-extracted, deliberately
-    avoiding bs4 find_all's parent+child text duplication), strip residual
-    inline tags, collapse whitespace."""
-    c = col
-    for tag in _DROP_BLOCKS:
-        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
-    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    Native chain: drop non-content blocks with contents
+    (:func:`_strip_noncontent`), extract every ``<p>``/``<article>`` block,
+    strip residual inline tags, collapse whitespace.  The closing tag is a
+    BACKREFERENCE to the opening one, so ``<article>Intro <p>Nested</p>
+    Outro</article>`` matches through its own ``</article>`` and yields
+    'Intro Nested Outro' (the inner ``<p>`` is consumed by the article
+    match rather than re-extracted — bs4 fidelity minus find_all's
+    parent+child text duplication), and a mismatched pair like
+    ``<p>…</article>`` cannot cross-match."""
+    c = _strip_noncontent(col)
     blocks = F.regexp_extract_all(
-        c, F.lit(r"(?is)<(?:p|article)\b[^>]*>(.*?)</(?:p|article)\s*>"), 1
+        c, F.lit(r"(?is)<(p|article)\b[^>]*>(.*?)</\1\s*>"), 2
     )
     # residual inline tags strip to EMPTY (bs4 get_text concatenates text
     # nodes with no separator: 'First <b>para</b>.' → 'First para.');
@@ -219,19 +225,21 @@ def canonical_url(col: Column) -> Column:
     )
     tail = rest.substr(F.length(host) + 1, F.length(rest))
     tail = F.regexp_replace(tail, "#.*$", "")
-    tail = F.regexp_replace(tail, r"[?&]utm_[A-Za-z]+=[^&#]*", "")
-    # Stripping a leading '?utm_…' leaves the next param dangling on '&'
-    # ('/a&id=3'); promote the FIRST '&' to '?' iff no '?' survives before
-    # it — the anchored [^?&]* cannot cross an existing '?', so the rewrite
-    # is a no-op on well-formed tails regardless of param order.
-    tail = F.regexp_replace(tail, r"^([^?&]*)&", "$1?")
-    # canonical param order: '?b=2&a=1' and '?a=1&b=2' are the same logical
-    # URL and must produce ONE dedup key — sort the query params (binary
-    # collation, identical in DuckDB's list_sort)
+    # Structural path/query handling instead of string surgery: split at
+    # the first '?', filter utm_* params OUT of the param LIST, sort the
+    # survivors into one canonical order (binary collation, identical in
+    # DuckDB's list_sort), and rejoin.  No dangling-'&' repair pass — a
+    # leading utm param can't orphan its successor — and a literal '&' in
+    # a query-less path (legal per RFC 3986) survives untouched instead of
+    # being rewritten into a fake '?'.
     path = F.substring_index(tail, "?", 1)
-    qsorted = F.array_join(
-        F.array_sort(F.split(tail.substr(F.length(path) + 2, F.length(tail)), "&")), "&"
+    raw_q = tail.substr(F.length(path) + 2, F.length(tail))
+    params = F.filter(
+        F.split(raw_q, "&"), lambda p: (p != "") & ~p.rlike(r"^utm_[A-Za-z]+=")
     )
-    tail = F.when(tail.contains("?"), F.concat(path, F.lit("?"), qsorted)).otherwise(tail)
-    tail = F.regexp_replace(tail, r"[?/]$", "")
+    qsorted = F.array_join(F.array_sort(params), "&")
+    tail = F.when(
+        tail.contains("?") & (qsorted != ""), F.concat(path, F.lit("?"), qsorted)
+    ).otherwise(path)
+    tail = F.regexp_replace(tail, r"/$", "")
     return F.concat(scheme, F.lit("://"), host, tail)

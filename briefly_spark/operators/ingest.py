@@ -112,10 +112,19 @@ def parse_rss_soup(xml_text: str) -> list[dict]:
             desc = _soup_field(block, "description")
             pub = _soup_field(block, "pubDate")
         else:  # Atom: <link href=…/>, <summary>/<content>, <updated>
-            href = re.search(
-                r"""<link\b[^>]*\bhref=["']([^"']+)["']""", block, re.I
-            )
-            link = href.group(1) if href else _soup_field(block, "link")
+            # rel="alternate" (or rel-less) is the article link; a bare
+            # first-href would return the feed's own rel="self" URL and
+            # collapse every entry to one dedup key downstream — mirror
+            # the well-formed ElementTree path's preference.
+            link_tags = re.findall(r"<link\b[^>]*>", block, re.I)
+            def href_rel(tag: str) -> tuple[str | None, str | None]:
+                h = re.search(r"""\bhref=["']([^"']+)["']""", tag, re.I)
+                rl = re.search(r"""\brel=["']([^"']+)["']""", tag, re.I)
+                return (h.group(1) if h else None, rl.group(1).lower() if rl else None)
+            hrefs = [href_rel(t) for t in link_tags]
+            alt = [h for h, rl in hrefs if h and rl in (None, "alternate")]
+            any_href = [h for h, _ in hrefs if h]
+            link = (alt or any_href or [_soup_field(block, "link")])[0]
             desc = _soup_field(block, "summary") or _soup_field(block, "content")
             pub = _soup_field(block, "updated") or _soup_field(block, "published")
         out.append(

@@ -480,7 +480,14 @@ def related_topk(
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     annotated = (
-        pairs.withColumn("same", (F.col("q_topic") == F.col("c_topic")).cast("int"))
+        # NULL-safe: a NULL topic on either side means NOT same-topic (the
+        # branched form's filter dropped NULL-equality rows into tier 1; a
+        # bare cast would make `same` NULL and poison the running sums,
+        # silently dropping every candidate of a NULL-topic query)
+        pairs.withColumn(
+            "same",
+            F.coalesce((F.col("q_topic") == F.col("c_topic")).cast("int"), F.lit(0)),
+        )
         .withColumn("rn_all", F.row_number().over(w_ord))
         .withColumn("run_same", F.sum("same").over(w_run))
         .withColumn("cnt_same", F.sum("same").over(w_full))

@@ -317,20 +317,23 @@ d AS (
 ),
 e AS (
   SELECT doc_id, url, scheme, host,
-         regexp_replace(
-           regexp_replace(regexp_replace(tail, '#.*$', ''), '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g'),
-           '^([^?&]*)&', '\1?') AS t1
+         regexp_replace(tail, '#.*$', '') AS t1
   FROM d
 ),
 e2 AS (
   SELECT doc_id, url, scheme, host,
          regexp_replace(
-           CASE WHEN contains(t1, '?')
-                THEN split_part(t1, '?', 1) || '?' ||
-                     array_to_string(list_sort(string_split(substr(t1, len(split_part(t1, '?', 1)) + 2), '&')), '&')
-                ELSE t1 END,
-           '[?/]$', '') AS tail
-  FROM e
+           CASE WHEN contains(t1, '?') AND len(plist) > 0
+                THEN split_part(t1, '?', 1) || '?' || array_to_string(plist, '&')
+                ELSE split_part(t1, '?', 1) END,
+           '/$', '') AS tail
+  FROM (
+    SELECT doc_id, url, scheme, host, t1,
+           list_sort(list_filter(
+             string_split(substr(t1, len(split_part(t1, '?', 1)) + 2), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^utm_[A-Za-z]+='))) AS plist
+    FROM e
+  )
 )
 SELECT doc_id, scheme || '://' || host || tail AS canon,
        (scheme || '://' || host || tail <> url) AS changed
@@ -372,12 +375,15 @@ def q26_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_paragraph_extract",
     covers=("S3", "F11"),
     oracle=r"""
-SELECT doc_id,
-       trim(regexp_replace('Lead: ' || substr(text, 1, 40) || ' ' || text,
-                           '\s+', ' ', 'g')) AS content,
-       len(trim(regexp_replace('Lead: ' || substr(text, 1, 40) || ' ' || text,
-                               '\s+', ' ', 'g'))) AS content_chars
-FROM documents
+WITH e AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace('Lead: ' || substr(text, 1, 40) || ' ' || text,
+                          '<[^>]+>', '', 'g'),
+           '\s+', ' ', 'g')) AS content
+  FROM documents
+)
+SELECT doc_id, content, len(content) AS content_chars FROM e
 """,
 )
 def q27_paragraph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,9 +394,13 @@ def q27_paragraph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     content containers never reach the corpus.  Pages are synthesized
     deterministically around each document (banner + nav + lead paragraph
     + sidebar div + article body + comment + footer) and the oracle
-    reconstructs the expected extraction directly from the base text, so a
-    leak of ANY non-content region breaks the hash.  Map-only at any
-    scale."""
+    reconstructs the expected extraction directly from the base text —
+    including the residual inline-tag strip, so an angle-bracket span
+    inside document text ('a < b > c') hashes identically on both engines
+    — and a leak of ANY non-content region breaks the hash.  (Text
+    containing a literal closing tag of a content container would close
+    the synthesized block early — outside the synthesized-page contract.)
+    Map-only at any scale."""
     from briefly_spark.functions.text import paragraph_text
 
     docs = spread(load_table(spark, sf_dir, "documents"))

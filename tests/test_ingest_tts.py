@@ -106,10 +106,13 @@ def test_parse_atom_feed_namespaced():
 
 
 def test_parse_atom_malformed_recovers_entries():
-    # invalid XML (unescaped &) → tag-soup path must still see <entry>
+    # invalid XML (unescaped &) → tag-soup path must still see <entry>,
+    # and must prefer rel="alternate" over the feed's own rel="self" link
+    # exactly like the well-formed path
     soup = (
         '<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>A & B</title>'
-        '<link href="http://x/1"/><summary>s</summary>'
+        '<link rel="self" href="http://x/feed.xml"/>'
+        '<link rel="alternate" href="http://x/1"/><summary>s</summary>'
         "<updated>u1</updated></entry></feed>"
     )
     got = parse_rss_py(soup)

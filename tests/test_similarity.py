@@ -138,3 +138,19 @@ def test_related_topk_lsh_tier_end_to_end(spark, sf_dir):
     assert set(counts.values()) == {5}
     overlap = len(a & e) / len(e)
     assert overlap > 0.15, f"LSH-tier overlap degenerate: {overlap:.2f}"
+
+
+def test_related_topk_null_topic_rows_fall_to_tier1(spark):
+    # NULL topics must behave like the branched form: never tier 0, still
+    # eligible tier-1 candidates — not silently dropped.
+    queries = spark.createDataFrame(
+        [(1, None, [1.0, 0.0])], "query_id long, topic string, v array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(2, None, [1.0, 0.1]), (3, "b", [1.0, 0.2])],
+        "neighbor_id long, topic string, v array<double>",
+    )
+    scores = spark.createDataFrame([(2, 5)], "neighbor_id long, validation_score int")
+    out = related_topk(queries, corpus, scores, k_candidates=2, k_final=2)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert got == {(1, 2), (1, 3)}

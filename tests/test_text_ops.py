@@ -131,6 +131,9 @@ def test_canonical_url(spark):
         "https://ex.com/a?b=2&a=1": "https://ex.com/a?a=1&b=2",
         # path-less URL: query must not be swallowed into the host
         "https://EX.com?id=3&utm_source=x": "https://ex.com?id=3",
+        # literal '&' in a query-less path (legal) must NOT become a '?'
+        "https://ex.com/a&b": "https://ex.com/a&b",
+        "https://ex.com/a&b?utm_campaign=z": "https://ex.com/a&b",
     }
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     got = {r.u: r.c for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
@@ -275,3 +278,15 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_paragraph_text_nested_p_inside_article(spark):
+    from briefly_spark.functions.text import paragraph_text
+
+    html_doc = "<article>Intro <p>Nested</p> Outro</article><p>After.</p>"
+    got = spark.createDataFrame([(html_doc,)], ["h"]).select(
+        paragraph_text(F.col("h")).alias("t")
+    ).collect()[0].t
+    # the article block matches through its OWN closing tag: no text lost,
+    # no parent+child duplication
+    assert got == "Intro Nested Outro After."
