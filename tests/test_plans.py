@@ -104,3 +104,16 @@ def test_q41_related_pipeline_scans_each_input_once(spark, sf_dir):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     # queries + corpus + scores — all derived from embeddings, scanned once each
     assert len(scans) == 3, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q38_stratified_quota_sample", "q39_line_boilerplate_filter", "q66_curriculum_buckets"],
+)
+def test_new_curation_queries_broadcast_their_small_side(spark, sf_dir, name):
+    # quota spec / boilerplate key set / percentile cutoffs are all tiny by
+    # construction and must broadcast — a shuffle join here would shuffle
+    # the full corpus against a handful of rows
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
