@@ -143,3 +143,38 @@ def test_range_join_inverted_interval_matches_nothing(spark):
         ).collect()
     }
     assert got == {(200, 1)}
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    import random
+
+    rnd = random.Random(23)
+    left = spark.createDataFrame(
+        [(i, f"u{rnd.randint(0, 5)}", _ts(rnd.randint(0, 300))) for i in range(120)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    # unique (key, rts); ~1 in 6 right rows carries a NULL payload
+    right_rows = [
+        (f"u{u}", _ts(m), None if rnd.random() < 0.18 else float(u * 1000 + m))
+        for u in range(5)
+        for m in rnd.sample(range(0, 300), 25)
+    ]
+    right = spark.createDataFrame(
+        right_rows, "user_id string, rts timestamp, profile_value double"
+    )
+    got = {
+        (r.event_id): (r.profile_value,)
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["profile_value"], how="left",
+        ).collect()
+    }
+    # naive reference: inequality join + per-event argmax on rts
+    naive = {}
+    rmap = {}
+    for u, rts, v in right_rows:
+        rmap.setdefault(u, []).append((rts, v))
+    for e, u, ts in left.collect():
+        cands = [(rts, v) for rts, v in rmap.get(u, []) if rts <= ts]
+        naive[e] = (max(cands)[1],) if cands else (None,)
+    assert got == naive
