@@ -421,6 +421,66 @@ def pack_sequences(
     )
 
 
+def pack_sequences_exact(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Exact token-budget packing WITH document spanning — the
+    tokenizer-faithful upgrade of :func:`pack_sequences`: instead of
+    assigning whole documents to bins (bins overflow by up to one
+    document), documents are SLICED across sequence boundaries so every
+    bin holds exactly ``budget`` tokens (except each group's last).  This
+    is how training sequences are actually assembled: a document straddling
+    a boundary contributes its head to one sequence and its tail to the
+    next.
+
+    Emits one row per (document × covered bin):
+    (group, order, bin, offset, take) where ``offset`` is the first token
+    of the slice within the document and ``take`` its length —
+    ``sum(take) == tokens`` per document (no token lost or duplicated) and
+    ``sum(take) == budget`` per non-final bin.
+
+    Plan: the same single per-group running-sum window as
+    :func:`pack_sequences`, then a bin-band explode
+    (``sequence(start/B, (end-1)/B)``, the range_join banding pattern) —
+    a document with T tokens emits ceil-ish T/budget slices, so output
+    scales with corpus tokens / budget, never with pair counts.  Zero-token
+    documents emit nothing."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("start")
+    staged = df.filter(F.col(tokens_col) > 0).select(
+        group_col, order_col, tokens_col, start
+    )
+    end = F.col("start") + F.col(tokens_col)
+    b = F.lit(budget)
+    spanned = staged.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / b).cast("long"),
+                F.floor((end - 1) / b).cast("long"),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("start"), F.col("bin") * b)
+    hi = F.least(end, (F.col("bin") + 1) * b)
+    return spanned.select(
+        group_col,
+        order_col,
+        "bin",
+        (lo - F.col("start")).cast("long").alias("offset"),
+        (hi - lo).cast("long").alias("take"),
+    )
+
+
 def word_ngrams(words: Column, n: int = 2) -> Column:
     """Word n-grams WITH duplicates (repetition counting needs multiplicity;
     the dedup shingler's distinct variant is ngrams_of_words).  Same

@@ -777,3 +777,50 @@ def q66_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qc.select(
         "doc_id", trunc4(F.col("qual")).alias("quality"), bucket.cast("int").alias("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q67 — exact token-budget packing with document spanning.
+# --------------------------------------------------------------------------
+@register(
+    "q67_pack_exact",
+    covers=("W4", "A3"),
+    oracle=r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS toks
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, toks,
+         sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - toks AS start
+  FROM t WHERE toks > 0
+),
+s AS (
+  SELECT source, doc_id, toks, start,
+         unnest(range(CAST(floor(start / 512.0) AS BIGINT),
+                      CAST(floor((start + toks - 1) / 512.0) AS BIGINT) + 1)) AS bin
+  FROM c
+)
+SELECT source, doc_id, bin,
+       greatest(start, bin * 512) - start AS offset,
+       least(start + toks, (bin + 1) * 512) - greatest(start, bin * 512) AS take
+FROM s
+""",
+)
+def q67_pack_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assembly with document spanning: every bin holds
+    EXACTLY 512 tokens (except each source's last) because documents
+    straddling a boundary are sliced — (doc, bin, offset, take) rows say
+    which token range of each document feeds which sequence.  Upgrade of
+    q59's whole-document bins (which overflow by up to one document); same
+    single per-group running-sum window, plus a bin-band explode bounded
+    by corpus tokens / budget."""
+    from briefly_spark.operators.textstats import pack_sequences_exact
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("source", "doc_id", word_count(F.col("text")).alias("toks"))
+    return pack_sequences_exact(
+        t, group_col="source", order_col="doc_id", tokens_col="toks", budget=512
+    ).select("source", "doc_id", "bin", "offset", "take")

@@ -193,3 +193,34 @@ def test_remove_boilerplate_lines(spark):
         # banner (13 docs ≥ 10) dropped corpus-wide; short/unpunctuated
         # lines dropped by per-line rules; unique content survives in order
         assert out[i] == (f"Unique content line {i} stays.", 1)
+
+
+def test_pack_sequences_exact_invariants(spark):
+    from briefly_spark.operators.textstats import pack_sequences_exact
+
+    df = spark.createDataFrame(
+        [("g", 1, 300), ("g", 2, 500), ("g", 3, 120), ("g", 4, 0), ("h", 9, 1300)],
+        "grp string, ord long, toks long",
+    )
+    out = pack_sequences_exact(
+        df, group_col="grp", order_col="ord", tokens_col="toks", budget=512
+    ).collect()
+    rows = [(r.grp, r.ord, r.bin, r.offset, r.take) for r in out]
+    # doc 2 (tokens 300..800 of group g) straddles the 512 boundary → two
+    # slices; doc 9 spans three bins alone; zero-token doc 4 emits nothing
+    assert sorted(rows) == [
+        ("g", 1, 0, 0, 300),
+        ("g", 2, 0, 0, 212),
+        ("g", 2, 1, 212, 288),
+        ("g", 3, 1, 0, 120),
+        ("h", 9, 0, 0, 512),
+        ("h", 9, 1, 512, 512),
+        ("h", 9, 2, 1024, 276),
+    ]
+    # per-document token conservation and exact non-final bins
+    by_doc, by_bin = {}, {}
+    for g, o, b, off, take in rows:
+        by_doc[(g, o)] = by_doc.get((g, o), 0) + take
+        by_bin[(g, b)] = by_bin.get((g, b), 0) + take
+    assert by_doc == {("g", 1): 300, ("g", 2): 500, ("g", 3): 120, ("h", 9): 1300}
+    assert by_bin[("g", 0)] == 512 and by_bin[("h", 0)] == 512 and by_bin[("h", 1)] == 512
