@@ -32,6 +32,7 @@ LSH_FAMILY = (
     "q31_minhash_lsh_pairs",
     "q32_simhash_fingerprints",
     "q33_ngram_jaccard_pairs",
+    "q37_dup_clusters",
     "q42_lsh_ann",
     "q43_ivf_ann",
     "q44_related_lsh",

@@ -73,9 +73,9 @@ def load_registry() -> dict[str, QuerySpec]:
         ingest,
         similarity,
         text,
-        multimodal,
         dedup,
         events,
+        multimodal,
         pipeline,
         relational,
     )

@@ -824,3 +824,112 @@ def q67_pack_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_exact(
         t, group_col="source", order_col="doc_id", tokens_col="toks", budget=512
     ).select("source", "doc_id", "bin", "offset", "take")
+
+
+# --------------------------------------------------------------------------
+# q68 — group-leakage-safe splits (whole domains share a split).
+# --------------------------------------------------------------------------
+@register(
+    "q68_group_split",
+    covers=("P7", "A4"),
+    oracle=f"""
+SELECT source,
+       CASE WHEN {_sql_hash16('source')} % 100 < 5 THEN 'val'
+            WHEN {_sql_hash16('source')} % 100 < 10 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+""",
+)
+def q68_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash is keyed on
+    the GROUP (source/domain), not the document, so every document of a
+    domain lands in the same split — near-duplicates and templated pages
+    within one domain can never straddle train and test (the contamination
+    q57's per-document split permits).  Same content-stable hash16 bucket,
+    same stability under re-runs/appends; one partial-agg shuffle keyed on
+    source, split derived map-side from the grouping key."""
+    from briefly_spark.operators.textstats import hash_split
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("source", hash_split(F.col("source")).alias("split"), "n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — packed-sequence ASSEMBLY: materialize the actual training sequences.
+# --------------------------------------------------------------------------
+@register(
+    "q69_pack_assemble",
+    covers=("W4", "A3", "F8"),
+    oracle=r"""
+WITH t AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, ws, len(ws) AS toks,
+         sum(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - len(ws) AS start
+  FROM t WHERE len(ws) > 0
+),
+s AS (
+  SELECT source, doc_id, ws, toks, start,
+         unnest(range(CAST(floor(start / 512.0) AS BIGINT),
+                      CAST(floor((start + toks - 1) / 512.0) AS BIGINT) + 1)) AS bin
+  FROM c
+),
+j AS (
+  SELECT source, doc_id, bin,
+         greatest(start, bin * 512) - start AS off,
+         least(start + toks, (bin + 1) * 512) - greatest(start, bin * 512) AS take,
+         ws
+  FROM s
+)
+SELECT source, bin,
+       string_agg(array_to_string(list_slice(ws, off + 1, off + take), ' '), ' ' ORDER BY doc_id) AS seq_text,
+       CAST(sum(take) AS BIGINT) AS bin_tokens
+FROM j GROUP BY source, bin
+""",
+)
+def q69_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sequence assembly: q67's (doc, bin, offset, take) slices
+    joined back to the tokenized documents and concatenated per bin —
+    emitting the ACTUAL training-sequence text, exactly 512 tokens per
+    non-final bin, with straddling documents contributing their head to
+    one sequence and tail to the next.  Slice rows join the token arrays
+    on doc_id (shuffle bounded by corpus tokens), per-bin order is
+    restored by sorting (doc_id) structs inside the aggregate — no global
+    sort."""
+    from briefly_spark.operators.textstats import pack_sequences_exact, tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    t = docs.select("source", "doc_id", word_count(F.col("text")).alias("toks"))
+    slices = pack_sequences_exact(
+        t, group_col="source", order_col="doc_id", tokens_col="toks", budget=512
+    )
+    parts = slices.join(words, "doc_id").select(
+        "source",
+        "bin",
+        "doc_id",
+        "take",
+        F.concat_ws(
+            " ", F.slice(F.col("ws"), F.col("offset").cast("int") + 1, F.col("take").cast("int"))
+        ).alias("part"),
+    )
+    return parts.groupBy("source", "bin").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "part"))),
+                lambda s: s["part"],
+            ),
+            " ",
+        ).alias("seq_text"),
+        F.sum("take").alias("bin_tokens"),
+    )
