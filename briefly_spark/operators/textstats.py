@@ -446,35 +446,37 @@ def pack_sequences_exact(
 
     Plan: the same single per-group running-sum window as
     :func:`pack_sequences`, then a bin-band explode
-    (``sequence(start/B, (end-1)/B)``, the range_join banding pattern) —
-    a document with T tokens emits ceil-ish T/budget slices, so output
-    scales with corpus tokens / budget, never with pair counts.  Zero-token
-    documents emit nothing."""
+    (``sequence(start div B, (end-1) div B)``, the range_join banding
+    pattern) — a document with T tokens emits ceil-ish T/budget slices, so
+    output scales with corpus tokens / budget, never with pair counts.
+    Zero-token documents emit nothing.  Bin indices use INTEGER division
+    (``div``), not double ``/``+floor — double math silently corrupts bins
+    once a group's cumulative token count passes 2^53 (same trap flagged
+    in catalog.py).  All other input columns ride through unchanged, so a
+    caller can carry the token ARRAY into the window and slice it
+    downstream without re-scanning or re-joining the corpus (see q69)."""
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("start")
-    staged = df.filter(F.col(tokens_col) > 0).select(
-        group_col, order_col, tokens_col, start
-    )
+    staged = df.filter(F.col(tokens_col) > 0).select("*", start)
     end = F.col("start") + F.col(tokens_col)
     b = F.lit(budget)
     spanned = staged.withColumn(
         "bin",
         F.explode(
             F.sequence(
-                F.floor(F.col("start") / b).cast("long"),
-                F.floor((end - 1) / b).cast("long"),
+                F.expr(f"start div {budget}"),
+                F.expr(f"(start + {tokens_col} - 1) div {budget}"),
             )
         ),
     )
     lo = F.greatest(F.col("start"), F.col("bin") * b)
     hi = F.least(end, (F.col("bin") + 1) * b)
     return spanned.select(
-        group_col,
-        order_col,
+        *df.columns,
         "bin",
         (lo - F.col("start")).cast("long").alias("offset"),
         (hi - lo).cast("long").alias("take"),

@@ -793,14 +793,13 @@ WITH t AS (
 ),
 c AS (
   SELECT source, doc_id, toks,
-         sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-                         ROWS UNBOUNDED PRECEDING) - toks AS start
+         CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start
   FROM t WHERE toks > 0
 ),
 s AS (
   SELECT source, doc_id, toks, start,
-         unnest(range(CAST(floor(start / 512.0) AS BIGINT),
-                      CAST(floor((start + toks - 1) / 512.0) AS BIGINT) + 1)) AS bin
+         unnest(range(start // 512, (start + toks - 1) // 512 + 1)) AS bin
   FROM c
 )
 SELECT source, doc_id, bin,
@@ -874,14 +873,13 @@ WITH t AS (
 ),
 c AS (
   SELECT source, doc_id, ws, len(ws) AS toks,
-         sum(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) - len(ws) AS start
+         CAST(sum(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - len(ws) AS BIGINT) AS start
   FROM t WHERE len(ws) > 0
 ),
 s AS (
   SELECT source, doc_id, ws, toks, start,
-         unnest(range(CAST(floor(start / 512.0) AS BIGINT),
-                      CAST(floor((start + toks - 1) / 512.0) AS BIGINT) + 1)) AS bin
+         unnest(range(start // 512, (start + toks - 1) // 512 + 1)) AS bin
   FROM c
 ),
 j AS (
@@ -902,19 +900,23 @@ def q69_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back to the tokenized documents and concatenated per bin —
     emitting the ACTUAL training-sequence text, exactly 512 tokens per
     non-final bin, with straddling documents contributing their head to
-    one sequence and tail to the next.  Slice rows join the token arrays
-    on doc_id (shuffle bounded by corpus tokens), per-bin order is
-    restored by sorting (doc_id) structs inside the aggregate — no global
-    sort."""
+    one sequence and tail to the next.  The corpus is scanned and
+    tokenized ONCE: the token array rides through the pack window (the
+    operator preserves input columns), so there is no second scan and no
+    slice-to-array join — the only shuffles are the per-group window and
+    the final per-bin aggregation, both bounded by corpus tokens; per-bin
+    order is restored by sorting (doc_id) structs inside the aggregate —
+    no global sort."""
     from briefly_spark.operators.textstats import pack_sequences_exact, tokens
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
-    t = docs.select("source", "doc_id", word_count(F.col("text")).alias("toks"))
-    slices = pack_sequences_exact(
-        t, group_col="source", order_col="doc_id", tokens_col="toks", budget=512
+    words = docs.select("source", "doc_id", tokens(F.col("text")).alias("ws")).withColumn(
+        "toks", F.size("ws").cast("long")
     )
-    parts = slices.join(words, "doc_id").select(
+    slices = pack_sequences_exact(
+        words, group_col="source", order_col="doc_id", tokens_col="toks", budget=512
+    )
+    parts = slices.select(
         "source",
         "bin",
         "doc_id",

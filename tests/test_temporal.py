@@ -162,13 +162,14 @@ def test_asof_join_matches_naive_on_random_data(spark):
     right = spark.createDataFrame(
         right_rows, "user_id string, rts timestamp, profile_value double"
     )
-    got = {
-        (r.event_id): (r.profile_value,)
-        for r in asof_join(
-            left, right, key="user_id", left_ts="ts", right_ts="rts",
-            value_cols=["profile_value"], how="left",
-        ).collect()
-    }
+    out_rows = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["profile_value"], how="left",
+    ).collect()
+    # exactly one output row per left row — a dict alone would mask
+    # duplicate-emission regressions
+    assert len(out_rows) == 120
+    got = {r.event_id: (r.profile_value,) for r in out_rows}
     # naive reference: inequality join + per-event argmax on rts
     naive = {}
     rmap = {}
