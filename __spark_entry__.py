@@ -26,8 +26,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def _prepare(spark: SparkSession) -> None:
     # Driver may hand us a session built without our factory; make sure the
-    # configs our readers rely on are set (all runtime-settable).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # configs our readers rely on are set (all runtime-settable).  Note: no
+    # nanosAsLong conf — inert on Spark 4.x; catalog.normalize_event_ts
+    # handles the TIMESTAMP_NTZ arrival type instead.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # single-file tables must not scan as a single partition (serializes

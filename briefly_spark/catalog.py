@@ -37,22 +37,44 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a parquet TIMESTAMP(NANOS) column to TimestampType (micros).
+
+    How the nanos column arrives depends on the Spark version:
+
+    - Spark 3.x with ``spark.sql.legacy.parquet.nanosAsLong``: a raw
+      epoch-nanos LongType.  Convert with integer ``div`` (NOT ``/``:
+      epoch-nanos ~1.7e18 exceed double precision 2^53, so
+      ``floor(ts / 1000.0)`` is off by ±1 µs).
+    - Spark 4.x: the nanosAsLong conf is inert and the column loads as
+      TIMESTAMP_NTZ (nanos truncated to micros by the reader).  Cast to
+      TimestampType — the session timezone is pinned UTC, so the cast is
+      value-stable (same wall-clock instant, same oracle hash), and
+      Structured Streaming watermarks require TimestampType (NTZ is
+      rejected with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+
+    DuckDB reads the same column as TIMESTAMP at micros, so both branches
+    land on identical values.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long —
-        # normalize to TimestampType at microsecond precision (what DuckDB
-        # reads the same column as).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double
-            # precision (2^53), so floor(ts / 1000.0) is off by ±1 µs.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

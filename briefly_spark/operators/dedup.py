@@ -364,6 +364,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 25,
+    method: str = "min",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: every node gets
     ``component`` = the smallest id reachable over the (undirected) edge
@@ -379,34 +380,49 @@ def connected_components(
     changed-count per round.  ``localCheckpoint`` truncates lineage every
     round so the plan stays O(1) deep instead of O(iters).
 
-    Convergence: O(graph diameter) rounds.  Near-dup graphs are unions of
-    quasi-cliques (duplicates of one document all pair with each other), so
-    the diameter is small; at 100 TB with adversarial chain-shaped
-    components, switch to the large-star/small-star variant (O(log n)
-    rounds — Kiveris et al., "Connected Components in MapReduce") — the
-    per-round join/agg shape below is unchanged, only the edge rewrite
-    differs.  Non-convergence within ``max_iters`` raises rather than
-    returning silently-partial labels.
+    Two propagation strategies, selected by ``method``:
+
+    - ``"min"`` (default): min-label propagation, O(graph diameter) rounds.
+      Near-dup graphs are unions of quasi-cliques (duplicates of one
+      document all pair with each other), so the diameter is small and
+      this converges in 2–3 rounds with the direct-neighbor seed below.
+    - ``"star"``: alternating large-star/small-star edge contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14) — O(log n) rounds even on adversarial chain-shaped
+      components where min-propagation needs O(n) rounds.  Same per-round
+      cost shape (two groupBy-min shuffles over the edge set); the edge
+      set itself shrinks toward stars, so late rounds are cheap.  Use at
+      100 TB when component shape is unknown.
+
+    Non-convergence within ``max_iters`` raises rather than returning
+    silently-partial labels.
 
     Only edge-INCIDENT vertices ride the loop: in a deduplicated corpus the
     overwhelming majority of documents touch no near-dup pair, and pushing
     them through every round would multiply the per-round shuffle by
     |V|/|V_incident| for rows whose label never changes.  Singletons get
     their identity label by a final left join against ``nodes``."""
-    sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).unionByName(
-        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-    )
-    # the edge set joins into EVERY round — materialize once or the whole
-    # upstream pair-generation pipeline re-runs per iteration
-    sym = sym.persist()
-    # seed each vertex with min(self, direct neighbors) — one aggregation
-    # that runs the first propagation round for free, so clique-shaped dup
-    # clusters (the common case) converge on the confirmation round
-    labels = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("lbl"))
-    try:
-        converged = _propagate_min(sym, labels, max_iters)
-    finally:
-        sym.unpersist()
+    if method not in ("min", "star"):
+        raise ValueError(f"method must be 'min' or 'star', got {method!r}")
+    if method == "star":
+        converged = _star_contraction(edges, src_col, dst_col, max_iters)
+    else:
+        sym = edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        ).unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        # the edge set joins into EVERY round — materialize once or the whole
+        # upstream pair-generation pipeline re-runs per iteration
+        sym = sym.persist()
+        # seed each vertex with min(self, direct neighbors) — one aggregation
+        # that runs the first propagation round for free, so clique-shaped dup
+        # clusters (the common case) converge on the confirmation round
+        labels = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("lbl"))
+        try:
+            converged = _propagate_min(sym, labels, max_iters)
+        finally:
+            sym.unpersist()
     return (
         nodes.select(F.col(id_col).alias("u"))
         .join(converged, "u", "left")
@@ -414,6 +430,67 @@ def connected_components(
             F.col("u").alias(id_col),
             F.coalesce(F.col("lbl"), F.col("u")).alias("component"),
         )
+    )
+
+
+def _star_contraction(
+    edges: DataFrame, src_col: str, dst_col: str, max_iters: int
+) -> DataFrame:
+    """Alternating large-star/small-star contraction to a star forest.
+
+    Invariant maintained between rounds: ``e`` is the canonical edge set
+    oriented hi→lo (``u > v``), distinct, no self-loops.  One round:
+
+    - large-star (on the symmetrized set): every node ``u`` connects its
+      STRICTLY LARGER neighbors to ``m = min(N(u) ∪ {u})`` — long chains
+      halve because each node's big side re-attaches to its local min.
+    - small-star (on hi→lo edges): every node ``u`` re-attaches itself and
+      all its smaller neighbors to ``m = min(N(u))`` — flattens the
+      two-level trees large-star leaves behind.
+
+    Both emit edges ``(x, m)`` with ``x > m``, so orientation is preserved
+    for free.  At the fixpoint the edge set is a star forest centered at
+    component minimums; labels read off as ``min(v) per u``.  Convergence
+    check is an anti-join count (new edges not in the old set) — rows
+    only, never collected."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) over the full neighborhood incl. self
+        ls_min = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        ls = (
+            sym.join(ls_min, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges already hi→lo; m(u) = min smaller neighbor
+        ss_min = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(ss_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(ss_min.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = ss.join(e, ["u", "v"], "left_anti").count()
+        old = e
+        e = ss
+        if n_new == 0 and old.join(ss, ["u", "v"], "left_anti").isEmpty():
+            return e.groupBy("u").agg(F.min("v").alias("lbl"))
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iters} rounds "
+        "(expected O(log n)); raise max_iters"
     )
 
 

@@ -59,25 +59,27 @@ def load_registry() -> dict[str, QuerySpec]:
 
     Import order is deliberate, not alphabetical: the driver's correctness
     gate records registry entries in insertion order and has recorded a
-    bounded prefix (50 of 64 in round 2), so modules whose queries most
-    need fresh driver evidence come first — the round-2-uncovered tail
-    (textstats, tts, worklists) and every module changed this round —
-    while long-green unchanged modules (relational: 15 queries, driver
-    green in r01 AND r02) rotate to the back.
+    bounded prefix (50 of 72 in round 3), so modules whose queries most
+    need fresh driver evidence come first.  Round-4 rotation (VERDICT.md
+    next-round #2): the 22 queries whose only green row is r02
+    (relational q01–q15, pipeline q60–q63, multimodal q80–q82) lead,
+    followed by events (its load path changed this round — catalog ts
+    normalization for Spark 4.x NTZ) and modules with new queries; the
+    r03-green unchanged modules rotate to the back.
     """
     from briefly_spark.queries import (  # noqa: F401
-        textstats,
-        tts,
-        worklists,
-        temporal,
-        ingest,
-        similarity,
-        text,
-        dedup,
-        events,
-        multimodal,
-        pipeline,
         relational,
+        pipeline,
+        multimodal,
+        events,
+        temporal,
+        dedup,
+        similarity,
+        textstats,
+        text,
+        ingest,
+        worklists,
+        tts,
     )
 
     return REGISTRY

@@ -45,9 +45,10 @@ def get_spark(app_name: str = "briefly_spark", *, shuffle_partitions: int | None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # testdata events.parquet stores TIMESTAMP(NANOS); read as long, the
-        # catalog converts to TimestampType (micros) on load.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS).  Spark 4.x reads
+        # it as TIMESTAMP_NTZ (the 3.x `spark.sql.legacy.parquet.nanosAsLong`
+        # conf is inert here); catalog.normalize_event_ts converts either
+        # arrival type to TimestampType (micros) on load.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
         # A small parquet table is one file => ONE scan partition, which

@@ -14,8 +14,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from briefly_spark.catalog import normalize_event_ts
 from briefly_spark.storage import Warehouse
 
 
@@ -31,9 +31,9 @@ def read_parquet_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     sdf = reader.parquet(path)
-    if "ts" in sdf.columns and isinstance(sdf.schema["ts"].dataType, T.LongType):
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return sdf
+    # Long (Spark 3.x nanosAsLong) or TIMESTAMP_NTZ (Spark 4.x) → TimestampType;
+    # watermarks hard-reject NTZ, so this must happen before withWatermark.
+    return normalize_event_ts(sdf)
 
 
 def windowed_counts(

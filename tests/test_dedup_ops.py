@@ -71,3 +71,64 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iters=1)
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 200-node path graph: min-propagation needs ~O(n) rounds (would
+    blow max_iters=25); the large-star/small-star variant converges in
+    O(log n) — well within the same budget."""
+    from briefly_spark.operators.dedup import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, method="star", max_iters=25).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_min(spark):
+    """Both methods agree on a mixed graph (cliques + chain + singletons),
+    including string ids."""
+    import random
+
+    from briefly_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    # 3 cliques of 5, one 12-chain, 10 singletons; string ids shuffled
+    ids = [f"d{i:03d}" for i in range(37)]
+    edge_list = []
+    for c in range(3):
+        members = ids[c * 5 : c * 5 + 5]
+        edge_list += [(a, b) for a in members for b in members if a < b]
+    chain = ids[15:27]
+    edge_list += list(zip(chain, chain[1:]))
+    rng.shuffle(edge_list)
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+    edges = spark.createDataFrame(edge_list, "id_a string, id_b string")
+    got_min = {
+        r.id: r.component for r in connected_components(nodes, edges).collect()
+    }
+    got_star = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, method="star").collect()
+    }
+    assert got_star == got_min
+    # singletons label themselves
+    for s in ids[27:]:
+        assert got_star[s] == s
+
+
+def test_connected_components_bad_method(spark):
+    import pytest
+
+    from briefly_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(1,)], "id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="method"):
+        connected_components(nodes, edges, method="bogus")

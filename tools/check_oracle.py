@@ -58,9 +58,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
     failures = []
+    attempted = 0
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -114,7 +116,8 @@ def main() -> int:
             for line in list(d_set - s_set)[:3]:
                 print(f"      duck-only : {line!r}")
 
-    print(f"\n{len(registry) - len(failures)}/{len(registry)} queries OK")
+    subset = f" (subset of {len(registry)})" if only else ""
+    print(f"\n{attempted - len(failures)}/{attempted} queries OK{subset}")
     return 1 if failures else 0
 
 
