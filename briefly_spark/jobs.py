@@ -65,12 +65,12 @@ def _merge_batch(batch: DataFrame, merge) -> int:
 # ---------------------------------------------------------------------------
 # ingest (§3.1): normalize → validate → dedup → merge
 # ---------------------------------------------------------------------------
-def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
-    """Ingest a raw document batch into the wide ``articles`` table:
-    validation filter (P7), key derivation, anti-join dedup against the
-    existing table (P5/J2 — no driver-side URL set), keyed merge (K1).
-    Lifecycle columns start NULL; downstream jobs fill them in."""
-    batch = (
+def normalize_documents(docs: DataFrame) -> DataFrame:
+    """Validation filter (P7), key derivation, batch-local dedup, and
+    lifecycle-column init — the stage shared by the batch ingest job and
+    the streaming sensor loop (:func:`stream_ingest`).  Pure column
+    algebra, so it runs identically on a batch or a micro-batch frame."""
+    return (
         docs.filter(F.length("text") >= MIN_CONTENT_CHARS)
         .select(
             F.concat(F.lit("https://ex/"), F.col("doc_id").cast("string")).alias("url"),
@@ -87,6 +87,14 @@ def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
         .withColumn("related_ids", F.lit(None).cast("array<string>"))
         .withColumn("related_ids_updated_at", F.lit(None).cast("timestamp"))
     )
+
+
+def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
+    """Ingest a raw document batch into the wide ``articles`` table:
+    :func:`normalize_documents`, anti-join dedup against the existing
+    table (P5/J2 — no driver-side URL set), keyed merge (K1).
+    Lifecycle columns start NULL; downstream jobs fill them in."""
+    batch = normalize_documents(docs)
     if wh.exists(ARTICLES):
         existing = wh.read(ARTICLES).select("url")
         batch = batch.join(existing, "url", "left_anti")
@@ -225,6 +233,62 @@ def relate_batch(
         ),
     )
     return JobResult("relate", n)
+
+
+# ---------------------------------------------------------------------------
+# streaming sensor loop (T1 → T2 end-to-end)
+# ---------------------------------------------------------------------------
+def stream_ingest(
+    wh: Warehouse,
+    spark: SparkSession,
+    src_path: str,
+    *,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The reference's polling sensor (sensors/article_sensors.py:13-16) as
+    a checkpointed Structured Streaming pass: new document files →
+    :func:`normalize_documents` → anti-join against the live table →
+    idempotent keyed merge.  ``Trigger.AvailableNow`` drains whatever
+    arrived since the last run and stops — exactly the reference's
+    cursor-based sweep, with the file-source checkpoint as the cursor
+    (T2: re-running with nothing new is a no-op; re-delivered documents
+    are dropped by the anti-join so enriched articles are never
+    clobbered back to NULL lifecycle)."""
+    from briefly_spark.streaming import merge_stream, read_parquet_stream
+
+    def transform(batch: DataFrame) -> DataFrame:
+        b = normalize_documents(batch)
+        if wh.exists(ARTICLES):
+            b = b.join(wh.read(ARTICLES).select("url"), "url", "left_anti")
+        return b
+
+    merge_stream(
+        read_parquet_stream(
+            spark, src_path, max_files_per_trigger=max_files_per_trigger
+        ),
+        wh,
+        ARTICLES,
+        ["url"],
+        checkpoint=checkpoint,
+        transform=transform,
+    )
+
+
+def sensor_cycle(
+    wh: Warehouse,
+    spark: SparkSession,
+    src_path: str,
+    *,
+    checkpoint: str,
+    batch_size: int = 200,
+) -> list[JobResult]:
+    """One full sensor sweep: streaming ingest of new files, then drain the
+    enrichment jobs (summarize → embed → relate) to quiescence.  Running a
+    cycle twice with no new input leaves every table byte-identical —
+    the exactly-once property the whole jobs layer is built around."""
+    stream_ingest(wh, spark, src_path, checkpoint=checkpoint)
+    return run_until_drained(wh, batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

