@@ -82,19 +82,30 @@ def main() -> None:
             print(f"bench warm error {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm": warm,
-                "sf": sf_of(sf_dir),
-                "n_queries": len(timings),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "warm": warm,
+            "sf": sf_of(sf_dir),
+            "n_queries": len(timings),
+        }
     )
+    print(payload)
+    # The driver captures only a truncated stdout tail into BENCH_r{N}.json
+    # (judge item r03 #7) — persist the complete per-query JSON alongside so
+    # round-over-round diffs never need reconstruction.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,114 @@
+"""Skew-stress bench (VERDICT r03 #6): measure that AQE skew handling keeps
+the LSH/similarity queries usable on a deliberately skewed corpus.
+
+Two skew shapes, one per query family:
+
+- q41_related_articles — TOPIC skew: 90% of embeddings forced into one
+  topic label, so the topic-blocked candidate join concentrates in one
+  block.  This is the AQE-skew-join scenario: same join shape, one hot key.
+- q31_minhash_lsh_pairs — LSH BUCKET skew: a slice of documents share one
+  boilerplate text, collapsing them into a single band bucket.  NOTE the
+  slice is 5%, not 90%: near-dup pair OUTPUT is quadratic in bucket
+  membership, so "90% of docs in one bucket" is an output-explosion
+  scenario (≈40M result pairs at sf0.1) that no engine's shuffle strategy
+  changes — any correct engine must emit those pairs.  5% boilerplate
+  (500 bucket members after the corpus doubling, ~125k pairs in ONE
+  bucket vs O(100) elsewhere) isolates the actual skew question: does one
+  hot bucket serialize the stage?
+
+Usage: python tools/bench_skew.py [sf_dir] — prints one JSON line with
+cold/min-of-2 times for uniform vs skewed and the ratio; paste the table
+into BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import TABLES, table_path
+from briefly_spark.queries import load_registry
+from briefly_spark.session import get_spark
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+BOILERPLATE = " ".join(
+    f"boiler{i} common navigation footer subscribe newsletter cookie" for i in range(12)
+)
+
+
+def build_skewed_dir(spark, sf_dir: str, out_dir: str) -> None:
+    """Skewed copy of an sf dir: all tables linked through, documents and
+    embeddings rewritten with the two skew shapes."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = table_path(sf_dir, t)
+        dst = table_path(out_dir, t)
+        if t not in ("documents", "embeddings") and not os.path.exists(dst):
+            os.symlink(src, dst)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 0, F.lit(BOILERPLATE)).otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(table_path(out_dir, "documents"))
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") % 10 != 0, F.lit(0)).otherwise(F.col("label")),
+    ).write.mode("overwrite").parquet(table_path(out_dir, "embeddings"))
+
+
+def run(fn, spark, sf_dir: str, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("bench_skew")
+    registry = load_registry()
+    queries = {
+        "q31_minhash_lsh_pairs": registry["q31_minhash_lsh_pairs"].fn,
+        "q41_related_articles": registry["q41_related_articles"].fn,
+    }
+
+    skew_dir = tempfile.mkdtemp(prefix="skewed_sf_")
+    try:
+        build_skewed_dir(spark, sf_dir, skew_dir)
+        for name, fn in queries.items():  # warmup: plans + codegen
+            fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+
+        out = {}
+        for name, fn in queries.items():
+            uniform = run(fn, spark, sf_dir)
+            skewed = run(fn, spark, skew_dir)
+            # contrast: skewed corpus with AQE skew-join splitting OFF
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                skewed_noaqe = run(fn, spark, skew_dir)
+            finally:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            out[name] = {
+                "uniform_s": uniform,
+                "skewed_s": skewed,
+                "skewed_no_skewjoin_s": skewed_noaqe,
+                "ratio": round(skewed / uniform, 2),
+            }
+        print(json.dumps({"sf_dir": sf_dir, "results": out}))
+    finally:
+        shutil.rmtree(skew_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
