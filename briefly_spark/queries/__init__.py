@@ -72,6 +72,7 @@ def load_registry() -> dict[str, QuerySpec]:
         pipeline,
         multimodal,
         events,
+        search,
         temporal,
         dedup,
         similarity,

@@ -13,7 +13,7 @@ making even the probabilistic LSH stage hash-comparable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
@@ -363,10 +363,10 @@ def q36_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q37 — near-dup cluster resolution: pairs → connected components →
 # deterministic survivor per cluster.
 # --------------------------------------------------------------------------
-@register(
-    "q37_dup_clusters",
-    covers=("P5",),
-    oracle=f"""
+def _q37_oracle_prefix() -> str:
+    """The recursive-CTE fixpoint shared by q37 and q29: MinHash pairs →
+    symmetric edges → min reachable label per node."""
+    return f"""
 WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLES_SQL},
 hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hh FROM sh),
 sig AS (
@@ -397,9 +397,69 @@ reach AS (
   SELECT id AS u, id AS lbl FROM corpus
   UNION
   SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS id, min(lbl) AS component FROM reach GROUP BY u)
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — quality-aware survivor election: clusters (via the STAR-contraction
+# CC variant) + per-cluster argmax-quality keep decision.
+# --------------------------------------------------------------------------
+@register(
+    "q29_dedup_survivors",
+    covers=("P5", "W4"),
+    oracle=_q37_oracle_prefix()
+    + """,
+qual AS (SELECT id, len(string_split_regex(text, '\\s+')) AS n_tokens FROM corpus)
+SELECT id, component, n_tokens,
+       (row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, id) = 1)
+         AS is_survivor,
+       count(*) OVER (PARTITION BY component) AS n_members
+FROM comp JOIN qual USING (id)
+""",
 )
-SELECT u AS id, min(lbl) AS component, (min(lbl) = u) AS is_survivor
-FROM reach GROUP BY u
+def q29_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's KEEP decision end-to-end: near-dup clusters
+    (q37's pair set) + quality-aware survivor election — keep the highest-
+    token-count member per cluster, ties to the smallest id.  Unlike q37's
+    min-id survivor this is the policy real pipelines run ("keep the
+    longest copy"): here the mutant copies (last 5 words dropped) always
+    lose to their originals, which the oracle verifies per cluster.
+
+    Runs :func:`connected_components` with ``method="star"`` — the
+    large-star/small-star O(log n) contraction — so the adversarial-chain
+    variant sits under the driver's hash gate too (the min-propagation
+    default is gated by q37; both must produce identical labels).  The
+    election is two window functions over ONE (component) shuffle."""
+    from briefly_spark.operators.dedup import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
+    comp = connected_components(
+        corpus.select("id"), pairs.select("id_a", "id_b"), method="star"
+    )
+    qual = corpus.select("id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"))
+    w = Window.partitionBy("component")
+    elect = w.orderBy(F.desc("n_tokens"), F.asc("id"))
+    return (
+        comp.join(qual, "id")
+        .select(
+            "id",
+            "component",
+            "n_tokens",
+            (F.row_number().over(elect) == 1).alias("is_survivor"),
+            F.count(F.lit(1)).over(w).alias("n_members"),
+        )
+    )
+
+
+@register(
+    "q37_dup_clusters",
+    covers=("P5",),
+    oracle=_q37_oracle_prefix()
+    + """
+SELECT id, component, (component = id) AS is_survivor FROM comp
 """,
 )
 def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,120 @@
+"""Lexical-retrieval pack — TF-IDF term weighting and BM25 ranked search
+over the ``documents`` table (operators/search.py).
+
+Covers the retrieval shapes the reference reaches for implicitly (fallback
+related-content fill, fact-check search sub-queries —
+get_relevant_articles.py:101-139, summarize_validate.py) as first-class
+set-oriented operators: corpus-wide inverted index, no per-query loops.
+
+Oracle determinism: every ln-derived score is fixed-pointed per term
+BEFORE aggregation (ln differs from DuckDB by 1 ulp on ~3% of inputs —
+measured; integer sums are order- and engine-independent), and emitted
+values are integers or exact rescalings.  See operators/search.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table, spread
+from briefly_spark.operators.search import bm25_topk, term_postings, tfidf_topterms
+from briefly_spark.queries import register
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+"""
+
+
+# --------------------------------------------------------------------------
+# q46 — TF-IDF top terms per document.
+# --------------------------------------------------------------------------
+@register(
+    "q46_tfidf_topterms",
+    covers=("A3", "W4"),
+    oracle=f"""
+WITH {_TOKS_SQL},
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         floor(p.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df) * 10000) AS score_fp
+  FROM postings p JOIN dfreq d USING (term), stats s
+)
+SELECT doc_id, term, tf, df, rank, score_fp / 10000.0 AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
+)
+def q46_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the standard document-keyword
+    profile (topic tagging, dedup-cluster naming, quality probes).  Plan:
+    ONE postings shuffle, df and the N/avgdl stats row broadcast back onto
+    it, per-doc ranking window.  The per-term score is fixed-pointed so
+    the emitted value is exact in both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return tfidf_topterms(docs, "doc_id", "text", k=5)
+
+
+# --------------------------------------------------------------------------
+# q47 — BM25 more-like-this retrieval from seed documents.
+# --------------------------------------------------------------------------
+@register(
+    "q47_bm25_search",
+    covers=("J4", "W1"),
+    oracle=f"""
+WITH {_TOKS_SQL},
+qterms AS (
+  SELECT qid, term FROM (
+    SELECT doc_id AS qid, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
+    FROM postings WHERE doc_id % 100 = 0
+  ) WHERE rk <= 3
+),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+               * 10000) AS score_fp
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc_id = p.doc_id, stats s
+  WHERE q.qid <> p.doc_id
+),
+agg AS (
+  SELECT qid, doc_id, sum(score_fp) AS sum_fp, count(*) AS n_terms_matched
+  FROM scored GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank, n_terms_matched, sum_fp / 10000.0 AS bm25
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sum_fp DESC, doc_id) AS rank
+      FROM agg)
+WHERE rank <= 5
+""",
+)
+def q47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this: every doc_id % 100 == 0 seeds a query from its
+    own top-3 tf terms; retrieval is the inverted-index equi-join on term
+    (cost O(matching postings), never O(|Q|·|docs|)), per-(query, doc)
+    integer score sum, top-5 per query.  k1 = 1.2, b = 0.75.  The lexical
+    twin of q41's related-articles — the fallback path when no embedding
+    exists yet."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    postings = term_postings(docs, "doc_id", "text")
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    qterms = (
+        postings.filter(F.col("doc_id") % 100 == 0)
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("doc_id").alias("qid"), "term")
+    )
+    return bm25_topk(docs, qterms, "doc_id", "text", k=5)

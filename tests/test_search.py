@@ -1,0 +1,106 @@
+"""Unit tests for the lexical retrieval operators (TF-IDF, BM25) — edge
+semantics the oracle queries don't isolate: ubiquitous terms (idf = 0),
+empty documents, self-exclusion, deterministic tie-breaks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from briefly_spark.operators.search import bm25_topk, term_postings, tfidf_topterms
+
+
+def test_term_postings_counts_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b b"), (3, "   "), (4, "A a")],
+        ["id", "text"],
+    )
+    got = {
+        (r.doc_id, r.term): r.tf for r in term_postings(docs, "id", "text").collect()
+    }
+    # lowercased, whitespace-only doc contributes nothing
+    assert got == {(1, "a"): 2, (1, "b"): 1, (1, "c"): 1, (2, "b"): 3, (4, "a"): 2}
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    # "x" appears in every doc -> idf = ln(1) = 0 exactly -> tfidf 0.0
+    docs = spark.createDataFrame(
+        [(1, "x x rare"), (2, "x common"), (3, "x common")], ["id", "text"]
+    )
+    rows = tfidf_topterms(docs, "id", "text", k=5).collect()
+    by_doc_term = {(r.doc_id, r.term): r for r in rows}
+    assert by_doc_term[(1, "x")].tfidf == 0.0
+    # rare (df=1, tf=1): ln(3/1) ~ 1.0986 -> floor to 4 decimals
+    assert by_doc_term[(1, "rare")].tfidf == math.floor(math.log(3.0) * 10000) / 10000.0
+    # doc 1 ranking: rare (positive) above the zero-score terms; zero-score
+    # ties break alphabetically (x before... only x at 0 besides rare)
+    d1 = sorted((r.rank, r.term) for r in rows if r.doc_id == 1)
+    assert d1[0] == (1, "rare")
+
+
+def test_bm25_excludes_self_and_ranks_matches_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (100, "spark shuffle join"),
+            (1, "spark shuffle join window"),
+            (2, "spark unrelated words here"),
+            (3, "nothing in common at all"),
+        ],
+        ["id", "text"],
+    )
+    postings = term_postings(docs, "id", "text")
+    qterms = postings.filter(F.col("doc_id") == 100).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    rows = bm25_topk(docs, qterms, "id", "text", k=5).collect()
+    assert all(r.doc_id != 100 for r in rows)  # seed never retrieved
+    ranked = sorted(rows, key=lambda r: r.rank)
+    # doc 1 matches all 3 query terms, doc 2 only one, doc 3 none
+    assert ranked[0].doc_id == 1 and ranked[0].n_terms_matched == 3
+    assert ranked[1].doc_id == 2 and ranked[1].n_terms_matched == 1
+    assert {r.doc_id for r in rows} == {1, 2}
+
+
+def test_bm25_integer_fixed_point_sum_is_deterministic(spark):
+    # same data, two different partitionings -> identical scores (the
+    # fixed-point integer sum is order-independent by construction)
+    rows = [(i, f"t{i % 3} t{i % 5} shared") for i in range(40)] + [(99, "shared t0")]
+    docs1 = spark.createDataFrame(rows, ["id", "text"]).repartition(1)
+    docs8 = spark.createDataFrame(rows, ["id", "text"]).repartition(8)
+    q = lambda d: term_postings(d, "id", "text").filter(  # noqa: E731
+        F.col("doc_id") == 99
+    ).select(F.col("doc_id").alias("qid"), "term")
+    r1 = {(r.qid, r.doc_id): r.bm25 for r in bm25_topk(docs1, q(docs1), "id", "text").collect()}
+    r8 = {(r.qid, r.doc_id): r.bm25 for r in bm25_topk(docs8, q(docs8), "id", "text").collect()}
+    assert r1 == r8 and r1
+
+
+def test_quantized_topk_matches_exact_on_separable_vectors(spark):
+    from briefly_spark.operators.similarity import quantized_topk, topk_cosine
+
+    # orthogonal-ish integer vectors: quantization is lossless up to scale
+    vecs = [
+        (i, [1.0 if j == i % 4 else 0.1 * ((i + j) % 3) for j in range(4)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(vecs, ["id", "v"])
+    queries = df.filter(F.col("id") < 4).select(F.col("id").alias("query_id"), "v")
+    corpus = df.select(F.col("id").alias("neighbor_id"), "v")
+    approx = quantized_topk(queries, corpus, k=3, rerank_factor=4)
+    exact = topk_cosine(queries, corpus, k=3)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in approx.collect()}
+    e = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in exact.collect()}
+    assert a == e
+
+
+def test_quantize_int8_zero_vector_and_range(spark):
+    from briefly_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.5, -1.0]), (3, [3.0, 2.9999])], ["id", "v"]
+    )
+    got = {r.id: r.q for r in df.select("id", quantize_int8(F.col("v")).alias("q")).collect()}
+    assert got[1] == [0.0, 0.0]
+    assert got[2] == [math.floor(0.5 / 1.0 * 127), -127.0]
+    assert got[3][0] == 127.0 and -127.0 <= got[3][1] <= 127.0
