@@ -48,20 +48,23 @@ def term_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def corpus_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(per-term df, one-row corpus stats) from a postings set.
-
-    ``df`` is distinct-doc count per term; the stats row carries the doc
-    count N and average document length — both derived from integer sums,
-    so they are exact and order-independent.  Both sides broadcast at any
-    scale (|vocab| rows and 1 row)."""
-    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
+def corpus_stats(docs: DataFrame, text_col: str) -> DataFrame:
+    """One-row corpus stats (N, avgdl) straight off the documents scan —
+    deliberately NOT derived from the postings branch: Spark has no
+    cross-branch common-subexpression reuse, so a postings-derived stats
+    row would re-scan and re-explode the whole corpus (verified: the
+    groupBy-based formulation planned 3 parquet scans for TF-IDF, 5 for
+    BM25).  This branch is map-only (tokenize + count, no explode, no
+    shuffle beyond the 1-row agg) and avgdl = exact-int-sum / count, so
+    it is order-independent.  N counts ALL docs, token-less ones
+    included."""
+    return docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        (
+            F.sum(F.size(tokens_of(F.col(text_col)))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
     )
-    return df, stats
 
 
 def tfidf_topterms(
@@ -69,12 +72,19 @@ def tfidf_topterms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document: tf · ln(N/df), fixed-pointed per
     term, ranked (score desc, term asc).  Returns (doc_id, term, tf, df,
-    rank, tfidf)."""
+    rank, tfidf).
+
+    Single-postings-branch plan: df is a COUNT window over the term
+    partition of the one postings frame (postings are unique per
+    (doc, term), so the window count IS the document frequency) — no
+    second scan+explode for a df aggregate, no join.  N comes from a
+    metadata-only count on the documents scan.  Two thin shuffles total
+    (by term, then by doc for the ranking window)."""
     postings = term_postings(docs, id_col, text_col)
-    df, stats = corpus_stats(postings)
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     scored = (
-        postings.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(stats))
+        postings.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(n_docs)
         .withColumn(
             "score_fp",
             F.floor(
@@ -118,11 +128,19 @@ def bm25_topk(
 
     Join discipline: queries meet the corpus ONLY through the term
     equi-join against the postings index — cost is O(matching postings),
-    never O(|Q|·|docs|).  df/avgdl broadcast; the (qid, doc) combine is
-    map-side partial."""
+    never O(|Q|·|docs|).  df and dl are window aggregates over the ONE
+    postings frame (dl over the doc partition first, df over the term
+    partition second — the frame ends hash-partitioned by term, and
+    postings are unique per (doc, term) so the term-window COUNT is the
+    document frequency); stats broadcast from a map-only documents pass
+    (see :func:`corpus_stats`).  No scan is repeated.  At warehouse scale,
+    persist the enriched postings bucketed by term (storage.py K6) and
+    this whole prefix disappears from the per-query cost."""
     postings = term_postings(docs, id_col, text_col)
-    df, stats = corpus_stats(postings)
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = corpus_stats(docs, text_col)
+    enriched = postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -130,12 +148,7 @@ def bm25_topk(
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    matched = (
-        queries.join(postings, "term")
-        .join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    matched = queries.join(enriched, "term").crossJoin(F.broadcast(stats))
     if exclude_self:
         matched = matched.filter(F.col("qid") != F.col("doc_id"))
     scored = matched.withColumn("score_fp", F.floor(idf * tf_part * RATIO_SCALE))

@@ -30,7 +30,12 @@ toks AS (
 postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
 dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
-stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')))
+              AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+)
 """
 
 
