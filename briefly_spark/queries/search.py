@@ -123,3 +123,53 @@ def q47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("qid"), "term")
     )
     return bm25_topk(docs, qterms, "doc_id", "text", k=5)
+
+
+# --------------------------------------------------------------------------
+# q48 — bigram-LM perplexity scoring (CCNet-style quality signal).
+# --------------------------------------------------------------------------
+@register(
+    "q48_lm_perplexity",
+    covers=("A3", "A4"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents
+),
+big AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM toks, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS t(u)
+),
+grouped AS (SELECT doc_id, w1, w2, count(*) AS n FROM big GROUP BY doc_id, w1, w2),
+c12 AS (SELECT *, sum(n) OVER (PARTITION BY w1, w2) AS c12 FROM grouped),
+uni AS (
+  SELECT term, count(*) AS c1, (SELECT count(DISTINCT term) FROM (
+           SELECT unnest(w) AS term FROM toks)) AS vocab
+  FROM (SELECT unnest(w) AS term FROM toks) GROUP BY term
+),
+scored AS (
+  -- CAST to BIGINT: DuckDB floor() keeps DOUBLE, and // on DOUBLE is
+  -- plain division — integer types are required for true int division
+  SELECT g.doc_id, g.n,
+         CAST(floor(ln((u.c1 + u.vocab) / (g.c12 + 1.0)) * 10000) AS BIGINT) AS nll_fp
+  FROM c12 g JOIN uni u ON u.term = g.w1
+)
+SELECT doc_id, sum(n) AS n_bigrams,
+       (sum(n * nll_fp) // sum(n)) / 10000.0 AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q48_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: add-one-smoothed bigram model
+    trained on the corpus, every document scored by average bigram
+    negative log-likelihood (perplexity = e^avg_nll) — the distributional
+    quality signal next to the rule-based rubrics (q52/q55): boilerplate,
+    gibberish and off-language docs sit far from the corpus model.  Two
+    scans, one broadcast of the vocab-sized unigram table, integer-exact
+    aggregation (operators/lm.py)."""
+    from briefly_spark.operators.lm import lm_doc_scores
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return lm_doc_scores(docs, "doc_id", "text")

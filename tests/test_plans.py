@@ -117,3 +117,36 @@ def test_new_curation_queries_broadcast_their_small_side(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q46_tfidf_single_postings_branch(spark, sf_dir):
+    # df is a window over the ONE postings frame; N is a metadata-only
+    # count — a regression to groupBy-per-stat re-scans and re-explodes
+    # the corpus per branch (how the first version planned: 3 scans)
+    plan = plan_of(spark, sf_dir, "q46_tfidf_topterms")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2, plan  # postings branch + count-only branch
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q47_bm25_no_pair_join_and_bounded_scans(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q47_bm25_search")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    # postings + map-only stats + the seed-query construction branch
+    assert len(scans) == 3, plan
+    # retrieval joins through the term equi-join only — never a doc×query
+    # cartesian / nested-loop pair join
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q45_quantized_candidate_join_carries_no_full_vectors(spark, sf_dir):
+    # the int8 candidate stage must not shuffle full-precision vectors;
+    # full vectors are re-attached to the thin candidate id set afterwards
+    plan = plan_of(spark, sf_dir, "q45_quantized_ann")
+    offenders = [
+        l
+        for l in shuffle_exchanges(plan)
+        if re.search(r"\bv#\d+", l) and "query_id" in l and "neighbor_id" in l
+    ]
+    assert not offenders, offenders

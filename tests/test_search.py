@@ -104,3 +104,38 @@ def test_quantize_int8_zero_vector_and_range(spark):
     assert got[1] == [0.0, 0.0]
     assert got[2] == [math.floor(0.5 / 1.0 * 127), -127.0]
     assert got[3][0] == 127.0 and -127.0 <= got[3][1] <= 127.0
+
+
+def test_lm_doc_scores_hand_computed(spark):
+    import math
+
+    from briefly_spark.operators.lm import lm_doc_scores
+
+    # corpus: vocab {a, b}, V=2; unigrams a:4 (incl. doc3's lone token) b:2
+    # doc1 bigrams: (a,b), (b,a); doc2: (a,b); doc3: single token -> no row
+    docs = spark.createDataFrame([(1, "a b a"), (2, "a b"), (3, "a")], ["id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in lm_doc_scores(docs, "id", "text").collect()}
+    nll_ab = math.floor(math.log((4 + 2) / (2 + 1.0)) * 10000)  # c12(a,b)=2
+    nll_ba = math.floor(math.log((2 + 2) / (1 + 1.0)) * 10000)  # c12(b,a)=1
+    assert set(got) == {1, 2}
+    assert got[1] == (2, ((nll_ab + nll_ba) // 2) / 10000.0)
+    assert got[2] == (1, nll_ab / 10000.0)
+
+
+def test_lm_scores_rank_outlier_doc_highest(spark):
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.lm import lm_doc_scores
+
+    # ten similar docs + one outlier built from tokens no other doc uses:
+    # every outlier bigram is unseen (count 1), so its avg NLL is the max
+    rows = [(i, "spark table join shuffle agg window scan") for i in range(10)]
+    rows.append((99, "zq xv qj wk vn mz yq"))
+    docs = spark.createDataFrame(rows, ["id", "text"])
+    top = (
+        lm_doc_scores(docs, "id", "text")
+        .orderBy(F.desc("avg_nll"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert top.doc_id == 99
