@@ -370,6 +370,42 @@ def quantized_topk(
     )
 
 
+def contrastive_pairs(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    *,
+    neg_lo: int = 6,
+    neg_hi: int = 10,
+) -> DataFrame:
+    """Training-pair mining for embedding models: for every anchor, the
+    positive is its nearest neighbor (rank 1) and the hard negatives are
+    the mid-ranked neighbors (ranks ``neg_lo``..``neg_hi``) — close enough
+    to be informative, far enough to be wrong (the standard in-batch
+    hard-negative recipe).  Returns one row per (anchor, negative):
+    (anchor_id, pos_id, neg_id, pos_sim, neg_sim, margin).
+
+    ONE ranking pass: a single top-``neg_hi`` ranking per anchor feeds
+    both roles via a conditional aggregation (max over the rank-1 struct)
+    joined back — no second scoring stage.  At 100 TB swap
+    :func:`topk_cosine` for an approximate tier (:func:`lsh_topk` /
+    :func:`quantized_topk`) — the pair-selection window is unchanged."""
+    ranked = topk_cosine(anchors, corpus, k=neg_hi)
+    w = Window.partitionBy("query_id")
+    pos = F.max(F.when(F.col("rank") == 1, F.struct("sim", "neighbor_id"))).over(w)
+    return (
+        ranked.withColumn("pos", pos)
+        .filter((F.col("rank") >= neg_lo) & (F.col("rank") <= neg_hi))
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("pos.neighbor_id").alias("pos_id"),
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("pos.sim").alias("pos_sim"),
+            F.col("sim").alias("neg_sim"),
+            (F.col("pos.sim") - F.col("sim")).alias("margin"),
+        )
+    )
+
+
 def ann_recall_audit(
     approx: DataFrame, exact: DataFrame, queries: DataFrame, *, k: int, floor: float
 ) -> DataFrame:

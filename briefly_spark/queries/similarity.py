@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.similarity import (
     ann_recall_audit,
+    contrastive_pairs,
     ivf_topk,
     lsh_topk,
     quantized_topk,
@@ -208,6 +209,49 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(queries, corpus, k=5, n_cells=16, n_probe=4)
     exact = topk_cosine(queries, corpus, k=5)
     return ann_recall_audit(approx, exact, queries, k=5, floor=0.30)
+
+
+# --------------------------------------------------------------------------
+# q49 — contrastive training-pair mining (anchor, positive, hard negatives).
+# --------------------------------------------------------------------------
+@register(
+    "q49_contrastive_pairs",
+    covers=("J4", "W5"),
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+q AS (SELECT * FROM emb WHERE id % 20 = 0),
+pairs AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id, {_cos_sql('q.v', 'c.v')} AS cos
+  FROM q JOIN emb c ON q.id <> c.id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+),
+pos AS (
+  SELECT query_id, neighbor_id AS pos_id, floor(cos * 10000) / 10000.0 AS pos_sim
+  FROM ranked WHERE rank = 1
+)
+SELECT r.query_id AS anchor_id, p.pos_id, r.neighbor_id AS neg_id, p.pos_sim,
+       floor(r.cos * 10000) / 10000.0 AS neg_sim,
+       p.pos_sim - floor(r.cos * 10000) / 10000.0 AS margin
+FROM ranked r JOIN pos p USING (query_id)
+WHERE r.rank BETWEEN 6 AND 10
+""",
+)
+def q49_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: every 20th vector
+    anchors a (positive = rank-1 neighbor, hard negatives = ranks 6–10)
+    pair set with similarity margins — the data a contrastive fine-tune
+    actually consumes.  One ranking pass feeds both roles
+    (:func:`contrastive_pairs`); at 100 TB the exact ranking swaps for an
+    approximate tier with the same pair-selection window."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("id") % 20 == 0).select(F.col("id").alias("query_id"), "v")
+    corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
+    return contrastive_pairs(anchors, corpus, neg_lo=6, neg_hi=10)
 
 
 # --------------------------------------------------------------------------

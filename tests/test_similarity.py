@@ -154,3 +154,24 @@ def test_related_topk_null_topic_rows_fall_to_tier1(spark):
     out = related_topk(queries, corpus, scores, k_candidates=2, k_final=2)
     got = {(r.query_id, r.neighbor_id) for r in out.collect()}
     assert got == {(1, 2), (1, 3)}
+
+
+def test_contrastive_pairs_margin_and_roles(spark):
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.similarity import contrastive_pairs, topk_cosine
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11), float((i * 5 + j) % 7), 1.0]) for i in range(30) for j in [0]]
+    df = spark.createDataFrame(vecs, ["id", "v"])
+    anchors = df.filter(F.col("id") % 10 == 0).select(F.col("id").alias("query_id"), "v")
+    corpus = df.select(F.col("id").alias("neighbor_id"), "v")
+    got = contrastive_pairs(anchors, corpus, neg_lo=3, neg_hi=5).collect()
+    # 3 anchors x ranks 3..5 = 9 rows
+    assert len(got) == 9
+    # the positive is the true rank-1 neighbor, margins are non-negative,
+    # and the negative is never the positive
+    exact = {r.query_id: r.neighbor_id for r in topk_cosine(anchors, corpus, k=1).collect()}
+    for r in got:
+        assert r.pos_id == exact[r.anchor_id]
+        assert r.margin >= 0
+        assert r.neg_id != r.pos_id
