@@ -24,6 +24,7 @@ from briefly_spark.streaming.incremental import (  # noqa: F401
     available_now_to_memory,
     merge_stream,
     read_parquet_stream,
+    session_counts,
     windowed_counts,
 )
 from briefly_spark.streaming.stateful import stateful_dedup  # noqa: F401

@@ -72,6 +72,34 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked SESSION windows — the streaming twin of q72 (identical
+    ``session_window`` expression and fixed-point aggregation; only the
+    watermark is stream-specific).  Session state merges as events arrive
+    (adjacent sessions within ``gap`` coalesce); a session is finalized and
+    emitted (append mode) once the watermark passes its end, then its
+    state is evicted — state size is O(open sessions), independent of
+    stream length."""
+    sw = F.session_window("ts", gap)
+    grouped = events.withWatermark("ts", watermark).groupBy(sw, *(by or []))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 100)) / 100.0).alias("total_value"),
+    ).select(
+        *(by or []),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 def available_now_to_memory(
     sdf: DataFrame, *, query_name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:

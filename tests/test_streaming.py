@@ -165,3 +165,68 @@ def test_watermark_finalizes_and_evicts_state(spark, tmp_path):
     assert all(r["win_start"].hour != 12 for r in got)
     # finalized window state was evicted: only the open window remains
     assert q.lastProgress["stateOperators"][0]["numRowsTotal"] == 1
+
+
+def test_stream_session_windows_match_batch_up_to_watermark(spark, sf_dir, tmp_path):
+    """Streaming session windows (q72's twin): sessions finalized by the
+    final committed watermark must agree EXACTLY with the batch sessions;
+    later sessions are still open state, not wrong answers.  Multi-batch
+    run (maxFilesPerTrigger) so the watermark actually advances between
+    micro-batches."""
+    import datetime as dt
+    import os
+    import time
+
+    from briefly_spark.streaming import session_counts
+
+    # Files must be roughly time-ordered (how ingest actually lands data):
+    # arbitrary event-time disorder across micro-batches would exceed any
+    # finite watermark and legitimately fragment sessions.  Slice events
+    # into 4 time quartiles, one file each, mtime-ordered (the file source
+    # orders batches by modification time).
+    src = tmp_path / "events_sessions"
+    src.mkdir()
+    batch = load_table(spark, sf_dir, "events")
+    mn, mx = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [mn + (mx - mn) * i / 4 for i in range(5)]
+    bounds = list(zip(cuts, cuts[1:]))
+    for i, (a, b) in enumerate(bounds):
+        part = batch.filter(
+            (F.col("ts") >= a) & ((F.col("ts") <= b) if i == 3 else (F.col("ts") < b))
+        )
+        part.coalesce(1).write.parquet(str(src / f"slice{i}"))
+        t = time.time() - 60 + i
+        for root, _, files in os.walk(src / f"slice{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    sdf = read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1)
+    name = "sess_stream"
+    q = (
+        session_counts(sdf, gap="30 minutes", watermark="1 hour", by=["user_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert len(q.recentProgress) >= 2  # watermark advanced across batches
+
+    wm = dt.datetime.fromisoformat(
+        q.lastProgress["eventTime"]["watermark"].replace("Z", "+00:00")
+    ).replace(tzinfo=None)
+    expected_all = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in session_counts(batch, gap="30 minutes", watermark="1 hour", by=["user_id"]).collect()
+    }
+    expected = {k: v for k, v in expected_all.items() if k[2] <= wm}
+    # the finalized prefix agrees exactly and is substantial
+    assert got == expected
+    assert len(got) > 100
+    # only still-open sessions were withheld
+    assert all(k[2] > wm for k in expected_all.keys() - got.keys())
