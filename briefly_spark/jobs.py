@@ -105,11 +105,20 @@ def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
 # ---------------------------------------------------------------------------
 # summarize + fact-check (§3.2)
 # ---------------------------------------------------------------------------
+def _work_barrier(work: DataFrame) -> DataFrame:
+    """Repartition a bounded work-list before its heavy transform: (a) a
+    HOF lambda capturing a projected column would otherwise defeat the
+    TakeOrderedAndProject limit and degrade to a global Sort (plan-probed
+    on q62), and (b) the batch's per-row model/transform work spreads
+    across the cluster instead of running in the limit's partition."""
+    return work.repartition(work.sparkSession.sparkContext.defaultParallelism)
+
+
 def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
     """Work-list P2 (no summary) → M5/M6 stubs → single K3 merge of
     {summary, summary_status, validation_score}."""
     articles = wh.read(ARTICLES)
-    work = (
+    work = _work_barrier(
         articles.filter(F.col("summary_status").isNull())
         .orderBy(F.desc("n_chars"), F.asc("url"))
         .limit(batch_size)
@@ -139,7 +148,7 @@ def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResu
     sweep (T3) — the dead-letter pattern replacing zero-vector placeholders
     (SURVEY §7.2)."""
     articles = wh.read(ARTICLES)
-    work = (
+    work = _work_barrier(
         articles.filter(
             F.col("summary_status").isNotNull() & F.col("embedding_status").isNull()
         )
@@ -197,7 +206,9 @@ def relate_batch(
     # extra job over the articles scan entirely
     if min_eligible and eligible.count() < min_eligible:
         return JobResult("relate", 0)
-    work = eligible.orderBy(F.desc("n_chars"), F.asc("url")).limit(batch_size)
+    work = _work_barrier(
+        eligible.orderBy(F.desc("n_chars"), F.asc("url")).limit(batch_size)
+    )
 
     emb = wh.read(EMBEDDINGS)
     queries = work.select("url").join(emb, "url").select(

@@ -189,6 +189,13 @@ def q62_summarize_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 != 0)
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(200)
+        # barrier between the bounded selection and the HOF projection: a
+        # transform lambda capturing a projected column defeats the
+        # TakeOrderedAndProject pattern and degrades the limit to a GLOBAL
+        # Sort + CollectLimit (plan-probed; tools/plan_lint.py catches it).
+        # The narrow shuffle of 200 rows also spreads the heavy per-row
+        # summarization across the cluster instead of the limit's partition.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     words = tokens(F.col("text"))
     staged = wl.select("doc_id", "text", words.alias("words"))
