@@ -72,7 +72,9 @@ def unigram_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lm_doc_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lm_doc_scores(
+    docs: DataFrame, id_col: str, text_col: str, *, c12_mode: str = "window"
+) -> DataFrame:
     """Average bigram negative log-likelihood per document (self-scored on
     the training corpus, the leave-in CCNet setup).  Returns (doc_id,
     n_bigrams, avg_nll) for every doc with ≥ 1 bigram; perplexity is
@@ -81,9 +83,25 @@ def lm_doc_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     avg_nll = (Σ n·floor(ln((c1+V)/(c12+1))·10⁴)) div Σn / 10⁴ — integer
     weighted sum, integer division: every aggregation step is exact and
-    order-independent."""
+    order-independent.
+
+    ``c12_mode`` picks the global-bigram-count strategy (identical output,
+    unit-asserted):
+    - ``"window"`` (default, gate scale): SUM over the (w1, w2) partition
+      of the one bigram frame — no extra scan, but a boilerplate bigram
+      present in every doc makes that window partition hot, and windows
+      cannot be skew-split.
+    - ``"join"`` (100 TB): partial-agg the counts and equi-join them back
+      — one more scan of the bigram lineage, but the join is
+      AQE-skew-splittable, so a hot bigram spreads across tasks."""
+    if c12_mode not in ("window", "join"):
+        raise ValueError(f"c12_mode must be 'window' or 'join', got {c12_mode!r}")
     big = doc_bigrams(docs, id_col, text_col)
-    c12 = big.withColumn("c12", F.sum("n").over(Window.partitionBy("w1", "w2")))
+    if c12_mode == "join":
+        counts = big.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+        c12 = big.join(counts, ["w1", "w2"])
+    else:
+        c12 = big.withColumn("c12", F.sum("n").over(Window.partitionBy("w1", "w2")))
     uni = unigram_counts(docs, id_col, text_col)
     scored = c12.join(
         F.broadcast(uni.select(F.col("term").alias("w1"), "c1", "vocab")), "w1"

@@ -139,3 +139,20 @@ def test_lm_scores_rank_outlier_doc_highest(spark):
         .collect()[0]
     )
     assert top.doc_id == 99
+
+
+def test_lm_c12_modes_identical(spark):
+    import pytest
+
+    from briefly_spark.operators.lm import lm_doc_scores
+
+    rows = [(i, f"w{i % 4} shared w{(i + 1) % 4} shared tail{i % 2}") for i in range(25)]
+    docs = spark.createDataFrame(rows, ["id", "text"])
+    w = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in lm_doc_scores(docs, "id", "text").collect()}
+    j = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in lm_doc_scores(docs, "id", "text", c12_mode="join").collect()
+    }
+    assert w == j and len(w) == 25
+    with pytest.raises(ValueError, match="c12_mode"):
+        lm_doc_scores(docs, "id", "text", c12_mode="bogus")
