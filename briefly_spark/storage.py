@@ -72,14 +72,82 @@ class Warehouse:
         update row, new keys are inserted (mongo upsert semantics,
         mongo_io_manager.py:85-89).  Idempotent: re-merging the same batch
         is a no-op.  Plan: target ⟕(left_anti) updates ∪ updates — one join,
-        with the batch side broadcast when small."""
+        with the batch side broadcast when small.
+
+        With ``partition_by``, the merge is PARTITION-SCOPED: only the
+        partitions present in the update batch are read, rewritten, and
+        swapped — the untouched rest of a 100 TB table is never touched
+        (this is what makes a keyed merge viable at scale on plain
+        parquet; a transactional format's ``MERGE INTO`` is the drop-in
+        upgrade).  Contract: the key must be partition-stable (a key never
+        moves between partition values — e.g. url → ingest date); a key
+        that migrated would leave its old copy alive in an untouched
+        partition."""
         if not self.exists(table):
             self.overwrite(updates, table, partition_by=partition_by)
+            return
+        if partition_by:
+            self._merge_upsert_partitioned(updates, table, key, partition_by)
             return
         target = self.read(table)
         kept = target.join(F.broadcast(updates.select(*key)), key, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=True)
         self.overwrite(merged, table, partition_by=partition_by)
+
+    def _merge_upsert_partitioned(
+        self, updates: DataFrame, table: str, key: list[str], partition_by: list[str]
+    ) -> None:
+        """Partition-scoped merge: build the merged slice for the affected
+        partitions aside (no read-while-overwrite on the live table), then
+        atomically swap ONLY those partition directories.
+
+        The affected-partition list is a driver collect of the update
+        batch's distinct partition tuples — bounded by the batch, not the
+        table (a work batch touches a handful of partitions).  The kept
+        scan filters on those values, so partition pruning limits the read
+        to the same handful of directories."""
+        target = self.read(table)
+        parts = updates.select(*partition_by).distinct().collect()
+        if not parts:
+            return
+        cond = None
+        for row in parts:
+            c = None
+            for col in partition_by:
+                eq = F.col(col).eqNullSafe(F.lit(row[col]))
+                c = eq if c is None else (c & eq)
+            cond = c if cond is None else (cond | c)
+        kept = target.filter(cond).join(
+            F.broadcast(updates.select(*key)), key, "left_anti"
+        )
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        aside = self.path(f".{table}.merge-{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(aside)
+        final = self.path(table)
+        try:
+            for rel in self._partition_dirs(aside, len(partition_by)):
+                dst = os.path.join(final, rel)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(aside, rel), dst)
+        finally:
+            shutil.rmtree(aside, ignore_errors=True)
+
+    @staticmethod
+    def _partition_dirs(root: str, depth: int) -> list[str]:
+        """Relative ``col=value[/col=value...]`` leaf partition paths under
+        ``root`` at exactly ``depth`` levels (Spark's hive-style layout)."""
+        rels = [""]
+        for _ in range(depth):
+            nxt = []
+            for rel in rels:
+                base = os.path.join(root, rel) if rel else root
+                for d in os.listdir(base):
+                    if "=" in d and os.path.isdir(os.path.join(base, d)):
+                        nxt.append(os.path.join(rel, d) if rel else d)
+            rels = nxt
+        return rels
 
     # -- K3: field-level update ($set of derived columns) ---------------------
     def merge_update(
@@ -124,7 +192,12 @@ class Warehouse:
         with NO exchange on either side, so the recurring big joins
         (articles ⋈ embeddings ⋈ related) pay their shuffle once at write
         time instead of per query.  Bucket pruning also serves point
-        lookups (S6): an equality predicate on the key scans one bucket.
+        lookups (S6): an equality predicate on the key scans one bucket —
+        but ONLY while the scan is actually bucketed: the
+        ``spark.sql.sources.bucketing.autoBucketedScan.enabled`` heuristic
+        silently demotes bucketed scans (and their pruning) when no
+        join/agg would benefit, so pin it ``false`` for lookup workloads
+        (plan-verified in tests/test_storage_jobs.py).
 
         Requires a catalog table (bucket metadata lives in the metastore),
         so this writes through ``saveAsTable`` with an explicit path under

@@ -39,6 +39,64 @@ def test_merge_upsert_insert_and_replace(spark, tmp_path):
     assert {r["id"]: r["v"] for r in wh.read("t").collect()} == got
 
 
+def test_merge_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-scoped merge (the 100 TB K1 path): a batch touching one
+    partition must leave every other partition's FILES byte-identical
+    (never read, never rewritten), while merge semantics inside the
+    touched partition are the usual replace+insert."""
+    import hashlib
+    import os
+
+    wh = _wh(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "id long, day string, v string",
+    )
+    wh.merge_upsert(base, "t", ["id"], partition_by=["day"])
+
+    def fingerprint(day):
+        out = {}
+        root = os.path.join(wh.path("t"), f"day={day}")
+        for r, _, files in os.walk(root):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(r, f)
+                out[os.path.relpath(p, root)] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    d1_before, d2_before = fingerprint("d1"), fingerprint("d2")
+    updates = spark.createDataFrame(
+        [(4, "d3", "D"), (5, "d3", "e")], "id long, day string, v string"
+    )
+    wh.merge_upsert(updates, "t", ["id"], partition_by=["day"])
+    got = {r["id"]: (r["day"], r["v"]) for r in wh.read("t").collect()}
+    assert got == {
+        1: ("d1", "a"), 2: ("d1", "b"), 3: ("d2", "c"), 4: ("d3", "D"), 5: ("d3", "e"),
+    }
+    # untouched partitions byte-identical
+    assert fingerprint("d1") == d1_before and fingerprint("d2") == d2_before
+    # idempotent re-merge: still correct, untouched partitions still intact
+    wh.merge_upsert(updates, "t", ["id"], partition_by=["day"])
+    assert {r["id"]: (r["day"], r["v"]) for r in wh.read("t").collect()} == got
+    assert fingerprint("d1") == d1_before
+
+
+def test_merge_upsert_partitioned_multi_level(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "d1", "x", 1.0), (2, "d1", "y", 2.0), (3, "d2", "x", 3.0)],
+        "id long, day string, grp string, v double",
+    )
+    wh.merge_upsert(base, "t2", ["id"], partition_by=["day", "grp"])
+    updates = spark.createDataFrame(
+        [(2, "d1", "y", 20.0)], "id long, day string, grp string, v double"
+    )
+    wh.merge_upsert(updates, "t2", ["id"], partition_by=["day", "grp"])
+    got = {r["id"]: r["v"] for r in wh.read("t2").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
 def test_merge_update_only_touches_set_cols(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, v string, score long")
@@ -158,6 +216,34 @@ def test_relate_threshold_gate(spark, sf_dir, tmp_path):
     embed_batch(wh, 100)
     assert relate_batch(wh, min_eligible=50).processed == 0  # T5 gate holds
     assert relate_batch(wh, min_eligible=0).processed > 0
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark, sf_dir, tmp_path):
+    """S6's 100 TB shape: an equality predicate on the bucket key of a
+    K6-bucketed table scans ONE bucket, not the table (the storage.py
+    docstring's bucket-pruning claim, plan-verified)."""
+    import re
+
+    wh = Warehouse(spark, str(tmp_path / "wh_lookup"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    wh.write_bucketed(orders, "orders_pt", ["o_orderkey"], buckets=8)
+    try:
+        # the auto-bucketed-scan heuristic DISABLES bucketed reads (and with
+        # them bucket pruning) when no join/agg would benefit — point-lookup
+        # workloads must pin it off (storage.py write_bucketed docstring)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        some_key = orders.limit(1).collect()[0]["o_orderkey"]
+        lookup = wh.read_catalog("orders_pt").filter(F.col("o_orderkey") == some_key)
+        plan = lookup._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert (int(m.group(1)), int(m.group(2))) == (1, 8)
+        assert lookup.count() >= 1
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS orders_pt")
 
 
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
