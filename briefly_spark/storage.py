@@ -107,9 +107,21 @@ class Warehouse:
         scan filters on those values, so partition pruning limits the read
         to the same handful of directories."""
         target = self.read(table)
-        parts = updates.select(*partition_by).distinct().collect()
-        if not parts:
+        cond = self._partition_filter(updates, partition_by)
+        if cond is None:
             return
+        kept = target.filter(cond).join(
+            F.broadcast(updates.select(*key)), key, "left_anti"
+        )
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        self._swap_partitions(merged, table, partition_by)
+
+    def _partition_filter(self, batch: DataFrame, partition_by: list[str]):
+        """OR-of-ANDs predicate selecting exactly the partitions present in
+        ``batch`` (driver collect of the batch's distinct partition tuples —
+        bounded by the batch, not the table), or None for an empty batch.
+        Partition pruning turns it into a directory listing."""
+        parts = batch.select(*partition_by).distinct().collect()
         cond = None
         for row in parts:
             c = None
@@ -117,12 +129,15 @@ class Warehouse:
                 eq = F.col(col).eqNullSafe(F.lit(row[col]))
                 c = eq if c is None else (c & eq)
             cond = c if cond is None else (cond | c)
-        kept = target.filter(cond).join(
-            F.broadcast(updates.select(*key)), key, "left_anti"
-        )
-        merged = kept.unionByName(updates, allowMissingColumns=True)
+        return cond
+
+    def _swap_partitions(
+        self, slice_df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Write a partitioned slice aside (no read-while-overwrite on the
+        live table) and atomically swap only its partition directories in."""
         aside = self.path(f".{table}.merge-{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(aside)
+        slice_df.write.mode("overwrite").partitionBy(*partition_by).parquet(aside)
         final = self.path(table)
         try:
             for rel in self._partition_dirs(aside, len(partition_by)):
@@ -164,8 +179,25 @@ class Warehouse:
         delta rows without a target match are dropped (the reference's
         ``$set`` never inserts).  This is each pipeline stage's write-back
         (summary/validation_score, embedding_status, audio ids,
-        related_ids — SURVEY §2.2 K3)."""
+        related_ids — SURVEY §2.2 K3).
+
+        With ``partition_by`` the update is PARTITION-SCOPED like
+        :meth:`merge_upsert`: the delta must carry the partition columns
+        (a work batch read from the same table always does), and only the
+        partitions its rows live in are read, rewritten and swapped."""
+        if partition_by:
+            missing = [c for c in partition_by if c not in delta.columns]
+            if missing:
+                raise ValueError(
+                    f"partition-scoped merge_update needs partition cols "
+                    f"{missing} in the delta"
+                )
         target = self.read(table)
+        if partition_by:
+            cond = self._partition_filter(delta, partition_by)
+            if cond is None:
+                return
+            target = target.filter(cond)
         d = delta.select(*key, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
         joined = target.join(F.broadcast(d), key, "left")
         out_cols = []
@@ -174,7 +206,11 @@ class Warehouse:
                 out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
             else:
                 out_cols.append(F.col(c))
-        self.overwrite(joined.select(*out_cols), table, partition_by=partition_by)
+        updated = joined.select(*out_cols)
+        if partition_by:
+            self._swap_partitions(updated, table, partition_by)
+        else:
+            self.overwrite(updated, table, partition_by=partition_by)
 
     # -- K6: bucketed layout (co-located joins, shuffle-free at read time) ----
     def write_bucketed(

@@ -97,6 +97,43 @@ def test_merge_upsert_partitioned_multi_level(spark, tmp_path):
     assert got == {1: 1.0, 2: 20.0, 3: 3.0}
 
 
+def test_merge_update_partitioned_scopes_to_delta_partitions(spark, tmp_path):
+    import hashlib
+    import os
+
+    import pytest
+
+    wh = _wh(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "d1", "a", 1.0), (2, "d2", "b", 2.0), (3, "d3", "c", 3.0)],
+        "id long, day string, v string, score double",
+    )
+    wh.overwrite(base, "t3", partition_by=["day"])
+
+    def fingerprint(day):
+        out = {}
+        root = os.path.join(wh.path("t3"), f"day={day}")
+        for r, _, files in os.walk(root):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, root)] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    d1_before = fingerprint("d1")
+    delta = spark.createDataFrame([(3, "d3", "C")], "id long, day string, v string")
+    wh.merge_update(delta, "t3", ["id"], ["v"], partition_by=["day"])
+    got = {r["id"]: (r["v"], r["score"]) for r in wh.read("t3").collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("C", 3.0)}
+    assert fingerprint("d1") == d1_before  # untouched partition byte-identical
+    # delta missing the partition column is rejected loudly
+    with pytest.raises(ValueError, match="partition cols"):
+        wh.merge_update(
+            spark.createDataFrame([(3, "x")], "id long, v string"),
+            "t3", ["id"], ["v"], partition_by=["day"],
+        )
+
+
 def test_merge_update_only_touches_set_cols(spark, tmp_path):
     wh = _wh(spark, tmp_path)
     base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, v string, score long")
