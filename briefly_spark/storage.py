@@ -253,6 +253,32 @@ class Warehouse:
         is only honored via the catalog, not a bare parquet path scan."""
         return self.spark.table(table)
 
+    # -- training-shard export (dataset delivery) ------------------------------
+    def write_training_shards(
+        self,
+        df: DataFrame,
+        table: str,
+        *,
+        rows_per_shard: int,
+    ) -> int:
+        """Materialize a training dataset as uniformly-sized parquet shards
+        — the delivery step after curation/packing (X38–X40): data-loader
+        work units want even shards, not whatever file sizes the last
+        shuffle produced.  One count job sizes the layout, a round-robin
+        repartition evens the rows, and ``maxRecordsPerFile`` caps any
+        shard the writer splits.  Returns the shard count."""
+        import math
+
+        n = df.count()
+        shards = max(1, math.ceil(n / rows_per_shard))
+        (
+            df.repartition(shards)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_shard)
+            .parquet(self.path(table))
+        )
+        return shards
+
     # -- K4: bronze snapshot (partitioned append-style JSON/parquet) ----------
     def write_bronze(self, df: DataFrame, table: str, run_id: str) -> str:
         """Raw snapshot under ``bronze/{table}/run_id={run_id}/`` — the S3

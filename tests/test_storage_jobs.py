@@ -305,3 +305,24 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_write_training_shards_even_layout(spark, tmp_path):
+    import os
+
+    wh = _wh(spark, tmp_path)
+    df = spark.range(1000).withColumn("payload", F.md5(F.col("id").cast("string")))
+    shards = wh.write_training_shards(df, "shards", rows_per_shard=100)
+    assert shards == 10
+    files = [
+        f for f in os.listdir(wh.path("shards"))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert len(files) == 10
+    back = wh.read("shards")
+    assert back.count() == 1000
+    # every shard within the cap and reasonably even (round-robin)
+    import pyarrow.parquet as pq
+
+    sizes = [pq.read_metadata(os.path.join(wh.path("shards"), f)).num_rows for f in files]
+    assert max(sizes) <= 100 and min(sizes) >= 90
