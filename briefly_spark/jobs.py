@@ -35,6 +35,14 @@ from briefly_spark.storage import Warehouse
 ARTICLES = "articles"
 EMBEDDINGS = "embeddings"
 
+#: Both managed tables are hive-partitioned on ``source`` — key-stable (an
+#: article's source never changes), low-cardinality, and every job's work
+#: batch naturally clusters by it.  Every merge below passes it through, so
+#: the storage layer's partition-scoped path rewrites ONLY the partitions a
+#: batch touches — at the 100 TB design point the per-cycle write cost is
+#: bounded by the batch's sources, not the table.
+PARTITION = ["source"]
+
 #: minimum content length (models/article.py:68-73)
 MIN_CONTENT_CHARS = 20
 
@@ -98,7 +106,9 @@ def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
     if wh.exists(ARTICLES):
         existing = wh.read(ARTICLES).select("url")
         batch = batch.join(existing, "url", "left_anti")
-    n = _merge_batch(batch, lambda b: wh.merge_upsert(b, ARTICLES, ["url"]))
+    n = _merge_batch(
+        batch, lambda b: wh.merge_upsert(b, ARTICLES, ["url"], partition_by=PARTITION)
+    )
     return JobResult("ingest", n)
 
 
@@ -125,6 +135,7 @@ def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
     )
     delta = work.select(
         "url",
+        "source",
         summary_bullets(F.col("content")).alias("summary"),
         summary_status(F.col("content")).alias("summary_status"),
         factcheck_score(F.col("content")).alias("validation_score"),
@@ -132,7 +143,11 @@ def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
     n = _merge_batch(
         delta,
         lambda d: wh.merge_update(
-            d, ARTICLES, ["url"], ["summary", "summary_status", "validation_score"]
+            d,
+            ARTICLES,
+            ["url"],
+            ["summary", "summary_status", "validation_score"],
+            partition_by=PARTITION,
         ),
     )
     return JobResult("summarize", n)
@@ -166,9 +181,13 @@ def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResu
     )
     def merge(p: DataFrame) -> None:
         # the persisted batch feeds BOTH merges — three actions, one lineage
-        wh.merge_upsert(p, EMBEDDINGS, ["url"])
-        status = p.select("url", F.lit("completed").alias("embedding_status"))
-        wh.merge_update(status, ARTICLES, ["url"], ["embedding_status"])
+        wh.merge_upsert(p, EMBEDDINGS, ["url"], partition_by=PARTITION)
+        status = p.select(
+            "url", "source", F.lit("completed").alias("embedding_status")
+        )
+        wh.merge_update(
+            status, ARTICLES, ["url"], ["embedding_status"], partition_by=PARTITION
+        )
 
     n = _merge_batch(pooled, merge)
     return JobResult("embed", n)
@@ -236,11 +255,18 @@ def relate_batch(
             "related_ids",
             F.current_timestamp().alias("related_ids_updated_at"),
         )
+        # partition column rides in from the work-list so the K3 merge stays
+        # partition-scoped
+        .join(work.select("url", "source"), "url")
     )
     n = _merge_batch(
         related,
         lambda r: wh.merge_update(
-            r, ARTICLES, ["url"], ["related_ids", "related_ids_updated_at"]
+            r,
+            ARTICLES,
+            ["url"],
+            ["related_ids", "related_ids_updated_at"],
+            partition_by=PARTITION,
         ),
     )
     return JobResult("relate", n)
@@ -283,6 +309,7 @@ def stream_ingest(
         ["url"],
         checkpoint=checkpoint,
         transform=transform,
+        partition_by=PARTITION,
     )
 
 

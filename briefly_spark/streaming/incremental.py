@@ -126,18 +126,21 @@ def merge_stream(
     *,
     checkpoint: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Stream → idempotent keyed merge (T2's exactly-once intent without a
     partition registry): every micro-batch is optionally transformed then
     MERGEd on ``key``.  Checkpointing makes progress exactly-once at the
     source; the idempotent merge makes replays harmless at the sink —
-    re-delivery of a batch leaves the table unchanged."""
+    re-delivery of a batch leaves the table unchanged.  ``partition_by``
+    passes through to the storage layer's partition-scoped merge, so each
+    micro-batch rewrites only the partitions it touches."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         df = transform(batch_df) if transform else batch_df
         df = df.dropDuplicates(key)
         if df.take(1):
-            wh.merge_upsert(df, table, key)
+            wh.merge_upsert(df, table, key, partition_by=partition_by)
 
     q = (
         source.writeStream.foreachBatch(sink)
