@@ -326,3 +326,51 @@ def test_write_training_shards_even_layout(spark, tmp_path):
 
     sizes = [pq.read_metadata(os.path.join(wh.path("shards"), f)).num_rows for f in files]
     assert max(sizes) <= 100 and min(sizes) >= 90
+
+
+def test_jobs_layer_rewrites_only_touched_source_partitions(spark, sf_dir, tmp_path):
+    """End-to-end partition scoping: after a full drain, ingesting and
+    draining a SINGLE-source delta must leave every other source's
+    articles/embeddings partition files byte-identical — the jobs layer's
+    per-cycle write cost is bounded by the batch's sources."""
+    import hashlib
+    import os
+
+    wh = _wh(spark, tmp_path)
+    docs = load_table(spark, sf_dir, "documents")
+    ingest_documents(wh, docs.filter(F.col("doc_id") < 40))
+    run_until_drained(wh, batch_size=50)
+
+    def fingerprints(table):
+        out = {}
+        root = wh.path(table)
+        for r, _, files in os.walk(root):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, root)] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before_articles = fingerprints(ARTICLES)
+    before_emb = fingerprints(EMBEDDINGS)
+
+    delta = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).filter(
+        F.col("source") == "src1"
+    )
+    assert delta.count() > 0
+    ingest_documents(wh, delta)
+    run_until_drained(wh, batch_size=50)
+
+    after_articles = fingerprints(ARTICLES)
+    after_emb = fingerprints(EMBEDDINGS)
+    # src1 partitions changed...
+    assert any(k.startswith("source=src1/") and after_articles.get(k) != before_articles.get(k)
+               for k in after_articles)
+    # ...every other source's files are byte-identical
+    for table_before, table_after in ((before_articles, after_articles), (before_emb, after_emb)):
+        others_before = {k: v for k, v in table_before.items() if not k.startswith("source=src1/")}
+        others_after = {k: v for k, v in table_after.items() if not k.startswith("source=src1/")}
+        assert others_after == others_before
+    # correctness: the delta is fully enriched
+    arts = wh.read(ARTICLES)
+    assert arts.filter(F.col("summary_status").isNull()).count() == 0
