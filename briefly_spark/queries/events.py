@@ -265,3 +265,119 @@ def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c").alias("n_clicked_after"),
         F.count("p").alias("n_purchased_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — time-RANGE rolling features (feature-store trailing aggregates).
+# --------------------------------------------------------------------------
+@register(
+    "q78_rolling_features",
+    covers=("A3", "W2"),
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER wr AS n_24h,
+       sum(floor(value * 100)) OVER wr / 100.0 AS sum_24h,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER wl AS micros_since_prev
+FROM events
+WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+       wl AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q78_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24h features (count, fixed-point value sum) plus
+    time-since-previous-event — the point-in-time-correct feature-store
+    shape (each row sees exactly its own past, never the future).  This is
+    the time-RANGE window form (`rangeBetween` over epoch micros) the
+    row-based running windows (q14) can't express: the frame is bounded
+    by TIME, so burst users and sparse users get the same 24-hour
+    lookback.  One shuffle on user_id serves both window specs; the sum
+    is an integer sum inside the frame (order-independent).  Equal-ts
+    peers are included identically in both engines (RANGE frame
+    semantics); the lag window adds event_id to the order for
+    deterministic ties."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ev = events.withColumn("tmic", F.unix_micros("ts"))
+    day_us = 86_400_000_000
+    wr = (
+        Window.partitionBy("user_id").orderBy("tmic").rangeBetween(-day_us, 0)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(wr).alias("n_24h"),
+        (F.sum(F.floor(F.col("value") * 100)).over(wr) / 100.0).alias("sum_24h"),
+        (F.col("tmic") - F.lag("tmic").over(wl)).alias("micros_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — last-touch attribution (as-of join + attribution window).
+# --------------------------------------------------------------------------
+@register(
+    "q79_attribution",
+    covers=("J4", "T1"),
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c0 AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+c AS (SELECT user_id, click_ts, max(click_id) AS click_id FROM c0 GROUP BY user_id, click_ts),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.ts, c.click_ts, c.click_id
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+)
+SELECT purchase_id, user_id,
+       CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000
+            THEN click_id END AS attributed_click_id,
+       CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000
+            THEN epoch_us(ts) - epoch_us(click_ts) END AS lag_micros
+FROM j
+""",
+)
+def q79_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase attributes to the user's
+    most recent PRIOR click within a 7-day window — the classic
+    point-in-time enrichment built from :func:`asof_join` (X30) rather
+    than an inequality join: one shuffle on user_id, state = one row.
+    Clicks are deduped to one per (user, ts) (max event_id) per the
+    as-of contract; outside-window matches null out rather than being
+    dropped, so the output row set is exactly the purchase set."""
+    from briefly_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts_v", F.col("click_ts"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_id", "click_ts_v"],
+        how="left",
+    )
+    week_us = 7 * 86_400_000_000
+    lag = F.unix_micros("ts") - F.unix_micros("click_ts_v")
+    in_window = F.col("click_ts_v").isNotNull() & (lag <= week_us)
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.when(in_window, F.col("click_id")).alias("attributed_click_id"),
+        F.when(in_window, lag).alias("lag_micros"),
+    )
