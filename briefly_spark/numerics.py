@@ -65,3 +65,89 @@ def sql_fixed_avg(expr: str, scale: int = MONEY_SCALE, alias: str | None = None)
 def sql_trunc4(expr: str, alias: str | None = None) -> str:
     s = f"floor(({expr}) * 10000) / 10000.0"
     return f"{s} AS {alias}" if alias else s
+
+
+# --------------------------------------------------------------------------
+# Bit-reproducible natural log of a positive integer.
+#
+# ``floor(ln(x) * 1e4)`` is NOT cross-engine deterministic even though it is
+# per-row: library ``ln`` differs between engines by 1 ulp on ~3% of inputs,
+# and flooring a transcendental leaves a boundary set of nonzero measure —
+# whenever ``ln(x)·1e4`` lands within 1 ulp of an integer, two engines floor
+# to different integers (observed: q48 passed a local DuckDB sweep and
+# failed the external driver's hash with identical SQL).
+#
+# The fix: never call the library transcendental on a hashed surface.
+# ``det_ln_sql`` emits an expression built ONLY from operations that IEEE 754
+# requires to be correctly rounded (+ - * /) plus exact integer/string ops,
+# so every engine that evaluates doubles per IEEE (Spark's JVM — strictfp
+# since Java 17; DuckDB's C++ vector kernels; CPython floats) produces
+# bit-identical results:
+#
+#   n >= 1 integer;  e = length(bin(n)) - 1          (exact int bit-length)
+#   p = 1 << e                                        (exact power of two)
+#   m = n / p  in [1, 2)                              (exact: /2^e)
+#   z = (m - 1) / (m + 1);  ln m = 2·atanh(z) via a fixed-order odd
+#   polynomial with explicit parenthesization (|z| <= 1/3, truncation
+#   error < 2·z^17/17 ≈ 9e-10);  ln n = e·ln2 + ln m.
+#
+# Each written op is one IEEE rounding in a fixed order in both dialects —
+# no reassociation (Catalyst and DuckDB preserve fp semantics), no FMA
+# contraction (separate kernel per op / plain Java bytecode).  Identical
+# input bits + identical op sequence = identical output bits, so any
+# downstream floor/fixed-point is engine-independent by construction.
+# --------------------------------------------------------------------------
+
+#: shortest-repr double literals — both SQL parsers round them to the same
+#: nearest double.  1/3, 1/5, ... 1/15 for the atanh series, and ln 2.
+_ATANH_COEFFS = (
+    "0.3333333333333333",
+    "0.2",
+    "0.14285714285714285",
+    "0.1111111111111111",
+    "0.09090909090909091",
+    "0.07692307692307693",
+    "0.06666666666666667",
+)
+_LN2 = "0.6931471805599453"
+
+
+def det_ln_sql(n_expr: str, dialect: str = "spark") -> str:
+    """SQL expression (Spark SQL or DuckDB) for the deterministic ln of the
+    positive-integer expression ``n_expr``.  The two dialects differ ONLY in
+    the spelling of the exact power-of-two (``shiftleft`` vs ``<<``); every
+    floating-point operation is textually identical and identically
+    parenthesized, so the evaluated rounding sequence matches."""
+    n = f"CAST(({n_expr}) AS BIGINT)"
+    e = f"(length(bin({n})) - 1)"
+    if dialect == "spark":
+        p = f"shiftleft(CAST(1 AS BIGINT), {e})"
+    elif dialect == "duckdb":
+        p = f"(CAST(1 AS BIGINT) << {e})"
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown dialect {dialect!r}")
+    m = f"(CAST({n} AS DOUBLE) / CAST({p} AS DOUBLE))"
+    z = f"(({m} - 1.0) / ({m} + 1.0))"
+    z2 = f"({z} * {z})"
+    # Horner, innermost first: c6 -> c0, then 2*z*(1 + z2*(...)).
+    poly = _ATANH_COEFFS[-1]
+    for c in reversed(_ATANH_COEFFS[:-1]):
+        poly = f"({c} + ({z2} * {poly}))"
+    lnm = f"((2.0 * {z}) * (1.0 + ({z2} * {poly})))"
+    return f"((CAST({e} AS DOUBLE) * {_LN2}) + {lnm})"
+
+
+def det_ln_py(n: int) -> float:
+    """CPython mirror of det_ln_sql — same ops, same order, same bits.
+    Used by tests as a third engine to pin the cross-engine agreement."""
+    if n < 1:
+        raise ValueError("det_ln_py requires n >= 1")
+    e = n.bit_length() - 1
+    m = float(n) / float(1 << e)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    poly = float(_ATANH_COEFFS[-1])
+    for c in reversed(_ATANH_COEFFS[:-1]):
+        poly = float(c) + (z2 * poly)
+    lnm = (2.0 * z) * (1.0 + (z2 * poly))
+    return (float(e) * float(_LN2)) + lnm

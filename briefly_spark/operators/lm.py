@@ -7,10 +7,14 @@ bucketed/filtered — the standard third leg next to rule-based quality
 Monolingual Datasets from Web Crawl Data", LREC 2020 — public method).
 
 Model: add-one-smoothed bigram,  p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
-Counts and V are exact integers, so the only float op is one ``ln`` per
-DISTINCT (doc, bigram) — fixed-pointed before the per-doc weighted sum
-(the same integer-sum discipline as operators/search.py; ln differs across
-engines by 1 ulp on ~3% of inputs).
+Counts and V are exact integers, and the per-bigram negative log-likelihood
+is computed with the BIT-REPRODUCIBLE log (numerics.det_ln_sql: integer
+bit-length exponent + fixed-order atanh polynomial, IEEE-exact ops only) —
+never the library ``ln``, which differs across engines by 1 ulp on ~3% of
+inputs and makes ``floor(ln·10⁴)`` flip at floor boundaries per
+environment.  nll = det_ln(c1+V) − det_ln(c12+1), fixed-pointed before the
+per-doc weighted sum (the same integer-sum discipline as
+operators/search.py).
 
 Plan shape (two scans total, no pair joins):
 
@@ -29,8 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from briefly_spark.numerics import RATIO_SCALE
+from briefly_spark.numerics import RATIO_SCALE, det_ln_sql
 from briefly_spark.operators.search import tokens_of
+
+#: auto c12_mode threshold — above this estimated input size the global
+#: bigram count switches from a window to an AQE-skew-splittable equi-join.
+AUTO_JOIN_BYTES = 4 << 30
 
 
 def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -72,30 +80,49 @@ def unigram_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (file-stat based for parquet
+    scans); -1 when unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j surface drift
+        return -1
+
+
 def lm_doc_scores(
-    docs: DataFrame, id_col: str, text_col: str, *, c12_mode: str = "window"
+    docs: DataFrame, id_col: str, text_col: str, *, c12_mode: str = "auto"
 ) -> DataFrame:
     """Average bigram negative log-likelihood per document (self-scored on
     the training corpus, the leave-in CCNet setup).  Returns (doc_id,
     n_bigrams, avg_nll) for every doc with ≥ 1 bigram; perplexity is
-    e^avg_nll (not emitted — keep the output transcendental-free beyond
-    the fixed-pointed per-bigram ln).
+    e^avg_nll (not emitted — the output carries no library transcendental
+    at all: the per-bigram log is numerics.det_ln_sql, bit-identical in
+    Spark / DuckDB / CPython by IEEE-exact construction).
 
-    avg_nll = (Σ n·floor(ln((c1+V)/(c12+1))·10⁴)) div Σn / 10⁴ — integer
-    weighted sum, integer division: every aggregation step is exact and
-    order-independent.
+    avg_nll = (Σ n·floor((det_ln(c1+V) − det_ln(c12+1))·10⁴)) div Σn / 10⁴
+    — integer weighted sum, integer division: every aggregation step is
+    exact and order-independent, and the fixed-point projection floors a
+    bit-reproducible double, so the result is engine-independent.
 
     ``c12_mode`` picks the global-bigram-count strategy (identical output,
     unit-asserted):
-    - ``"window"`` (default, gate scale): SUM over the (w1, w2) partition
-      of the one bigram frame — no extra scan, but a boilerplate bigram
-      present in every doc makes that window partition hot, and windows
-      cannot be skew-split.
+    - ``"auto"`` (default): window below AUTO_JOIN_BYTES of estimated
+      input (Catalyst stats), join above — the skew-safe path engages by
+      size, not by caller flag.
+    - ``"window"``: SUM over the (w1, w2) partition of the one bigram
+      frame — no extra scan, but a boilerplate bigram present in every
+      doc makes that window partition hot, and windows cannot be
+      skew-split.
     - ``"join"`` (100 TB): partial-agg the counts and equi-join them back
       — one more scan of the bigram lineage, but the join is
       AQE-skew-splittable, so a hot bigram spreads across tasks."""
-    if c12_mode not in ("window", "join"):
-        raise ValueError(f"c12_mode must be 'window' or 'join', got {c12_mode!r}")
+    if c12_mode not in ("auto", "window", "join"):
+        raise ValueError(
+            f"c12_mode must be 'auto', 'window' or 'join', got {c12_mode!r}"
+        )
+    if c12_mode == "auto":
+        est = _estimated_bytes(docs)
+        c12_mode = "join" if est >= AUTO_JOIN_BYTES else "window"
     big = doc_bigrams(docs, id_col, text_col)
     if c12_mode == "join":
         counts = big.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
@@ -107,9 +134,12 @@ def lm_doc_scores(
         F.broadcast(uni.select(F.col("term").alias("w1"), "c1", "vocab")), "w1"
     ).withColumn(
         "nll_fp",
-        F.floor(
-            F.log((F.col("c1") + F.col("vocab")) / (F.col("c12") + 1.0))
-            * RATIO_SCALE
+        F.expr(
+            "floor((("
+            + det_ln_sql("c1 + vocab", "spark")
+            + " - "
+            + det_ln_sql("c12 + 1", "spark")
+            + f") * {float(RATIO_SCALE)!r}))"
         ),
     )
     return scored.groupBy("doc_id").agg(

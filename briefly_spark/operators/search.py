@@ -19,10 +19,16 @@ Plan shapes (the point — NO doc×query pair join anywhere):
   equi-join: fan-out only where a term actually matches), then one
   (qid, doc) aggregation and one per-qid ranking window.
 
-Cross-engine determinism: ``ln`` differs from DuckDB's by 1 ulp on ~3% of
-inputs (measured), so float scores are never summed as doubles — each
-per-term score is fixed-pointed (``floor(x·10⁴)``, numerics.py) and the
-aggregation sums exact integers; ranking ties break on the term/doc key.
+Cross-engine determinism: library ``ln`` differs from DuckDB's by 1 ulp on
+~3% of inputs (measured), and flooring a transcendental flips at floor
+boundaries per environment — so the scores here never call it.  Each
+per-term score is built from numerics.det_ln_sql (bit-reproducible log:
+integer bit-length exponent + fixed-order polynomial, IEEE-exact ops only)
+through a SINGLE dialect-parameterized SQL generator used verbatim by both
+the Spark plan and the DuckDB oracle, fixed-pointed (``floor(x·10⁴)``)
+before aggregation sums exact integers; ranking ties break on the
+term/doc key.  BM25's idf keeps integral log arguments via
+ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)).
 """
 
 from __future__ import annotations
@@ -30,7 +36,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from briefly_spark.numerics import RATIO_SCALE
+from briefly_spark.numerics import RATIO_SCALE, det_ln_sql
+
+
+def tfidf_score_fp_sql(tf: str, n_docs: str, df: str, dialect: str) -> str:
+    """Fixed-point TF-IDF term score, deterministic in any IEEE engine:
+    floor((tf · (det_ln N − det_ln df)) · 10⁴).  Emitted for BOTH dialects
+    from this one generator so the rounding sequence matches exactly."""
+    diff = f"({det_ln_sql(n_docs, dialect)} - {det_ln_sql(df, dialect)})"
+    return f"floor(((CAST(({tf}) AS DOUBLE) * {diff}) * 10000.0))"
+
+
+def bm25_score_fp_sql(
+    tf: str,
+    df: str,
+    dl: str,
+    n_docs: str,
+    avgdl: str,
+    dialect: str,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Fixed-point per-term BM25 contribution, deterministic in any IEEE
+    engine.  idf = det_ln(2N+2) − det_ln(2df+1) (integral log arguments);
+    the k1/b constants are emitted as shortest-repr literals, which every
+    SQL parser rounds to the same double."""
+    idf = (
+        f"({det_ln_sql(f'(2 * ({n_docs})) + 2', dialect)}"
+        f" - {det_ln_sql(f'(2 * ({df})) + 1', dialect)})"
+    )
+    num = f"(CAST(({tf}) AS DOUBLE) * {k1 + 1.0!r})"
+    den = (
+        f"(CAST(({tf}) AS DOUBLE) + ({k1!r} * ({1.0 - b!r}"
+        f" + (({b!r} * CAST(({dl}) AS DOUBLE)) / ({avgdl})))))"
+    )
+    return f"floor((({idf} * ({num} / {den})) * 10000.0))"
 
 
 def tokens_of(text) -> F.Column:
@@ -86,10 +127,7 @@ def tfidf_topterms(
         postings.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(n_docs)
         .withColumn(
-            "score_fp",
-            F.floor(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * RATIO_SCALE
-            ),
+            "score_fp", F.expr(tfidf_score_fp_sql("tf", "n_docs", "df", "spark"))
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), F.asc("term"))
@@ -122,9 +160,11 @@ def bm25_topk(
     query term.  Returns (qid, doc_id, rank, n_terms_matched, bm25).
 
     score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
-    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — each term's contribution
-    is fixed-pointed before the (qid, doc) sum so the aggregate is an
-    exact integer sum (order-independent, engine-independent).
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) = det_ln(2N+2) − det_ln(2df+1)
+    (numerics.det_ln_sql — bit-reproducible, no library transcendental) —
+    each term's contribution is fixed-pointed before the (qid, doc) sum so
+    the aggregate is an exact integer sum (order-independent,
+    engine-independent).
 
     Join discipline: queries meet the corpus ONLY through the term
     equi-join against the postings index — cost is O(matching postings),
@@ -141,17 +181,23 @@ def bm25_topk(
     enriched = postings.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
     ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    )
     matched = queries.join(enriched, "term").crossJoin(F.broadcast(stats))
     if exclude_self:
-        matched = matched.filter(F.col("qid") != F.col("doc_id"))
-    scored = matched.withColumn("score_fp", F.floor(idf * tf_part * RATIO_SCALE))
+        # Self-exclusion only makes sense when qids ARE doc ids; comparing
+        # mismatched types (string qid vs long doc_id) coerces to NULL and
+        # silently drops every match, so skip the filter on type mismatch.
+        qid_t = dict(queries.dtypes).get("qid")
+        doc_t = dict(enriched.dtypes).get("doc_id")
+        if qid_t == doc_t:
+            matched = matched.filter(F.col("qid") != F.col("doc_id"))
+    scored = matched.withColumn(
+        "score_fp",
+        F.expr(
+            bm25_score_fp_sql(
+                "tf", "df", "dl", "n_docs", "avgdl", "spark", k1=k1, b=b
+            )
+        ),
+    )
     per_doc = scored.groupBy("qid", "doc_id").agg(
         F.sum("score_fp").alias("sum_fp"), F.count(F.lit(1)).alias("n_terms_matched")
     )

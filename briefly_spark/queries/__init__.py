@@ -59,28 +59,29 @@ def load_registry() -> dict[str, QuerySpec]:
 
     Import order is deliberate, not alphabetical: the driver's correctness
     gate records registry entries in insertion order and has recorded a
-    bounded prefix (50 of 72 in round 3), so modules whose queries most
-    need fresh driver evidence come first.  Round-4 rotation (VERDICT.md
-    next-round #2): the 22 queries whose only green row is r02
-    (relational q01–q15, pipeline q60–q63, multimodal q80–q82) lead,
-    followed by events (its load path changed this round — catalog ts
-    normalization for Spark 4.x NTZ) and modules with new queries; the
-    r03-green unchanged modules rotate to the back.
+    bounded prefix (50 entries), so modules whose queries most need fresh
+    driver evidence come first.  Round-5 rotation (VERDICT.md r04
+    next-round #2): the 30 queries whose only green driver row is r03
+    (textstats q50–q59/q35/q38/q39/q66–q69, text q20–q27, ingest q90,
+    worklists q92–q94, tts q91) lead, then search (q46–q48 changed this
+    round: det_ln deterministic scores — q48 was the r04 red), then
+    pipeline/events/temporal; the r04-green unchanged modules (dedup,
+    similarity, relational, multimodal) rotate to the back.
     """
     from briefly_spark.queries import (  # noqa: F401
-        relational,
-        pipeline,
-        multimodal,
-        events,
-        search,
-        temporal,
-        dedup,
-        similarity,
         textstats,
         text,
+        search,
         ingest,
         worklists,
         tts,
+        pipeline,
+        events,
+        temporal,
+        dedup,
+        similarity,
+        relational,
+        multimodal,
     )
 
     return REGISTRY

@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
-from briefly_spark.operators.search import bm25_topk, term_postings, tfidf_topterms
+from briefly_spark.numerics import det_ln_sql
+from briefly_spark.operators.search import (
+    bm25_score_fp_sql,
+    bm25_topk,
+    term_postings,
+    tfidf_score_fp_sql,
+    tfidf_topterms,
+)
 from briefly_spark.queries import register
 
 _TOKS_SQL = """
@@ -49,7 +56,7 @@ stats AS (
 WITH {_TOKS_SQL},
 scored AS (
   SELECT p.doc_id, p.term, p.tf, d.df,
-         floor(p.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df) * 10000) AS score_fp
+         {tfidf_score_fp_sql('p.tf', 's.n_docs', 'd.df', 'duckdb')} AS score_fp
   FROM postings p JOIN dfreq d USING (term), stats s
 )
 SELECT doc_id, term, tf, df, rank, score_fp / 10000.0 AS tfidf
@@ -85,9 +92,7 @@ qterms AS (
 ),
 scored AS (
   SELECT q.qid, p.doc_id,
-         floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
-               * 10000) AS score_fp
+         {bm25_score_fp_sql('p.tf', 'd.df', 'l.dl', 's.n_docs', 's.avgdl', 'duckdb')} AS score_fp
   FROM qterms q
   JOIN postings p USING (term)
   JOIN dfreq d USING (term)
@@ -131,7 +136,7 @@ def q47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q48_lm_perplexity",
     covers=("A3", "A4"),
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
@@ -151,9 +156,11 @@ uni AS (
 ),
 scored AS (
   -- CAST to BIGINT: DuckDB floor() keeps DOUBLE, and // on DOUBLE is
-  -- plain division — integer types are required for true int division
+  -- plain division — integer types are required for true int division.
+  -- The log is numerics.det_ln_sql (bit-reproducible), mirroring the
+  -- Spark plan's expression op-for-op.
   SELECT g.doc_id, g.n,
-         CAST(floor(ln((u.c1 + u.vocab) / (g.c12 + 1.0)) * 10000) AS BIGINT) AS nll_fp
+         CAST(floor((({det_ln_sql('u.c1 + u.vocab', 'duckdb')} - {det_ln_sql('g.c12 + 1', 'duckdb')}) * 10000.0)) AS BIGINT) AS nll_fp
   FROM c12 g JOIN uni u ON u.term = g.w1
 )
 SELECT doc_id, sum(n) AS n_bigrams,

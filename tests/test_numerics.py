@@ -25,3 +25,60 @@ def test_fixed_avg_and_trunc4(spark):
     assert abs(row.s - 6.11) < 1e-9  # floor(100.5)=100, floor(211.5)=211, 300
     assert abs(row.a - 6.11 / 3) < 1e-9
     assert row.t == 1.0049  # 1.005 is 1.00499…; trunc4 floors deterministically
+
+
+def test_det_ln_three_engine_bit_agreement(spark):
+    """det_ln_sql must produce BIT-identical doubles in Spark, DuckDB and
+    CPython — the property q46/q47/q48's hashed fixed-point scores rest on.
+    Sweep powers of two (exact cases), their neighbors (worst-case mantissa)
+    and a seeded random spread up to 2^53."""
+    import random
+    import struct
+
+    import duckdb
+
+    from briefly_spark.numerics import det_ln_py, det_ln_sql
+
+    random.seed(4848)
+    ns = sorted(
+        set(
+            list(range(1, 600))
+            + [2**k + d for k in range(9, 53) for d in (-1, 0, 1)]
+            + [random.randrange(1, 2**53) for _ in range(500)]
+        )
+    )
+    pack = lambda x: struct.pack("<d", x)  # noqa: E731
+
+    sdf = spark.createDataFrame([(n,) for n in ns], "n long")
+    got_spark = {
+        r["n"]: r["v"]
+        for r in sdf.select("n", F.expr(det_ln_sql("n", "spark")).alias("v")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in ns])
+    got_duck = dict(
+        con.execute(f"SELECT n, {det_ln_sql('n', 'duckdb')} FROM t").fetchall()
+    )
+
+    import math
+
+    for n in ns:
+        py = det_ln_py(n)
+        assert pack(got_spark[n]) == pack(py), f"spark!=py at n={n}"
+        assert pack(got_duck[n]) == pack(py), f"duckdb!=py at n={n}"
+        assert abs(py - math.log(n)) < 5e-9, f"accuracy at n={n}"
+
+
+def test_det_ln_edge_values():
+    import math
+
+    from briefly_spark.numerics import det_ln_py
+
+    assert det_ln_py(1) == 0.0
+    assert abs(det_ln_py(2) - math.log(2)) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError):
+        det_ln_py(0)

@@ -31,8 +31,11 @@ def test_tfidf_ubiquitous_term_scores_zero(spark):
     rows = tfidf_topterms(docs, "id", "text", k=5).collect()
     by_doc_term = {(r.doc_id, r.term): r for r in rows}
     assert by_doc_term[(1, "x")].tfidf == 0.0
-    # rare (df=1, tf=1): ln(3/1) ~ 1.0986 -> floor to 4 decimals
-    assert by_doc_term[(1, "rare")].tfidf == math.floor(math.log(3.0) * 10000) / 10000.0
+    # rare (df=1, tf=1): det_ln(3) - det_ln(1) ~ 1.0986 -> floor to 4 decimals
+    from briefly_spark.numerics import det_ln_py
+
+    expected = math.floor((det_ln_py(3) - det_ln_py(1)) * 10000.0) / 10000.0
+    assert by_doc_term[(1, "rare")].tfidf == expected
     # doc 1 ranking: rare (positive) above the zero-score terms; zero-score
     # ties break alphabetically (x before... only x at 0 besides rare)
     d1 = sorted((r.rank, r.term) for r in rows if r.doc_id == 1)
@@ -115,8 +118,10 @@ def test_lm_doc_scores_hand_computed(spark):
     # doc1 bigrams: (a,b), (b,a); doc2: (a,b); doc3: single token -> no row
     docs = spark.createDataFrame([(1, "a b a"), (2, "a b"), (3, "a")], ["id", "text"])
     got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in lm_doc_scores(docs, "id", "text").collect()}
-    nll_ab = math.floor(math.log((4 + 2) / (2 + 1.0)) * 10000)  # c12(a,b)=2
-    nll_ba = math.floor(math.log((2 + 2) / (1 + 1.0)) * 10000)  # c12(b,a)=1
+    from briefly_spark.numerics import det_ln_py
+
+    nll_ab = math.floor((det_ln_py(4 + 2) - det_ln_py(2 + 1)) * 10000.0)  # c12(a,b)=2
+    nll_ba = math.floor((det_ln_py(2 + 2) - det_ln_py(1 + 1)) * 10000.0)  # c12(b,a)=1
     assert set(got) == {1, 2}
     assert got[1] == (2, ((nll_ab + nll_ba) // 2) / 10000.0)
     assert got[2] == (1, nll_ab / 10000.0)
@@ -156,3 +161,18 @@ def test_lm_c12_modes_identical(spark):
     assert w == j and len(w) == 25
     with pytest.raises(ValueError, match="c12_mode"):
         lm_doc_scores(docs, "id", "text", c12_mode="bogus")
+
+
+def test_bm25_string_qids_do_not_silently_drop_matches(spark):
+    # When qids are NOT doc ids (general API shape: e.g. named probes), a
+    # string-qid vs long-doc_id self-exclusion filter would coerce to NULL
+    # and drop every row; the guard skips the filter on type mismatch.
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "unrelated words entirely")], ["id", "text"]
+    )
+    qterms = spark.createDataFrame(
+        [("probe-a", "spark"), ("probe-a", "join")], ["qid", "term"]
+    )
+    rows = bm25_topk(docs, qterms, "id", "text", k=5).collect()
+    assert {r.qid for r in rows} == {"probe-a"}
+    assert rows and rows[0].doc_id == 1
