@@ -13,20 +13,58 @@ version to a side directory and atomically swap the table symlink-style
 transactional format (Delta/Iceberg ``MERGE INTO``); the operator and job
 layers above only see DataFrames in / DataFrames out.
 
+Crash safety: no swap ever deletes live data before its replacement is
+adjacent on the same filesystem.  Partition swaps stage the new version
+under a hidden ``.swap-<token>/`` dir INSIDE the table root, retire the
+old partition into the same dir by rename, commit the new one by rename,
+and only then delete the retired copy; :meth:`read` first completes any
+interrupted swap it finds (roll forward — the staged data is a full new
+version of its partitions), so a crash at ANY step leaves every partition
+either fully-old or fully-new and the table always readable.  Full-table
+swaps roll forward iff the side write carries Spark's ``_SUCCESS``
+commit marker, else roll back to the retired copy.
+
+Concurrency: SINGLE WRITER PER TABLE.  Every mutating method takes a
+pid-stamped lock file (``.<table>.lock``); a second concurrent writer
+gets :class:`TableLockedError` instead of silently last-writer-winning
+whole partitions (the reference runs its 4 asset processes against
+different collections/fields — definitions.py:83-85 — and gets per-doc
+atomicity from Mongo; here the contract is explicit).  Locks from
+crashed processes (dead pid) are stolen.  Readers don't lock: crash
+recovery never deletes committed data, and a reader concurrent with a
+live writer sees the pre-swap version of untouched partitions.
+
 Scale notes: `merge_upsert` is one left_anti join on the key — with the
 updates side small (a work batch) it broadcast-joins against the target
 scan and rewrites only matching partitions' worth of data; `partition_by`
 on lifecycle/date columns keeps the rewrite bounded (K6's index analog).
+Multi-partition swaps are per-partition atomic, not transactional as a
+whole — the production upgrade is a manifest-committing table format.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class TableLockedError(RuntimeError):
+    """Another live process holds the table's writer lock."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - exists, other user
+        return True
+    return True
 
 
 class Warehouse:
@@ -44,20 +82,125 @@ class Warehouse:
         return os.path.isdir(self.path(table))
 
     def read(self, table: str) -> DataFrame:
+        self._recover(table)
         return self.spark.read.parquet(self.path(table))
+
+    # -- single-writer lock ----------------------------------------------------
+    @contextlib.contextmanager
+    def _writer_lock(self, table: str):
+        """Pid-stamped exclusive writer lock.  Raises TableLockedError when a
+        LIVE process holds it; a dead holder's lock is stolen (crashed
+        writer — its interrupted swap is completed by recovery, not by the
+        lock)."""
+        lock = self.path(f".{table}.lock")
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    with open(lock) as fh:
+                        holder = int(fh.read().strip() or "-1")
+                except (OSError, ValueError):
+                    holder = -1
+                if holder != -1 and holder != os.getpid() and _pid_alive(holder):
+                    raise TableLockedError(
+                        f"table {table!r} is locked by live pid {holder}; "
+                        "one writer per table (see module docstring)"
+                    ) from None
+                if holder == os.getpid():
+                    raise TableLockedError(
+                        f"re-entrant write on table {table!r} from the same "
+                        "process (nested mutation?)"
+                    ) from None
+                os.unlink(lock)  # stale: holder is dead
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
 
     # -- K2: truncate-and-load ------------------------------------------------
     def overwrite(self, df: DataFrame, table: str, *, partition_by: list[str] | None = None) -> None:
-        """Full replace via write-aside + swap (never reads-while-writing)."""
+        """Full replace via write-aside + swap (never reads-while-writing,
+        never deletes the live table before the replacement is adjacent)."""
+        with self._writer_lock(table):
+            self._overwrite_locked(df, table, partition_by=partition_by)
+
+    def _overwrite_locked(
+        self, df: DataFrame, table: str, *, partition_by: list[str] | None = None
+    ) -> None:
         tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        self._swap_full(tmp, table)
+
+    def _swap_full(self, tmp: str, table: str) -> None:
+        """Commit a fully-written side directory as the new table version:
+        retire old by rename, commit new by rename, then delete the retired
+        copy.  The one-rename crash window (old retired, new not yet in) is
+        closed by :meth:`_recover`: tmp still carries ``_SUCCESS``, so the
+        next read rolls forward."""
         final = self.path(table)
+        old = self.path(f".{table}.old-{uuid.uuid4().hex[:8]}")
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            os.rename(final, old)
         os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    def _recover(self, table: str) -> None:
+        """Complete any interrupted swap so the table is always readable.
+
+        Full-table swap wreckage: table dir missing -> roll forward to a
+        ``.tmp-*`` side write that carries Spark's ``_SUCCESS`` commit
+        marker, else roll back to the newest ``.old-*`` retired copy.
+        Table dir present -> retired/tmp siblings are garbage.  Partition
+        swap wreckage (``.swap-*`` inside the table root) is completed by
+        :meth:`_complete_swap` (roll forward).  Assumes the single-writer
+        contract — a LIVE writer's in-flight side dirs must not be judged,
+        so recovery of sibling wreckage only runs when no live lock is
+        held."""
+        final = self.path(table)
+        lock = self.path(f".{table}.lock")
+        live = False
+        if os.path.isfile(lock):
+            try:
+                with open(lock) as fh:
+                    holder = int(fh.read().strip() or "-1")
+                live = holder != os.getpid() and _pid_alive(holder)
+            except (OSError, ValueError):
+                live = False
+        if not live:
+            base = os.path.basename(self.path(table))
+            tmps = sorted(
+                d for d in os.listdir(self.root)
+                if d.startswith(f".{base}.tmp-") or d.startswith(f".{base}.old-")
+            )
+            if not os.path.isdir(final):
+                committed = [
+                    d for d in tmps
+                    if d.startswith(f".{base}.tmp-")
+                    and os.path.isfile(os.path.join(self.root, d, "_SUCCESS"))
+                ]
+                rollback = [d for d in tmps if d.startswith(f".{base}.old-")]
+                if committed:
+                    os.rename(os.path.join(self.root, committed[-1]), final)
+                elif rollback:
+                    os.rename(os.path.join(self.root, rollback[-1]), final)
+            if os.path.isdir(final):
+                for d in tmps:
+                    p = os.path.join(self.root, d)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+        if os.path.isdir(final):
+            for d in os.listdir(final):
+                if d.startswith(".swap-"):
+                    self._complete_swap(final, os.path.join(final, d))
 
     # -- K1: keyed upsert (merge) --------------------------------------------
     def merge_upsert(
@@ -83,16 +226,18 @@ class Warehouse:
         moves between partition values — e.g. url → ingest date); a key
         that migrated would leave its old copy alive in an untouched
         partition."""
-        if not self.exists(table):
-            self.overwrite(updates, table, partition_by=partition_by)
-            return
-        if partition_by:
-            self._merge_upsert_partitioned(updates, table, key, partition_by)
-            return
-        target = self.read(table)
-        kept = target.join(F.broadcast(updates.select(*key)), key, "left_anti")
-        merged = kept.unionByName(updates, allowMissingColumns=True)
-        self.overwrite(merged, table, partition_by=partition_by)
+        with self._writer_lock(table):
+            self._recover(table)
+            if not self.exists(table):
+                self._overwrite_locked(updates, table, partition_by=partition_by)
+                return
+            if partition_by:
+                self._merge_upsert_partitioned(updates, table, key, partition_by)
+                return
+            target = self.read(table)
+            kept = target.join(F.broadcast(updates.select(*key)), key, "left_anti")
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+            self._overwrite_locked(merged, table, partition_by=partition_by)
 
     def _merge_upsert_partitioned(
         self, updates: DataFrame, table: str, key: list[str], partition_by: list[str]
@@ -106,6 +251,7 @@ class Warehouse:
         table (a work batch touches a handful of partitions).  The kept
         scan filters on those values, so partition pruning limits the read
         to the same handful of directories."""
+        self._assert_partitioned_layout(table, partition_by)
         target = self.read(table)
         cond = self._partition_filter(updates, partition_by)
         if cond is None:
@@ -131,23 +277,84 @@ class Warehouse:
             cond = c if cond is None else (cond | c)
         return cond
 
+    def _assert_partitioned_layout(self, table: str, partition_by: list[str]) -> None:
+        """A partition-scoped merge against a FLAT-layout table (e.g. written
+        by earlier unpartitioned code) would drop ``col=...`` dirs next to
+        the old flat files, leaving stale duplicate rows and a mixed layout
+        that reads incorrectly — so probe the target first: the root must
+        hold only ``<partition_by[0]>=...`` dirs (plus markers), no data
+        files.  An empty table passes (nothing to corrupt)."""
+        root = self.path(table)
+        want = f"{partition_by[0]}="
+        for d in os.listdir(root):
+            if d.startswith((".", "_")):
+                continue
+            p = os.path.join(root, d)
+            if os.path.isdir(p) and d.startswith(want):
+                continue
+            raise ValueError(
+                f"table {table!r} is not hive-partitioned by {partition_by}: "
+                f"found {d!r} at the root — rewrite it with "
+                f"overwrite(..., partition_by={partition_by}) before "
+                "partition-scoped merges"
+            )
+
     def _swap_partitions(
         self, slice_df: DataFrame, table: str, partition_by: list[str]
     ) -> None:
         """Write a partitioned slice aside (no read-while-overwrite on the
-        live table) and atomically swap only its partition directories in."""
+        live table), stage it INTO the table root under a hidden
+        ``.swap-<token>/new/`` dir (pure renames — same filesystem,
+        replacement adjacent before anything is touched), then commit via
+        :meth:`_complete_swap`.  A crash at any step is finished by the
+        next :meth:`read` — never a lost or half-visible partition."""
+        self._recover(table)  # finish any interrupted predecessor first
         aside = self.path(f".{table}.merge-{uuid.uuid4().hex[:8]}")
         slice_df.write.mode("overwrite").partitionBy(*partition_by).parquet(aside)
         final = self.path(table)
-        try:
-            for rel in self._partition_dirs(aside, len(partition_by)):
-                dst = os.path.join(final, rel)
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(os.path.join(aside, rel), dst)
-        finally:
-            shutil.rmtree(aside, ignore_errors=True)
+        swap = os.path.join(final, f".swap-{uuid.uuid4().hex[:8]}")
+        new_root = os.path.join(swap, "new")
+        for rel in self._partition_dirs(aside, len(partition_by)):
+            dst = os.path.join(new_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(aside, rel), dst)
+        shutil.rmtree(aside, ignore_errors=True)
+        self._complete_swap(final, swap)
+
+    def _complete_swap(self, final: str, swap: str) -> None:
+        """Commit a staged partition swap; idempotent, resumable from any
+        crash point.  Per partition: retire old by rename (never delete
+        live data first), commit new by rename; stray retired copies whose
+        partition lost both its new and final version are restored; the
+        swap dir (now all garbage) goes last."""
+        new_root = os.path.join(swap, "new")
+        old_root = os.path.join(swap, "old")
+        for rel in self._leaf_dirs(new_root):
+            dst = os.path.join(final, rel)
+            if os.path.isdir(dst):
+                retired = os.path.join(old_root, rel)
+                os.makedirs(os.path.dirname(retired), exist_ok=True)
+                os.rename(dst, retired)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(new_root, rel), dst)
+        for rel in self._leaf_dirs(old_root):
+            dst = os.path.join(final, rel)
+            if not os.path.isdir(dst):  # pragma: no cover - double-crash path
+                os.rename(os.path.join(old_root, rel), dst)
+        shutil.rmtree(swap, ignore_errors=True)
+
+    @staticmethod
+    def _leaf_dirs(root: str) -> list[str]:
+        """Relative paths under ``root`` of directories that directly hold
+        files — the staged/retired partition leaves of a swap dir (depth
+        recorded implicitly by the layout, so recovery needs no journal)."""
+        if not os.path.isdir(root):
+            return []
+        leaves = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            if filenames:
+                leaves.append(os.path.relpath(dirpath, root))
+        return sorted(leaves)
 
     @staticmethod
     def _partition_dirs(root: str, depth: int) -> list[str]:
@@ -192,25 +399,27 @@ class Warehouse:
                     f"partition-scoped merge_update needs partition cols "
                     f"{missing} in the delta"
                 )
-        target = self.read(table)
-        if partition_by:
-            cond = self._partition_filter(delta, partition_by)
-            if cond is None:
-                return
-            target = target.filter(cond)
-        d = delta.select(*key, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
-        joined = target.join(F.broadcast(d), key, "left")
-        out_cols = []
-        for c in target.columns:
-            if c in set_cols:
-                out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+        with self._writer_lock(table):
+            target = self.read(table)
+            if partition_by:
+                self._assert_partitioned_layout(table, partition_by)
+                cond = self._partition_filter(delta, partition_by)
+                if cond is None:
+                    return
+                target = target.filter(cond)
+            d = delta.select(*key, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
+            joined = target.join(F.broadcast(d), key, "left")
+            out_cols = []
+            for c in target.columns:
+                if c in set_cols:
+                    out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+                else:
+                    out_cols.append(F.col(c))
+            updated = joined.select(*out_cols)
+            if partition_by:
+                self._swap_partitions(updated, table, partition_by)
             else:
-                out_cols.append(F.col(c))
-        updated = joined.select(*out_cols)
-        if partition_by:
-            self._swap_partitions(updated, table, partition_by)
-        else:
-            self.overwrite(updated, table, partition_by=partition_by)
+                self._overwrite_locked(updated, table, partition_by=partition_by)
 
     # -- K6: bucketed layout (co-located joins, shuffle-free at read time) ----
     def write_bucketed(
@@ -266,17 +475,23 @@ class Warehouse:
         work units want even shards, not whatever file sizes the last
         shuffle produced.  One count job sizes the layout, a round-robin
         repartition evens the rows, and ``maxRecordsPerFile`` caps any
-        shard the writer splits.  Returns the shard count."""
+        shard the writer splits.  Follows the class write protocol (side
+        write + rename swap): a failed write can't destroy a live table,
+        and re-sharding a DataFrame derived from the same table never
+        reads-while-overwriting.  Returns the shard count."""
         import math
 
         n = df.count()
         shards = max(1, math.ceil(n / rows_per_shard))
-        (
-            df.repartition(shards)
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", rows_per_shard)
-            .parquet(self.path(table))
-        )
+        with self._writer_lock(table):
+            tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
+            (
+                df.repartition(shards)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", rows_per_shard)
+                .parquet(tmp)
+            )
+            self._swap_full(tmp, table)
         return shards
 
     # -- K4: bronze snapshot (partitioned append-style JSON/parquet) ----------

@@ -374,3 +374,190 @@ def test_jobs_layer_rewrites_only_touched_source_partitions(spark, sf_dir, tmp_p
     # correctness: the delta is fully enriched
     arts = wh.read(ARTICLES)
     assert arts.filter(F.col("summary_status").isNull()).count() == 0
+
+
+# -- crash safety / single-writer contract (SURVEY §2.2 write protocol) ------
+
+
+def _rows_by_source(wh, table):
+    out = {}
+    for r in wh.read(table).collect():
+        out.setdefault(r["source"], set()).add((r["id"], r["v"]))
+    return out
+
+
+def test_partition_swap_crash_at_every_step_is_recoverable(spark, tmp_path):
+    """Kill the swap at every os.rename call site in turn; after recovery
+    (the next read) the table must be readable and every partition either
+    fully-old or fully-new — never absent, never mixed."""
+    import briefly_spark.storage as storage_mod
+    from briefly_spark.storage import Warehouse
+
+    base = spark.createDataFrame(
+        [(1, "old", "a"), (2, "old", "a"), (3, "old", "b"), (4, "old", "c")],
+        "id long, v string, source string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "new", "a"), (3, "new", "b"), (9, "new", "b")],
+        "id long, v string, source string",
+    )
+    old_state = {
+        "a": {(1, "old"), (2, "old")},
+        "b": {(3, "old")},
+        "c": {(4, "old")},
+    }
+    new_state = {
+        "a": {(1, "new"), (2, "old")},
+        "b": {(3, "new"), (9, "new")},
+        "c": {(4, "old")},
+    }
+    real_rename = storage_mod.os.rename
+    crash_at = 1
+    while True:
+        wh = Warehouse(spark, str(tmp_path / f"wh_crash_{crash_at}"))
+        wh.overwrite(base, "t", partition_by=["source"])
+        calls = {"n": 0}
+
+        def exploding(src, dst, *, _limit=crash_at, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] >= _limit:
+                raise OSError("injected crash")
+            return real_rename(src, dst)
+
+        storage_mod.os.rename = exploding
+        crashed = True
+        try:
+            wh.merge_upsert(batch, "t", ["id"], partition_by=["source"])
+            crashed = False
+        except OSError:
+            pass
+        finally:
+            storage_mod.os.rename = real_rename
+
+        got = _rows_by_source(wh, "t")  # read() runs recovery
+        assert set(got) == {"a", "b", "c"}, f"crash_at={crash_at}: {got}"
+        for src in got:
+            assert got[src] in (old_state[src], new_state[src]), (
+                f"crash_at={crash_at}, partition {src} mixed: {got[src]}"
+            )
+        # a re-run of the same merge must now converge to fully-new
+        wh.merge_upsert(batch, "t", ["id"], partition_by=["source"])
+        assert _rows_by_source(wh, "t") == new_state
+        if not crashed:  # every rename ran uninjected -> all sites covered
+            break
+        crash_at += 1
+    assert crash_at > 3  # sanity: multiple distinct crash points exercised
+
+
+def test_full_overwrite_crash_rolls_forward_or_back(spark, tmp_path):
+    import os
+
+    import briefly_spark.storage as storage_mod
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_full_crash"))
+    v1 = spark.createDataFrame([(1, "v1")], "id long, v string")
+    v2 = spark.createDataFrame([(1, "v2")], "id long, v string")
+    wh.overwrite(v1, "t")
+
+    # crash between retire(final->old) and commit(tmp->final): the side
+    # write carries _SUCCESS, so recovery rolls FORWARD to v2
+    real_rename = storage_mod.os.rename
+    calls = {"n": 0}
+
+    def crash_on_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("injected crash")
+        return real_rename(src, dst)
+
+    storage_mod.os.rename = crash_on_second
+    try:
+        import pytest
+
+        with pytest.raises(OSError):
+            wh.overwrite(v2, "t")
+    finally:
+        storage_mod.os.rename = real_rename
+    assert [r["v"] for r in wh.read("t").collect()] == ["v2"]
+
+    # hand-built rollback wreckage: retired copy only, side write has no
+    # _SUCCESS marker -> recovery rolls BACK to the retired version
+    wh2 = Warehouse(spark, str(tmp_path / "wh_full_crash2"))
+    wh2.overwrite(v1, "t")
+    os.rename(wh2.path("t"), wh2.path(".t.old-dead"))
+    os.makedirs(wh2.path(".t.tmp-dead"))  # incomplete write, no _SUCCESS
+    assert [r["v"] for r in wh2.read("t").collect()] == ["v1"]
+    assert not os.path.isdir(wh2.path(".t.tmp-dead"))  # wreckage swept
+
+
+def test_partition_merge_refuses_flat_layout(spark, tmp_path):
+    import pytest
+
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_flat"))
+    flat = spark.createDataFrame([(1, "x", "a")], "id long, v string, source string")
+    wh.overwrite(flat, "t")  # no partition_by: flat files at the root
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        wh.merge_upsert(flat, "t", ["id"], partition_by=["source"])
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        wh.merge_update(flat, "t", ["id"], ["v"], partition_by=["source"])
+
+
+def test_writer_lock_blocks_live_holder_steals_dead(spark, tmp_path):
+    import pytest
+
+    from briefly_spark.storage import TableLockedError, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_lock"))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    wh.overwrite(df, "t")
+
+    lock = wh.path(".t.lock")
+    with open(lock, "w") as fh:
+        fh.write("1")  # pid 1: always alive
+    with pytest.raises(TableLockedError, match="locked by live pid 1"):
+        wh.merge_upsert(df, "t", ["id"])
+
+    with open(lock, "w") as fh:
+        fh.write("999999999")  # dead pid: stale lock is stolen
+    wh.merge_upsert(df, "t", ["id"])  # succeeds
+    import os
+
+    assert not os.path.exists(lock)  # released after the merge
+
+
+def test_sequential_merge_updates_different_columns_compose(spark, tmp_path):
+    """The single-writer contract serializes writers; serialized
+    merge_update calls on DIFFERENT columns must compose (each rides the
+    other's values along), matching the reference's 4 stages writing
+    disjoint fields of the same collection."""
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_compose"))
+    base = spark.createDataFrame(
+        [(1, None, None, "a"), (2, None, None, "a")],
+        "id long, summary string, score string, source string",
+    )
+    wh.overwrite(base, "t", partition_by=["source"])
+    d1 = spark.createDataFrame([(1, "s1", "a")], "id long, summary string, source string")
+    d2 = spark.createDataFrame([(1, "9.5", "a")], "id long, score string, source string")
+    wh.merge_update(d1, "t", ["id"], ["summary"], partition_by=["source"])
+    wh.merge_update(d2, "t", ["id"], ["score"], partition_by=["source"])
+    got = {r["id"]: (r["summary"], r["score"]) for r in wh.read("t").collect()}
+    assert got == {1: ("s1", "9.5"), 2: (None, None)}
+
+
+def test_training_shards_write_aside_allows_self_reshard(spark, tmp_path):
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_reshard"))
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(100)], "id long, v string")
+    wh.write_training_shards(df, "shards", rows_per_shard=10)
+    before = sorted((r["id"], r["v"]) for r in wh.read("shards").collect())
+    # re-shard a frame DERIVED FROM THE SAME TABLE into the same table:
+    # only safe because the write lands aside and swaps in afterwards
+    wh.write_training_shards(wh.read("shards"), "shards", rows_per_shard=25)
+    after = sorted((r["id"], r["v"]) for r in wh.read("shards").collect())
+    assert after == before
