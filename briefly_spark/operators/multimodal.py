@@ -8,14 +8,22 @@ column-level, and only the actual decode runs Python — one Arrow-batched
 ``mapInPandas`` stage with a per-executor backend singleton (same harness
 discipline as operators/embedding.py).
 
-Real decoders (PIL/librosa/av) are NOT in this container, so the decode
-backends are import-gated: ``fake`` is a deterministic md5-based feature
-extractor (bit-identical to the native expression twin, so the plumbing
-itself is oracle-checked); ``pil`` is implemented against the public
-Pillow API (open → grayscale → thumbnail → column-mean features) and
-raises NotImplementedError only when Pillow is absent — the branch is
-exercised in tests via a mock-injected PIL module.  Batch shape, schema,
-and partitioning are real either way.
+Decode backends, import-gated where the lib is absent:
+
+- ``fake`` — deterministic md5-based feature extractor, bit-identical to
+  the native expression twin, so the plumbing itself is oracle-checked.
+- ``png`` — a REAL decoder with no third-party deps: stdlib-zlib PNG
+  decode (8-bit gray/RGB/RGBA, non-interlaced, all 5 scanline filters —
+  public spec, RFC 2083) → integer luma → nearest-neighbor resample →
+  per-column mean luminance.  This path executes end-to-end in any
+  container and pins the real decode contract (bytes → pixels →
+  features) that ``pil`` fulfils with Pillow installed.
+- ``pil`` — implemented against the public Pillow API (open → grayscale
+  → thumbnail → column-mean features); raises NotImplementedError only
+  when Pillow is absent — the branch is exercised in tests via a
+  mock-injected PIL module wrapping the stdlib decoder on real PNG bytes.
+
+Batch shape, schema, and partitioning are real in every backend.
 """
 
 from __future__ import annotations
@@ -80,9 +88,102 @@ def fake_features_py(content: bytes, dims: int = 8) -> list[float]:
     return out
 
 
+def png_decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib PNG decode to grayscale pixels (row-major), for 8-bit
+    gray / RGB / RGBA non-interlaced images — chunk walk, zlib inflate,
+    all five scanline filters reversed per the public spec (RFC 2083 §6),
+    integer luma (299/587/114 per mille) for color.  Returns (width,
+    height, pixels).  This is the real decode the ``pil`` backend performs
+    via Pillow, runnable with no third-party libs at all."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG byte stream")
+    pos, idat = 8, b""
+    w = h = nch = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit gray/RGB/RGBA, "
+                    "non-interlaced)"
+                )
+            nch = {0: 1, 2: 3, 6: 4}[ctype]
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    pixels: list[int] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = line
+        if nch == 1:
+            pixels.extend(line)
+        else:
+            for x in range(w):
+                r, g, b2 = line[x * nch], line[x * nch + 1], line[x * nch + 2]
+                pixels.append((r * 299 + g * 587 + b2 * 114) // 1000)
+    return w, h, pixels
+
+
+def png_features(blob: bytes, dims: int) -> list[float]:
+    """Column-mean luminance features from a real PNG decode: nearest-
+    neighbor resample to dims×dims, then the same mean-luminance formula
+    as the ``pil`` backend (mean/255 − 0.5 per column)."""
+    w, h, px = png_decode_gray(blob)
+    feats = []
+    for cx in range(dims):
+        sx = (cx * w) // dims
+        s = 0
+        for cy in range(dims):
+            sy = (cy * h) // dims
+            s += px[sy * w + sx]
+        feats.append(s / (255.0 * dims) - 0.5)
+    return feats
+
+
 def _load_decoder(backend: str, dims: int):
     if backend == "fake":
         return lambda blobs: [fake_features_py(b, dims) for b in blobs]
+    if backend == "png":
+        return lambda blobs: [png_features(b, dims) for b in blobs]
     if backend == "pil":
         try:
             from PIL import Image  # type: ignore

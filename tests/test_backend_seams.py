@@ -209,3 +209,219 @@ def test_pyvi_identity_without_lib():
 
     assert "pyvi" not in sys.modules
     assert vi_segment("xin chào") == "xin chào"
+
+
+# ---------------------------------------------------------------------------
+# REAL-decode contract: stdlib PNG backend on genuine PNG bytes (no mocks)
+# ---------------------------------------------------------------------------
+def _png_bytes(width, height, pixels, *, color=False, filters=None):
+    """Assemble a real PNG (correct chunk CRCs) from row-major pixel data.
+    ``filters`` picks the per-scanline filter type actually encoded, so
+    the decoder's unfilter paths are exercised on authentic streams."""
+    import struct
+    import zlib
+
+    nch = 3 if color else 1
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(width * nch)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            p = pixels[y * width + x]
+            line.extend(p if color else [p])
+        ft = filters[y]
+        raw.append(ft)
+        enc = bytearray(line)
+        if ft == 1:  # Sub
+            for i in range(len(line) - 1, nch - 1, -1):
+                enc[i] = (line[i] - line[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(line)):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        raw.extend(enc)
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2 if color else 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_gray_roundtrip_all_filters():
+    from briefly_spark.operators.multimodal import png_decode_gray
+
+    px = [(x * 37 + y * 11) % 256 for y in range(6) for x in range(5)]
+    blob = _png_bytes(5, 6, px, filters=[0, 1, 2, 1, 2, 0])
+    w, h, got = png_decode_gray(blob)
+    assert (w, h) == (5, 6)
+    assert got == px  # pixel-exact through encode->zlib->unfilter->decode
+
+
+def test_png_decode_rgb_luma():
+    from briefly_spark.operators.multimodal import png_decode_gray
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    blob = _png_bytes(2, 2, px, color=True)
+    w, h, got = png_decode_gray(blob)
+    assert (w, h) == (2, 2)
+    assert got == [255 * 299 // 1000, 255 * 587 // 1000, 255 * 114 // 1000, 255]
+
+
+def test_png_backend_features_match_hand_computation():
+    from briefly_spark.operators.multimodal import _load_decoder
+
+    dims = 4
+    px = [(x * 53 + y * 29) % 256 for y in range(8) for x in range(8)]
+    blob = _png_bytes(8, 8, px, filters=[0, 1, 2, 0, 1, 2, 0, 1])
+    fn = _load_decoder("png", dims)
+    feats = fn([blob])[0]
+    # nearest-neighbor sample grid for 8->4: source index (c*8)//4 = 2c
+    expected = [
+        sum(px[(2 * cy) * 8 + 2 * cx] for cy in range(dims)) / (255.0 * dims) - 0.5
+        for cx in range(dims)
+    ]
+    assert feats == expected
+
+
+def test_png_backend_rejects_non_png_and_exotic_variants():
+    from briefly_spark.operators.multimodal import png_decode_gray
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode_gray(b"GIF89a...")
+    # 16-bit depth is out of scope and must fail loudly, not mis-decode
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode_gray(deep)
+
+
+# ---------------------------------------------------------------------------
+# PIL adapter contract on REAL PNG bytes: the mock fulfils the public
+# Pillow signatures by delegating to the genuine stdlib decode, so the
+# adapter's call sequence (open(BytesIO) -> convert('L') -> resize ->
+# getdata) is validated against actually-decoded pixels.
+# ---------------------------------------------------------------------------
+def _pil_backed_by_real_decoder() -> tuple[types.ModuleType, types.ModuleType]:
+    from briefly_spark.operators.multimodal import png_decode_gray
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+
+    class RealImage:
+        def __init__(self, w, h, px):
+            self.w, self.h, self.px = w, h, px
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            tw, th = size
+            px = [
+                self.px[((y * self.h) // th) * self.w + (x * self.w) // tw]
+                for y in range(th)
+                for x in range(tw)
+            ]
+            return RealImage(tw, th, px)
+
+        def getdata(self):
+            return list(self.px)
+
+    def open_(fp):
+        assert isinstance(fp, io.BytesIO)
+        return RealImage(*png_decode_gray(fp.getvalue()))
+
+    image_mod.open = open_
+    pil.Image = image_mod
+    return pil, image_mod
+
+
+def test_pil_adapter_contract_on_real_png(clean_modules):
+    from briefly_spark.operators.multimodal import _load_decoder, png_features
+
+    pil, image_mod = _pil_backed_by_real_decoder()
+    clean_modules("PIL", pil)
+    clean_modules("PIL.Image", image_mod)
+    dims = 4
+    px = [(x * 7 + y * 13) % 256 for y in range(8) for x in range(8)]
+    blob = _png_bytes(8, 8, px, filters=[0, 1, 2, 1, 0, 2, 1, 0])
+    got = _load_decoder("pil", dims)([blob])[0]
+    # the real-decoder-backed PIL mock and the stdlib png backend agree
+    assert got == png_features(blob, dims)
+
+
+# ---------------------------------------------------------------------------
+# sentence-transformers adapter contract: the real library returns a
+# numpy float32 ndarray of shape (n, dim) — pin that the adapter
+# normalizes it to plain Python float lists.
+# ---------------------------------------------------------------------------
+def _st_with_recorded_output_shape() -> types.ModuleType:
+    import numpy as np
+
+    mod = types.ModuleType("sentence_transformers")
+
+    class SentenceTransformer:
+        def __init__(self, name: str):
+            self.name = name
+
+        def encode(self, texts, batch_size=8):
+            # recorded contract of the real lib: np.ndarray, dtype float32,
+            # shape (len(texts), dim)
+            rows = [
+                [
+                    int(hashlib.md5(f"{t}:{d}".encode()).hexdigest()[:2], 16) / 256.0
+                    for d in range(4)
+                ]
+                for t in texts
+            ]
+            return np.asarray(rows, dtype=np.float32)
+
+    mod.SentenceTransformer = SentenceTransformer
+    return mod
+
+
+def test_model_adapter_normalizes_numpy_float32(clean_modules):
+    import numpy as np
+
+    from briefly_spark.operators import embedding
+
+    clean_modules("sentence_transformers", _st_with_recorded_output_shape())
+    embedding._BACKEND_CACHE.pop("model:4", None)
+    try:
+        fn = embedding._load_backend("model", 4)
+        vecs = fn(["xin chào", "hello", "a"])
+        assert len(vecs) == 3 and all(len(v) == 4 for v in vecs)
+        # plain Python floats (Arrow-serializable), float32 values preserved
+        assert all(type(x) is float for v in vecs for x in v)
+        expected0 = float(
+            np.float32(int(hashlib.md5(b"xin ch\xc3\xa0o:0").hexdigest()[:2], 16) / 256.0)
+        )
+        assert vecs[0][0] == expected0
+    finally:
+        embedding._BACKEND_CACHE.pop("model:4", None)

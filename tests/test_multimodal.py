@@ -63,3 +63,44 @@ def test_pil_backend_is_import_gated(spark, sf_dir):
     out = decode_features(media, dims=4, backend="pil")
     with pytest.raises(Exception):
         out.collect()
+
+
+def test_png_backend_decodes_real_blobs_through_spark(spark):
+    """The non-stub decode path end-to-end: REAL PNG bytes (correct CRCs)
+    ride a binary column into the Arrow-batched mapInPandas stage, worker
+    processes run the genuine stdlib zlib decode (no mocks), and features
+    come back pixel-exact."""
+    import struct
+    import zlib
+
+    from briefly_spark.operators.multimodal import decode_features, png_features
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def png(width, height, seed):
+        px = [(x * seed + y * (seed + 3)) % 256 for y in range(height) for x in range(width)]
+        raw = b"".join(
+            b"\x00" + bytes(px[y * width : (y + 1) * width]) for y in range(height)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    blobs = [(i, png(8, 8, 7 + i)) for i in range(6)]
+    df = spark.createDataFrame(blobs, "media_id long, content binary")
+    got = {
+        r["media_id"]: r["features"]
+        for r in decode_features(df.repartition(3), dims=4, backend="png").collect()
+    }
+    assert set(got) == set(range(6))
+    for i, blob in blobs:
+        assert got[i] == png_features(blob, 4)
