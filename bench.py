@@ -82,6 +82,24 @@ def main() -> None:
             print(f"bench warm error {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # stdout line: SHORT query keys (q01, q02, ...) and 2-decimal values so
+    # the whole line fits the driver's ~2000-char stdout tail and its JSON
+    # parse (BENCH_r{N}.json "parsed") succeeds with every query present —
+    # r04's full-name line was too long and parsed as null.  The full-name
+    # payload (plus warm-plan timings) is persisted to BENCH_FULL.json.
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in sorted(timings.items())}
+    compact = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": sf_of(sf_dir),
+            "n_queries": len(timings),
+        },
+        separators=(",", ":"),
+    )
+    print(compact)
     payload = json.dumps(
         {
             "metric": "total_query_wall_time",
@@ -93,10 +111,6 @@ def main() -> None:
             "n_queries": len(timings),
         }
     )
-    print(payload)
-    # The driver captures only a truncated stdout tail into BENCH_r{N}.json
-    # (judge item r03 #7) — persist the complete per-query JSON alongside so
-    # round-over-round diffs never need reconstruction.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),

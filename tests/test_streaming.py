@@ -230,3 +230,68 @@ def test_stream_session_windows_match_batch_up_to_watermark(spark, sf_dir, tmp_p
     assert len(got) > 100
     # only still-open sessions were withheld
     assert all(k[2] > wm for k in expected_all.keys() - got.keys())
+
+
+def test_streaming_summarize_twin_matches_batch_job(spark, sf_dir, tmp_path):
+    """Streaming twin of the reference's core sensor loop (T1 worklist →
+    summarize transform → K3 merge, sensors/article_sensors.py:35-44):
+    the same summarize delta computed per micro-batch through
+    merge_stream must leave the articles table identical to one
+    summarize_batch run over the same work."""
+    from briefly_spark.jobs import ARTICLES, ingest_documents, summarize_batch
+    from briefly_spark.operators.summarize import (
+        factcheck_score,
+        summary_bullets,
+        summary_status,
+    )
+    from briefly_spark.storage import Warehouse
+    from briefly_spark.streaming.incremental import merge_stream, read_parquet_stream
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+
+    wh_batch = Warehouse(spark, str(tmp_path / "wh_batch"))
+    ingest_documents(wh_batch, docs)
+    summarize_batch(wh_batch, batch_size=10_000)  # covers the whole worklist
+
+    wh_stream = Warehouse(spark, str(tmp_path / "wh_stream"))
+    ingest_documents(wh_stream, docs)
+    # the stream source is the T1 worklist itself (summary missing),
+    # multiple files -> multiple micro-batches under maxFilesPerTrigger
+    work_dir = str(tmp_path / "summarize_work")
+    (
+        wh_stream.read(ARTICLES)
+        .filter(F.col("summary_status").isNull())
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(work_dir)
+    )
+
+    def summarize_transform(batch):
+        cols = [c for c in batch.columns if c not in
+                ("summary", "summary_status", "validation_score")]
+        return batch.select(
+            *cols,
+            summary_bullets(F.col("content")).alias("summary"),
+            summary_status(F.col("content")).alias("summary_status"),
+            factcheck_score(F.col("content")).alias("validation_score"),
+        )
+
+    merge_stream(
+        read_parquet_stream(spark, work_dir, max_files_per_trigger=1),
+        wh_stream,
+        ARTICLES,
+        ["url"],
+        checkpoint=str(tmp_path / "ckpt_summarize"),
+        transform=summarize_transform,
+        partition_by=["source"],
+    )
+
+    def snapshot(wh):
+        rows = wh.read(ARTICLES).collect()
+        cols = sorted(rows[0].asDict()) if rows else []
+        return sorted(tuple(str(r[c]) for c in cols) for r in rows)
+
+    b, s = snapshot(wh_batch), snapshot(wh_stream)
+    assert b and b == s
+    # and the batch job now finds nothing left to do on the streamed table
+    assert summarize_batch(wh_stream, batch_size=10_000).processed == 0

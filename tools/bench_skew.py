@@ -1,7 +1,8 @@
-"""Skew-stress bench (VERDICT r03 #6): measure that AQE skew handling keeps
-the LSH/similarity queries usable on a deliberately skewed corpus.
+"""Skew-stress bench (VERDICT r03 #6, r04 #7): measure that AQE skew
+handling keeps the LSH/similarity/LM/dedup queries usable on a
+deliberately skewed corpus.
 
-Two skew shapes, one per query family:
+Four skew shapes, one per query family:
 
 - q41_related_articles — TOPIC skew: 90% of embeddings forced into one
   topic label, so the topic-blocked candidate join concentrates in one
@@ -15,6 +16,16 @@ Two skew shapes, one per query family:
   (500 bucket members after the corpus doubling, ~125k pairs in ONE
   bucket vs O(100) elsewhere) isolates the actual skew question: does one
   hot bucket serialize the stage?
+- q48 (lm_doc_scores) — HOT BIGRAM: a footer sentence appended to EVERY
+  document, so its bigrams appear corpus-wide.  In ``c12_mode="window"``
+  the global bigram count is a window over the (w1, w2) partition — the
+  hot bigram's partition cannot be split.  ``c12_mode="join"`` partial-
+  aggregates and equi-joins the counts back, which AQE skew-splits; this
+  bench measures both modes under the same skew (the docstring's claimed
+  scale path, now with a number attached).
+- q29_dedup_survivors — HOT COMPONENT: the 5% boilerplate slice collapses
+  into one giant near-dup cluster, so the component-partitioned election
+  windows and the CC iterations see one massive key.
 
 Usage: python tools/bench_skew.py [sf_dir] — prints one JSON line with
 cold/min-of-2 times for uniform vs skewed and the ratio; paste the table
@@ -42,27 +53,43 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 BOILERPLATE = " ".join(
     f"boiler{i} common navigation footer subscribe newsletter cookie" for i in range(12)
 )
+#: appended to EVERY document in the "footer" shape — each adjacent pair
+#: here becomes a bigram with corpus-wide document frequency (the q48
+#: hot-window hazard)
+FOOTER = "subscribe to our newsletter for daily updates and offers"
 
 
-def build_skewed_dir(spark, sf_dir: str, out_dir: str) -> None:
-    """Skewed copy of an sf dir: all tables linked through, documents and
-    embeddings rewritten with the two skew shapes."""
+def build_skewed_dir(spark, sf_dir: str, out_dir: str, shape: str = "lsh") -> None:
+    """Skewed copy of an sf dir: all tables linked through, documents (and
+    for ``lsh`` also embeddings) rewritten with the requested skew shape."""
     os.makedirs(out_dir, exist_ok=True)
+    rewrite = ("documents", "embeddings") if shape == "lsh" else ("documents",)
     for t in TABLES:
         src = table_path(sf_dir, t)
         dst = table_path(out_dir, t)
-        if t not in ("documents", "embeddings") and not os.path.exists(dst):
+        if t not in rewrite and not os.path.exists(dst):
             os.symlink(src, dst)
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    docs.withColumn(
-        "text",
-        F.when(F.col("doc_id") % 20 == 0, F.lit(BOILERPLATE)).otherwise(F.col("text")),
-    ).write.mode("overwrite").parquet(table_path(out_dir, "documents"))
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    emb.withColumn(
-        "label",
-        F.when(F.col("vec_id") % 10 != 0, F.lit(0)).otherwise(F.col("label")),
-    ).write.mode("overwrite").parquet(table_path(out_dir, "embeddings"))
+    if shape == "lsh":
+        skewed_docs = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 20 == 0, F.lit(BOILERPLATE)).otherwise(
+                F.col("text")
+            ),
+        )
+    elif shape == "footer":
+        skewed_docs = docs.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit(FOOTER))
+        )
+    else:
+        raise ValueError(f"unknown skew shape {shape!r}")
+    skewed_docs.write.mode("overwrite").parquet(table_path(out_dir, "documents"))
+    if shape == "lsh":
+        emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+        emb.withColumn(
+            "label",
+            F.when(F.col("vec_id") % 10 != 0, F.lit(0)).otherwise(F.col("label")),
+        ).write.mode("overwrite").parquet(table_path(out_dir, "embeddings"))
 
 
 def run(fn, spark, sf_dir: str, reps: int = 2) -> float:
@@ -74,6 +101,17 @@ def run(fn, spark, sf_dir: str, reps: int = 2) -> float:
     return round(best, 3)
 
 
+def _lm_query(mode: str):
+    from briefly_spark.catalog import load_table, spread
+    from briefly_spark.operators.lm import lm_doc_scores
+
+    def fn(spark, sf_dir):
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        return lm_doc_scores(docs, "doc_id", "text", c12_mode=mode)
+
+    return fn
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("bench_skew")
@@ -81,11 +119,14 @@ def main() -> None:
     queries = {
         "q31_minhash_lsh_pairs": registry["q31_minhash_lsh_pairs"].fn,
         "q41_related_articles": registry["q41_related_articles"].fn,
+        "q29_dedup_survivors": registry["q29_dedup_survivors"].fn,
     }
 
     skew_dir = tempfile.mkdtemp(prefix="skewed_sf_")
+    footer_dir = tempfile.mkdtemp(prefix="skewed_footer_sf_")
     try:
-        build_skewed_dir(spark, sf_dir, skew_dir)
+        build_skewed_dir(spark, sf_dir, skew_dir, shape="lsh")
+        build_skewed_dir(spark, sf_dir, footer_dir, shape="footer")
         for name, fn in queries.items():  # warmup: plans + codegen
             fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
 
@@ -105,9 +146,26 @@ def main() -> None:
                 "skewed_no_skewjoin_s": skewed_noaqe,
                 "ratio": round(skewed / uniform, 2),
             }
+
+        # q48 hot-bigram shape: window vs join global-count strategy under
+        # the same universal-footer skew (lm.py's documented scale path)
+        lm_out = {}
+        for mode in ("window", "join"):
+            fn = _lm_query(mode)
+            fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+            lm_out[f"uniform_{mode}_s"] = run(fn, spark, sf_dir)
+            lm_out[f"skewed_{mode}_s"] = run(fn, spark, footer_dir)
+        lm_out["skew_ratio_window"] = round(
+            lm_out["skewed_window_s"] / lm_out["uniform_window_s"], 2
+        )
+        lm_out["skew_ratio_join"] = round(
+            lm_out["skewed_join_s"] / lm_out["uniform_join_s"], 2
+        )
+        out["q48_lm_doc_scores"] = lm_out
         print(json.dumps({"sf_dir": sf_dir, "results": out}))
     finally:
         shutil.rmtree(skew_dir, ignore_errors=True)
+        shutil.rmtree(footer_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
