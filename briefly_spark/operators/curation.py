@@ -1,0 +1,318 @@
+"""Corpus-curation operators beyond near-dup detection: exact duplicate-span
+removal, importance-resampling weights, and semantic (embedding-cluster)
+dedup — the three remaining stages of a large-scale LLM training-data
+pipeline that :mod:`operators.dedup` (candidate generation) and
+:mod:`operators.textstats` (quality rules) do not cover.
+
+- :func:`span_dedup` — keep-first exact duplicate-span removal, the
+  fixed-window approximation of suffix-array exact-substring dedup
+  (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better").  Unlike :func:`operators.textstats.remove_boilerplate_lines`
+  (which removes *every* copy of corpus-frequent lines), this keeps exactly
+  ONE occurrence of each repeated span and trims the rest.
+- :func:`dsir_log_weights` — hashed-n-gram importance weights
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): per-document log-likelihood ratio between a target
+  distribution and the raw corpus distribution over hashed bigram features.
+  Every score is fixed-point integer arithmetic on top of the
+  bit-reproducible :func:`numerics.det_ln_sql`, so weights hash-match any
+  IEEE engine.
+- :func:`semantic_dedup` — SemDeDup (Abbas et al. 2023): coarse-cluster the
+  embedding space, then drop all but one member of every intra-cluster
+  group whose pairwise cosine exceeds a threshold.  Clustering bounds the
+  quadratic verify step to within-cell pairs (the same cost argument as
+  IVF ANN, operators/similarity.py:238).
+
+Scale notes: every shuffle here is an equi-join or partial-aggregable
+groupBy on a bounded or hashed key — span keys (hot boilerplate spans are
+min-aggregated map-side, never windowed), B hashed feature buckets
+(feature table is broadcast-sized by construction regardless of corpus
+size), and cell ids (cell population bounds the pair join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from briefly_spark.functions.vectors import dot, l2_norm
+from briefly_spark.numerics import RATIO_SCALE, det_ln_sql
+from briefly_spark.operators.textstats import _hash16
+
+#: widx stride for the (doc, window) -> single orderable bigint encoding;
+#: bounded because a window index counts W-token windows within one doc.
+_WIDX_STRIDE = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span removal (keep-first)
+# ---------------------------------------------------------------------------
+def span_array(text: Column, span_tokens: int = 8) -> Column:
+    """Non-overlapping ``span_tokens``-token windows of a text column as an
+    array of strings (last window may be shorter).  Pure per-row codegen."""
+    toks = F.split(text, " ")
+    n_wins = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+        ),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Keep-first exact duplicate-span removal over the whole corpus.
+
+    Every distinct span text survives exactly once — at its earliest
+    occurrence by ``(id, window index)`` — and is trimmed from every later
+    occurrence; documents reassemble from their surviving spans in original
+    order.  Documents whose every span was seen earlier (exact duplicates
+    of earlier content) are dropped entirely, which is precisely the
+    exact-dedup behavior as a degenerate case.  ``id_col`` must be numeric
+    (the first-occurrence key is the bigint ``id·1e6 + widx``).
+
+    Returns ``(id, n_spans, n_kept, clean_text)``.
+
+    Scale shape: span-ize is map-only; first-occurrence is a partial-
+    aggregable ``min`` groupBy on the span text (a boilerplate span in
+    every document combines map-side — no hot window partition, the q48
+    hazard); the keep decision is a self-equi-join on the span key which
+    AQE skew-splits if one span dominates; reassembly is one groupBy on
+    doc id with in-aggregate struct sort."""
+    spans = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(span_array(F.col(text_col), span_tokens)).alias("widx", "span"),
+        F.size(span_array(F.col(text_col), span_tokens)).alias("n_spans"),
+    ).withColumn("okey", F.col("id") * _WIDX_STRIDE + F.col("widx"))
+    firsts = spans.groupBy("span").agg(F.min("okey").alias("first_key"))
+    kept = (
+        spans.join(firsts, "span")
+        .filter(F.col("okey") == F.col("first_key"))
+        .select("id", "widx", "span", "n_spans")
+    )
+    return kept.groupBy("id").agg(
+        F.min("n_spans").alias("n_spans"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+def hashed_bigrams(text: Column, n_buckets: int = 4096) -> Column:
+    """Hashed bigram feature ids (with multiplicity) of a text column:
+    ``hash16(tok_i || ' ' || tok_{i+1}) mod n_buckets`` per adjacent token
+    pair — the engine-portable md5-nibble hash shared with the split/sample
+    operators.  Texts with fewer than two tokens yield an empty array."""
+    toks = F.split(text, " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: _hash16(
+            F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+        )
+        % n_buckets,
+    )
+
+
+def _fp_ln(int_expr: str) -> Column:
+    """floor(det_ln(expr)·1e4) — integer fixed-point of the bit-reproducible
+    log of a positive integer expression (Spark dialect)."""
+    return F.expr(f"floor({det_ln_sql(int_expr, 'spark')} * {RATIO_SCALE})")
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio between
+    the ``target`` sub-corpus and the raw corpus over hashed bigram
+    features, add-one smoothed:
+
+        w(doc) = Σ_occurrences [ ln p_t(f) − ln p_r(f) ]
+        p_t(f) = (ct_f + 1) / (T + B),   p_r(f) = (cr_f + 1) / (R + B)
+
+    Every log is fixed-pointed to an integer BEFORE any sum (four separate
+    ``floor(det_ln·1e4)`` terms — no integer-overflowing products, counts
+    up to 2^63 are safe), so the per-doc weight is an exact integer sum,
+    order-independent and engine-independent.  Returns
+    ``(id, n_bigrams, weight_fp)`` — ``weight_fp / 1e4`` is the log-ratio
+    in nats; documents with fewer than two tokens are absent.
+
+    Scale shape: one partial-aggregable groupBy on the feature id builds
+    the feature table (≤ ``n_buckets`` rows however large the corpus — it
+    broadcasts by construction); totals fold to one broadcast row; the
+    per-doc pass is an explode + broadcast join + one groupBy on doc id."""
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_bigrams(F.col(text_col), n_buckets)).alias("f"),
+        target.cast("long").alias("is_t"),
+    )
+    table = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct")
+    )
+    totals = table.agg(
+        F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
+    )
+    scored = (
+        table.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_fp",
+            (
+                _fp_ln("ct + 1")
+                + _fp_ln(f"r_total + {n_buckets}")
+                - _fp_ln("cr + 1")
+                - _fp_ln(f"t_total + {n_buckets}")
+            ).cast("long"),
+        )
+        .select("f", "score_fp")
+    )
+    return (
+        feats.join(F.broadcast(scored), "f")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("score_fp").alias("weight_fp"),
+        )
+    )
+
+
+def sql_dsir_weights(
+    docs_sql: str, target_pred: str, n_buckets: int = 4096
+) -> str:
+    """DuckDB mirror of :func:`dsir_log_weights` — identical hash, identical
+    det_ln rounding sequence, identical fixed-point discipline.
+    ``docs_sql`` must yield (id, text); ``target_pred`` is a boolean SQL
+    predicate over those columns."""
+    from briefly_spark.queries.textstats import _sql_hash16  # shared spelling
+
+    fp = lambda e: f"floor({det_ln_sql(e, 'duckdb')} * {RATIO_SCALE})"  # noqa: E731
+    bigram = "t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]"
+    return f"""
+WITH src AS ({docs_sql}),
+toks AS (
+  SELECT id, ({target_pred}) AS is_t, string_split(text, ' ') AS t FROM src
+),
+feats AS (
+  SELECT id, CAST(is_t AS BIGINT) AS is_t,
+         {_sql_hash16(bigram)} % {n_buckets} AS f
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+tab AS (
+  SELECT f, count(*) AS cr, sum(is_t) AS ct FROM feats GROUP BY f
+),
+tot AS (
+  SELECT sum(cr) AS r_total, sum(ct) AS t_total FROM tab
+),
+scored AS (
+  SELECT f,
+         CAST({fp('ct + 1')} + {fp(f'r_total + {n_buckets}')}
+            - {fp('cr + 1')} - {fp(f't_total + {n_buckets}')} AS BIGINT)
+           AS score_fp
+  FROM tab CROSS JOIN tot
+)
+SELECT feats.id AS id, count(*) AS n_bigrams, sum(score_fp) AS weight_fp
+FROM feats JOIN scored ON feats.f = scored.f
+GROUP BY feats.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup over embedding clusters
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest coarse centroid,
+    then inside each cell mark as duplicate every member that has a
+    lower-id cell-mate with cosine ≥ ``threshold`` (keep-lowest-id, the
+    deterministic form of SemDeDup's keep-one-per-group).
+
+    Centroids are the ``n_cells`` corpus vectors with lexicographically
+    smallest ``md5(id)`` — the same byte-reproducible seeded sample as the
+    IVF oracle path (operators/similarity.py:238); swap in
+    ``kmeans_centroids`` for better-shaped cells off the oracle surface.
+
+    Returns ``(id, cell_id, is_dup)`` for every corpus row.
+
+    Scale shape: assignment is a broadcast cross join against ``n_cells``
+    rows + one per-id row_number (partitioned by id — no hot key);
+    the verify join is quadratic ONLY within a cell, which is the knob
+    SemDeDup tunes (more cells → smaller cells); the dup set rides an
+    id-only left join."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", l2_norm(F.col("v")))
+    cent = (
+        c.withColumn("ck", F.md5(F.col("id").cast("string")))
+        .orderBy("ck")
+        .limit(n_cells)
+        .select(
+            F.col("id").alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("n").alias("cvn"),
+        )
+    )
+    ccos = F.when(
+        (F.col("n") > 0) & (F.col("cvn") > 0),
+        dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cvn")),
+    ).otherwise(F.lit(0.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    assigned = (
+        c.join(F.broadcast(cent), how="cross")
+        .withColumn("ccos", ccos)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select("id", "cell_id", "v", "n")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.when(
+        (F.col("a.n") > 0) & (F.col("b.n") > 0),
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
+    ).otherwise(F.lit(0.0))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(pair_cos >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, "id", "left")
+        .select(
+            "id",
+            "cell_id",
+            F.coalesce(F.col("dup"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""q83–q85 — training-corpus curation: exact duplicate-span removal,
+DSIR importance weights, and SemDeDup semantic dedup.
+
+These are the three curation stages a 100 TB LLM-data pipeline runs
+*after* candidate near-dup detection (q30–q37) and quality filtering
+(q50–q56): trim exact repeated content at sub-document granularity
+(Lee et al. 2022), weight documents toward a target distribution
+(Xie et al. 2023, DSIR), and drop semantically redundant documents that
+no lexical method catches (Abbas et al. 2023, SemDeDup).  All three are
+oracle-gated end-to-end; every score surface is fixed-point integer
+arithmetic (numerics.det_ln_sql / trunc4), so hashes are engine-exact.
+
+Reference parity note: the reference has no corpus-curation stage (its
+dedup is the per-url anti-join, crawler/article_crawler.py) — this module
+is part of the beyond-reference training-data surface SURVEY §2.10 calls
+for, same tier as q30–q59.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table, spread
+from briefly_spark.operators.curation import (
+    dsir_log_weights,
+    semantic_dedup,
+    span_dedup,
+    sql_dsir_weights,
+)
+from briefly_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# q83 — keep-first exact duplicate-span removal.
+# ---------------------------------------------------------------------------
+_SPAN_W = 8
+
+@register(
+    "q83_span_dedup",
+    covers=("P5", "U4"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS widx,
+         array_to_string(t[(CAST(i AS INT) * {_SPAN_W} + 1):(CAST(i AS INT) * {_SPAN_W} + {_SPAN_W})], ' ') AS span,
+         CAST(ceil(len(t) / {_SPAN_W}.0) AS INT) AS n_spans
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / {_SPAN_W}.0) AS BIGINT))) AS u(i)
+),
+firsts AS (
+  SELECT span, min(doc_id * 1000000 + widx) AS first_key FROM spans GROUP BY span
+),
+kept AS (
+  SELECT s.doc_id, s.widx, s.span, s.n_spans
+  FROM spans s JOIN firsts f ON s.span = f.span
+  WHERE s.doc_id * 1000000 + s.widx = f.first_key
+)
+SELECT doc_id, min(n_spans) AS n_spans, count(*) AS n_kept,
+       md5(string_agg(span, ' ' ORDER BY widx)) AS clean_md5
+FROM kept GROUP BY doc_id
+""",
+)
+def q83_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (fixed-window approximation of
+    suffix-array exact-substring dedup, Lee et al. 2022): every distinct
+    8-token span survives once, at its earliest (doc_id, window) position;
+    later occurrences — boilerplate, quotations, wholesale doc copies —
+    are trimmed.  Docs reduced to nothing (pure duplicates of earlier
+    docs) drop out entirely.  Differs from q39 (boilerplate removal, which
+    deletes ALL copies of corpus-frequent lines): here exactly one copy is
+    kept, preserving corpus information mass.  The cleaned text is
+    md5-pinned to keep the hash surface compact.
+
+    Scale: first-occurrence is a map-side-combinable min-groupBy on the
+    span (a span present in every doc partial-aggregates — no hot window
+    partition); the keep decision is an AQE-skew-splittable self-equi-join;
+    reassembly is one per-doc aggregation with in-aggregate struct sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = span_dedup(docs, id_col="doc_id", text_col="text", span_tokens=_SPAN_W)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        "n_kept",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — DSIR importance weights toward an English target distribution.
+# ---------------------------------------------------------------------------
+_DSIR_B = 4096
+
+@register(
+    "q84_dsir_weights",
+    covers=("A4", "P7"),
+    oracle=f"""
+SELECT id AS doc_id, n_bigrams, weight_fp
+FROM ({sql_dsir_weights("SELECT doc_id AS id, text, lang FROM documents", "lang = 'en'", _DSIR_B)})
+""",
+)
+def q84_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023): score every
+    document by the log-likelihood ratio between the target distribution
+    (here: the English sub-corpus) and the raw corpus, over 4096 hashed
+    bigram features with add-one smoothing.  Positive weight ⇒ the doc
+    looks more like the target than like the average of the corpus;
+    resampling ∝ exp(weight) selects pretraining data matching the target
+    domain.  weight_fp is the exact integer fixed-point (nats × 10⁴) —
+    every log is the bit-reproducible det_ln, fixed-pointed BEFORE any
+    sum, so the weight is an order-independent integer in any engine.
+
+    Scale: the feature table is ≤4096 rows whatever the corpus size (one
+    partial-agg shuffle, then broadcast); totals fold to one broadcast
+    row; per-doc scoring is explode + broadcast join + one doc-id agg."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = dsir_log_weights(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        target=F.col("lang") == "en",
+        n_buckets=_DSIR_B,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_bigrams", "weight_fp")
+
+
+# ---------------------------------------------------------------------------
+# q85 — SemDeDup over IVF-style coarse cells.
+# ---------------------------------------------------------------------------
+_SEM_CELLS = 16
+_SEM_TAU = 0.99
+
+@register(
+    "q85_semantic_dedup",
+    covers=("J4", "P5"),
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) + CASE WHEN i = 1 THEN 0.1 ELSE 0 END) AS v
+  FROM embeddings
+),
+c AS (
+  SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n FROM corpus
+),
+cent AS (
+  SELECT id AS cell_id, v AS cv, n AS cvn
+  FROM c ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_SEM_CELLS}
+),
+asg AS (
+  SELECT id, cell_id, v, n FROM (
+    SELECT c.id, cent.cell_id, c.v, c.n,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY (CASE WHEN c.n > 0 AND cent.cvn > 0
+               THEN list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i])) / (c.n * cent.cvn)
+               ELSE 0.0 END) DESC, cent.cell_id ASC) AS crk
+    FROM c CROSS JOIN cent
+  ) WHERE crk = 1
+),
+dups AS (
+  SELECT DISTINCT b.id
+  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.id < b.id
+  WHERE (CASE WHEN a.n > 0 AND b.n > 0
+         THEN list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.n * b.n)
+         ELSE 0.0 END) >= {_SEM_TAU}
+)
+SELECT asg.id AS id, asg.cell_id AS cell_id,
+       CASE WHEN dups.id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM asg LEFT JOIN dups ON asg.id = dups.id
+""",
+)
+def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space
+    (16 seeded-sample cells — the IVF oracle-path centroids), then inside
+    each cell mark every member that has a lower-id cell-mate at cosine
+    ≥ 0.99 as a semantic duplicate.  The planted perturbed copies (q34's
+    +0.1-on-dim-0 twins) are what must be flagged: lexical dedup misses
+    them once wording drifts, embeddings don't.  Complements q34: blocking
+    there is a label column (metadata), here it is learned geometry — the
+    shape that works when no blocking metadata exists.
+
+    Scale: assignment = broadcast cross join vs 16 centroids + per-id
+    row_number (no hot key); the quadratic verify is bounded within cells
+    (n_cells is the cost knob); dup set rides an id equi-join."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    orig = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") + F.when(i == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = orig.unionByName(pert)
+    return semantic_dedup(
+        corpus, id_col="id", vec_col="v", n_cells=_SEM_CELLS, threshold=_SEM_TAU
+    )

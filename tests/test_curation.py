@@ -1,0 +1,162 @@
+"""Unit + plan tests for operators/curation.py (q83–q85).
+
+The oracle gate checks end-to-end hashes at sf0.01; these tests pin the
+operator semantics on hand-built fixtures (keep-first span survival,
+DSIR weight arithmetic against the CPython det_ln mirror, SemDeDup
+keep-lowest-id) and the scale-design plan claims (no window over the
+span key, broadcast feature/centroid joins).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from briefly_spark.numerics import RATIO_SCALE, det_ln_py
+from briefly_spark.operators.curation import (
+    dsir_log_weights,
+    semantic_dedup,
+    span_dedup,
+)
+
+from tests.test_plans import plan_of
+
+
+def _toks(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+A8, B8, C8 = _toks("a", 8), _toks("b", 8), _toks("c", 8)
+
+
+def test_span_dedup_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, f"{A8} {B8}"),       # both spans first occurrences
+            (2, f"{A8} {C8}"),       # span A repeated -> trimmed, C kept
+            (3, f"{A8} {B8}"),       # exact copy of doc 1 -> fully trimmed
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in span_dedup(docs, id_col="id", text_col="text").collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 reduced to nothing and dropped
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == f"{A8} {B8}"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == C8
+
+
+def test_span_dedup_partial_last_window_and_order(spark):
+    # 10 tokens -> spans of 8 + 2; the short tail span is its own unit
+    docs = spark.createDataFrame(
+        [(7, _toks("z", 10))], "id long, text string"
+    )
+    row = span_dedup(docs, id_col="id", text_col="text").collect()[0]
+    assert row["n_spans"] == 2 and row["n_kept"] == 2
+    assert row["clean_text"] == _toks("z", 10)  # order preserved
+
+
+def _hash16_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def test_dsir_weights_match_python_mirror(spark):
+    B = 64
+    rows = [
+        (1, "cat sat mat sat", True),
+        (2, "cat sat hat", True),
+        (3, "dog ran far ran dog", False),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l) for i, t, l in rows], "id long, text string, is_en boolean"
+    )
+    out = {
+        r["id"]: (r["n_bigrams"], r["weight_fp"])
+        for r in dsir_log_weights(
+            docs, id_col="id", text_col="text", target=F.col("is_en"), n_buckets=B
+        ).collect()
+    }
+
+    # CPython mirror: identical hash, identical det_ln rounding sequence.
+    feats: dict[int, list[int]] = {}
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for i, t, is_t in rows:
+        toks = t.split(" ")
+        fs = [_hash16_py(f"{a} {b}") % B for a, b in zip(toks, toks[1:])]
+        feats[i] = fs
+        for f in fs:
+            cr[f] = cr.get(f, 0) + 1
+            ct[f] = ct.get(f, 0) + int(is_t)
+    R, T = sum(cr.values()), sum(ct.values())
+    fp = lambda n: math.floor(det_ln_py(n) * RATIO_SCALE)  # noqa: E731
+    score = {
+        f: fp(ct[f] + 1) + fp(R + B) - fp(cr[f] + 1) - fp(T + B) for f in cr
+    }
+    for i, _, _ in rows:
+        expect = (len(feats[i]), sum(score[f] for f in feats[i]))
+        assert out[i] == expect, (i, out[i], expect)
+
+
+def test_dsir_targets_score_above_offtarget(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", True) for i in range(6)]
+        + [(10 + i, "uno dos tres cuatro", False) for i in range(4)],
+        "id long, text string, is_en boolean",
+    )
+    out = dsir_log_weights(
+        docs, id_col="id", text_col="text", target=F.col("is_en"), n_buckets=256
+    ).collect()
+    w = {r["id"]: r["weight_fp"] for r in out}
+    assert min(w[i] for i in range(6)) > max(w[10 + i] for i in range(4))
+
+
+def test_semantic_dedup_flags_higher_id_twin(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),   # twin of 1 -> dup
+            (3, [0.0, 1.0]),
+            (4, [0.0, 1.0]),   # twin of 3 -> dup
+        ],
+        "id long, v array<double>",
+    )
+    out = semantic_dedup(emb, id_col="id", vec_col="v", n_cells=2, threshold=0.99)
+    rows = {r["id"]: r["is_dup"] for r in out.collect()}
+    assert rows == {1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_semantic_dedup_orthogonal_not_flagged(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, v array<double>"
+    )
+    out = semantic_dedup(emb, id_col="id", vec_col="v", n_cells=1, threshold=0.99)
+    assert {r["is_dup"] for r in out.collect()} == {0}
+
+
+# ---------------------------------------------------------------------------
+# plan claims
+# ---------------------------------------------------------------------------
+def test_q83_first_occurrence_is_agg_not_window(spark, sf_dir):
+    # the keep-first decision must be a partial-aggregable min-groupBy —
+    # a Window over the span key would serialize on hot boilerplate spans
+    plan = plan_of(spark, sf_dir, "q83_span_dedup")
+    assert "Window" not in plan, plan
+
+
+def test_q84_feature_table_joins_broadcast(spark, sf_dir):
+    # the <=4096-row feature/score table must broadcast into the per-doc
+    # pass — a shuffle join here would reshuffle the whole exploded corpus
+    plan = plan_of(spark, sf_dir, "q84_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q85_centroid_assignment_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q85_semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in plan, plan
