@@ -47,15 +47,20 @@ _WIDX_STRIDE = 1_000_000
 # ---------------------------------------------------------------------------
 # exact duplicate-span removal (keep-first)
 # ---------------------------------------------------------------------------
-def span_array(text: Column, span_tokens: int = 8) -> Column:
-    """Non-overlapping ``span_tokens``-token windows of a text column as an
-    array of strings (last window may be shorter).  Pure per-row codegen."""
-    toks = F.split(text, " ")
-    n_wins = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+def span_array(words: Column, span_tokens: int = 8) -> Column:
+    """Non-overlapping ``span_tokens``-token windows of a token-ARRAY
+    column as an array of strings (last window may be shorter).
+
+    Takes the materialized token array, not the text: ``words`` is
+    referenced once per window inside the lambda, and interpreted lambdas
+    have no CSE — passing the raw ``split`` expression would re-tokenize
+    the document once per window (the :func:`operators.dedup.word_ngrams`
+    caveat, O(tokens²))."""
+    n_wins = F.ceil(F.size(words) / F.lit(span_tokens)).cast("int")
     return F.transform(
         F.sequence(F.lit(0), n_wins - 1),
         lambda i: F.concat_ws(
-            " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+            " ", F.slice(words, i * span_tokens + 1, span_tokens)
         ),
     )
 
@@ -85,10 +90,16 @@ def span_dedup(
     hazard); the keep decision is a self-equi-join on the span key which
     AQE skew-splits if one span dominates; reassembly is one groupBy on
     doc id with in-aggregate struct sort."""
-    spans = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(span_array(F.col(text_col), span_tokens)).alias("widx", "span"),
-        F.size(span_array(F.col(text_col), span_tokens)).alias("n_spans"),
+    # Two staged projections so split and span-ize each run ONCE per row:
+    # the token array materializes first (lambda references an attribute),
+    # then the span array materializes before being both sized and exploded.
+    staged = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    ).select("id", span_array(F.col("toks"), span_tokens).alias("spans"))
+    spans = staged.select(
+        "id",
+        F.size("spans").alias("n_spans"),
+        F.posexplode("spans").alias("widx", "span"),
     ).withColumn("okey", F.col("id") * _WIDX_STRIDE + F.col("widx"))
     firsts = spans.groupBy("span").agg(F.min("okey").alias("first_key"))
     kept = (
@@ -112,22 +123,27 @@ def span_dedup(
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------
-def hashed_bigrams(text: Column, n_buckets: int = 4096) -> Column:
-    """Hashed bigram feature ids (with multiplicity) of a text column:
-    ``hash16(tok_i || ' ' || tok_{i+1}) mod n_buckets`` per adjacent token
-    pair — the engine-portable md5-nibble hash shared with the split/sample
-    operators.  Texts with fewer than two tokens yield an empty array."""
-    toks = F.split(text, " ")
+def bigram_strings(words: Column) -> Column:
+    """Adjacent token pairs of a token-ARRAY column as strings (with
+    multiplicity).  Fewer than two tokens yields an empty array.
+
+    Takes the materialized token array (same O(tokens²) re-tokenization
+    caveat as :func:`span_array`), and returns STRINGS, not hashed ids:
+    the md5-nibble hash runs in a flat projection AFTER the explode, where
+    whole-stage codegen CSEs the four nibble references into one md5 per
+    row — inside this interpreted lambda it would run four times per
+    bigram."""
     idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
-        lambda i: _hash16(
-            F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
-        )
-        % n_buckets,
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
     )
+
+
 
 
 def _fp_ln(int_expr: str) -> Column:
@@ -162,10 +178,16 @@ def dsir_log_weights(
     the feature table (≤ ``n_buckets`` rows however large the corpus — it
     broadcasts by construction); totals fold to one broadcast row; the
     per-doc pass is an explode + broadcast join + one groupBy on doc id."""
-    feats = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(hashed_bigrams(F.col(text_col), n_buckets)).alias("f"),
-        target.cast("long").alias("is_t"),
+    feats = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+            target.cast("long").alias("is_t"),
+        )
+        .select(
+            "id", F.explode(bigram_strings(F.col("toks"))).alias("bg"), "is_t"
+        )
+        .select("id", (_hash16(F.col("bg")) % n_buckets).alias("f"), "is_t")
     )
     table = feats.groupBy("f").agg(
         F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct")
@@ -260,7 +282,7 @@ def semantic_dedup(
     Returns ``(id, cell_id, is_dup)`` for every corpus row.
 
     Scale shape: assignment is a broadcast cross join against ``n_cells``
-    rows + one per-id row_number (partitioned by id — no hot key);
+    rows + a partial-aggregable per-id max(struct) (combines map-side);
     the verify join is quadratic ONLY within a cell, which is the knob
     SemDeDup tunes (more cells → smaller cells); the dup set rides an
     id-only left join."""
@@ -282,17 +304,41 @@ def semantic_dedup(
         (F.col("n") > 0) & (F.col("cvn") > 0),
         dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cvn")),
     ).otherwise(F.lit(0.0))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    # Nearest-centroid assignment as a partial-aggregable max(struct):
+    # greatest ccos, ties to the SMALLEST cell_id (hence the negated key).
+    # Same winner as a row_number window ordered (ccos DESC, cell_id ASC),
+    # but it combines map-side — at corpus scale the shuffle carries one
+    # row per id, not n_cells rows per id into a per-id sort.
+    best = F.max(
+        F.struct(
+            F.col("ccos"), (-F.col("cell_id")).alias("negcell"),
+            F.col("cell_id"), F.col("v"), F.col("n"),
+        )
+    ).alias("b")
+    # Staged head slice + tail norm for the Cauchy–Schwarz prune (the q34
+    # pattern, queries/dedup.py): dot(a,b) ≤ dot(a.h,b.h) + a.tn·b.tn, so
+    # any pair provably below the threshold dies on an 8-dim fold instead
+    # of the full one.  The final cos formula is untouched (same fold,
+    # same operand order) — oracle hashes cannot move.
+    head = 8
+    tail = F.when(
+        F.size(F.col("v")) > head,
+        F.slice(F.col("v"), head + 1, F.greatest(F.size(F.col("v")) - head, F.lit(1))),
+    ).otherwise(F.array().cast("array<double>"))
     assigned = (
         c.join(F.broadcast(cent), how="cross")
         .withColumn("ccos", ccos)
-        .withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") == 1)
-        .select("id", "cell_id", "v", "n")
+        .groupBy("id")
+        .agg(best)
+        .select(
+            "id", F.col("b.cell_id").alias("cell_id"),
+            F.col("b.v").alias("v"), F.col("b.n").alias("n"),
+        )
+        .withColumn("h", F.slice(F.col("v"), 1, head))
+        .withColumn("tn", l2_norm(tail))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
+    cs_bound = dot(F.col("a.h"), F.col("b.h")) + F.col("a.tn") * F.col("b.tn")
     pair_cos = F.when(
         (F.col("a.n") > 0) & (F.col("b.n") > 0),
         dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
@@ -303,6 +349,7 @@ def semantic_dedup(
             (F.col("a.cell_id") == F.col("b.cell_id"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(cs_bound >= F.lit(threshold) * F.col("a.n") * F.col("b.n"))
         .filter(pair_cos >= F.lit(threshold))
         .select(F.col("b.id").alias("id"))
         .distinct()

@@ -183,7 +183,8 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that works when no blocking metadata exists.
 
     Scale: assignment = broadcast cross join vs 16 centroids + per-id
-    row_number (no hot key); the quadratic verify is bounded within cells
+    max(struct) argmax (map-side combine, no per-id sort); the quadratic
+    verify with a Cauchy–Schwarz head/tail prune is bounded within cells
     (n_cells is the cost knob); dup set rides an id equi-join."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     orig = emb.select(

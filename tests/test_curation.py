@@ -62,6 +62,39 @@ def test_span_dedup_partial_last_window_and_order(spark):
     assert row["clean_text"] == _toks("z", 10)  # order preserved
 
 
+def test_span_dedup_randomized_invariants(spark):
+    # tiny alphabet + short spans force heavy span collisions; the core
+    # invariant is conservation: every DISTINCT span text in the input
+    # survives in exactly ONE output doc, and each doc's kept spans are a
+    # subsequence of its original spans (order preserved, nothing invented)
+    import random
+
+    rng = random.Random(83)
+    alphabet = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 12))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    out = span_dedup(docs, id_col="id", text_col="text", span_tokens=2).collect()
+
+    def spans_of(text: str) -> list[str]:
+        toks = text.split(" ")
+        return [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+
+    orig = {i: spans_of(t) for i, t in rows}
+    all_distinct = {s for sp in orig.values() for s in sp}
+    kept_flat: list[str] = []
+    for r in out:
+        kept = spans_of(r["clean_text"])
+        assert r["n_kept"] == len(kept) and r["n_spans"] == len(orig[r["id"]])
+        # subsequence of the original span list
+        it = iter(orig[r["id"]])
+        assert all(s in it for s in kept), (r["id"], kept, orig[r["id"]])
+        kept_flat.extend(kept)
+    assert sorted(kept_flat) == sorted(all_distinct)
+
+
 def _hash16_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
 

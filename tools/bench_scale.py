@@ -1,0 +1,141 @@
+"""Weak-scaling sweep: measure how the corpus operators' wall time grows
+when the documents table grows K× — the local stand-in for the "would
+this plan survive 100× the data?" question the scale design answers on
+paper (COVERAGE.md X-series notes).
+
+Corpus construction: the documents table is replicated K× with every
+token PREFIXED by a replica tag (``r3the r3quick ...``) and doc_ids
+offset per replica.  Prefixing (rather than appending a tag token)
+keeps replicas lexically DISJOINT — no cross-replica shingles, spans,
+bigrams or band keys — so every query's output cardinality grows
+linearly in K and the sweep measures engine scaling, not output
+explosion.  Within a replica the dup/near-dup structure of the original
+corpus is preserved exactly.
+
+Queries, one per shuffle family:
+
+- q50_token_stats       — map-only (+ rollup): the linear floor.
+- q30_exact_dedup       — one hash-agg shuffle.
+- q83_span_dedup        — min-groupBy + keep equi-join + per-doc agg.
+- q84_dsir_weights      — explode + BOUNDED feature agg (table stays
+  ≤ n_buckets rows at every K — the broadcast-by-construction claim) +
+  broadcast join back.
+- q31_minhash_lsh_pairs — banded self-equi-join (the near-dup scale path).
+- q47_bm25_search       — inverted-index postings equi-join.
+
+Output: one JSON line {"sf_dir":..., "ks":[...], "results": {query:
+{"t_<K>": sec, ..., "x64": t(K_max)/t(1), "eff": K_max / x64}}}.
+``eff`` ≈ 1 means perfectly linear weak scaling on a fixed-size
+executor pool (time grows with data); eff > 1 means sublinear growth
+(fixed overheads amortizing); the red flag is eff ≪ 1 (superlinear —
+a quadratic join or a hot serial stage).  Paste into BENCH_NOTES.md.
+
+Usage: python tools/bench_scale.py [sf_dir] [K ...]   (default sf0.1, K=1 8 64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import TABLES, table_path
+from briefly_spark.queries import load_registry
+from briefly_spark.session import get_spark
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+QUERIES = (
+    "q50_token_stats",
+    "q30_exact_dedup",
+    "q83_span_dedup",
+    "q84_dsir_weights",
+    "q31_minhash_lsh_pairs",
+    "q47_bm25_search",
+)
+#: doc_id offset per replica — far above any testdata id, far below the
+#: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
+_REPLICA_STRIDE = 10_000_000
+
+
+def build_replicated_dir(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            dst = table_path(out_dir, t)
+            if not os.path.exists(dst):
+                os.symlink(table_path(sf_dir, t), dst)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    parts = []
+    for r in range(k):
+        if r == 0:
+            parts.append(docs)
+            continue
+        tag = F.lit(f"r{r}")
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * _REPLICA_STRIDE))
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(F.split("text", " "), lambda t: F.concat(tag, t)),
+                ),
+            )
+            .withColumn("n_chars", F.length("text"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    n_parts = max(spark.sparkContext.defaultParallelism, k)
+    out.repartition(n_parts).write.mode("overwrite").parquet(
+        table_path(out_dir, "documents")
+    )
+
+
+def run_cold(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ks = [int(a) for a in sys.argv[2:]] or [1, 8, 64]
+    spark = get_spark("bench_scale")
+    registry = load_registry()
+
+    dirs: dict[int, str] = {}
+    try:
+        for k in ks:
+            d = tempfile.mkdtemp(prefix=f"scale_{k}x_")
+            build_replicated_dir(spark, sf_dir, d, k)
+            dirs[k] = d
+        for name in QUERIES:  # plans + codegen warmup off the clock
+            registry[name].fn(spark, WARMUP_SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        results: dict[str, dict[str, float]] = {}
+        for name in QUERIES:
+            row: dict[str, float] = {}
+            for k in ks:
+                row[f"t_{k}x"] = run_cold(registry[name].fn, spark, dirs[k])
+            kmax = max(ks)
+            growth = row[f"t_{kmax}x"] / max(row[f"t_{min(ks)}x"], 1e-9)
+            row["x_growth"] = round(growth, 2)
+            row["eff"] = round((kmax / min(ks)) / growth, 2)
+            results[name] = row
+        print(json.dumps({"sf_dir": sf_dir, "ks": ks, "results": results}))
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

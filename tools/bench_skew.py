@@ -26,6 +26,10 @@ Four skew shapes, one per query family:
 - q29_dedup_survivors — HOT COMPONENT: the 5% boilerplate slice collapses
   into one giant near-dup cluster, so the component-partitioned election
   windows and the CC iterations see one massive key.
+- q83_span_dedup — HOT SPAN: the same boilerplate slice makes each of its
+  aligned 8-token spans a corpus-hot key; first-occurrence must partial-
+  aggregate map-side (min-groupBy, not a window) and the keep equi-join
+  must AQE skew-split.
 
 Usage: python tools/bench_skew.py [sf_dir] — prints one JSON line with
 cold/min-of-2 times for uniform vs skewed and the ratio; paste the table
@@ -120,6 +124,12 @@ def main() -> None:
         "q31_minhash_lsh_pairs": registry["q31_minhash_lsh_pairs"].fn,
         "q41_related_articles": registry["q41_related_articles"].fn,
         "q29_dedup_survivors": registry["q29_dedup_survivors"].fn,
+        # q83 hot-span hazard: the 5% identical-boilerplate slice makes
+        # each of its ~11 aligned 8-token spans a corpus-hot key in the
+        # first-occurrence min-groupBy (partial-aggregates map-side) and
+        # the keep equi-join (AQE skew-splits) — the claimed no-hot-window
+        # design, measured
+        "q83_span_dedup": registry["q83_span_dedup"].fn,
     }
 
     skew_dir = tempfile.mkdtemp(prefix="skewed_sf_")
