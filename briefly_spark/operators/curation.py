@@ -90,23 +90,33 @@ def span_dedup(
     hazard); the keep decision is a self-equi-join on the span key which
     AQE skew-splits if one span dominates; reassembly is one groupBy on
     doc id with in-aggregate struct sort."""
-    # Two staged projections so split and span-ize each run ONCE per row:
-    # the token array materializes first (lambda references an attribute),
-    # then the span array materializes before being both sized and exploded.
-    staged = docs.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
-    ).select("id", span_array(F.col("toks"), span_tokens).alias("spans"))
-    spans = staged.select(
-        "id",
-        F.size("spans").alias("n_spans"),
-        F.posexplode("spans").alias("widx", "span"),
-    ).withColumn("okey", F.col("id") * _WIDX_STRIDE + F.col("widx"))
+    spans = _exploded_spans(docs, id_col, text_col, span_tokens)
     firsts = spans.groupBy("span").agg(F.min("okey").alias("first_key"))
     kept = (
         spans.join(firsts, "span")
         .filter(F.col("okey") == F.col("first_key"))
         .select("id", "widx", "span", "n_spans")
     )
+    return _reassemble(kept)
+
+
+def _exploded_spans(
+    docs: DataFrame, id_col: str, text_col: str, span_tokens: int
+) -> DataFrame:
+    # Two staged projections so split and span-ize each run ONCE per row:
+    # the token array materializes first (lambda references an attribute),
+    # then the span array materializes before being both sized and exploded.
+    staged = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    ).select("id", span_array(F.col("toks"), span_tokens).alias("spans"))
+    return staged.select(
+        "id",
+        F.size("spans").alias("n_spans"),
+        F.posexplode("spans").alias("widx", "span"),
+    ).withColumn("okey", F.col("id") * _WIDX_STRIDE + F.col("widx"))
+
+
+def _reassemble(kept: DataFrame) -> DataFrame:
     return kept.groupBy("id").agg(
         F.min("n_spans").alias("n_spans"),
         F.count(F.lit(1)).alias("n_kept"),
@@ -118,6 +128,51 @@ def span_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def span_dedup_incremental(
+    new_docs: DataFrame,
+    registry: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental keep-first span dedup against a persisted span registry
+    — the 100 TB ingestion shape: a new batch must be trimmed against
+    everything already accepted WITHOUT re-scanning the corpus.
+
+    ``registry`` is the set of already-claimed spans (any DataFrame with a
+    ``span`` string column — at scale a Warehouse table keyed on span, so
+    the lookup is one equi-join against a bucketed layout).  Returns
+    ``(clean, registry_delta)``:
+
+    - ``clean`` — :func:`span_dedup` output shape for the batch, with
+      spans claimed by earlier batches (registry) AND spans claimed
+      earlier within this batch both trimmed;
+    - ``registry_delta`` — the spans this batch claims (one row per new
+      distinct span); merge it into the registry before the next batch
+      (``Warehouse.merge_upsert`` on span).
+
+    Equivalence contract (pinned in tests): when batch ids are monotone —
+    every id in batch *k* precedes every id in batch *k+1* — sequentially
+    folding batches through this function produces EXACTLY the per-doc
+    output of the one-shot :func:`span_dedup` over the union.
+
+    Scale shape: batch-local first-occurrence is the same partial-agg
+    min-groupBy; the registry probe is a left-anti equi-join driven by the
+    (small) batch side; the registry is only ever appended to."""
+    spans = _exploded_spans(new_docs, id_col, text_col, span_tokens)
+    batch_firsts = spans.groupBy("span").agg(F.min("okey").alias("first_key"))
+    new_claims = batch_firsts.join(
+        registry.select("span"), "span", "left_anti"
+    )
+    kept = (
+        spans.join(new_claims, "span")
+        .filter(F.col("okey") == F.col("first_key"))
+        .select("id", "widx", "span", "n_spans")
+    )
+    return _reassemble(kept), new_claims.select("span")
 
 
 # ---------------------------------------------------------------------------

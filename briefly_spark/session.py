@@ -72,6 +72,15 @@ def get_spark(app_name: str = "briefly_spark", *, shuffle_partitions: int | None
     )
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+        # local[N] = driver AND all executors in ONE JVM whose default heap
+        # is 1g — 32 task threads sharing 1g OOM on any >sf0.1 shuffle
+        # (observed: tools/bench_scale.py 32x sweep).  Size the single JVM
+        # like the executor it is; launch-time-only, so an externally
+        # provided session (the driver's) is never touched, and on a real
+        # cluster executor memory is the deployment's knob, not this one.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

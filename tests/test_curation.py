@@ -95,6 +95,53 @@ def test_span_dedup_randomized_invariants(spark):
     assert sorted(kept_flat) == sorted(all_distinct)
 
 
+def test_span_dedup_incremental_equals_one_shot(spark, tmp_path):
+    # the incremental contract: folding monotone-id batches through the
+    # registry reproduces the one-shot result exactly — with the registry
+    # persisted through a real Warehouse merge between batches
+    import random
+
+    from briefly_spark.operators.curation import span_dedup_incremental
+    from briefly_spark.storage import Warehouse
+
+    rng = random.Random(85)
+    alphabet = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 10))))
+        for i in range(24)
+    ]
+    all_docs = spark.createDataFrame(rows, "id long, text string")
+    expect = {
+        r["id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in span_dedup(
+            all_docs, id_col="id", text_col="text", span_tokens=2
+        ).collect()
+    }
+
+    wh = Warehouse(spark, str(tmp_path / "wh_spans"))
+    wh.overwrite(
+        spark.createDataFrame([], "span string"), "span_registry"
+    )
+    got: dict[int, tuple] = {}
+    for lo, hi in ((0, 8), (8, 16), (16, 24)):
+        batch = spark.createDataFrame(rows[lo:hi], "id long, text string")
+        clean, delta = span_dedup_incremental(
+            batch,
+            wh.read("span_registry"),
+            id_col="id",
+            text_col="text",
+            span_tokens=2,
+        )
+        for r in clean.collect():
+            got[r["id"]] = (r["n_spans"], r["n_kept"], r["clean_text"])
+        wh.merge_upsert(delta, "span_registry", ["span"])
+    assert got == expect
+    # the registry ends up holding exactly the corpus's distinct spans
+    n_reg = wh.read("span_registry").count()
+    n_distinct = sum(v[1] for v in expect.values())
+    assert n_reg == n_distinct
+
+
 def _hash16_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
 
