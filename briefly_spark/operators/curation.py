@@ -142,17 +142,24 @@ def span_dedup_incremental(
     — the 100 TB ingestion shape: a new batch must be trimmed against
     everything already accepted WITHOUT re-scanning the corpus.
 
-    ``registry`` is the set of already-claimed spans (any DataFrame with a
-    ``span`` string column — at scale a Warehouse table keyed on span, so
-    the lookup is one equi-join against a bucketed layout).  Returns
-    ``(clean, registry_delta)``:
+    ``registry`` holds the already-claimed spans as ``(span, first_key)``
+    rows — at scale a Warehouse table keyed on span, so the lookup is one
+    equi-join against a bucketed layout.  Returns ``(clean,
+    registry_delta)``:
 
     - ``clean`` — :func:`span_dedup` output shape for the batch, with
       spans claimed by earlier batches (registry) AND spans claimed
       earlier within this batch both trimmed;
-    - ``registry_delta`` — the spans this batch claims (one row per new
-      distinct span); merge it into the registry before the next batch
+    - ``registry_delta`` — ``(span, first_key)`` for every span this batch
+      claims; merge it into the registry before the next batch
       (``Warehouse.merge_upsert`` on span).
+
+    The claim probe honors OWN claims: a span already in the registry is
+    still claimable when its recorded ``first_key`` belongs to this batch.
+    That makes a batch REPLAY idempotent — re-running a batch whose delta
+    was already merged (the streaming foreachBatch crash-replay window)
+    reproduces byte-identical output instead of seeing its own spans as
+    foreign and trimming everything.
 
     Equivalence contract (pinned in tests): when batch ids are monotone —
     every id in batch *k* precedes every id in batch *k+1* — sequentially
@@ -160,19 +167,24 @@ def span_dedup_incremental(
     output of the one-shot :func:`span_dedup` over the union.
 
     Scale shape: batch-local first-occurrence is the same partial-agg
-    min-groupBy; the registry probe is a left-anti equi-join driven by the
-    (small) batch side; the registry is only ever appended to."""
+    min-groupBy; the registry probe is an equi-join driven by the (small)
+    batch side; the registry is only ever appended to."""
     spans = _exploded_spans(new_docs, id_col, text_col, span_tokens)
     batch_firsts = spans.groupBy("span").agg(F.min("okey").alias("first_key"))
-    new_claims = batch_firsts.join(
-        registry.select("span"), "span", "left_anti"
+    probed = batch_firsts.join(
+        registry.select("span", F.col("first_key").alias("reg_key")),
+        "span",
+        "left",
     )
+    claims = probed.filter(
+        F.col("reg_key").isNull() | (F.col("reg_key") == F.col("first_key"))
+    ).select("span", "first_key")
     kept = (
-        spans.join(new_claims, "span")
+        spans.join(claims, "span")
         .filter(F.col("okey") == F.col("first_key"))
         .select("id", "widx", "span", "n_spans")
     )
-    return _reassemble(kept), new_claims.select("span")
+    return _reassemble(kept), claims
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +403,11 @@ def semantic_dedup(
         )
         .withColumn("h", F.slice(F.col("v"), 1, head))
         .withColumn("tn", l2_norm(tail))
+        # consumed THREE times below (both pair-join sides + the output
+        # join): without a persist the broadcast-cross-join + argmax
+        # lineage re-executes per consumer (the dedup.py CC persist
+        # rationale; MEMORY_AND_DISK, sized like the corpus itself)
+        .persist()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cs_bound = dot(F.col("a.h"), F.col("b.h")) + F.col("a.tn") * F.col("b.tn")

@@ -149,3 +149,53 @@ def merge_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def span_dedup_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    *,
+    clean_table: str,
+    registry_table: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+) -> None:
+    """Streaming keep-first span dedup — the ingestion twin of the batch
+    operator (operators/curation.py X50/X53): each micro-batch is trimmed
+    against the persisted span registry via
+    :func:`~briefly_spark.operators.curation.span_dedup_incremental`, the
+    cleaned documents MERGE into ``clean_table`` and the batch's claims
+    into ``registry_table``.
+
+    Crash-replay safety (the foreachBatch at-least-once window): the clean
+    merge runs BEFORE the registry delta merge, and the incremental
+    operator recognizes a batch's OWN claims, so replaying a batch from
+    any crash point reproduces byte-identical merges — both sinks are
+    idempotent.  Keep-first follows ARRIVAL order (earlier-arriving
+    content claims the span), which is the streaming contract; the batch
+    equivalence to one-shot :func:`span_dedup` under monotone ids is
+    pinned in tests."""
+    from briefly_spark.operators.curation import span_dedup_incremental
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        clean, delta = span_dedup_incremental(
+            batch_df,
+            wh.read(registry_table),
+            id_col=id_col,
+            text_col=text_col,
+            span_tokens=span_tokens,
+        )
+        # claims nonempty ⟺ kept nonempty ⟺ clean nonempty: one guard
+        if clean.take(1):
+            wh.merge_upsert(clean, clean_table, ["id"])
+            wh.merge_upsert(delta, registry_table, ["span"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

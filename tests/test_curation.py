@@ -120,9 +120,10 @@ def test_span_dedup_incremental_equals_one_shot(spark, tmp_path):
 
     wh = Warehouse(spark, str(tmp_path / "wh_spans"))
     wh.overwrite(
-        spark.createDataFrame([], "span string"), "span_registry"
+        spark.createDataFrame([], "span string, first_key long"), "span_registry"
     )
     got: dict[int, tuple] = {}
+    last_clean: dict[int, tuple] = {}
     for lo, hi in ((0, 8), (8, 16), (16, 24)):
         batch = spark.createDataFrame(rows[lo:hi], "id long, text string")
         clean, delta = span_dedup_incremental(
@@ -132,14 +133,33 @@ def test_span_dedup_incremental_equals_one_shot(spark, tmp_path):
             text_col="text",
             span_tokens=2,
         )
-        for r in clean.collect():
-            got[r["id"]] = (r["n_spans"], r["n_kept"], r["clean_text"])
+        last_clean = {
+            r["id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+            for r in clean.collect()
+        }
+        got.update(last_clean)
         wh.merge_upsert(delta, "span_registry", ["span"])
     assert got == expect
     # the registry ends up holding exactly the corpus's distinct spans
     n_reg = wh.read("span_registry").count()
     n_distinct = sum(v[1] for v in expect.values())
     assert n_reg == n_distinct
+
+    # replay idempotence: the last batch's delta is already merged (the
+    # foreachBatch crash-replay window) — re-running it must reproduce
+    # byte-identical output via own-claim recognition, and re-merging its
+    # delta must leave the registry unchanged
+    batch = spark.createDataFrame(rows[16:24], "id long, text string")
+    clean2, delta2 = span_dedup_incremental(
+        batch, wh.read("span_registry"), id_col="id", text_col="text", span_tokens=2
+    )
+    replay = {
+        r["id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in clean2.collect()
+    }
+    assert replay == last_clean
+    wh.merge_upsert(delta2, "span_registry", ["span"])
+    assert wh.read("span_registry").count() == n_reg
 
 
 def _hash16_py(s: str) -> int:

@@ -295,3 +295,69 @@ def test_streaming_summarize_twin_matches_batch_job(spark, sf_dir, tmp_path):
     assert b and b == s
     # and the batch job now finds nothing left to do on the streamed table
     assert summarize_batch(wh_stream, batch_size=10_000).processed == 0
+
+
+def test_span_dedup_stream_matches_one_shot(spark, tmp_path):
+    """Streaming curation twin: monotone-id batches through the registry
+    stream must reproduce the one-shot span_dedup output, and a checkpoint
+    re-run must be a no-op on both tables."""
+    import random
+    import time
+
+    from briefly_spark.operators.curation import span_dedup
+    from briefly_spark.streaming import span_dedup_stream
+
+    rng = random.Random(86)
+    alphabet = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 10))))
+        for i in range(24)
+    ]
+    all_docs = spark.createDataFrame(rows, "id long, text string")
+    expect = {
+        r["id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in span_dedup(
+            all_docs, id_col="id", text_col="text", span_tokens=2
+        ).collect()
+    }
+
+    src = tmp_path / "doc_batches"
+    src.mkdir()
+    for j, (lo, hi) in enumerate(((0, 8), (8, 16), (16, 24))):
+        spark.createDataFrame(rows[lo:hi], "id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{j}"))
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    wh = Warehouse(spark, str(tmp_path / "wh_stream_spans"))
+    wh.overwrite(
+        spark.createDataFrame([], "id long, n_spans long, n_kept long, clean_text string"),
+        "clean_docs",
+    )
+    wh.overwrite(
+        spark.createDataFrame([], "span string, first_key long"), "span_registry"
+    )
+    ckpt = str(tmp_path / "span_ckpt")
+    run = lambda: span_dedup_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh,
+        clean_table="clean_docs",
+        registry_table="span_registry",
+        checkpoint=ckpt,
+        id_col="id",
+        text_col="text",
+        span_tokens=2,
+    )
+    run()
+    got = {
+        r["id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in wh.read("clean_docs").collect()
+    }
+    assert got == expect
+    n_reg = wh.read("span_registry").count()
+    assert n_reg == sum(v[1] for v in expect.values())
+
+    # checkpoint re-run: nothing new → both tables unchanged
+    run()
+    assert wh.read("clean_docs").count() == len(expect)
+    assert wh.read("span_registry").count() == n_reg
