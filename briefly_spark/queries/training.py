@@ -1,14 +1,15 @@
-"""q83–q85 — training-corpus curation: exact duplicate-span removal,
-DSIR importance weights, and SemDeDup semantic dedup.
+"""q83–q86 — training-corpus curation: exact duplicate-span removal,
+DSIR importance weights + selection, and SemDeDup semantic dedup.
 
-These are the three curation stages a 100 TB LLM-data pipeline runs
-*after* candidate near-dup detection (q30–q37) and quality filtering
-(q50–q56): trim exact repeated content at sub-document granularity
-(Lee et al. 2022), weight documents toward a target distribution
-(Xie et al. 2023, DSIR), and drop semantically redundant documents that
-no lexical method catches (Abbas et al. 2023, SemDeDup).  All three are
-oracle-gated end-to-end; every score surface is fixed-point integer
-arithmetic (numerics.det_ln_sql / trunc4), so hashes are engine-exact.
+These are the curation stages a 100 TB LLM-data pipeline runs *after*
+candidate near-dup detection (q30–q37) and quality filtering (q50–q56):
+trim exact repeated content at sub-document granularity
+(Lee et al. 2022), weight documents toward a target distribution and
+select accordingly (Xie et al. 2023, DSIR), and drop semantically
+redundant documents that no lexical method catches (Abbas et al. 2023,
+SemDeDup).  All are oracle-gated end-to-end; every score surface is
+fixed-point integer arithmetic (numerics.det_ln_sql / trunc4), so
+hashes are engine-exact.
 
 Reference parity note: the reference has no corpus-curation stage (its
 dedup is the per-url anti-join, crawler/article_crawler.py) — this module
@@ -201,4 +202,74 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = orig.unionByName(pert)
     return semantic_dedup(
         corpus, id_col="id", vec_col="v", n_cells=_SEM_CELLS, threshold=_SEM_TAU
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — DSIR selection: the resampling step the weights exist for.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_dsir_select",
+    covers=("P10", "A4"),
+    oracle=f"""
+WITH w AS (
+  SELECT id AS doc_id, weight_fp
+  FROM ({sql_dsir_weights("SELECT doc_id AS id, text, lang FROM documents", "lang = 'en'", _DSIR_B)})
+),
+ranked AS (
+  SELECT d.doc_id, d.source, w.weight_fp,
+         CAST(row_number() OVER (
+           PARTITION BY d.source ORDER BY w.weight_fp DESC, d.doc_id ASC
+         ) AS INT) AS rk,
+         count(*) OVER (PARTITION BY d.source) AS n_src
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+)
+SELECT doc_id, source, weight_fp, rk
+FROM ranked WHERE rk <= (n_src + 3) // 4
+""",
+)
+def q86_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection — the step the importance weights exist for: keep
+    the top ceil(25%) of documents PER SOURCE by DSIR weight (ties to the
+    lower doc_id).  Stratifying by source keeps the selection from
+    collapsing onto one domain the way a global top-k would; composing
+    with q58's mixture rates gives weighted-domain selection.  Everything
+    on the hash surface is integer (weight_fp, rank, ceil-div quota), so
+    selection is engine- and re-run-exact.
+
+    Scale: q84's weighting plan, then ONE shuffle on source serving both
+    the ranking and the per-source count window; the quartile cut is a
+    per-row integer comparison."""
+    from pyspark.sql import Window
+
+    from briefly_spark.operators.curation import dsir_log_weights
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    weights = dsir_log_weights(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        target=F.col("lang") == "en",
+        n_buckets=_DSIR_B,
+    ).select(F.col("id").alias("doc_id"), "weight_fp")
+    ranked = (
+        docs.select("doc_id", "source")
+        .join(weights, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("weight_fp"), F.asc("doc_id")
+                )
+            )
+            .cast("int"),
+        )
+        .withColumn(
+            "n_src",
+            F.count(F.lit(1)).over(Window.partitionBy("source")),
+        )
+    )
+    return ranked.filter(F.expr("rk <= (n_src + 3) div 4")).select(
+        "doc_id", "source", "weight_fp", "rk"
     )
