@@ -1,5 +1,6 @@
-"""q83–q86 — training-corpus curation: exact duplicate-span removal,
-DSIR importance weights + selection, and SemDeDup semantic dedup.
+"""q83–q87 — training-corpus curation: exact duplicate-span removal,
+DSIR importance weights + selection, SemDeDup semantic dedup, and the
+end-to-end curation funnel.
 
 These are the curation stages a 100 TB LLM-data pipeline runs *after*
 candidate near-dup detection (q30–q37) and quality filtering (q50–q56):
@@ -36,11 +37,8 @@ from briefly_spark.queries import register
 # ---------------------------------------------------------------------------
 _SPAN_W = 8
 
-@register(
-    "q83_span_dedup",
-    covers=("P5", "U4"),
-    oracle=f"""
-WITH toks AS (
+#: shared WITH-body for the span-dedup pipeline (q83 + the q87 funnel)
+_SQL_SPAN_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 spans AS (
@@ -56,7 +54,13 @@ kept AS (
   SELECT s.doc_id, s.widx, s.span, s.n_spans
   FROM spans s JOIN firsts f ON s.span = f.span
   WHERE s.doc_id * 1000000 + s.widx = f.first_key
-)
+)"""
+
+@register(
+    "q83_span_dedup",
+    covers=("P5", "U4"),
+    oracle=f"""
+WITH {_SQL_SPAN_CTES}
 SELECT doc_id, min(n_spans) AS n_spans, count(*) AS n_kept,
        md5(string_agg(span, ' ' ORDER BY widx)) AS clean_md5
 FROM kept GROUP BY doc_id
@@ -208,11 +212,8 @@ def q85_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q86 — DSIR selection: the resampling step the weights exist for.
 # ---------------------------------------------------------------------------
-@register(
-    "q86_dsir_select",
-    covers=("P10", "A4"),
-    oracle=f"""
-WITH w AS (
+#: shared WITH-body for the DSIR rank/select pipeline (q86 + the q87 funnel)
+_SQL_DSIR_RANKED = f"""w AS (
   SELECT id AS doc_id, weight_fp
   FROM ({sql_dsir_weights("SELECT doc_id AS id, text, lang FROM documents", "lang = 'en'", _DSIR_B)})
 ),
@@ -223,7 +224,13 @@ ranked AS (
          ) AS INT) AS rk,
          count(*) OVER (PARTITION BY d.source) AS n_src
   FROM documents d JOIN w ON d.doc_id = w.doc_id
-)
+)"""
+
+@register(
+    "q86_dsir_select",
+    covers=("P10", "A4"),
+    oracle=f"""
+WITH {_SQL_DSIR_RANKED}
 SELECT doc_id, source, weight_fp, rk
 FROM ranked WHERE rk <= (n_src + 3) // 4
 """,
@@ -240,11 +247,14 @@ def q86_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: q84's weighting plan, then ONE shuffle on source serving both
     the ranking and the per-source count window; the quartile cut is a
     per-row integer comparison."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return _dsir_selected(docs).select("doc_id", "source", "weight_fp", "rk")
+
+
+def _dsir_selected(docs: DataFrame) -> DataFrame:
+    """Per-source DSIR top-quartile (the q86 plan, shared with q87)."""
     from pyspark.sql import Window
 
-    from briefly_spark.operators.curation import dsir_log_weights
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
     weights = dsir_log_weights(
         docs,
         id_col="doc_id",
@@ -270,6 +280,62 @@ def q86_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("source")),
         )
     )
-    return ranked.filter(F.expr("rk <= (n_src + 3) div 4")).select(
-        "doc_id", "source", "weight_fp", "rk"
+    return ranked.filter(F.expr("rk <= (n_src + 3) div 4"))
+
+
+# ---------------------------------------------------------------------------
+# q87 — end-to-end curation funnel (composition capstone).
+# ---------------------------------------------------------------------------
+_FUNNEL_MIN_CHARS = 100
+
+@register(
+    "q87_curation_funnel",
+    covers=("A3", "P5"),
+    oracle=f"""
+WITH {_SQL_SPAN_CTES},
+clean AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY widx) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+{_SQL_DSIR_RANKED},
+sel AS (SELECT doc_id FROM ranked WHERE rk <= (n_src + 3) // 4)
+SELECT count(*) AS n_input,
+       count(c.doc_id) AS n_span_dedup,
+       CAST(sum(CASE WHEN len(c.clean_text) >= {_FUNNEL_MIN_CHARS} THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(sum(CASE WHEN len(c.clean_text) >= {_FUNNEL_MIN_CHARS} AND s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM documents d
+LEFT JOIN clean c ON d.doc_id = c.doc_id
+LEFT JOIN sel s ON d.doc_id = s.doc_id
+""",
+)
+def q87_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composition the pack exists for,
+    as ONE oracle-gated report: input docs → survivors of keep-first span
+    dedup (q83) → survivors of a post-dedup length gate on the CLEANED
+    text (dedup first, then quality: boilerplate must not count toward
+    length) → survivors also in the DSIR per-source top quartile (q86).
+    Funnel counts are the numbers a curation run reports at 100 TB; every
+    stage predicate is integer/engine-exact so the row hashes stably.
+
+    Scale: the span-dedup and DSIR sub-plans are q83/q86's unchanged
+    (their scale notes apply); the funnel itself adds two id equi-joins
+    and a single partial-agg rollup."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    clean = span_dedup(
+        docs, id_col="doc_id", text_col="text", span_tokens=_SPAN_W
+    ).select(F.col("id").alias("doc_id"), "clean_text")
+    sel = _dsir_selected(docs).select("doc_id").withColumn("sel", F.lit(1))
+    base = (
+        docs.select("doc_id")
+        .join(clean, "doc_id", "left")
+        .join(sel, "doc_id", "left")
+    )
+    len_ok = F.length("clean_text") >= _FUNNEL_MIN_CHARS
+    return base.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count("clean_text").alias("n_span_dedup"),
+        F.sum(F.when(len_ok, 1).otherwise(0)).alias("n_len_ok"),
+        F.sum(
+            F.when(len_ok & F.col("sel").isNotNull(), 1).otherwise(0)
+        ).alias("n_selected"),
     )
