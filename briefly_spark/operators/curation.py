@@ -256,8 +256,12 @@ def dsir_log_weights(
         )
         .select("id", (_hash16(F.col("bg")) % n_buckets).alias("f"), "is_t")
     )
-    table = feats.groupBy("f").agg(
-        F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct")
+    # ≤ n_buckets rows, consumed by totals AND scored: without the persist
+    # the corpus-sized explode+hash lineage re-executes per consumer
+    table = (
+        feats.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct"))
+        .persist()
     )
     totals = table.agg(
         F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
