@@ -339,3 +339,83 @@ def q87_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(len_ok & F.col("sel").isNotNull(), 1).otherwise(0)
         ).alias("n_selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — vocabulary build + token-id encoding.
+# ---------------------------------------------------------------------------
+_VOCAB_V = 16
+
+@register(
+    "q88_vocab_encode",
+    covers=("A1", "F9"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS w
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+top AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT {_VOCAB_V}),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS INT) AS vid
+  FROM top
+),
+enc AS (
+  SELECT tok.doc_id, tok.pos, COALESCE(v.vid, 0) AS vid
+  FROM tok LEFT JOIN vocab v ON tok.w = v.w
+)
+SELECT doc_id, count(*) AS n_toks,
+       CAST(sum(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       md5(string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+FROM enc GROUP BY doc_id
+""",
+)
+def q88_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding — the tokenizer-adjacent step
+    between curation and packing: the top-V tokens by corpus frequency
+    (ties to the lexicographically smaller token) become ids 1..V, every
+    other token maps to the OOV id 0, and each document is encoded as its
+    id sequence (md5-pinned) with an OOV count.  q59/q67/q69's packing
+    operates on exactly this representation at the design point.
+
+    Scale: token counts are one partial-agg shuffle; top-V is
+    TakeOrdered (never a global sort — the ranking window runs on the
+    ALREADY-LIMITED V-row frame); the vocab broadcasts into the encode
+    join; one per-doc aggregation reassembles the sequence."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).select("doc_id", F.posexplode("t").alias("pos", "w"))
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_VOCAB_V)
+    )
+    vocab = top.withColumn(
+        "vid",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .cast("int"),
+    ).select("w", "vid")
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("vid"), F.lit(0)).alias("vid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.when(F.col("vid") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+                    lambda s: s["vid"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("ids_md5"),
+    )
