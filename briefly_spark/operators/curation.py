@@ -22,6 +22,10 @@ pipeline that :mod:`operators.dedup` (candidate generation) and
   group whose pairwise cosine exceeds a threshold.  Clustering bounds the
   quadratic verify step to within-cell pairs (the same cost argument as
   IVF ANN, operators/similarity.py:238).
+- :func:`span_dedup_incremental` — the ingestion form of span dedup: new
+  batches trim against a persisted span registry (one equi-join, no corpus
+  re-scan), with replay-safe own-claim recognition; streaming twin in
+  :func:`streaming.incremental.span_dedup_stream`.
 
 Scale notes: every shuffle here is an equi-join or partial-aggregable
 groupBy on a bounded or hashed key — span keys (hot boilerplate spans are
