@@ -56,6 +56,8 @@ QUERIES = (
     "q30_exact_dedup",
     "q83_span_dedup",
     "q84_dsir_weights",
+    "q86_dsir_select",
+    "q88_vocab_encode",
     "q31_minhash_lsh_pairs",
     "q47_bm25_search",
 )
