@@ -94,6 +94,9 @@ def normalize_documents(docs: DataFrame) -> DataFrame:
         .withColumn("embedding_status", F.lit(None).cast("string"))
         .withColumn("related_ids", F.lit(None).cast("array<string>"))
         .withColumn("related_ids_updated_at", F.lit(None).cast("timestamp"))
+        .withColumn("curated_content", F.lit(None).cast("string"))
+        .withColumn("curated_status", F.lit(None).cast("string"))
+        .withColumn("n_spans_trimmed", F.lit(None).cast("long"))
     )
 
 
@@ -151,6 +154,93 @@ def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
         ),
     )
     return JobResult("summarize", n)
+
+
+# ---------------------------------------------------------------------------
+# curate (X50/X53): corpus-wide keep-first span trim in the job flow
+# ---------------------------------------------------------------------------
+SPAN_REGISTRY = "span_registry"
+
+
+def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
+    """Work-list P2 (not yet curated) → keep-first duplicate-span trim
+    against the warehouse-wide span registry → K3 merge of
+    {curated_content, curated_status, n_spans_trimmed} — the corpus-
+    curation stage slotted into the reference-shaped job discipline
+    (bounded batch, status predicate, idempotent merges).  Articles whose
+    every span was already claimed (wholesale copies of earlier content)
+    get ``curated_status='empty'``.
+
+    The registry claims merge BEFORE the articles write-back, not after:
+    (a) a crash between the two replays the batch with its own claims
+    already registered, and own-claim recognition
+    (operators/curation.py:span_dedup_incremental) reproduces
+    byte-identical output — the same replay contract the streaming twin
+    pins; (b) the reverse order would also break lazily — the articles
+    merge swaps the very table the work-list lineage reads, which would
+    re-evaluate the claims delta against an already-curated (empty)
+    work-list."""
+    from briefly_spark.operators.curation import span_array, span_dedup_incremental
+
+    articles = wh.read(ARTICLES)
+    work = _work_barrier(
+        articles.filter(F.col("curated_status").isNull())
+        .orderBy(F.asc("article_id"))
+        .limit(batch_size)
+        .select("url", "source", "article_id", "content")
+    ).persist()
+    try:
+        if not work.count():
+            return JobResult("curate", 0)
+        if not wh.exists(SPAN_REGISTRY):
+            wh.overwrite(
+                wh.spark.createDataFrame([], "span string, first_key long"),
+                SPAN_REGISTRY,
+            )
+        clean, claims = span_dedup_incremental(
+            work, wh.read(SPAN_REGISTRY), id_col="article_id", text_col="content"
+        )
+        # Materialize clean BEFORE the registry merge: its lineage holds the
+        # registry's pre-merge file listing, which the merge's atomic swap
+        # replaces — a lazy evaluation afterwards would FILE_NOT_EXIST.
+        # (Replay across a crash between the two merges stays byte-identical
+        # via own-claim recognition either way.)
+        clean = clean.persist()
+        clean.count()
+        wh.merge_upsert(claims, SPAN_REGISTRY, ["span"])
+        joined = work.join(
+            clean.withColumnRenamed("id", "article_id"), "article_id", "left"
+        )
+        delta = joined.select(
+            "url",
+            "source",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("curated_content"),
+            F.when(F.col("n_kept").isNull(), F.lit("empty"))
+            .otherwise(F.lit("curated"))
+            .alias("curated_status"),
+            (
+                F.size(span_array(F.split(F.col("content"), " ")))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_spans_trimmed"),
+        )
+        try:
+            n = _merge_batch(
+                delta,
+                lambda d: wh.merge_update(
+                    d,
+                    ARTICLES,
+                    ["url"],
+                    ["curated_content", "curated_status", "n_spans_trimmed"],
+                    partition_by=PARTITION,
+                ),
+            )
+        finally:
+            clean.unpersist()
+        return JobResult("curate", n)
+    finally:
+        work.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -335,12 +425,14 @@ def sensor_cycle(
 def run_until_drained(
     wh: Warehouse, *, batch_size: int = 200, max_rounds: int = 100
 ) -> list[JobResult]:
-    """Run summarize → embed → relate until no job finds work — the
-    idempotent backfill sweep: because every write is a keyed merge driven
-    by a status predicate, re-running is always safe and always converges."""
+    """Run curate → summarize → embed → relate until no job finds work —
+    the idempotent backfill sweep: because every write is a keyed merge
+    driven by a status predicate, re-running is always safe and always
+    converges."""
     results: list[JobResult] = []
     for _ in range(max_rounds):
         round_results = [
+            curate_batch(wh, batch_size),
             summarize_batch(wh, batch_size),
             embed_batch(wh, batch_size),
             relate_batch(wh, batch_size=batch_size),

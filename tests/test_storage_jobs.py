@@ -561,3 +561,50 @@ def test_training_shards_write_aside_allows_self_reshard(spark, tmp_path):
     wh.write_training_shards(wh.read("shards"), "shards", rows_per_shard=25)
     after = sorted((r["id"], r["v"]) for r in wh.read("shards").collect())
     assert after == before
+
+
+def test_curate_batch_trims_across_batches_via_registry(spark, sf_dir, tmp_path):
+    """The curate stage: keep-first span trim composes across bounded
+    batches through the span registry, wholesale copies curate to empty,
+    the kept-span set is globally duplicate-free, and re-run is a no-op."""
+    from briefly_spark.jobs import SPAN_REGISTRY, curate_batch
+
+    wh = Warehouse(spark, str(tmp_path / "wh_curate"))
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(40)
+    # plant a wholesale copy with the HIGHEST id: it must curate to empty
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(99999, first["text"], first["lang"], first["source"], first["n_chars"])],
+        docs.schema,
+    )
+    ingest_documents(wh, docs.unionByName(dup))
+
+    total = 0
+    for _ in range(20):  # small batches force registry round-trips
+        n = curate_batch(wh, batch_size=15).processed
+        total += n
+        if n == 0:
+            break
+    arts = wh.read(ARTICLES)
+    assert arts.filter(F.col("curated_status").isNull()).count() == 0
+    assert total == arts.count()
+
+    dup_row = arts.filter(F.col("article_id") == 99999).collect()[0]
+    assert dup_row["curated_status"] == "empty"
+    assert dup_row["curated_content"] == ""
+    assert dup_row["n_spans_trimmed"] > 0
+
+    # conservation: re-chunking every curated content reproduces the kept
+    # spans (kept non-tail spans are 8-aligned, tails are doc-final), and
+    # the kept set is globally duplicate-free and matches the registry
+    kept = []
+    for r in arts.filter(F.col("curated_status") == "curated").collect():
+        toks = r["curated_content"].split(" ")
+        kept.extend(
+            " ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)
+        )
+    assert len(kept) == len(set(kept))
+    assert wh.read(SPAN_REGISTRY).count() == len(kept)
+
+    # idempotence: nothing left to curate
+    assert curate_batch(wh).processed == 0
