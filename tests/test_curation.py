@@ -260,3 +260,12 @@ def test_q84_feature_table_joins_broadcast(spark, sf_dir):
 def test_q85_centroid_assignment_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q85_semantic_dedup")
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q88_vocab_via_take_ordered_and_broadcast(spark, sf_dir):
+    # top-V must be TakeOrdered (a global Sort over all distinct tokens
+    # would not survive corpus scale) and the vocab must broadcast into
+    # the encode join
+    plan = plan_of(spark, sf_dir, "q88_vocab_encode")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
