@@ -412,7 +412,7 @@ def sensor_cycle(
     batch_size: int = 200,
 ) -> list[JobResult]:
     """One full sensor sweep: streaming ingest of new files, then drain the
-    enrichment jobs (summarize → embed → relate) to quiescence.  Running a
+    enrichment jobs (curate → summarize → embed → relate) to quiescence.  Running a
     cycle twice with no new input leaves every table byte-identical —
     the exactly-once property the whole jobs layer is built around."""
     stream_ingest(wh, spark, src_path, checkpoint=checkpoint)

@@ -247,8 +247,12 @@ def dsir_log_weights(
 
     Scale shape: one partial-aggregable groupBy on the feature id builds
     the feature table (≤ ``n_buckets`` rows however large the corpus — it
-    broadcasts by construction); totals fold to one broadcast row; the
-    per-doc pass is an explode + broadcast join + one groupBy on doc id."""
+    broadcasts by construction, and is persisted because totals and the
+    score projection both consume it); totals fold to one broadcast row;
+    the per-doc pass is an explode + broadcast join + one groupBy on doc
+    id.  The token stream is deliberately exploded TWICE (table build +
+    scoring pass): at corpus scale, caching the exploded frame costs more
+    than recomputing a map-only lineage."""
     feats = (
         docs.select(
             F.col(id_col).alias("id"),
