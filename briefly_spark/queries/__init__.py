@@ -67,9 +67,9 @@ def load_registry() -> dict[str, QuerySpec]:
     round: det_ln deterministic scores — q48 was the r04 red), then
     pipeline/events/temporal; the r04-green unchanged modules (dedup,
     similarity, relational, multimodal) rotate to the back.  The training
-    module (q83–q88, new in r05) sits right after the r03-only block so
+    module (q83–q89, new in r05) sits right after the r03-only block so
     its first driver rows land inside the 50-entry window; the entries it
-    displaces (q30–q32, q76, q77, q79) are r04-green and unchanged.
+    displaces (q30–q32, q76–q79) are r04-green and unchanged.
     """
     from briefly_spark.queries import (  # noqa: F401
         textstats,

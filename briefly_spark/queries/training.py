@@ -1,5 +1,6 @@
-"""q83–q87 — training-corpus curation: exact duplicate-span removal,
-DSIR importance weights + selection, SemDeDup semantic dedup, and the
+"""q83–q89 — training-corpus curation and assembly: exact duplicate-span
+removal, DSIR importance weights + selection + token-budget fill,
+SemDeDup semantic dedup, vocabulary build + token-id encoding, and the
 end-to-end curation funnel.
 
 These are the curation stages a 100 TB LLM-data pipeline runs *after*
@@ -418,4 +419,74 @@ def q88_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             )
         ).alias("ids_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — token-budget fill by DSIR rank (greedy assembly).
+# ---------------------------------------------------------------------------
+_FILL_BUDGET = 500  # tokens per source
+
+@register(
+    "q89_dsir_budget_fill",
+    covers=("W4", "A4"),
+    oracle=f"""
+WITH {_SQL_DSIR_RANKED},
+toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+cum AS (
+  SELECT r.doc_id, r.source, r.weight_fp, t.n_toks,
+         CAST(sum(t.n_toks) OVER (
+           PARTITION BY r.source
+           ORDER BY r.weight_fp DESC, r.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_toks
+  FROM ranked r JOIN toks t ON r.doc_id = t.doc_id
+)
+SELECT doc_id, source, weight_fp, CAST(n_toks AS BIGINT) AS n_toks, cum_toks
+FROM cum WHERE cum_toks <= {_FILL_BUDGET}
+""",
+)
+def q89_dsir_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill by DSIR rank — the assembly op the
+    weighting exists to drive at delivery time: walk each source's
+    documents from most to least target-like (ties to the lower doc_id)
+    and keep documents until the per-source token budget is filled
+    (greedy prefix: a document is kept iff the running total INCLUDING it
+    fits).  Composes q84's weights with q59's running-sum packing
+    discipline; every column on the hash surface is an integer, so the
+    fill is engine- and re-run-exact.
+
+    Scale: q84's weighting plan, then ONE shuffle on source serves the
+    ordering and the running-sum frame; token counts ride the same rows —
+    no second pass over the text."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    weights = dsir_log_weights(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        target=F.col("lang") == "en",
+        n_buckets=_DSIR_B,
+    ).select(F.col("id").alias("doc_id"), "weight_fp")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("weight_fp"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        docs.select("doc_id", "source")
+        .join(weights, "doc_id")
+        .join(toks, "doc_id")
+        .withColumn("cum_toks", F.sum("n_toks").over(w).cast("long"))
+    )
+    return cum.filter(F.col("cum_toks") <= _FILL_BUDGET).select(
+        "doc_id",
+        "source",
+        "weight_fp",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        "cum_toks",
     )
