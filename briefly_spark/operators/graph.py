@@ -1,0 +1,100 @@
+"""Graph operators — bounded-iteration iterative algorithms over edge
+DataFrames (Pregel-style message passing expressed as join + groupBy).
+
+Complements the connected-components operators in operators/dedup.py
+(label propagation / star contraction) with *value* propagation:
+weighted PageRank over the near-dup similarity graph.  In a curation
+pipeline the PageRank of the near-dup graph ranks TEMPLATE HUBS — a
+boilerplate page duplicated (with small mutations) across many sources
+accumulates centrality that pairwise scores alone don't expose; the
+reference's dedup stage (raw_articles.py:44-96) sees only pairs.
+
+Determinism: every per-iteration value is an INTEGER fixed-point
+(scale 10¹²) and every update uses only integer +, ×, and floor
+division — integer arithmetic is exact and order-independent, so the
+result is bit-identical across engines and across shuffle
+re-orderings, unlike float PageRank whose sums depend on reduction
+order.  Edge weights are ``floor(jac·10⁴)`` integers for the same
+reason.
+
+Scale shape: one iteration = one equi-join of the rank table onto the
+edge list (both hash-partitioned by src) + one partial-aggregated
+groupBy(dst) shuffle; iterations are a fixed small count, so the whole
+plan is ``iters`` shuffles of O(edges) — the standard distributed
+PageRank layout.  At 100 TB, persist the degree-annotated edge list
+bucketed by ``src`` (storage.py K6) and the per-iteration join is
+exchange-free on the edge side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: global fixed-point scale for rank mass (integer micro-micro units)
+PR_SCALE = 10**12
+
+
+def weighted_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    iters: int = 5,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Weighted PageRank with damping 0.85, ``iters`` synchronous rounds.
+
+    ``nodes``: one row per vertex (``id_col``).  ``edges``: directed
+    ``(src, dst, w)`` with integer weights — callers pass both directions
+    for an undirected graph.  Returns ``(id, pr)`` with ``pr`` the
+    integer fixed-point rank (initial mass ``scale // N`` per node).
+
+    Update rule, all-integer (floor division written ``div``):
+
+        contrib(u→v) = (pr(u) · w(u,v)) div wdeg(u)
+        pr'(v)       = (15 · (scale div N)) div 100
+                       + (85 · Σ_u contrib(u→v)) div 100
+
+    Nodes with no out-edges contribute nothing (their mass decays to the
+    teleport floor); nodes with no in-edges hold exactly the teleport
+    floor.  Mass is sub-conserved (floor losses), which is fine for a
+    RANKING — and what makes the result engine-exact.
+    """
+    # wdeg joins back onto edges keyed by src: the rank join below is then
+    # a single equi-join on src per iteration.
+    deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # The edge list is consumed once per round: persist it so candidate
+    # generation (often an expensive inverted-index join upstream) runs
+    # once, not ``iters`` times (the dedup.py CC persist discipline).
+    e = edges.join(deg, "src").select("src", "dst", "w", "wdeg").persist()
+    # N via an aggregate broadcast onto nodes — keeps the plan fully lazy
+    # (no driver-side count action inside query construction).
+    # Integer division throughout — a double 10¹²/N rounded-then-truncated
+    # can differ from exact floor division by 1 at integer boundaries.
+    params = nodes.agg(
+        F.expr(f"cast({scale} as bigint) div count(1)").alias("pr0")
+    ).select("pr0", F.expr("(15 * pr0) div 100").alias("tele"))
+    # (id, tele) is round-invariant: keep it as a persisted base frame so
+    # the rank lineage is consumed exactly ONCE per round (consuming the
+    # evolving frame twice would double the recursive lineage each round).
+    base = (
+        nodes.select(F.col(id_col).alias("id"))
+        .crossJoin(F.broadcast(params))
+        .persist()
+    )
+    pr = base.select("id", F.col("pr0").alias("pr"))
+    for _ in range(iters):
+        contrib = e.join(pr.select(F.col("id").alias("src"), "pr"), "src").select(
+            "dst", F.expr("(pr * w) div wdeg").alias("c")
+        )
+        inmass = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("inmass"))
+            .select(F.col("dst").alias("id"), "inmass")
+        )
+        pr = base.join(inmass, "id", "left").select(
+            "id",
+            (F.col("tele") + F.expr("(85 * coalesce(inmass, 0L)) div 100")).alias("pr"),
+        )
+    return pr.select("id", "pr")

@@ -69,7 +69,8 @@ def load_registry() -> dict[str, QuerySpec]:
     similarity, relational, multimodal) rotate to the back.  The training
     module (q83–q89, new in r05) sits right after the r03-only block so
     its first driver rows land inside the 50-entry window; the entries it
-    displaces (q30–q32, q76–q79) are r04-green and unchanged.
+    displaces (q30–q32, q76–q79) are r04-green and unchanged.  The graph
+    module (q95, new in r05) follows training for the same reason.
     """
     from briefly_spark.queries import (  # noqa: F401
         textstats,
@@ -79,6 +80,7 @@ def load_registry() -> dict[str, QuerySpec]:
         worklists,
         tts,
         training,
+        graph,
         pipeline,
         events,
         temporal,

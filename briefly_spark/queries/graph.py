@@ -1,0 +1,119 @@
+"""Graph pack — iterative value propagation over the near-dup graph.
+
+q95: weighted PageRank over the bigram-Jaccard similarity graph of the
+documents table.  Ranks template hubs for curation triage: a boilerplate
+page whose mutated copies span many sources accumulates centrality that
+per-pair scores don't expose.  The oracle unrolls the same 5 integer
+fixed-point iterations as CTE stages — possible only because every
+update is integer-exact (see operators/graph.py determinism note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table, spread
+from briefly_spark.operators.dedup import ngram_jaccard_pairs
+from briefly_spark.operators.graph import PR_SCALE, weighted_pagerank
+from briefly_spark.queries import register
+
+_PR_ITERS = 5
+
+# Edge build shared by the oracle: bigram shingles, blocked quadratic
+# pairs (the oracle states the SEMANTICS; the Spark side generates the
+# identical pair set via the inverted-index join — q33 discipline).
+_EDGES_SQL = """
+toks AS (
+  SELECT doc_id AS id, source, lang,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT id, source, lang,
+         list_distinct(
+           list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1])) AS shingles
+  FROM toks
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst, CAST(floor(jac * 10000) AS BIGINT) AS w
+  FROM pairs WHERE jac >= 0.05
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, CAST(floor(jac * 10000) AS BIGINT) AS w
+  FROM pairs WHERE jac >= 0.05
+),
+deg AS (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w, deg.wdeg
+      FROM edges JOIN deg USING (src)),
+nodes AS (SELECT doc_id AS id FROM documents),
+params AS (
+  SELECT CAST({scale} // COUNT(*) AS BIGINT) AS pr0,
+         CAST((15 * ({scale} // COUNT(*))) // 100 AS BIGINT) AS tele
+  FROM documents
+)
+""".replace("{scale}", str(PR_SCALE))
+
+
+def _iter_sql(prev: str, cur: str) -> str:
+    """One unrolled integer PageRank round as a CTE stage."""
+    return f"""
+{cur} AS (
+  SELECT n.id,
+         (SELECT tele FROM params)
+           + (85 * COALESCE(SUM((p.pr * e.w) // e.wdeg), 0)) // 100 AS pr
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.id
+  LEFT JOIN {prev} p ON p.id = e.src
+  GROUP BY n.id
+)"""
+
+
+def _pagerank_oracle() -> str:
+    stages = ["pr0 AS (SELECT id, (SELECT pr0 FROM params) AS pr FROM nodes)"]
+    for i in range(_PR_ITERS):
+        stages.append(_iter_sql(f"pr{i}", f"pr{i + 1}"))
+    return (
+        "WITH "
+        + _EDGES_SQL.strip().rstrip(",")
+        + ",\n"
+        + ",\n".join(stages)
+        + f"\nSELECT id AS doc_id, pr FROM pr{_PR_ITERS}"
+    )
+
+
+@register(
+    "q95_dup_graph_pagerank",
+    covers=("J4", "A3"),
+    oracle=_pagerank_oracle(),
+)
+def q95_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-hub centrality: 5 rounds of weighted PageRank (damping
+    0.85, integer fixed-point, scale 10¹²) over the bigram-Jaccard ≥ 0.05
+    similarity graph blocked by (source, lang).
+
+    Edge generation is the q33 inverted-index join (O(postings), never
+    O(block²) — the oracle's quadratic form only STATES the semantics);
+    each PageRank round is one rank⋈edges equi-join plus one
+    partial-aggregated groupBy(dst) shuffle, O(edges) per round with a
+    fixed round count.  All-integer updates make the ranks engine-exact
+    (operators/graph.py), so the oracle hashes the full fixed point — not
+    a rounded shadow of it."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.05, block_cols=("source", "lang")
+    )
+    w = F.floor(F.col("jac") * 10000).cast("long").alias("w")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), w).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), w)
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    ranked = weighted_pagerank(nodes, edges, iters=_PR_ITERS)
+    return ranked.select(F.col("id").alias("doc_id"), "pr")

@@ -1,0 +1,65 @@
+"""Weighted integer PageRank — operator-level tests against a hand-run
+reference implementation of the same all-integer update rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from briefly_spark.operators.graph import weighted_pagerank
+
+
+def _reference_pr(node_ids, edges, iters, scale):
+    """Plain-Python mirror of the integer update rule."""
+    n = len(node_ids)
+    pr0 = scale // n
+    tele = (15 * pr0) // 100
+    wdeg = {}
+    for s, _d, w in edges:
+        wdeg[s] = wdeg.get(s, 0) + w
+    pr = {i: pr0 for i in node_ids}
+    for _ in range(iters):
+        inmass = {i: 0 for i in node_ids}
+        for s, d, w in edges:
+            inmass[d] += (pr[s] * w) // wdeg[s]
+        pr = {i: tele + (85 * inmass[i]) // 100 for i in node_ids}
+    return pr
+
+
+def _run(spark, node_ids, edges, iters, scale=10**12):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = weighted_pagerank(nodes, e, iters=iters, scale=scale)
+    return {r["id"]: r["pr"] for r in got.collect()}
+
+
+def test_pagerank_matches_integer_reference(spark):
+    node_ids = [1, 2, 3, 4, 5]
+    # asymmetric weighted graph + one isolated node (5)
+    edges = [
+        (1, 2, 10), (2, 1, 10),
+        (2, 3, 30), (3, 2, 30),
+        (3, 4, 5), (4, 3, 5),
+        (1, 3, 20), (3, 1, 20),
+    ]
+    for iters in (1, 3, 5):
+        got = _run(spark, node_ids, edges, iters)
+        assert got == _reference_pr(node_ids, edges, iters, 10**12), iters
+
+
+def test_pagerank_isolated_node_holds_teleport_floor(spark):
+    scale = 10**12
+    got = _run(spark, [1, 2, 3], [(1, 2, 7), (2, 1, 7)], iters=4, scale=scale)
+    tele = (15 * (scale // 3)) // 100
+    assert got[3] == tele
+    # the connected symmetric pair hold identical (and larger) mass
+    assert got[1] == got[2] > tele
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star: hub 0 linked to 4 leaves, uniform weights
+    edges = []
+    for leaf in (1, 2, 3, 4):
+        edges += [(0, leaf, 1), (leaf, 0, 1)]
+    got = _run(spark, [0, 1, 2, 3, 4], edges, iters=5)
+    assert all(got[0] > got[leaf] for leaf in (1, 2, 3, 4))
+    assert len(set(got[leaf] for leaf in (1, 2, 3, 4))) == 1
