@@ -447,3 +447,91 @@ def semantic_dedup(
             F.coalesce(F.col("dup"), F.lit(0)).cast("int").alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic Lloyd's k-means — bounded-round centroid refinement
+# ---------------------------------------------------------------------------
+def kmeans_refine(
+    vectors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    qscale: int = 2**20,
+) -> DataFrame:
+    """Bounded-round Lloyd's k-means in INTEGER fixed-point — the
+    engine-exact counterpart of ``spark.ml`` KMeans
+    (operators/similarity.py:kmeans_centroids, seeded but
+    engine-specific): refines :func:`semantic_dedup` / IVF-style coarse
+    cells with actual centroid updates while staying on the oracle
+    surface.
+
+    Determinism: coordinates quantize to ``floor(x · 2²⁰)`` (float→double
+    is exact and a power-of-two multiply only shifts the exponent, so the
+    quantization is bit-exact in any engine); assignment minimizes the
+    INTEGER squared L2 distance with ties to the smallest cell id; the
+    centroid update is a per-dimension integer-sum floor-divided by the
+    member count.  No float ever enters an aggregation.
+
+    Init: the ``k`` vectors with smallest id seed the cells (cell id =
+    seed's id).  A cell that loses every member disappears — identically
+    in both engines.  Returns the final assignment
+    ``(id, cell, sq_dist)``.
+
+    Scale shape, per round: assignment is map-only (broadcast of k
+    centroid rows, partial-aggregable min(struct) — no per-id sort
+    shuffle), and the update shuffle carries only (cell, dim) partial
+    sums — k·d groups after map-side combine, independent of corpus
+    size.  Rounds are a fixed small count; the quantized corpus is
+    persisted once.
+    """
+    qv = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(qscale))).cast("long"),
+        ).alias("q"),
+    ).persist()
+    cent = qv.orderBy("id").limit(k).select(
+        F.col("id").alias("cell"), F.col("q").alias("cv")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = qv.crossJoin(F.broadcast(centroids)).select(
+            "id", "q", sq_dist.alias("sq_dist"), "cell"
+        )
+        best = scored.groupBy("id").agg(
+            F.min(F.struct("sq_dist", "cell")).alias("best"),
+            F.first("q").alias("q"),
+        )
+        return best.select(
+            "id", "q", F.col("best.cell").alias("cell"),
+            F.col("best.sq_dist").alias("sq_dist"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cent)
+        dims = assigned.select(
+            "cell", F.posexplode("q").alias("dim", "val")
+        )
+        sums = dims.groupBy("cell", "dim").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt")
+        )
+        cent = (
+            sums.select("cell", "dim", F.expr("s div cnt").alias("cval"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda st: st["cval"],
+                ).alias("cv")
+            )
+        )
+    return assign(cent).select("id", "cell", "sq_dist")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.curation import (
     dsir_log_weights,
+    kmeans_refine,
     semantic_dedup,
     span_dedup,
     sql_dsir_weights,
@@ -490,3 +491,95 @@ def q89_dsir_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_toks").cast("long").alias("n_toks"),
         "cum_toks",
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — deterministic Lloyd's k-means over the embedding space.
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 3
+
+_KM_QV_SQL = """
+qv AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+cent0 AS (SELECT id AS cell, q AS cv FROM qv ORDER BY id LIMIT {k})
+""".replace("{k}", str(_KM_K))
+
+
+def _km_round_sql(prev_cent: str, idx: int, *, final: bool) -> str:
+    """One unrolled Lloyd round: scored → argmin assign (→ centroid
+    update unless final)."""
+    upd = (
+        ""
+        if final
+        else f""",
+dims{idx} AS (
+  SELECT cell,
+         unnest(list_transform(range(1, len(q) + 1),
+                j -> {{'dim': j, 'val': q[j]}}), recursive := true)
+  FROM assign{idx}
+),
+cent{idx + 1} AS (
+  SELECT cell, list(cval ORDER BY dim) AS cv FROM (
+    SELECT cell, dim, SUM(val) // COUNT(*) AS cval
+    FROM dims{idx} GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+    )
+    return f"""
+scored{idx} AS (
+  SELECT a.id, a.q, c.cell,
+         list_sum(list_transform(range(1, len(a.q) + 1),
+                  i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))) AS sq_dist
+  FROM qv a CROSS JOIN {prev_cent} c
+),
+assign{idx} AS (
+  SELECT id, q, cell, sq_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sq_dist, cell) AS rn
+    FROM scored{idx}
+  ) WHERE rn = 1
+){upd}"""
+
+
+def _kmeans_oracle() -> str:
+    # rounds 0..ITERS-1 update centroids; round ITERS is the final assign
+    parts = [_KM_QV_SQL.strip().rstrip(",")]
+    for i in range(_KM_ITERS):
+        parts.append(_km_round_sql(f"cent{i}", i, final=False))
+    parts.append(_km_round_sql(f"cent{_KM_ITERS}", _KM_ITERS, final=True))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT id AS vec_id, cell, sq_dist FROM assign{_KM_ITERS}"
+    )
+
+
+@register(
+    "q96_kmeans_clusters",
+    covers=("A5", "W5"),
+    oracle=_kmeans_oracle(),
+)
+def q96_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Lloyd's k-means (k=8, 3 update rounds) over the
+    embeddings table in integer fixed-point — the engine-exact clustering
+    that refines the static sample centroids q85 (SemDeDup) and q43 (IVF)
+    coarse-assign against; spark.ml KMeans
+    (operators/similarity.py:kmeans_centroids) remains the off-oracle
+    alternative.  The oracle unrolls the identical integer rounds as CTE
+    stages and hashes the final (vec_id, cell, sq_dist) assignment
+    exactly — quantization is floor(x·2²⁰) (bit-exact float→double,
+    power-of-two multiply), distances are integer squared L2 with ties to
+    the smallest cell id, and centroid updates are truncating integer
+    division (Spark ``div`` ≡ DuckDB ``//``, verified truncation in
+    both).  Per round: a broadcast map-only assignment plus a (cell, dim)
+    partial-agg shuffle of k·d groups — corpus-size-independent shuffle
+    volume (see operators/curation.py:kmeans_refine)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    out = kmeans_refine(
+        emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=_KM_ITERS
+    )
+    return out.select(F.col("id").alias("vec_id"), "cell", "sq_dist")

@@ -269,3 +269,35 @@ def test_q88_vocab_via_take_ordered_and_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q88_vocab_encode")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# kmeans_refine — deterministic Lloyd rounds
+# ---------------------------------------------------------------------------
+def test_kmeans_refine_separates_planted_clusters(spark):
+    from briefly_spark.operators.curation import kmeans_refine
+
+    # two tight blobs far apart; seeds (ids 0,1) both land in blob A, so
+    # only an actual centroid UPDATE can pull one seed over to blob B
+    blob_a = [[0.0 + 0.01 * i, 0.0] for i in range(6)]       # ids 0..5
+    blob_b = [[10.0 + 0.01 * i, 10.0] for i in range(6)]     # ids 6..11
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_refine(df, id_col="vec_id", vec_col="embedding", k=2, iters=3)
+    got = {r["id"]: r["cell"] for r in out.collect()}
+    cells_a = {got[i] for i in range(6)}
+    cells_b = {got[i] for i in range(6, 12)}
+    assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+
+
+def test_kmeans_refine_zero_iters_is_seed_assignment(spark):
+    from briefly_spark.operators.curation import kmeans_refine
+
+    rows = [(i, [float(i), 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_refine(df, id_col="vec_id", vec_col="embedding", k=2, iters=0)
+    got = {r["id"]: (r["cell"], r["sq_dist"]) for r in out.collect()}
+    # seeds are ids 0 and 1; each point goes to the nearer seed, ties to
+    # the smaller cell id, and the seed rows themselves have distance 0
+    assert got[0] == (0, 0) and got[1] == (1, 0)
+    assert got[2][0] == 1 and got[3][0] == 1 and got[4][0] == 1
