@@ -64,13 +64,12 @@ def load_registry() -> dict[str, QuerySpec]:
     next-round #2): the 30 queries whose only green driver row is r03
     (textstats q50–q59/q35/q38/q39/q66–q69, text q20–q27, ingest q90,
     worklists q92–q94, tts q91) lead, then search (q46–q48 changed this
-    round: det_ln deterministic scores — q48 was the r04 red), then
-    pipeline/events/temporal; the r04-green unchanged modules (dedup,
-    similarity, relational, multimodal) rotate to the back.  The training
-    module (q83–q89, new in r05) sits right after the r03-only block so
-    its first driver rows land inside the 50-entry window; the entries it
-    displaces (q30–q32, q76–q79) are r04-green and unchanged.  The graph
-    module (q95, new in r05) follows training for the same reason.
+    round: det_ln deterministic scores — q48 was the r04 red), then the
+    modules needing first driver rows — training (q83–q89), graph (q95,
+    q96), analytics (q16–q19, q28) and scale (q97–q99) — filling the
+    50-entry window exactly; everything displaced (pipeline, events,
+    temporal, dedup, similarity, relational, multimodal) is
+    r04-driver-green and unchanged.
     """
     from briefly_spark.queries import (  # noqa: F401
         textstats,
@@ -81,6 +80,8 @@ def load_registry() -> dict[str, QuerySpec]:
         tts,
         training,
         graph,
+        analytics,
+        scale,
         pipeline,
         events,
         temporal,

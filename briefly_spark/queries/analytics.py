@@ -1,0 +1,346 @@
+"""Decision-support join pack — the heavy multi-join / disjunctive /
+share-of-total shapes a warehouse engine must plan well (TPC-H Q7/Q18/
+Q19/Q11 forms over the driver tables), plus a two-pass distributed
+heavy-hitters operator.
+
+These exercise the optimizer paths the simpler §2 queries don't: a
+5-table join with two roles of the same dimension (q16), a
+having-filtered aggregate semi-joined back to its fact (q17), an
+OR-of-conjunctions join predicate that must still prune and push down
+(q18), and a global share-of-total filter whose grand total collapses to
+one broadcast row (q19).  Reference parity: these generalize the
+work-list + hydration joins the reference chains per-article
+(get_relevant_articles.py, sensors/article_sensors.py) into set-oriented
+plans.
+
+Numerics: money measures use the fixed-point cents pattern
+(numerics.fixed_sum) so every aggregate is an exact integer sum —
+order-independent and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table, spread
+from briefly_spark.operators.search import tokens_of
+from briefly_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# q16 — bilateral volume shipping (TPC-H Q7 shape): lineitem ⋈ supplier ⋈
+# orders ⋈ customer ⋈ nation×2, the same dimension joined in two roles.
+# --------------------------------------------------------------------------
+@register(
+    "q16_volume_shipping",
+    covers=("J1", "A4", "A8"),
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       count(*) AS n_lines,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, ship_year
+""",
+)
+def q16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join with nation in two roles (supplier's and customer's).
+    Plan discipline at 100 TB: every dimension (supplier, customer,
+    nation×2) broadcasts — the ONLY shuffle is lineitem ⋈ orders on the
+    orderkey, and the disjunctive nation filter applies map-side after
+    the broadcast joins, so the fact table is scanned once and never
+    re-partitioned by a dimension key.  (customer outgrows broadcast
+    eventually; then it shuffles on custkey while nation still
+    broadcasts — the hint below is on the genuinely-bounded dims.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            ).alias("revenue_cents"),
+        )
+        .withColumn("ship_year", F.col("ship_year").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — large-volume orders (TPC-H Q18 shape): HAVING aggregate, joined
+# back to orders + customer for hydration.
+# --------------------------------------------------------------------------
+@register(
+    "q17_large_volume_orders",
+    covers=("J3", "A3", "J6"),
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+       total_qty
+FROM big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey  = c_custkey
+""",
+)
+def q17_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-filtered fact aggregate hydrated by its dimensions.  The
+    aggregate runs FIRST (partial map-side sums, one orderkey shuffle)
+    and only the tiny surviving set joins orders — at 100 TB the big-order
+    set is broadcastable by construction (it shrinks with the threshold),
+    so the orders scan is filtered by a broadcast semi-join rather than
+    shuffled.  l_quantity is integral, so the HAVING sum is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey", F.col("qty").cast("long").alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "total_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — disjunctive-predicate join (TPC-H Q19 shape): OR of brand/size/
+# quantity conjunctions across the join.
+# --------------------------------------------------------------------------
+@register(
+    "q18_disjunctive_revenue",
+    covers=("P3", "P4", "J1", "A8"),
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#10' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 5  AND 35)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 10 AND 50)
+""",
+)
+def q18_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjunctions across a join: the classic predicate-pushdown
+    trap.  Catalyst splits the disjunction into the common join key plus
+    single-side residuals — the part side prunes to the three brands
+    BEFORE the join (a broadcast, since the brand filter makes it tiny)
+    and the quantity residual evaluates map-side post-join.  Naive
+    engines evaluate the whole OR as a join filter and can't push
+    anything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#10")
+            & F.col("p_size").between(10, 30)
+            & qty.between(5, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & qty.between(10, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — revenue concentration (TPC-H Q11 shape): per-part revenue share
+# against the grand total.
+# --------------------------------------------------------------------------
+@register(
+    "q19_revenue_concentration",
+    covers=("A8", "W1"),
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+           AS part_cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents,
+               count(*) AS n_parts FROM per_part)
+SELECT l_partkey, part_cents
+FROM per_part, tot
+WHERE part_cents * n_parts * 5 > total_cents * 7
+""",
+)
+def q19_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total filter: parts carrying more than 1.4× the mean
+    revenue share (share·n_parts > 7/5, integer cross-multiplied — no
+    division anywhere, so the cut is engine-exact).  The grand total is a
+    second aggregate OVER the per-part frame (|parts| rows,
+    dimension-sized — never a second fact scan) collapsed to ONE row and
+    broadcast back; at 100 TB the fact is scanned once, shuffled once on
+    partkey.  Overflow headroom: total_cents·7 stays under 2⁶³ until
+    ~1.3e16 total cents; the left side multiplies per-PART cents (≪
+    total) by n_parts·5, same order of magnitude.
+
+    The total is a global window OVER the per-part frame — ONE fact scan,
+    one partkey shuffle, then a single-partition pass over |parts| rows
+    (dimension-sized, the unigram_counts pattern).  If the part dimension
+    itself outgrows one partition, swap the window for an agg + broadcast
+    back; AQE reuses the partkey exchange for both consumers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy()
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            ).alias("part_cents")
+        )
+        .withColumn("total_cents", F.sum("part_cents").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("part_cents") * F.col("n_parts") * 5 > F.col("total_cents") * 7
+        )
+        .select("l_partkey", "part_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — distributed heavy hitters: per-partition Misra–Gries candidates,
+# exact second pass over the (bounded) candidate set only.
+# --------------------------------------------------------------------------
+_HH_PHI_DEN = 100  # heavy = frequency ≥ N / 100
+_HH_K = 2 * _HH_PHI_DEN  # per-partition summary size; k ≥ 2/φ ⇒ no false negatives
+
+
+def _mg_partition(frac_iter):
+    """Misra–Gries summary of one partition's term stream (k counters).
+    Emits (term, cnt_lower) — a LOWER bound on the partition-local count,
+    off by at most N_partition / k — plus ONE sentinel row (term NULL)
+    carrying the partition's total token count, so the global N needs no
+    separate corpus scan.  Any term with global frequency ≥ φ·N = 2·N/k
+    must survive in at least one partition summary (if it vanished
+    everywhere, its total count would be < Σ N_p/k = N/k)."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    n_seen = 0
+    for pdf in frac_iter:
+        n_seen += len(pdf)
+        for term in pdf["term"]:
+            if term in counters:
+                counters[term] += 1
+            elif len(counters) < _HH_K:
+                counters[term] = 1
+            else:
+                dead = [t for t, c in counters.items() if c == 1]
+                for t in counters:
+                    counters[t] -= 1
+                for t in dead:
+                    del counters[t]
+    yield pd.DataFrame(
+        {
+            "term": list(counters) + [None],
+            "cnt": list(counters.values()) + [n_seen],
+        }
+    )
+
+
+@register(
+    "q28_heavy_hitters",
+    covers=("A3", "A4"),
+    oracle="""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS term
+  FROM documents
+),
+c AS (SELECT term, count(*) AS freq FROM t GROUP BY term),
+n AS (SELECT count(*) AS total FROM t)
+SELECT term, freq FROM c, n WHERE freq * 100 >= total
+""",
+)
+def q28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms with frequency ≥ N/100, found WITHOUT a full-vocabulary
+    shuffle: per-partition Misra–Gries summaries (k = 2·100 counters,
+    Arrow-batched) are unioned and their merged candidate set — bounded
+    by k·n_partitions whatever the vocabulary size — is broadcast into a
+    semi-join that restricts the exact counting pass to candidates only.
+    The MG guarantee (k ≥ 2/φ) makes the candidate set a superset of
+    every true heavy hitter, so the final output is EXACT and independent
+    of partitioning; only the intermediate candidate set varies.  At
+    100 TB this replaces a |vocab|-key shuffle with a fixed-size one.
+    The exact threshold compare is integer (freq·100 ≥ N).  Two corpus
+    scans total: the MG pass carries N out in per-partition sentinel
+    rows, so no count-only third scan exists."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
+    mg = terms.mapInPandas(_mg_partition, schema="term string, cnt long")
+    # bounded summary (≤ (k+1)·n_partitions rows) consumed by two
+    # branches — persist it so the corpus MG pass runs once, not twice
+    mg = mg.persist()
+    candidates = mg.filter(F.col("term").isNotNull()).select("term").distinct()
+    total = mg.filter(F.col("term").isNull()).agg(F.sum("cnt").alias("total"))
+    return (
+        terms.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * 100 >= F.col("total"))
+        .select("term", "freq")
+    )

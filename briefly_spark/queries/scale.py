@@ -1,0 +1,296 @@
+"""Scale-levers pack — operators whose entire point is the 100 TB cost
+model: a broadcast Bloom-filter prefilter for benchmark decontamination
+(q97), multi-dimensional z-order layout with file-level min-max pruning
+stats (q98), and a deterministic per-group sample for reproducible eval
+carving (q99).
+
+Everything here is engine-exact by construction: the Bloom hash positions
+come from the md5-nibble hash16 (no base-conversion builtins), the bitset
+words are sums of distinct power-of-two masks (sum == bitwise-OR for
+distinct bits), and the z-values are pure integer div/mod arithmetic —
+so the DuckDB oracles replicate Spark bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from briefly_spark.catalog import load_table, spread
+from briefly_spark.operators.dedup import with_shingles
+from briefly_spark.operators.textstats import _hash16
+from briefly_spark.queries import register
+
+# ---- shared dialect helpers ----------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _sql_hash16(expr: str) -> str:
+    """DuckDB mirror of operators/textstats._hash16 (first 4 md5 nibbles)."""
+    nib = lambda j: f"(strpos('{_HEX}', substr(md5({expr}), {j}, 1)) - 1)"  # noqa: E731
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+def _z_interleave_sql(xb: str, yb: str, dialect: str, bits: int = 8) -> str:
+    """Bit-interleaved z-value of two ``bits``-wide bucket ids, as pure
+    integer div/mod/multiply arithmetic (identical in every engine — no
+    shift/bit-op dialect drift).  x occupies the odd bit positions."""
+    div = "div" if dialect == "spark" else "//"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xb}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({yb}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+# --------------------------------------------------------------------------
+# q97 — Bloom-filter decontamination prefilter.
+# --------------------------------------------------------------------------
+@register(
+    "q97_bloom_decontaminate",
+    covers=("J3", "A4"),
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 0) + 1),
+           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+        FROM documents)
+),
+ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
+pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT {H1} AS p FROM bench
+    UNION SELECT {H2} AS p FROM bench)
+),
+bits AS (
+  SELECT p // 32 AS word,
+         CAST(sum(CAST(power(2, p % 32) AS BIGINT)) AS BIGINT) AS bits
+  FROM pos GROUP BY 1
+),
+cand AS (SELECT doc_id, s, {H1S} AS p1, {H2S} AS p2
+         FROM ds WHERE doc_id % 50 <> 0),
+probed AS (
+  SELECT cand.doc_id, cand.s,
+         CASE WHEN b1.bits IS NOT NULL
+                   AND (b1.bits & CAST(power(2, cand.p1 % 32) AS BIGINT)) <> 0
+              THEN 1 ELSE 0 END
+       * CASE WHEN b2.bits IS NOT NULL
+                   AND (b2.bits & CAST(power(2, cand.p2 % 32) AS BIGINT)) <> 0
+              THEN 1 ELSE 0 END AS s_hit
+  FROM cand
+  LEFT JOIN bits b1 ON b1.word = cand.p1 // 32
+  LEFT JOIN bits b2 ON b2.word = cand.p2 // 32
+),
+bloom AS (SELECT doc_id, CAST(max(s_hit) AS BIGINT) AS bloom_hit
+          FROM probed GROUP BY doc_id),
+exact AS (SELECT DISTINCT c.doc_id
+          FROM (SELECT doc_id, s FROM ds WHERE doc_id % 50 <> 0) c
+          JOIN bench USING (s))
+SELECT bloom.doc_id, bloom_hit,
+       CAST(CASE WHEN exact.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_hit
+FROM bloom LEFT JOIN exact ON bloom.doc_id = exact.doc_id
+""".replace("{H1}", _sql_hash16("s || '#1'"))
+   .replace("{H2}", _sql_hash16("s || '#2'"))
+   .replace("{H1S}", _sql_hash16("s || '#1'"))
+   .replace("{H2S}", _sql_hash16("s || '#2'")),
+)
+def q97_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a broadcast Bloom prefilter — the 100 TB form
+    of q36.  The benchmark shingle set is folded into a 64 Kbit Bloom
+    bitset (k=2 md5-nibble hashes; the bitset frame is ≤ 2048 rows of
+    32-bit words REGARDLESS of benchmark size) and broadcast; every
+    training shingle tests membership map-side via two tiny equi-joins on
+    the word index.  Only Bloom-positive docs would proceed to the exact
+    postings join (q36's shape), so the expensive shuffle shrinks from
+    |corpus| to |positives| — here both columns are emitted per doc so
+    the oracle verifies the Bloom's structural guarantee: no false
+    negatives (exact_hit=1 ⇒ bloom_hit=1), false positives bounded by
+    (k·n/m)^k.  Sum of distinct power-of-two masks == bitwise OR, so the
+    bitset build is a plain integer SUM — order-independent and
+    engine-exact."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = with_shingles(docs.select("doc_id", "text"), "text", 3)
+    ds = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # the postings frame feeds three consumers (bitset build, probes,
+    # exact audit join) — persist it so the corpus is shingled ONCE
+    # (the same persisted-edge-set discipline as the CC operator)
+    ds = ds.persist()
+    bench = ds.filter(F.col("doc_id") % 50 == 0).select("s").distinct().persist()
+    h1 = _hash16(F.concat(F.col("s"), F.lit("#1")))
+    h2 = _hash16(F.concat(F.col("s"), F.lit("#2")))
+    pos = (
+        bench.select(h1.alias("p"))
+        .union(bench.select(h2.alias("p")))
+        .distinct()
+    )
+    bits = pos.groupBy(F.expr("p div 32").alias("word")).agg(
+        F.sum(F.pow(F.lit(2), F.col("p") % 32).cast("long")).alias("bits")
+    )
+    cand = ds.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "s", h1.alias("p1"), h2.alias("p2")
+    )
+    b1 = bits.select(F.col("word").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bits.select(F.col("word").alias("w2"), F.col("bits").alias("bits2"))
+    probed = (
+        cand.join(F.broadcast(b1), F.expr("p1 div 32") == F.col("w1"), "left")
+        .join(F.broadcast(b2), F.expr("p2 div 32") == F.col("w2"), "left")
+        .select(
+            "doc_id",
+            (
+                F.when(
+                    F.col("bits1").isNotNull()
+                    & (
+                        F.col("bits1").bitwiseAND(
+                            F.pow(F.lit(2), F.col("p1") % 32).cast("long")
+                        )
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0)
+                * F.when(
+                    F.col("bits2").isNotNull()
+                    & (
+                        F.col("bits2").bitwiseAND(
+                            F.pow(F.lit(2), F.col("p2") % 32).cast("long")
+                        )
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("s_hit"),
+        )
+    )
+    bloom = probed.groupBy("doc_id").agg(
+        F.max("s_hit").cast("long").alias("bloom_hit")
+    )
+    exact = (
+        ds.filter(F.col("doc_id") % 50 != 0)
+        .join(bench, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1).cast("long"))
+    )
+    return (
+        bloom.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("exact_hit"), F.lit(0).cast("long")).alias("exact_hit"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — z-order layout audit: interleave (custkey, order-day) bucket bits,
+# range-partition into files, report per-file min-max envelopes.
+# --------------------------------------------------------------------------
+_Z_SPARK = _z_interleave_sql("xb", "yb", "spark")
+_Z_DUCK = _z_interleave_sql("xb", "yb", "duckdb")
+
+
+@register(
+    "q98_zorder_layout",
+    covers=("W6", "A4"),
+    oracle=f"""
+WITH stats AS (
+  SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+         min(o_orderdate) AS min_dt,
+         date_diff('day', min(o_orderdate), max(o_orderdate)) AS max_d
+  FROM orders
+),
+b AS (
+  SELECT ((o_custkey - min_ck) * 256) // (max_ck - min_ck + 1) AS xb,
+         (date_diff('day', min_dt, o_orderdate) * 256) // (max_d + 1) AS yb,
+         o_custkey, date_diff('day', min_dt, o_orderdate) AS day_off
+  FROM orders, stats
+),
+z AS (SELECT {_Z_DUCK} // 1024 AS file_id, o_custkey, day_off FROM b)
+SELECT file_id, count(*) AS n_rows,
+       CAST(min(o_custkey) AS BIGINT) AS min_ck,
+       CAST(max(o_custkey) AS BIGINT) AS max_ck,
+       CAST(min(day_off) AS BIGINT) AS min_day,
+       CAST(max(day_off) AS BIGINT) AS max_day
+FROM z GROUP BY file_id
+""",
+)
+def q98_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the data-layout lever that makes
+    min-max file skipping work on TWO dimensions at once.  Each order's
+    (custkey, order-day) is bucketized to 8 bits per dim (bucket edges
+    from a one-row global stats aggregate, broadcast back), the bucket
+    bits are interleaved into a 16-bit z-value with pure integer
+    arithmetic, and rows are assigned to 64 "files" by z-range.  The
+    emitted per-file envelopes (min/max of BOTH dims) are the pruning
+    index: a predicate on either dimension skips every file whose
+    envelope misses it — with z-order both envelopes stay ~1/8 of the
+    domain, vs. a single-column sort where the second dimension's
+    envelope is the full domain in every file.  At 100 TB the same
+    z-value is the ``repartitionByRange`` key at write time
+    (storage.py layouts); this query is the audit of that layout."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min("o_orderdate").alias("min_dt"),
+        F.datediff(
+            F.to_date(F.max("o_orderdate")), F.to_date(F.min("o_orderdate"))
+        ).alias("max_d"),
+    )
+    b = (
+        orders.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "day_off", F.datediff(F.to_date("o_orderdate"), F.to_date("min_dt"))
+        )
+        .withColumn(
+            "xb", F.expr("((o_custkey - min_ck) * 256) div (max_ck - min_ck + 1)")
+        )
+        .withColumn("yb", F.expr("(day_off * 256) div (max_d + 1)"))
+    )
+    z = b.withColumn("file_id", F.expr(f"{_Z_SPARK} div 1024"))
+    return z.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").cast("long").alias("min_ck"),
+        F.max("o_custkey").cast("long").alias("max_ck"),
+        F.min("day_off").cast("long").alias("min_day"),
+        F.max("day_off").cast("long").alias("max_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q99 — deterministic per-group sample (reproducible eval carving).
+# --------------------------------------------------------------------------
+@register(
+    "q99_group_sample",
+    covers=("W4", "P10"),
+    oracle="""
+WITH r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= 10
+""",
+)
+def q99_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-group sample: rank by md5(id) inside each group
+    and keep the head — a content-stable 'random' draw that re-runs,
+    repartitions and incremental appends reproduce exactly (rows already
+    drawn stay drawn; rand()-based samples lose this).  ONE ranking-window
+    shuffle on the group key; at 100 TB group count scales the shuffle,
+    not group size, and skewed groups split under AQE since only the
+    top-10 survive per task after the rank filter."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+    )

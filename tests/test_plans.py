@@ -150,3 +150,77 @@ def test_q45_quantized_candidate_join_carries_no_full_vectors(spark, sf_dir):
         if re.search(r"\bv#\d+", l) and "query_id" in l and "neighbor_id" in l
     ]
     assert not offenders, offenders
+
+
+# ---- r05 analytics / scale-levers pack -----------------------------------
+
+
+def test_q16_all_dims_broadcast(spark, sf_dir):
+    # supplier, customer, nation×2 must broadcast — the only eligible
+    # shuffle join is lineitem⋈orders on the orderkey
+    plan = plan_of(spark, sf_dir, "q16_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q17_big_order_set_broadcasts(spark, sf_dir):
+    # the HAVING-filtered aggregate must come back to orders as a
+    # broadcast, never re-shuffling the orders scan
+    plan = plan_of(spark, sf_dir, "q17_large_volume_orders")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q18_quantity_disjunction_pushed_to_fact_scan(spark, sf_dir):
+    # the OR-of-conjunctions must split: the quantity residual pushes
+    # into the lineitem scan, the brand/size residual prunes part
+    plan = plan_of(spark, sf_dir, "q18_disjunctive_revenue")
+    m = re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*l_quantity[^\]]*\]", plan)
+    assert m is not None, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q19_single_scan_share_of_total(spark, sf_dir):
+    # grand total must be a window over the per-part frame — one fact
+    # scan, one partkey shuffle + one dimension-sized global window
+    plan = plan_of(spark, sf_dir, "q19_revenue_concentration")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
+    assert len(shuffle_exchanges(plan)) <= 2, plan
+
+
+def test_q28_mg_summary_cached_and_candidates_broadcast(spark, sf_dir):
+    # the Misra–Gries summary frame is persisted (two consumers, one MG
+    # pass) and the candidate set enters the exact pass as a broadcast
+    # semi-join — never a vocabulary-wide shuffle join
+    plan = plan_of(spark, sf_dir, "q28_heavy_hitters")
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q97_postings_cached_bitset_broadcast(spark, sf_dir):
+    # the shingle postings persist (three consumers, one shingling pass);
+    # the Bloom bitset and word-lookup joins broadcast; membership
+    # testing never becomes a pair join
+    plan = plan_of(spark, sf_dir, "q97_bloom_decontaminate")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q98_two_pruned_scans_no_sort(spark, sf_dir):
+    # stats branch + layout branch; z-value assignment is map-side
+    # arithmetic — no global sort may appear
+    plan = plan_of(spark, sf_dir, "q98_zorder_layout")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(shuffle_exchanges(plan)) <= 2, plan
+
+
+def test_q99_one_ranking_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q99_group_sample")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
+    assert len(shuffle_exchanges(plan)) <= 2, plan
