@@ -33,15 +33,13 @@ def _sql_hash16(expr: str) -> str:
 
 
 def _z_interleave_sql(xb: str, yb: str, dialect: str, bits: int = 8) -> str:
-    """Bit-interleaved z-value of two ``bits``-wide bucket ids, as pure
-    integer div/mod/multiply arithmetic (identical in every engine — no
-    shift/bit-op dialect drift).  x occupies the odd bit positions."""
-    div = "div" if dialect == "spark" else "//"
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({xb}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
-        terms.append(f"((({yb}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
-    return "(" + " + ".join(terms) + ")"
+    """Two-dim z-value (x on the odd bits) — the shared N-dim generator
+    from functions/layout.py, which the storage write path
+    (Warehouse.write_zorder) uses too, so the audit here and the actual
+    layout share one definition."""
+    from briefly_spark.functions.layout import z_interleave_sql
+
+    return z_interleave_sql([xb, yb], dialect, bits)
 
 
 # --------------------------------------------------------------------------

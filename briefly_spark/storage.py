@@ -494,6 +494,81 @@ class Warehouse:
             self._swap_full(tmp, table)
         return shards
 
+    # -- layout management: z-order clustering + small-file compaction --------
+    def write_zorder(
+        self,
+        df: DataFrame,
+        table: str,
+        cols: list[str],
+        *,
+        bits: int = 8,
+        files: int = 64,
+    ) -> None:
+        """Write ``df`` clustered by the z-order (Morton) interleave of
+        ``cols`` — the multi-dimension locality layout whose per-file
+        min-max envelopes stay narrow on EVERY clustered column, so
+        file-skipping works for predicates on any of them (a single-column
+        sort gives the second column full-domain envelopes in every file).
+        q98_zorder_layout is the audit of exactly this layout.
+
+        Mechanics: one global stats row (min/max per column, broadcast
+        back) linearly bucketizes each column to ``bits`` bits; the
+        bucket bits interleave into a z-value by pure integer arithmetic
+        (functions/layout.py — engine-exact, re-runs produce byte-stable
+        assignment); ``repartitionByRange(files, z)`` range-partitions on
+        it (sampled range bounds — the one nondeterminism, confined to
+        file SIZES, never file MEMBERSHIP semantics).  Columns must be
+        integral (cast dates to day offsets first).  Follows the class
+        write protocol: side write + atomic rename swap under the writer
+        lock."""
+        from briefly_spark.functions.layout import bucketize_sql, z_interleave_sql
+
+        stats = df.agg(
+            *[F.min(c).alias(f"__min_{c}") for c in cols],
+            *[F.max(c).alias(f"__max_{c}") for c in cols],
+        )
+        buckets = [
+            bucketize_sql(c, f"__min_{c}", f"__max_{c}", "spark", bits) for c in cols
+        ]
+        z = z_interleave_sql(buckets, "spark", bits)
+        staged = (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn("__z", F.expr(z))
+            .repartitionByRange(files, F.col("__z"))
+            .drop("__z", *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        )
+        with self._writer_lock(table):
+            tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
+            staged.write.mode("overwrite").parquet(tmp)
+            self._swap_full(tmp, table)
+
+    def compact(self, table: str, *, target_rows_per_file: int) -> int:
+        """Rewrite a table into ~evenly-sized files — the small-files
+        repair a long-lived warehouse needs: every partition-scoped merge
+        writes its own files, and at 100 TB a thousand incremental merges
+        leave a table whose scan pays per-file open/footer cost far above
+        its data cost.  One count sizes the layout, a round-robin
+        repartition evens the rows (records, not bytes — the same unit
+        write_training_shards uses), and the rewrite goes through the
+        side-write + rename-swap protocol under the writer lock, so a
+        crashed compaction never harms the live table and readers never
+        see a half-compacted state.  Returns the new file count."""
+        import math
+
+        df = self.read(table)
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        with self._writer_lock(table):
+            tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
+            (
+                df.repartition(n_files)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", target_rows_per_file)
+                .parquet(tmp)
+            )
+            self._swap_full(tmp, table)
+        return n_files
+
     # -- K4: bronze snapshot (partitioned append-style JSON/parquet) ----------
     def write_bronze(self, df: DataFrame, table: str, run_id: str) -> str:
         """Raw snapshot under ``bronze/{table}/run_id={run_id}/`` — the S3

@@ -608,3 +608,55 @@ def test_curate_batch_trims_across_batches_via_registry(spark, sf_dir, tmp_path)
 
     # idempotence: nothing left to curate
     assert curate_batch(wh).processed == 0
+
+
+def test_write_zorder_envelopes_and_content(spark, tmp_path):
+    """Z-order layout: content is preserved exactly, and per-file min-max
+    envelopes stay narrow on BOTH clustered columns — the property that
+    makes dual-dimension file skipping work (a single-column sort leaves
+    the other column's envelope at the full domain in every file)."""
+    import itertools
+
+    wh = Warehouse(spark, str(tmp_path / "wh_z"))
+    n = 64
+    rows = [(x, y, x * n + y) for x, y in itertools.product(range(n), range(n))]
+    df = spark.createDataFrame(rows, "x int, y int, payload long")
+    wh.write_zorder(df, "zt", ["x", "y"], bits=6, files=16)
+
+    back = wh.read("zt")
+    assert back.count() == n * n
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+    env = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+        )
+        .agg(F.avg("wx").alias("ax"), F.avg("wy").alias("ay"), F.count(F.lit(1)).alias("nf"))
+        .collect()[0]
+    )
+    assert env["nf"] > 1
+    # both envelopes well under the full domain (64); a y-ignorant layout
+    # would put ay at ~63
+    assert env["ax"] < n / 2 and env["ay"] < n / 2, dict(env.asDict())
+
+
+def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh_c"))
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 3)
+    # simulate merge-fragmented layout: many tiny files
+    wh.overwrite(df.repartition(64), "t")
+    import glob
+
+    files_before = glob.glob(str(tmp_path / "wh_c" / "t" / "*.parquet"))
+    assert len(files_before) >= 32
+
+    n_files = wh.compact("t", target_rows_per_file=5_000)
+    files_after = glob.glob(str(tmp_path / "wh_c" / "t" / "*.parquet"))
+    assert n_files == 2
+    assert len(files_after) <= 4  # maxRecordsPerFile may split a stray file
+    back = wh.read("t")
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(i * 3 for i in range(10_000))
