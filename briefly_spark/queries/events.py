@@ -381,3 +381,119 @@ def q79_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("click_id")).alias("attributed_click_id"),
         F.when(in_window, lag).alias("lag_micros"),
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — weekly retention cohorts (first-seen cohort × weeks-since matrix).
+# --------------------------------------------------------------------------
+@register(
+    "q64_retention_cohorts",
+    covers=("A4", "W2"),
+    oracle="""
+WITH w AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id)
+SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       CAST(w.week - cohort AS BIGINT) AS week_no,
+       count(DISTINCT w.user_id) AS n_active
+FROM w JOIN first USING (user_id)
+GROUP BY cohort_week, week_no
+""",
+)
+def q64_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users bucketed by first-seen week
+    (cohort), counted as active per week-offset.  Weeks are integer
+    epoch-day div 7 — no date_trunc dialect drift.  Two shuffles total:
+    one user_id aggregate for the cohort assignment (user-dimension-sized
+    → broadcast back into the event stream map-side) and one
+    (cohort, week_no) count-distinct.  At 100 TB the first-seen frame is
+    the user dimension — if it outgrows broadcast, the join degrades to a
+    shuffle on user_id that AQE co-locates with the first aggregate's
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), date'1970-01-01') div 7").alias("week"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        wk.join(F.broadcast(first), "user_id")
+        .groupBy(
+            F.col("cohort").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort")).cast("long").alias("week_no"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — exact per-user median inter-event gap (integer rank selection).
+# --------------------------------------------------------------------------
+@register(
+    "q65_median_gap",
+    covers=("W2", "A4"),
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+  FROM o WHERE prev_ts IS NOT NULL
+),
+r AS (
+  SELECT user_id, gap_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM g
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps, CAST(gap_us AS BIGINT) AS median_gap_us
+FROM r WHERE rk = (n + 1) // 2
+""",
+)
+def q65_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median of each user's inter-event gaps, by integer rank
+    selection (rk = (n+1) div 2) — engine-exact where percentile
+    interpolation is not: gaps are integer seconds and the selected
+    element is an actual data value, so the hash gate holds bit-for-bit.
+    ONE user_id shuffle serves all three windows (lag ordering, gap
+    ranking, per-user count share the partition key); no global sort.
+    At 100 TB a power-user partition is the hazard — the rank window is
+    per-user-bounded, and the same selection rewrites as a
+    partial-aggregated groupBy(user, gap) + cumulative count when user
+    streams outgrow a task."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("ts").over(wo).alias("prev_ts"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("gap_us")
+    wc = Window.partitionBy("user_id")
+    r = gaps.select(
+        "user_id",
+        "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return r.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("gap_us").cast("long").alias("median_gap_us"),
+    )
