@@ -344,3 +344,40 @@ def q28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * 100 >= F.col("total"))
         .select("term", "freq")
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — waiting-suppliers (TPC-H Q21 shape): correlated EXISTS + NOT
+# EXISTS against the same fact, on the spark.sql surface.
+# --------------------------------------------------------------------------
+_Q100_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@register("q100_waiting_suppliers", covers=("J2", "J3", "A4"), oracle=_Q100_SQL)
+def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS on the same fact table (TPC-H Q21:
+    the sole returning supplier in multi-supplier finished orders) —
+    written on the ``spark.sql`` surface with the SAME text as the DuckDB
+    oracle, the declarative contract both engines must satisfy.  Catalyst
+    decorrelates the subqueries into a left-semi and a left-anti join on
+    the orderkey; all three lineitem legs share the orderkey, so at
+    100 TB they co-locate on one shuffle partitioning (or zero exchanges
+    off a K6 orderkey-bucketed layout), and the supplier dim broadcasts.
+    Counting is per supplier NAME — a partial-agg rollup after the
+    joins."""
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q100_SQL)

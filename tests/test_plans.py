@@ -224,3 +224,12 @@ def test_q99_one_ranking_shuffle(spark, sf_dir):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1, plan
     assert len(shuffle_exchanges(plan)) <= 2, plan
+
+
+def test_q100_exists_decorrelates_to_semi_anti(spark, sf_dir):
+    # the correlated EXISTS / NOT EXISTS must decorrelate into semi and
+    # anti joins on the orderkey — never a per-row subquery or cartesian
+    plan = plan_of(spark, sf_dir, "q100_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -60,6 +60,8 @@ QUERIES = (
     "q88_vocab_encode",
     "q31_minhash_lsh_pairs",
     "q47_bm25_search",
+    "q28_heavy_hitters",
+    "q97_bloom_decontaminate",
 )
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
