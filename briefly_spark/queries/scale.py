@@ -292,3 +292,61 @@ def q99_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — exact-percentile winsorization via a value histogram (no global
+# row sort).
+# --------------------------------------------------------------------------
+@register(
+    "q101_winsorize_lengths",
+    covers=("A4", "P7"),
+    oracle="""
+WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+r AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS run,
+         (SELECT sum(c) FROM h) AS tot
+  FROM h
+),
+cuts AS (
+  SELECT min(CASE WHEN run * 20 >= tot THEN v END) AS lo,
+         min(CASE WHEN run * 20 >= 19 * tot THEN v END) AS hi
+  FROM r
+)
+SELECT doc_id,
+       CAST(greatest(lo, least(hi, n_chars)) AS BIGINT) AS clamped_chars
+FROM documents, cuts
+""",
+)
+def q101_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize document lengths to the exact [p5, p95] — robust
+    normalization for curation scores — WITHOUT sorting the corpus: the
+    percentiles come from a VALUE HISTOGRAM (groupBy(n_chars) — at most
+    |distinct values| rows however many documents exist), ranked by a
+    running count; the cutoffs are integer rank selections
+    (run·20 ≥ tot, run·20 ≥ 19·tot), so the result is engine-exact where
+    percentile interpolation is not.  The one-row cutoff frame broadcasts
+    into a map-side clamp.  This is the exact counterpart of the GK
+    sketch the curriculum-bucket query (q66) documents for 100 TB: same
+    plan shape, histogram instead of sketch."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    run_w = Window.orderBy("v")
+    tot_w = Window.partitionBy()
+    r = hist.withColumn("run", F.sum("c").over(run_w)).withColumn(
+        "tot", F.sum("c").over(tot_w)
+    )
+    cuts = r.agg(
+        F.min(F.when(F.col("run") * 20 >= F.col("tot"), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("run") * 20 >= 19 * F.col("tot"), F.col("v"))).alias(
+            "hi"
+        ),
+    )
+    return docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        F.greatest(
+            F.col("lo"), F.least(F.col("hi"), F.col("n_chars"))
+        ).cast("long").alias("clamped_chars"),
+    )
