@@ -264,41 +264,7 @@ def q19_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q28 — distributed heavy hitters: per-partition Misra–Gries candidates,
 # exact second pass over the (bounded) candidate set only.
 # --------------------------------------------------------------------------
-_HH_PHI_DEN = 100  # heavy = frequency ≥ N / 100
-_HH_K = 2 * _HH_PHI_DEN  # per-partition summary size; k ≥ 2/φ ⇒ no false negatives
-
-
-def _mg_partition(frac_iter):
-    """Misra–Gries summary of one partition's term stream (k counters).
-    Emits (term, cnt_lower) — a LOWER bound on the partition-local count,
-    off by at most N_partition / k — plus ONE sentinel row (term NULL)
-    carrying the partition's total token count, so the global N needs no
-    separate corpus scan.  Any term with global frequency ≥ φ·N = 2·N/k
-    must survive in at least one partition summary (if it vanished
-    everywhere, its total count would be < Σ N_p/k = N/k)."""
-    import pandas as pd
-
-    counters: dict[str, int] = {}
-    n_seen = 0
-    for pdf in frac_iter:
-        n_seen += len(pdf)
-        for term in pdf["term"]:
-            if term in counters:
-                counters[term] += 1
-            elif len(counters) < _HH_K:
-                counters[term] = 1
-            else:
-                dead = [t for t, c in counters.items() if c == 1]
-                for t in counters:
-                    counters[t] -= 1
-                for t in dead:
-                    del counters[t]
-    yield pd.DataFrame(
-        {
-            "term": list(counters) + [None],
-            "cnt": list(counters.values()) + [n_seen],
-        }
-    )
+from briefly_spark.operators.frequency import mg_partition as _mg_partition  # noqa: E402
 
 
 @register(

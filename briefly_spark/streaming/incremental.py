@@ -199,3 +199,81 @@ def span_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def heavy_hitter_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    *,
+    candidates_table: str,
+    checkpoint: str,
+    text_col: str,
+) -> None:
+    """Streaming heavy-hitter candidate accumulation — the ingestion twin
+    of the batch q28 (operators/frequency.py): each micro-batch runs the
+    bounded Misra–Gries pass and MERGEs its summary (plus a
+    total-token sentinel row, term='') into a persisted candidates table.
+
+    Replay safety (foreachBatch is at-least-once): rows key on
+    (batch_id, term), so re-delivering a batch overwrites its own prior
+    contribution instead of double-counting — the merge is idempotent per
+    batch.  The MG merge bound survives batching: every token belongs to
+    exactly one partition of one batch, so the accumulated undercount
+    stays ≤ N/k over the whole stream and the candidate set remains a
+    superset of every φ-heavy term, whatever the batch boundaries.  The
+    table holds ≤ (k+1)·partitions rows per batch — compaction
+    (Warehouse.compact) applies when batches pile up."""
+    from briefly_spark.operators.frequency import mg_partition
+    from briefly_spark.operators.search import tokens_of
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        terms = batch_df.select(
+            F.explode(tokens_of(F.col(text_col))).alias("term")
+        )
+        summary = (
+            terms.mapInPandas(mg_partition, schema="term string, cnt long")
+            .withColumn("term", F.coalesce(F.col("term"), F.lit("")))
+            .groupBy("term")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        if summary.take(1):
+            wh.merge_upsert(summary, candidates_table, ["batch_id", "term"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def heavy_hitters_resolve(
+    corpus: DataFrame,
+    wh: Warehouse,
+    *,
+    candidates_table: str,
+    text_col: str,
+    phi_den: int = 100,
+) -> DataFrame:
+    """Exact heavy hitters from the streamed candidate registry: restrict
+    an exact counting pass over ``corpus`` to the accumulated candidate
+    terms (broadcast semi-join — never a full-vocabulary shuffle) and
+    threshold on the sentinel-row total.  Returns (term, freq), identical
+    to the one-shot batch query when the stream processed the same
+    corpus."""
+    from briefly_spark.operators.search import tokens_of
+
+    reg = wh.read(candidates_table)
+    candidates = reg.filter(F.col("term") != "").select("term").distinct()
+    total = reg.filter(F.col("term") == "").agg(F.sum("cnt").alias("total"))
+    terms = corpus.select(F.explode(tokens_of(F.col(text_col))).alias("term"))
+    return (
+        terms.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * phi_den >= F.col("total"))
+        .select("term", "freq")
+    )

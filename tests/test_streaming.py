@@ -361,3 +361,58 @@ def test_span_dedup_stream_matches_one_shot(spark, tmp_path):
     run()
     assert wh.read("clean_docs").count() == len(expect)
     assert wh.read("span_registry").count() == n_reg
+
+
+def test_heavy_hitter_stream_matches_batch_query(spark, sf_dir, tmp_path):
+    """Streaming MG accumulation over micro-batches + exact resolve must
+    equal the one-shot batch heavy-hitters query on the same corpus —
+    the MG merge bound is batch-boundary-independent.  A checkpointed
+    re-run is a no-op (no new files), and replaying a batch's merge is
+    idempotent (keyed on batch_id, term)."""
+    from briefly_spark.queries import load_registry
+    from briefly_spark.storage import Warehouse
+    from briefly_spark.streaming.incremental import (
+        heavy_hitter_stream,
+        heavy_hitters_resolve,
+        read_parquet_stream,
+    )
+
+    src = tmp_path / "hh_stream"
+    src.mkdir()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # three micro-batches of different sizes
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(str(src / "b2"))
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(str(src / "b3"))
+
+    wh = Warehouse(spark, str(tmp_path / "wh_hh"))
+    ckpt = str(tmp_path / "ckpt_hh")
+    run = lambda: heavy_hitter_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh,
+        candidates_table="hh_cand",
+        checkpoint=ckpt,
+        text_col="text",
+    )
+    run()
+    reg_rows = wh.read("hh_cand").count()
+    # sentinel total equals the corpus token count
+    total = (
+        wh.read("hh_cand").filter(F.col("term") == "").agg(F.sum("cnt")).collect()[0][0]
+    )
+    n_tokens = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+    ).count()
+    assert total == n_tokens
+
+    streamed = heavy_hitters_resolve(
+        docs, wh, candidates_table="hh_cand", text_col="text", phi_den=100
+    )
+    batch = load_registry()["q28_heavy_hitters"].fn(spark, sf_dir)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    # checkpointed re-run: no new batches, registry unchanged
+    run()
+    assert wh.read("hh_cand").count() == reg_rows
