@@ -497,3 +497,100 @@ def q65_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_gaps"),
         F.col("gap_us").cast("long").alias("median_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — peak concurrent sessions per day: interval endpoints + a
+# DISTRIBUTED prefix sum (per-day partials, day-frame offsets).
+# --------------------------------------------------------------------------
+@register(
+    "q102_peak_concurrency",
+    covers=("A4", "W6"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTES OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS s,
+         max(ts) + INTERVAL 30 MINUTES AS e
+  FROM (SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps)
+  GROUP BY user_id, sid
+),
+ep AS (
+  SELECT s AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM sess
+),
+epd AS (
+  SELECT ts, delta,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM ep
+),
+daynet AS (SELECT day, sum(delta) AS net FROM epd GROUP BY day),
+pref AS (
+  SELECT day,
+         sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - net AS off
+  FROM daynet
+),
+run AS (
+  SELECT epd.day,
+         pref.off + sum(delta) OVER (PARTITION BY epd.day
+                                     ORDER BY ts, delta) AS conc
+  FROM epd JOIN pref ON epd.day = pref.day
+)
+SELECT CAST(day AS BIGINT) AS day_off,
+       CAST(max(conc) AS BIGINT) AS peak_conc
+FROM run GROUP BY day
+""",
+)
+def q102_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open sessions per day — interval
+    algebra as a DISTRIBUTED prefix sum, never a global sort: session
+    endpoints (+1 at start, −1 at end; q72's session definition) shuffle
+    once by day, per-day running sums are day-local windows, and
+    cross-day carry-over comes from a day-dimension-sized prefix frame
+    (one row per day, broadcast back).  conc = day_offset + intra-day
+    running sum is the exact global concurrency at every endpoint.  Ties
+    at one timestamp resolve ends-before-starts (ORDER BY ts, delta —
+    back-to-back sessions never overlap), and the RANGE-frame peer
+    semantics of both engines make tied rows share one running value, so
+    the per-day max is engine-exact integer arithmetic throughout.  At
+    100 TB the day partitioning scales with history length while each
+    day's endpoint set stays bounded — the classic two-level scan
+    pattern."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    sess = events.groupBy(sw, "user_id").agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("session_window.start").alias("s"),
+        F.col("session_window.end").alias("e"),
+    )
+    ep = sess.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    epd = ep.withColumn(
+        "day", F.expr("datediff(to_date(ts), date'1970-01-01')")
+    )
+    daynet = epd.groupBy("day").agg(F.sum("delta").alias("net"))
+    day_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daynet.select(
+        "day", (F.sum("net").over(day_w) - F.col("net")).alias("off")
+    )
+    run_w = Window.partitionBy("day").orderBy("ts", "delta")
+    run = (
+        epd.join(F.broadcast(pref), "day")
+        .withColumn("conc", F.col("off") + F.sum("delta").over(run_w))
+    )
+    return run.groupBy(F.col("day").cast("long").alias("day_off")).agg(
+        F.max("conc").cast("long").alias("peak_conc")
+    )
