@@ -350,3 +350,53 @@ def q101_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo"), F.least(F.col("hi"), F.col("n_chars"))
         ).cast("long").alias("clamped_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q103 — exact per-group median via per-group value histograms.
+# --------------------------------------------------------------------------
+@register(
+    "q103_grouped_median",
+    covers=("A4", "W4"),
+    oracle="""
+WITH h AS (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY source, n_chars
+),
+r AS (
+  SELECT source, v, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v) AS run,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM h
+)
+SELECT source,
+       CAST(min(CASE WHEN run * 2 >= tot THEN v END) AS BIGINT) AS median_chars,
+       CAST(min(tot) AS BIGINT) AS n_docs
+FROM r GROUP BY source
+""",
+)
+def q103_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source median document length — the q101 histogram trick
+    partitioned by group: groupBy(source, value) collapses the corpus to
+    |group|·|distinct values| histogram rows, running counts rank within
+    each group, and the median is an integer rank selection (run·2 ≥ tot)
+    — engine-exact, no percentile interpolation, no per-group row sort.
+    ONE corpus shuffle (the histogram aggregate); the rank windows run on
+    the histogram frame.  At 100 TB this is how per-domain length/quality
+    medians for curation dashboards stay exact — the value domain, not
+    the row count, bounds the window input."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    run_w = Window.partitionBy("source").orderBy("v")
+    tot_w = Window.partitionBy("source")
+    r = hist.withColumn("run", F.sum("c").over(run_w)).withColumn(
+        "tot", F.sum("c").over(tot_w)
+    )
+    return r.groupBy("source").agg(
+        F.min(F.when(F.col("run") * 2 >= F.col("tot"), F.col("v")))
+        .cast("long")
+        .alias("median_chars"),
+        F.min("tot").cast("long").alias("n_docs"),
+    )
