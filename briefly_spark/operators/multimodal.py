@@ -337,3 +337,37 @@ def sample_frames(
         frame.alias("frame"),
         F.md5(frame).alias("frame_md5"),
     )
+
+
+def frame_fingerprints(
+    df: DataFrame,
+    *,
+    frame_bytes: int = 32,
+    n_frames: int = 16,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """FIXED-STRIDE frame fingerprints for media near-dup detection: hash
+    the blob's k-th ``frame_bytes`` block for k < n_frames, keeping only
+    fully-inside frames.  Fixed offsets (unlike :func:`sample_frames`'s
+    length-proportional spacing) are what make fingerprints COMPARABLE
+    across blobs: two media sharing a long prefix or identical regions at
+    the same offsets share those frame hashes regardless of total length,
+    while length-scaled offsets would shift every frame on a one-byte
+    edit.  The validity guard matters: a frame past the blob's end would
+    hash the empty string — shared by everything — and drown the signal
+    (measured: the unguarded form marks ALL pairs related).  Returns
+    (id, frame_idx, frame_md5), all native byte math."""
+    content = F.col(content_col)
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda k: (k * frame_bytes).cast("long"),
+    )
+    framed = df.select(
+        F.col(id_col), content.alias("__c"), F.posexplode(offsets).alias("frame_idx", "off")
+    ).filter(F.col("off") + frame_bytes <= F.length("__c"))
+    return framed.select(
+        id_col,
+        "frame_idx",
+        F.md5(F.expr(f"substring(__c, off + 1, {frame_bytes})")).alias("frame_md5"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.multimodal import (
     attach_media,
+    frame_fingerprints,
     decode_features,
     fake_features_expr,
     sample_frames,
@@ -136,3 +137,54 @@ def q82_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media(spark, sf_dir)
     frames = sample_frames(media, n_frames=4, frame_bytes=32)
     return frames.select("media_id", "frame_idx", "off", "frame_md5")
+
+
+# --------------------------------------------------------------------------
+# q104 — media near-dup pairs via fixed-stride frame fingerprints.
+# --------------------------------------------------------------------------
+@register(
+    "q104_frame_fingerprint_pairs",
+    covers=("J4", "M7"),
+    oracle="""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT media_id, k.k AS frame_idx,
+         md5(substr(text, CAST(k.k * 32 + 1 AS INT), 32)) AS frame_md5
+  FROM d, (SELECT unnest(range(0, 16)) AS k) k
+  WHERE k.k * 32 + 32 <= n
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+FROM f a JOIN f b ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
+                 AND a.media_id < b.media_id
+GROUP BY id_a, id_b
+HAVING count(*) >= 3
+""",
+)
+def q104_frame_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup detection the frame way — the multimodal leg of the
+    dedup pack (text X1–X5, embeddings X5/X52): blobs sharing ≥ 3 frame
+    hashes at the SAME fixed offsets are near-dup candidates (re-encoded
+    copies, watermarked variants, shared intros).  Candidates come from
+    an inverted-index equi-join on (frame_idx, frame_md5) — O(matching
+    postings), the q33 discipline, never an all-pairs blob compare — and
+    the blob itself never leaves its scan (only 16-byte hashes shuffle).
+    The validity guard keeps empty-tail frames from relating everything
+    (operators/multimodal.py:frame_fingerprints).  At 100 TB: postings
+    shuffle ~n_frames rows per media; a hot frame (a shared codec header)
+    is the skew hazard — prune frames whose posting list exceeds a df
+    cap, exactly like a stop-word cut."""
+    media = _media(spark, sf_dir)
+    fp = frame_fingerprints(media, frame_bytes=32, n_frames=16)
+    a = fp.select(
+        F.col("media_id").alias("id_a"), "frame_idx", "frame_md5"
+    )
+    b = fp.select(
+        F.col("media_id").alias("id_b"), "frame_idx", "frame_md5"
+    )
+    return (
+        a.join(b, ["frame_idx", "frame_md5"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
