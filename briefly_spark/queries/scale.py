@@ -400,3 +400,110 @@ def q103_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_chars"),
         F.min("tot").cast("long").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q105 — snapshot diff / change-data-capture between two table versions.
+# --------------------------------------------------------------------------
+@register(
+    "q105_snapshot_diff",
+    covers=("U3", "J2", "F9"),
+    oracle="""
+WITH v1 AS (SELECT doc_id, md5(text) AS row_hash FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END)
+           AS row_hash
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v2.doc_id IS NULL THEN 'deleted'
+            WHEN v1.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS change_type
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.row_hash <> v2.row_hash
+""",
+)
+def q105_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table versions (here: the documents
+    table vs a deterministic synthetic v2 — every 7th doc deleted, every
+    11th revised), the operation that turns K4 bronze snapshots into
+    incremental deltas for the merge sinks.  Mechanics: one row hash per
+    side (md5 of the content columns — the columns themselves never
+    shuffle, only id + 16-byte hash), ONE full-outer equi-join on the
+    key, and a residual filter keeping only actual differences.  At
+    100 TB both sides partition-prune to the compared partitions and the
+    join co-locates on the key (zero exchanges off K6 bucketed
+    snapshots); unchanged rows — the overwhelming majority — are dropped
+    by the hash compare without any wide-column comparison."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    v1 = docs.select("doc_id", F.md5("text").alias("row_hash"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+                ).otherwise(F.col("text"))
+            ).alias("row_hash"),
+        )
+    )
+    a = v1.select(F.col("doc_id").alias("id1"), F.col("row_hash").alias("h1"))
+    b = v2.select(F.col("doc_id").alias("id2"), F.col("row_hash").alias("h2"))
+    joined = a.join(b, a.id1 == b.id2, "full_outer")
+    return joined.filter(
+        F.col("id1").isNull() | F.col("id2").isNull() | (F.col("h1") != F.col("h2"))
+    ).select(
+        F.coalesce(F.col("id1"), F.col("id2")).alias("doc_id"),
+        F.when(F.col("id2").isNull(), "deleted")
+        .when(F.col("id1").isNull(), "added")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q106 — weighted sample without replacement (Efraimidis–Spirakis keys on
+# deterministic hash randomness).
+# --------------------------------------------------------------------------
+_WS_KEY_SPARK = """((((CAST((length(bin(CAST((h + 1) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667))))))))))))))))) - (((CAST((length(bin(CAST((65536) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667)))))))))))))))))) / CAST(n_chars AS DOUBLE)"""
+_WS_KEY_DUCK = """((((CAST((length(bin(CAST((h + 1) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((h + 1) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((h + 1) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667))))))))))))))))) - (((CAST((length(bin(CAST((65536) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((65536) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((65536) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667)))))))))))))))))) / CAST(n_chars AS DOUBLE)"""
+
+
+@register(
+    "q106_weighted_sample",
+    covers=("W1", "P7"),
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, n_chars, {_sql_hash16("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars, ({_WS_KEY_DUCK}) AS skey FROM s
+) ORDER BY skey DESC, doc_id LIMIT 50
+""",
+)
+def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass, deterministic:
+    Efraimidis–Spirakis keys ln(u)/w ranked descending (u from the
+    content-stable hash16, w = n_chars), top-50 — inclusion probability
+    proportional to weight, no sequential draw loop.  Engine-exact where
+    rand() is not even re-run-stable: u's log splits into two INTEGER
+    det_ln calls (numerics.det_ln_sql — bit-reproducible), subtraction
+    and the division by w are single IEEE ops, so both engines compute
+    bit-identical keys and the top-k set is unambiguous (doc_id
+    tiebreak).  Plans as TakeOrderedAndProject — per-partition heaps +
+    driver merge, never a global sort; at 100 TB the same keys feed a
+    per-group rank window for stratified variants (q38's shape)."""
+    from briefly_spark.operators.textstats import _hash16
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id", "n_chars", _hash16(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("skey", F.expr(_WS_KEY_SPARK))
+    return (
+        staged.orderBy(F.col("skey").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
