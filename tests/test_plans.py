@@ -233,3 +233,38 @@ def test_q100_exists_decorrelates_to_semi_anti(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q102_prefix_sum_broadcasts_day_frame(spark, sf_dir):
+    # cross-day carry must come from a broadcast of the day-dimension
+    # prefix frame; concurrency never needs a global sort
+    plan = plan_of(spark, sf_dir, "q102_peak_concurrency")
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"\bSort (\[.*\]), true,", plan), plan
+
+
+def test_q103_histogram_single_corpus_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q103_grouped_median")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, plan
+    # spread + histogram agg + source-partitioned windows + final agg
+    assert len(shuffle_exchanges(plan)) <= 4, plan
+
+
+def test_q105_diff_prunes_to_key_and_text(spark, sf_dir):
+    # the CDC join must read only the key + hashed column — wide rows
+    # never reach the join
+    plan = plan_of(spark, sf_dir, "q105_snapshot_diff")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m is not None
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}, cols
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q106_weighted_topk_is_take_ordered(spark, sf_dir):
+    # per-partition heaps + driver merge — a LIMIT over ORDER BY must
+    # never plan as a global Sort
+    plan = plan_of(spark, sf_dir, "q106_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"\bSort (\[.*\]), true,", plan), plan
