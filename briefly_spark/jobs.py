@@ -441,3 +441,44 @@ def run_until_drained(
         if all(r.processed == 0 for r in round_results):
             break
     return results
+
+
+def maintain_warehouse(
+    wh: Warehouse,
+    tables: list[str],
+    *,
+    target_rows_per_file: int = 100_000,
+    fragmentation_ratio: float = 2.0,
+) -> dict[str, int]:
+    """Periodic layout maintenance — the stage a long-lived warehouse
+    needs after many incremental merges (each partition-scoped merge
+    writes its own files; a thousand of them leave scans paying per-file
+    open cost far above data cost).  For each table, compare the actual
+    data-file count against the ideal for its row count and compact
+    (Warehouse.compact: side-write + rename-swap under the writer lock)
+    only when fragmentation exceeds ``fragmentation_ratio`` — so the
+    sweep is CHEAP when nothing is fragmented (one count + one listing
+    per table) and idempotent: a second run right after finds every
+    table under the ratio and rewrites nothing.  Returns
+    {table: new_file_count} for the tables it compacted."""
+    import math
+    import os
+
+    compacted: dict[str, int] = {}
+    for table in tables:
+        if not wh.exists(table):
+            continue
+        root = wh.path(table)
+        n_files = sum(
+            1
+            for dirpath, _dirs, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_rows = wh.read(table).count()
+        ideal = max(1, math.ceil(n_rows / target_rows_per_file))
+        if n_files > fragmentation_ratio * ideal:
+            compacted[table] = wh.compact(
+                table, target_rows_per_file=target_rows_per_file
+            )
+    return compacted

@@ -660,3 +660,21 @@ def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
     back = wh.read("t")
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(i * 3 for i in range(10_000))
+
+
+def test_maintain_warehouse_compacts_only_fragmented(spark, tmp_path):
+    from briefly_spark.jobs import maintain_warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_m"))
+    # fragmented: 10k rows in ~64 files; healthy: 10k rows in 1 file
+    wh.overwrite(spark.range(0, 10_000).repartition(64), "frag")
+    wh.overwrite(spark.range(0, 10_000).coalesce(1), "ok")
+
+    out = maintain_warehouse(
+        wh, ["frag", "ok", "missing"], target_rows_per_file=10_000
+    )
+    assert out == {"frag": 1}
+    assert wh.read("frag").count() == 10_000
+
+    # idempotent: the follow-up sweep finds nothing fragmented
+    assert maintain_warehouse(wh, ["frag", "ok"], target_rows_per_file=10_000) == {}
