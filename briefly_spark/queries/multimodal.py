@@ -12,7 +12,7 @@ text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
@@ -152,10 +152,16 @@ f AS (
          md5(substr(text, CAST(k.k * 32 + 1 AS INT), 32)) AS frame_md5
   FROM d, (SELECT unnest(range(0, 16)) AS k) k
   WHERE k.k * 32 + 32 <= n
+),
+kept AS (
+  SELECT media_id, frame_idx, frame_md5,
+         count(*) OVER (PARTITION BY frame_idx, frame_md5) AS df
+  FROM f
 )
 SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
-FROM f a JOIN f b ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
+FROM kept a JOIN kept b ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
                  AND a.media_id < b.media_id
+WHERE a.df <= 64
 GROUP BY id_a, id_b
 HAVING count(*) >= 3
 """,
@@ -169,13 +175,20 @@ def q104_frame_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings), the q33 discipline, never an all-pairs blob compare — and
     the blob itself never leaves its scan (only 16-byte hashes shuffle).
     The validity guard keeps empty-tail frames from relating everything
-    (operators/multimodal.py:frame_fingerprints).  At 100 TB: postings
-    shuffle ~n_frames rows per media; a hot frame (a shared codec header)
-    is the skew hazard — prune frames whose posting list exceeds a df
-    cap, exactly like a stop-word cut."""
+    (operators/multimodal.py:frame_fingerprints), and a df cap (64)
+    drops any frame whose posting list explodes — a shared codec header
+    or boilerplate intro would otherwise fan the join out quadratically,
+    the stop-word hazard of every inverted index; such frames carry no
+    near-dup signal anyway.  The cap is a window count over the ONE
+    postings frame (no second scan), and it is semantics-preserving at
+    gate scale (max posting list measured: 4)."""
     media = _media(spark, sf_dir)
     fp = frame_fingerprints(media, frame_bytes=32, n_frames=16)
-    a = fp.select(
+    kept = fp.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("frame_idx", "frame_md5")),
+    ).filter(F.col("df") <= 64)
+    a = kept.select(
         F.col("media_id").alias("id_a"), "frame_idx", "frame_md5"
     )
     b = fp.select(
