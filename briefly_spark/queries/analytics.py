@@ -347,3 +347,142 @@ def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "lineitem", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q100_SQL)
+
+
+# --------------------------------------------------------------------------
+# q107 — term-pair association mining (document-level PMI).
+# --------------------------------------------------------------------------
+_PMI_SPARK = """floor(((((CAST((length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667))))))))))))))))) - (((CAST((length(bin(CAST((c_a * c_b) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667)))))))))))))))))) * 10000.0)"""
+_PMI_DUCK = """floor(((((CAST((length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667))))))))))))))))) - (((CAST((length(bin(CAST((c_a * c_b) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667)))))))))))))))))) * 10000.0)"""
+
+
+@register(
+    "q107_term_pmi",
+    covers=("J4", "A3"),
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             w -> w <> '')) AS term
+  FROM documents
+),
+df AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS c_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY t1, t2
+)
+SELECT t1, t2, c_ab,
+       CAST(({_PMI_DUCK}) AS BIGINT) AS pmi_fp
+FROM pairs
+JOIN (SELECT term AS t1, c AS c_a FROM df) USING (t1)
+JOIN (SELECT term AS t2, c AS c_b FROM df) USING (t2)
+CROSS JOIN n
+WHERE c_ab >= 20
+""",
+)
+def q107_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information for term pairs — the
+    association-mining signal behind collocation detection and topic
+    seeds.  PMI = ln(P(a,b)/(P(a)P(b))) = det_ln(c_ab·N) − det_ln(c_a·c_b)
+    — both log arguments are INTEGERS, so the bit-reproducible det_ln
+    applies directly and the fixed-point score is engine-exact (the same
+    trick as BM25's idf).  Join discipline: co-occurrence pairs come from
+    a per-document self-join of the DISTINCT doc-term postings — fan-out
+    is Σ_d |terms_d|², bounded by capping per-doc vocabulary (top-tf
+    terms) at scale, never |vocab|² — and the df/N frames broadcast back.
+    The c_ab ≥ 20 support floor is the standard noise cut."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dt = docs.select(
+        "doc_id", F.explode(tokens_of(F.col("text"))).alias("term")
+    ).distinct()
+    dt = dt.persist()
+    df_counts = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
+    a = dt.select("doc_id", F.col("term").alias("t1"))
+    b = dt.select("doc_id", F.col("term").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_counts.select(F.col("term").alias("t1"), F.col("c").alias("c_a"))), "t1"
+        )
+        .join(
+            F.broadcast(df_counts.select(F.col("term").alias("t2"), F.col("c").alias("c_b"))), "t2"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1", "t2", "c_ab",
+            F.expr(_PMI_SPARK).cast("long").alias("pmi_fp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q108 — source-similarity matrix (vocabulary Jaccard between domains).
+# --------------------------------------------------------------------------
+@register(
+    "q108_source_similarity",
+    covers=("J4", "A4"),
+    oracle="""
+WITH st AS (
+  SELECT DISTINCT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             w -> w <> '')) AS term
+  FROM documents
+),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, n_common,
+       CAST(floor(n_common * 10000.0 / (za.n + zb.n - n_common)) AS BIGINT)
+         AS jaccard_fp
+FROM inter
+JOIN (SELECT source AS src_a, n FROM sz) za USING (src_a)
+JOIN (SELECT source AS src_b, n FROM sz) zb USING (src_b)
+""",
+)
+def q108_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every pair of sources — the
+    domain-similarity matrix that drives mixture design (which domains
+    are redundant?) and transfer checks.  The corpus collapses FIRST to
+    the distinct (source, term) frame — |sources|·|vocab| rows at most,
+    dimension-sized however big the corpus — and sources meet through a
+    term equi-join on that frame (the inverted-index discipline), so no
+    document row ever enters the pair computation.  Fixed-point Jaccard
+    via exact integer |A∩B| and |A|+|B|−|A∩B|."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    st = docs.select(
+        "source", F.explode(tokens_of(F.col("text"))).alias("term")
+    ).distinct()
+    st = st.persist()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "term")
+    b = st.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))), "src_a"
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))), "src_b"
+        )
+        .select(
+            "src_a", "src_b", "n_common",
+            F.floor(
+                F.col("n_common") * 10000.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).cast("long").alias("jaccard_fp"),
+        )
+    )

@@ -61,6 +61,11 @@ BOILERPLATE = " ".join(
 #: here becomes a bigram with corpus-wide document frequency (the q48
 #: hot-window hazard)
 FOOTER = "subscribe to our newsletter for daily updates and offers"
+#: prepended to EVERY document in the "header" shape — 64 bytes (incl.
+#: the joining space), i.e. exactly the first TWO fixed-stride 32-byte
+#: frames of q104: every document shares those frame hashes, the
+#: inverted-index hot-posting-list hazard the df cap exists for
+HEADER = "breaking news network presents this exclusive special report.."
 
 
 def build_skewed_dir(spark, sf_dir: str, out_dir: str, shape: str = "lsh") -> None:
@@ -85,6 +90,10 @@ def build_skewed_dir(spark, sf_dir: str, out_dir: str, shape: str = "lsh") -> No
         skewed_docs = docs.withColumn(
             "text", F.concat_ws(" ", F.col("text"), F.lit(FOOTER))
         )
+    elif shape == "header":
+        skewed_docs = docs.withColumn(
+            "text", F.concat_ws(" ", F.lit(HEADER), F.col("text"))
+        )
     else:
         raise ValueError(f"unknown skew shape {shape!r}")
     skewed_docs.write.mode("overwrite").parquet(table_path(out_dir, "documents"))
@@ -103,6 +112,37 @@ def run(fn, spark, sf_dir: str, reps: int = 2) -> float:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
+
+
+def _q104_query(df_cap: int | None):
+    """q104's candidate join with or without the hot-frame df cap — the
+    no-cap variant exists ONLY here, to measure the hazard the cap
+    removes."""
+    from pyspark.sql import Window
+
+    from briefly_spark.catalog import load_table, spread
+    from briefly_spark.operators.multimodal import attach_media, frame_fingerprints
+
+    def fn(spark, sf_dir):
+        media = attach_media(spread(load_table(spark, sf_dir, "documents")))
+        fp = frame_fingerprints(media, frame_bytes=32, n_frames=16)
+        a_src = fp
+        if df_cap is not None:
+            a_src = fp.withColumn(
+                "df",
+                F.count(F.lit(1)).over(Window.partitionBy("frame_idx", "frame_md5")),
+            ).filter(F.col("df") <= df_cap)
+        a = a_src.select(F.col("media_id").alias("id_a"), "frame_idx", "frame_md5")
+        b = fp.select(F.col("media_id").alias("id_b"), "frame_idx", "frame_md5")
+        return (
+            a.join(b, ["frame_idx", "frame_md5"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= 3)
+        )
+
+    return fn
 
 
 def _lm_query(mode: str):
@@ -172,6 +212,29 @@ def main() -> None:
             lm_out["skewed_join_s"] / lm_out["uniform_join_s"], 2
         )
         out["q48_lm_doc_scores"] = lm_out
+
+        # q104 hot-frame shape: a universal 64-byte header makes the
+        # first two fixed-stride frames corpus-hot; the df cap drops
+        # them, the no-cap variant pays the quadratic posting fan-out
+        header_dir = tempfile.mkdtemp(prefix="skewed_header_sf_")
+        try:
+            build_skewed_dir(spark, sf_dir, header_dir, shape="header")
+            q104_out = {}
+            for label, cap in (("cap", 64), ("nocap", None)):
+                fn = _q104_query(cap)
+                fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+                q104_out[f"uniform_{label}_s"] = run(fn, spark, sf_dir)
+                q104_out[f"header_{label}_s"] = run(fn, spark, header_dir)
+            q104_out["skew_ratio_cap"] = round(
+                q104_out["header_cap_s"] / q104_out["uniform_cap_s"], 2
+            )
+            q104_out["skew_ratio_nocap"] = round(
+                q104_out["header_nocap_s"] / q104_out["uniform_nocap_s"], 2
+            )
+            out["q104_frame_fingerprints"] = q104_out
+        finally:
+            shutil.rmtree(header_dir, ignore_errors=True)
+
         print(json.dumps({"sf_dir": sf_dir, "results": out}))
     finally:
         shutil.rmtree(skew_dir, ignore_errors=True)
