@@ -268,3 +268,23 @@ def test_q106_weighted_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q106_weighted_sample")
     assert "TakeOrderedAndProject" in plan, plan
     assert not re.search(r"\bSort (\[.*\]), true,", plan), plan
+
+
+def test_q107_postings_persisted_stats_broadcast(spark, sf_dir):
+    # the distinct doc-term frame persists (four consumers, one explode);
+    # df counts and N broadcast into the pair frame
+    plan = plan_of(spark, sf_dir, "q107_term_pmi")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q108_pairs_on_dimension_frame_only(spark, sf_dir):
+    # sources meet through the persisted distinct (source, term) frame
+    # (the plan string repeats the cached lineage under each
+    # InMemoryTableScan — the corpus is scanned once at runtime); the
+    # size frames broadcast back into the pair frame
+    plan = plan_of(spark, sf_dir, "q108_source_similarity")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -224,3 +224,17 @@ def test_pack_sequences_exact_invariants(spark):
         by_bin[(g, b)] = by_bin.get((g, b), 0) + take
     assert by_doc == {("g", 1): 300, ("g", 2): 500, ("g", 3): 120, ("h", 9): 1300}
     assert by_bin[("g", 0)] == 512 and by_bin[("h", 0)] == 512 and by_bin[("h", 1)] == 512
+
+
+def test_z_interleave_three_dims_bijective(spark):
+    """The N-dim Morton generator must be a bijection on the bucket cube:
+    every (x, y, z) triple in [0,8)^3 maps to a distinct 9-bit z-value."""
+    from briefly_spark.functions.layout import z_interleave_sql
+
+    df = spark.sql(
+        "SELECT x, y, z FROM range(8) t1(x), range(8) t2(y), range(8) t3(z)"
+    )
+    expr = z_interleave_sql(["x", "y", "z"], "spark", bits=3)
+    vals = [r[0] for r in df.selectExpr(f"{expr} AS m").collect()]
+    assert len(vals) == 512
+    assert sorted(vals) == list(range(512))
