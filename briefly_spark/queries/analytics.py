@@ -486,3 +486,117 @@ def q108_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("jaccard_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q110 — positive-balance prospects without orders (TPC-H Q22 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q110_balance_prospects",
+    covers=("P2", "J2", "A3"),
+    oracle="""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+seg AS (
+  SELECT c_mktsegment, count(*) AS n_pos,
+         CAST(sum(bal_cents) AS BIGINT) AS sum_pos_cents
+  FROM cust WHERE bal_cents > 0 GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+FROM cust
+JOIN seg USING (c_mktsegment)
+WHERE bal_cents * n_pos > sum_pos_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def q110_balance_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with an above-segment-average positive
+    balance and no URGENT orders on file, rolled up per segment.  Two
+    decorrelations in one query: the correlated scalar AVG subquery
+    collapses to a segment-keyed aggregate that BROADCASTS back (5 rows),
+    and NOT EXISTS becomes a left-anti join on the custkey — never a
+    per-row probe — with the priority predicate pushed INTO the anti
+    join's build side, pruning it at the scan.
+    The "above average" filter is cross-multiplied into integers
+    (bal·n_pos > sum_pos, all cents) so no engine ever divides — the
+    predicate, and therefore the surviving row set, is engine-exact where
+    a float AVG comparison would flip on 1-ulp differences.  At 100 TB
+    the anti-join shuffles on custkey (or goes exchange-free off a K6
+    custkey-bucketed layout); everything else is map-side."""
+    cust = spread(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    seg = (
+        cust.filter(F.col("bal_cents") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum("bal_cents").alias("sum_pos_cents"),
+        )
+    )
+    orders = (
+        spread(load_table(spark, sf_dir, "orders"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    prospects = (
+        cust.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return prospects.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("bal_cents").alias("sum_bal_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q111 — per-nation top-balance suppliers (TPC-H Q2 argmax shape).
+# --------------------------------------------------------------------------
+@register(
+    "q111_nation_top_supplier",
+    covers=("J1", "W1"),
+    oracle="""
+SELECT n_name, s_name,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+FROM supplier s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE round(s_acctbal * 100) =
+      (SELECT max(round(s2.s_acctbal * 100)) FROM supplier s2
+       WHERE s2.s_nationkey = s.s_nationkey)
+""",
+)
+def q111_nation_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-argmax shape: the supplier(s) holding each
+    nation's maximum account balance (ties kept — the oracle is the
+    correlated scalar MAX subquery verbatim).  Decorrelation: the
+    subquery becomes a nationkey-keyed MAX aggregate (≤ |nation| rows)
+    that BROADCASTS back into an equi-join + filter — one pass over
+    supplier, no per-row subquery, no window over the fact.  Balances
+    compare as integer cents, so the tie set is engine-exact."""
+    sup = spread(load_table(spark, sf_dir, "supplier")).select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    mx = sup.groupBy("s_nationkey").agg(F.max("bal_cents").alias("max_cents"))
+    nation = spread(load_table(spark, sf_dir, "nation"))
+    return (
+        sup.join(F.broadcast(mx), "s_nationkey")
+        .filter(F.col("bal_cents") == F.col("max_cents"))
+        .join(
+            F.broadcast(nation),
+            sup.s_nationkey == nation.n_nationkey,
+        )
+        .select("n_name", "s_name", "bal_cents")
+    )

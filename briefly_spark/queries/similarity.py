@@ -304,3 +304,79 @@ def q44_related_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = related_topk(queries, corpus, scores, k_candidates=6, k_final=5)
     return ann_recall_audit(approx, exact, queries, k=5, floor=0.25)
+
+
+# --------------------------------------------------------------------------
+# q113 — random-projection dimensionality reduction (signed JL transform).
+# --------------------------------------------------------------------------
+#: ±1 sign matrix for the Johnson–Lindenstrauss projection, derived ONCE
+#: from md5 so it is seed-free and identical everywhere (the matrix is a
+#: shared literal in BOTH the Spark plan and the oracle SQL — no per-row
+#: hashing).  64 input dims → 16 output dims.
+_RP_D_IN = 64
+_RP_D_OUT = 16
+#: floor(x · 2^20) input quantization: the multiply by a power of two is
+#: EXACT in IEEE doubles, so quantized coordinates — and therefore the
+#: all-integer projection sums — are engine-exact.
+_RP_SCALE = "1048576.0"
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[-1], 16) % 2 == 0 else -1
+            for i in range(_RP_D_IN)
+        ]
+        for j in range(_RP_D_OUT)
+    ]
+
+
+def _q113_oracle() -> str:
+    rows = ",\n  ".join(
+        f"({j}, {_rp_signs()[j]})" for j in range(_RP_D_OUT)
+    )
+    return f"""
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(generate_series(1, {_RP_D_IN}),
+            i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {_RP_SCALE}) AS BIGINT)
+                 * signs[i])) AS BIGINT) AS proj_fp
+FROM embeddings
+CROSS JOIN (VALUES
+  {rows}
+) AS sm(dim, signs)
+"""
+
+
+@register("q113_random_projection", covers=("A5", "S8"), oracle=_q113_oracle())
+def q113_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Achlioptas/JL transform) of the embedding
+    column: 64 dims → 16, preserving pairwise distances within JL bounds —
+    the standard cheapening step BEFORE clustering (q96), SemDeDup (q85)
+    or IVF training at corpus scale.  The ±1 sign matrix is a 64×16
+    md5-derived LITERAL shared by plan and oracle (seed-free, no per-row
+    hashing), coordinates quantize by an exact power-of-two scale, and
+    each output coordinate is an integer dot product — fully map-only,
+    zero shuffles, engine-exact.  Output exploded to (vec_id, dim,
+    proj_fp) scalars so the gate hashes a scalar surface."""
+    signs = _rp_signs()
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_RP_SCALE))).cast("long"),
+    )
+    matrix = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in signs]
+    )
+    proj = F.transform(
+        matrix,
+        lambda row: F.aggregate(
+            F.zip_with(qvec, row, lambda a, b: a * b.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return emb.select(
+        "vec_id", F.posexplode(proj).alias("dim", "proj_fp")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "proj_fp")
