@@ -583,3 +583,66 @@ def q96_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=_KM_ITERS
     )
     return out.select(F.col("id").alias("vec_id"), "cell", "sq_dist")
+
+
+# --------------------------------------------------------------------------
+# q109 — bounded-round BPE vocabulary training (tokenizer training).
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 8
+
+
+def _q109_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled DuckDB replay of the BPE driver loop: each round is a CTE
+    trio (pair counts -> argmax -> merge via replace with scalar
+    subqueries), so the data-dependent merge choice stays INSIDE the
+    static SQL and the full training run is hash-gated."""
+    parts = [r"""
+WITH words AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              w -> w <> '')) AS word
+    FROM documents)
+  GROUP BY word
+),
+sym0 AS MATERIALIZED (SELECT freq, ' ' || regexp_replace(word, '(.)', '\1  ', 'g')
+                      || '</w> ' AS sym FROM words)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+s{k-1} AS MATERIALIZED (SELECT freq, string_split(trim(sym), '  ') AS s FROM sym{k-1}),
+p{k} AS MATERIALIZED (
+  SELECT u.l AS lhs, u.r AS rhs, CAST(sum(freq) AS BIGINT) AS c
+  FROM s{k-1}, UNNEST(list_transform(generate_series(1, len(s)-1),
+       i -> {{'l': s[i], 'r': s[i+1]}})) AS t(u)
+  GROUP BY lhs, rhs
+),
+t{k} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1),
+sym{k} AS MATERIALIZED (SELECT freq, replace(sym,
+    ' ' || (SELECT lhs FROM t{k}) || '  ' || (SELECT rhs FROM t{k}) || ' ',
+    ' ' || (SELECT lhs FROM t{k}) || (SELECT rhs FROM t{k}) || ' ') AS sym
+  FROM sym{k-1})""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, c AS pair_freq"
+        f" FROM t{k}"
+        for k in range(1, rounds + 1)
+    )
+    parts.append("\n" + arms)
+    return "".join(parts)
+
+
+@register("q109_bpe_merges", covers=("A1", "M1"), oracle=_q109_oracle())
+def q109_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, 8 merge rounds over the
+    corpus word-frequency table — the offline step that produces the
+    subword vocabulary the packing/encoding queries (q88, q59/q67/q69)
+    consume.  See operators/bpe.py for the scale design: ONE corpus
+    shuffle builds the vocab-sized word frame; each round is a map-side
+    pair tally + TakeOrdered(1) argmax + map-only merge, and the oracle
+    replays the identical data-dependent loop as unrolled static SQL —
+    the whole training run, argmaxes included, is engine-exact."""
+    from briefly_spark.operators.bpe import bpe_train, word_freqs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges, symbolized = bpe_train(spark, word_freqs(docs), rounds=_BPE_ROUNDS)
+    symbolized.unpersist()
+    return merges
+
