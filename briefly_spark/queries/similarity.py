@@ -361,7 +361,9 @@ def q113_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, engine-exact.  Output exploded to (vec_id, dim,
     proj_fp) scalars so the gate hashes a scalar surface."""
     signs = _rp_signs()
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # no spread(): the projection is map-only, so partition parallelism
+    # comes from file splits — the plan must stay exchange-free (pinned).
+    emb = load_table(spark, sf_dir, "embeddings")
     qvec = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(float(_RP_SCALE))).cast("long"),

@@ -288,3 +288,63 @@ def test_q108_pairs_on_dimension_frame_only(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q109_merges_frame_is_local(spark, sf_dir):
+    # the returned merges frame is a driver-local relation (8 rows); the
+    # distributed work happened during training — nothing corpus-sized
+    # survives into the result plan
+    plan = plan_of(spark, sf_dir, "q109_bpe_merges")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_q109_pair_counts_partial_agg(spark, sf_dir):
+    # the per-round pair tally partial-aggregates map-side over the
+    # symbolized word frame (one shuffle on the pair key, no sort)
+    from briefly_spark.operators.bpe import pair_counts, symbolize, word_freqs
+    from briefly_spark.catalog import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pc = pair_counts(symbolize(word_freqs(docs)))
+    plan = pc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Sort " not in plan, plan
+
+
+def test_q110_anti_join_and_broadcast_seg(spark, sf_dir):
+    # segment stats broadcast back (decorrelated scalar subquery); NOT
+    # EXISTS is a broadcast/shuffle anti join, never a per-row probe
+    plan = plan_of(spark, sf_dir, "q110_balance_prospects")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q111_argmax_broadcasts_no_window(spark, sf_dir):
+    # the per-nation MAX frame broadcasts; no window runs over supplier
+    plan = plan_of(spark, sf_dir, "q111_nation_top_supplier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q112_one_corpus_shuffle_stats_broadcast(spark, sf_dir):
+    # exactly one corpus-sized shuffle (the user_id window); the row
+    # totals and type count come off the persisted tiny transition frame
+    # and broadcast back
+    plan = plan_of(spark, sf_dir, "q112_event_transitions")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    ex = shuffle_exchanges(plan)
+    # user_id window + pair groupBy over the in-memory frame; nothing else
+    # corpus-sized — allow the small-frame aggs but no join shuffles
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q113_map_only_zero_shuffles(spark, sf_dir):
+    # the JL projection is map-only: literal sign matrix, no join, no
+    # aggregation, no exchange of any kind
+    plan = plan_of(spark, sf_dir, "q113_random_projection")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
