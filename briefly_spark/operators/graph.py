@@ -98,3 +98,73 @@ def weighted_pagerank(
             (F.col("tele") + F.expr("(85 * coalesce(inmass, 0L)) div 100")).alias("pr"),
         )
     return pr.select("id", "pr")
+
+
+def label_propagation(
+    seeded: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    seed_col: str = "seed",
+    iters: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani form, clamped
+    seeds), ``iters`` synchronous rounds over a weighted directed edge
+    list — community/topic assignment on the near-dup graph.
+
+    ``seeded``: one row per vertex with a nullable ``seed_col`` (the
+    clamped ground-truth labels).  ``edges``: ``(src, dst, w)`` integer
+    weights, both directions for undirected graphs.  Per round each
+    vertex takes the weight-majority label of its labeled in-neighbors —
+    ties to the lexicographically SMALLEST label via min(struct(-votes,
+    label)), so the fixpoint prefix is engine-exact — seeds stay
+    clamped, and a vertex with no labeled neighbor keeps its current
+    label.  Returns ``(id, seeded, label)``.
+
+    Scale: per round ONE label⋈edges equi-join on src plus one
+    partial-aggregated (dst, label) tally — O(edges) per round, fixed
+    round count, persisted edge list (the :func:`weighted_pagerank`
+    discipline).  The evolving label frame is consumed twice per round
+    (votes + the keep-current carry), so each round persists it to keep
+    lineage linear in the round count.
+    """
+    e = edges.select("src", "dst", "w").persist()
+    base = seeded.select(
+        F.col(id_col).alias("id"), F.col(seed_col).alias("seed")
+    ).persist()
+    cur = base.withColumn("label", F.col("seed"))
+    for _ in range(iters):
+        # the evolving frame is consumed twice per round (votes + the
+        # keep-current carry): persist it so lineage stays linear in
+        # rounds, not exponential (the dedup.py CC discipline).
+        cur = cur.persist()
+        votes = (
+            e.join(
+                cur.filter(F.col("label").isNotNull()).select(
+                    F.col("id").alias("src"), "label"
+                ),
+                "src",
+            )
+            .groupBy("dst", "label")
+            .agg(F.sum("w").alias("v"))
+        )
+        best = (
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("v")).alias("nv"), F.col("label").alias("l"))
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("id"), F.col("b.l").alias("new_label"))
+        )
+        prev = cur.select("id", F.col("label").alias("old_label"))
+        cur = (
+            base.join(best, "id", "left")
+            .join(prev, "id")
+            .select(
+                "id",
+                "seed",
+                F.coalesce("seed", "new_label", "old_label").alias("label"),
+            )
+        )
+    return cur.select("id", F.col("seed").isNotNull().alias("seeded"), "label")

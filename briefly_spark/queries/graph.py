@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.dedup import ngram_jaccard_pairs
-from briefly_spark.operators.graph import PR_SCALE, weighted_pagerank
+from briefly_spark.operators.graph import PR_SCALE, label_propagation, weighted_pagerank
 from briefly_spark.queries import register
 
 _PR_ITERS = 5
@@ -117,3 +117,86 @@ def q95_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("id"))
     ranked = weighted_pagerank(nodes, edges, iters=_PR_ITERS)
     return ranked.select(F.col("id").alias("doc_id"), "pr")
+
+
+# --------------------------------------------------------------------------
+# q115 — semi-supervised label propagation over the near-dup graph.
+# --------------------------------------------------------------------------
+_LP_ITERS = 3
+
+
+def _lp_iter_sql(prev: str, k: int) -> str:
+    """One unrolled synchronous LPA round: weighted label tally over
+    labeled in-neighbors, rank-1 argmax (votes DESC, label ASC), clamped
+    seeds, keep-current fallback."""
+    return f"""
+votes{k} AS MATERIALIZED (
+  SELECT e.dst, p.label, CAST(SUM(e.w) AS BIGINT) AS v
+  FROM e JOIN {prev} p ON p.id = e.src
+  WHERE p.label IS NOT NULL
+  GROUP BY e.dst, p.label
+),
+best{k} AS MATERIALIZED (
+  SELECT dst, label AS new_label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst ORDER BY v DESC, label ASC) AS rn
+    FROM votes{k})
+  WHERE rn = 1
+),
+lp{k} AS MATERIALIZED (
+  SELECT p.id, p.seed, COALESCE(p.seed, b.new_label, p.label) AS label
+  FROM {prev} p LEFT JOIN best{k} b ON b.dst = p.id
+)"""
+
+
+def _lp_oracle() -> str:
+    stages = [
+        """lp0 AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 7 = 0 THEN lang END AS seed,
+         CASE WHEN doc_id % 7 = 0 THEN lang END AS label
+  FROM documents
+)"""
+    ]
+    for i in range(_LP_ITERS):
+        stages.append(_lp_iter_sql(f"lp{i}", i + 1))
+    return (
+        "WITH "
+        + _EDGES_SQL.strip().rstrip(",")
+        + ",\n"
+        + ",".join(stages)
+        + f"""
+SELECT id AS doc_id, seed IS NOT NULL AS seeded, label FROM lp{_LP_ITERS}"""
+    )
+
+
+@register(
+    "q115_label_propagation",
+    covers=("J4", "A3"),
+    oracle=_lp_oracle(),
+)
+def q115_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community/topic assignment by semi-supervised label propagation:
+    every seventh document is seeded with its known ``lang`` label, and 3
+    synchronous rounds spread weight-majority labels across the same
+    bigram-Jaccard ≥ 0.05 near-dup graph q95 ranks (shared edge
+    machinery — the q33 inverted-index join, never O(block²)).  Ties
+    break to the smallest label via min(struct(-votes, label)) and votes
+    are integer edge-weight sums, so every round — and therefore the
+    final assignment — is engine-exact; the oracle replays the identical
+    3 rounds as unrolled CTE stages.  Unreached vertices keep a NULL
+    label (honest "unknown", not a forced guess)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.05, block_cols=("source", "lang")
+    )
+    w = F.floor(F.col("jac") * 10000).cast("long").alias("w")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), w).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), w)
+    )
+    seeded = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("lang")).alias("seed"),
+    )
+    lp = label_propagation(seeded, edges, iters=_LP_ITERS)
+    return lp.select(F.col("id").alias("doc_id"), "seeded", "label")

@@ -935,3 +935,77 @@ def q69_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq_text"),
         F.sum("take").alias("bin_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q114 — temperature-balanced mixture (alpha-sampling, α = 1/2).
+# --------------------------------------------------------------------------
+_Q114_BUDGET = 200
+
+
+@register(
+    "q114_temperature_mixture",
+    covers=("P10", "A4", "W4"),
+    oracle=f"""
+WITH n AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576.0) AS BIGINT) AS s_fp
+  FROM n
+),
+q AS (
+  SELECT source, n_docs, s_fp,
+         greatest(CAST(1 AS BIGINT),
+                  ({_Q114_BUDGET} * s_fp) // (SELECT sum(s_fp) FROM s)) AS quota
+  FROM s
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS samp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, q.n_docs, q.quota
+FROM r JOIN q USING (source)
+WHERE r.samp_rank <= q.quota
+""",
+)
+def q114_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual
+    "alpha sampling" of mBERT/XLM-R, α = 1/2): source quotas proportional
+    to n_i^α flatten the head and lift the tail, then the selection is
+    the q38 content-stable md5-rank draw.  Engine-exactness without
+    det_ln: n^(1/2) is IEEE ``sqrt``, which (unlike library ln/exp/pow)
+    is CORRECTLY ROUNDED by both engines, so floor(sqrt(n)·2^20) is a
+    bit-identical integer weight; quotas are integer floor-division
+    shares of the budget.  Plan: the source-count frame is
+    dimension-sized, its sqrt-share quota computation collapses to a
+    broadcast, and the only corpus shuffle is the per-source ranking
+    window (AQE splits hot sources)."""
+    from briefly_spark.operators.textstats import stratified_sample
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = n.withColumn(
+        "s_fp",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1048576.0).cast("long"),
+    )
+    tot = s.agg(F.sum("s_fp").alias("tot_fp"))
+    quotas = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"CAST({_Q114_BUDGET} * s_fp AS BIGINT) div tot_fp"),
+            ).alias("quota"),
+        )
+    )
+    samp = stratified_sample(
+        docs.select("doc_id", "source"), quotas, stratum_col="source", id_col="doc_id"
+    )
+    return samp.select("doc_id", "source", "n_docs", "quota")

@@ -63,3 +63,43 @@ def test_pagerank_hub_outranks_leaves(spark):
     got = _run(spark, [0, 1, 2, 3, 4], edges, iters=5)
     assert all(got[0] > got[leaf] for leaf in (1, 2, 3, 4))
     assert len(set(got[leaf] for leaf in (1, 2, 3, 4))) == 1
+
+
+def test_label_propagation_spreads_and_clamps(spark):
+    from briefly_spark.operators.graph import label_propagation
+
+    seeded = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None), (4, "vi")], "id LONG, seed STRING"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 1, 10), (2, 3, 5), (3, 2, 5), (4, 3, 20), (3, 4, 20)],
+        "src LONG, dst LONG, w LONG",
+    )
+    got = {r.id: (r.seeded, r.label) for r in label_propagation(seeded, edges, iters=3).collect()}
+    # 2 takes en from its heavier neighbor; 3 takes vi; seeds stay clamped
+    assert got == {1: (True, "en"), 2: (False, "en"), 3: (False, "vi"), 4: (True, "vi")}
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    from briefly_spark.operators.graph import label_propagation
+
+    seeded = spark.createDataFrame(
+        [(1, "zz"), (2, "aa"), (3, None)], "id LONG, seed STRING"
+    )
+    edges = spark.createDataFrame(
+        [(1, 3, 7), (2, 3, 7)], "src LONG, dst LONG, w LONG"
+    )
+    got = {r.id: r.label for r in label_propagation(seeded, edges, iters=1).collect()}
+    assert got[3] == "aa"  # equal votes -> lexicographically smallest
+
+
+def test_label_propagation_isolated_keeps_null_and_carry(spark):
+    from briefly_spark.operators.graph import label_propagation
+
+    seeded = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None)], "id LONG, seed STRING"
+    )
+    # 2 hears from 1 only in round 1; 3 is isolated
+    edges = spark.createDataFrame([(1, 2, 1)], "src LONG, dst LONG, w LONG")
+    got = {r.id: r.label for r in label_propagation(seeded, edges, iters=2).collect()}
+    assert got == {1: "en", 2: "en", 3: None}

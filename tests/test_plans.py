@@ -348,3 +348,20 @@ def test_q113_map_only_zero_shuffles(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q113_random_projection")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_q114_quota_broadcast_one_ranking_shuffle(spark, sf_dir):
+    # sqrt-share quotas collapse to a broadcast; the only corpus shuffle
+    # is the per-source ranking window
+    plan = plan_of(spark, sf_dir, "q114_temperature_mixture")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q115_edges_persisted_no_cartesian(spark, sf_dir):
+    # the shared edge frame persists across rounds; candidate generation
+    # stays the inverted-index equi-join (no cross product anywhere)
+    plan = plan_of(spark, sf_dir, "q115_label_propagation")
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
