@@ -607,3 +607,72 @@ def related_topk(
             trunc4(F.col("combined")).alias("combined_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+def mmr_rerank(cand: DataFrame, sims: DataFrame, *, k: int = 3) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    with λ = 1/2, the diversity pass AFTER candidate retrieval: greedily
+    select ``k`` results, each maximizing relevance minus its worst
+    redundancy against the already-selected set.
+
+    ``cand``: (query_id, cid, rel_fp) — the retrieval shortlist, integer
+    fixed-point relevance.  ``sims``: (query_id, cid_a, cid_b, sim_fp) —
+    pairwise candidate similarities within each query's shortlist, BOTH
+    directions.  Returns (query_id, sel_rank, cid, mmr_fp) where
+    ``mmr_fp`` is rel − max-sim-to-selected (λ=1/2 up to the constant
+    factor 2, which cannot change any argmax).
+
+    All scores are integers and every argmax tie-breaks
+    (score DESC, cid ASC) via min(struct(−score, cid)) — the greedy
+    trajectory, not just the final set, is engine-exact.  The selection
+    rounds run over the per-query shortlist (m·|queries| rows, m ~ 10):
+    after the retrieval stage everything here is shortlist-sized, and the
+    round count is the FIXED k — the plan composes lazily, no driver
+    loop."""
+
+    def _argmax(df: DataFrame, score: str, rank: int) -> DataFrame:
+        return (
+            df.groupBy("query_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col(score)).alias("ns"), F.col("cid").alias("c")
+                    )
+                ).alias("b")
+            )
+            .select(
+                "query_id",
+                F.lit(rank).cast("int").alias("sel_rank"),
+                F.col("b.c").alias("cid"),
+                (-F.col("b.ns")).alias("mmr_fp"),
+            )
+        )
+
+    picked = _argmax(cand.withColumn("score", F.col("rel_fp")), "score", 1)
+    for r in range(2, k + 1):
+        remaining = cand.join(
+            picked.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+        )
+        pen = (
+            remaining.join(
+                picked.select("query_id", F.col("cid").alias("sel_cid")),
+                "query_id",
+            )
+            .join(
+                sims.select(
+                    "query_id",
+                    F.col("cid_a").alias("cid"),
+                    F.col("cid_b").alias("sel_cid"),
+                    "sim_fp",
+                ),
+                ["query_id", "cid", "sel_cid"],
+            )
+            .groupBy("query_id", "cid", "rel_fp")
+            .agg(F.max("sim_fp").alias("pen_fp"))
+        )
+        scored = pen.withColumn("score", F.col("rel_fp") - F.col("pen_fp"))
+        picked = picked.unionByName(_argmax(scored, "score", r))
+    return picked

@@ -382,3 +382,186 @@ def q113_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode(proj).alias("dim", "proj_fp")
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "proj_fp")
+
+
+# --------------------------------------------------------------------------
+# q116 — MMR diversified re-ranking over the retrieval shortlist.
+# --------------------------------------------------------------------------
+_MMR_M = 8  # shortlist size per query
+_MMR_K = 3  # final diversified picks
+
+#: identical arithmetic text in both dialects: integer dot products from
+#: floor(x·2^20) quantization, then one floor of an all-correctly-rounded
+#: double expression (mul/div/sqrt — never a library transcendental).
+_COS_FP = (
+    "CAST(floor((CAST({dot} AS DOUBLE) * 1000000.0)"
+    " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))) AS BIGINT)"
+)
+
+
+def _q116_oracle() -> str:
+    dot_qc = "list_sum(list_transform(generate_series(1,64), i -> q.qv[i]*c.qv[i]))"
+    dot_ab = "list_sum(list_transform(generate_series(1,64), i -> na.qv[i]*nb.qv[i]))"
+    rel = _COS_FP.format(dot=dot_qc, na="q.nf", nb="c.nf")
+    sim = _COS_FP.format(dot=dot_ab, na="na.nf", nb="nb.nf")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)*1048576.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS MATERIALIZED (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(generate_series(1,64), i -> qv[i]*qv[i]))
+              AS BIGINT) AS nf
+  FROM e
+),
+p AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid, {rel} AS rel_fp
+  FROM n q JOIN n c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, cid, rel_fp FROM (
+    SELECT query_id, cid, rel_fp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_fp DESC, cid) AS rn
+    FROM p) WHERE rn <= {_MMR_M}
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.cid AS cid_a, b.cid AS cid_b, {sim} AS sim_fp
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+  JOIN n na ON na.vec_id = a.cid
+  JOIN n nb ON nb.vec_id = b.cid
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, cid, rel_fp AS mmr_fp FROM (
+    SELECT query_id, cid, rel_fp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_fp DESC, cid) AS rn
+    FROM cand) WHERE rn = 1
+),
+p2 AS MATERIALIZED (
+  SELECT c.query_id, c.cid, c.rel_fp - max(s.sim_fp) AS score
+  FROM cand c
+  JOIN s1 ON s1.query_id = c.query_id AND c.cid <> s1.cid
+  JOIN sims s ON s.query_id = c.query_id AND s.cid_a = c.cid
+             AND s.cid_b = s1.cid
+  GROUP BY c.query_id, c.cid, c.rel_fp
+),
+s2 AS MATERIALIZED (
+  SELECT query_id, cid, score AS mmr_fp FROM (
+    SELECT query_id, cid, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cid) AS rn
+    FROM p2) WHERE rn = 1
+),
+sel2 AS MATERIALIZED (
+  SELECT query_id, cid FROM s1 UNION ALL SELECT query_id, cid FROM s2
+),
+p3 AS MATERIALIZED (
+  SELECT c.query_id, c.cid, c.rel_fp - max(s.sim_fp) AS score
+  FROM cand c
+  LEFT JOIN sel2 x ON x.query_id = c.query_id AND x.cid = c.cid
+  JOIN sims s ON s.query_id = c.query_id AND s.cid_a = c.cid
+  JOIN sel2 t ON t.query_id = s.query_id AND t.cid = s.cid_b
+  WHERE x.cid IS NULL
+  GROUP BY c.query_id, c.cid, c.rel_fp
+),
+s3 AS MATERIALIZED (
+  SELECT query_id, cid, score AS mmr_fp FROM (
+    SELECT query_id, cid, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cid) AS rn
+    FROM p3) WHERE rn = 1
+)
+SELECT query_id, CAST(1 AS INT) AS sel_rank, cid, mmr_fp FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS INT) AS sel_rank, cid, mmr_fp FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS INT) AS sel_rank, cid, mmr_fp FROM s3
+"""
+
+
+@register("q116_mmr_rerank", covers=("J4", "W5"), oracle=_q116_oracle())
+def q116_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: exact cosine shortlist (m=8 per query) then
+    k=3 greedy MMR picks (λ=1/2) — near-duplicate hits that brute top-k
+    would return back-to-back are penalized by their similarity to what's
+    already selected.  Numerics: quantized INTEGER dot products, one
+    floor over mul/div/sqrt doubles (all correctly rounded — no library
+    transcendental), integer MMR scores; every argmax tie-breaks
+    (score DESC, cid ASC), so the full greedy trajectory is engine-exact
+    and the oracle unrolls it as static CTE rounds.  Plan: the retrieval
+    stage is the q40 discipline (queries broadcast, corpus streams, one
+    ranking window); the selection rounds run on the shortlist frame —
+    m·|queries| rows — so their cost is independent of corpus size."""
+    from briefly_spark.operators.similarity import mmr_rerank
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long"),
+    )
+    base = emb.select("vec_id", qv.alias("qv")).withColumn(
+        "nf",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    base = base.persist()
+    queries = base.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nf").alias("q_nf"),
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("c_qv"), F.col("nf").alias("c_nf")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rel = F.expr(
+        _COS_FP.format(dot="dot_fp", na="q_nf", nb="c_nf")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("cid"))
+        .withColumn("dot_fp", dot)
+        .select("query_id", "cid", "c_qv", "c_nf", rel.alias("rel_fp"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_fp"), F.asc("cid"))
+    cand = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_M)
+        .drop("rn")
+    )
+    cand = cand.persist()
+    a = cand.select("query_id", F.col("cid").alias("cid_a"), F.col("c_qv").alias("a_qv"), F.col("c_nf").alias("a_nf"))
+    b = cand.select("query_id", F.col("cid").alias("cid_b"), F.col("c_qv").alias("b_qv"), F.col("c_nf").alias("b_nf"))
+    sdot = F.aggregate(
+        F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("cid_a") != F.col("cid_b"))
+        .withColumn("dot_fp", sdot)
+        .select(
+            "query_id",
+            "cid_a",
+            "cid_b",
+            F.expr(_COS_FP.format(dot="dot_fp", na="a_nf", nb="b_nf")).alias("sim_fp"),
+        )
+    )
+    return mmr_rerank(
+        cand.select("query_id", "cid", "rel_fp"), sims, k=_MMR_K
+    )

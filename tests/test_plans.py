@@ -365,3 +365,17 @@ def test_q115_edges_persisted_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q115_label_propagation")
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q116_queries_broadcast_corpus_streams(spark, sf_dir):
+    # retrieval follows the q40 discipline: broadcast queries against the
+    # streamed corpus (BroadcastNestedLoopJoin), with the quantized base
+    # and the shortlist persisted (the selection rounds and the sims
+    # self-join consume the CACHE, not the corpus — the repeated lineage
+    # under each InMemoryTableScan is display only).  Selection joins
+    # co-partition on query_id; sort-merge there is the scale-honest
+    # choice (shortlists are NOT broadcastable at millions of queries).
+    plan = plan_of(spark, sf_dir, "q116_mmr_rerank")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan

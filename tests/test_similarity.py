@@ -175,3 +175,39 @@ def test_contrastive_pairs_margin_and_roles(spark):
         assert r.pos_id == exact[r.anchor_id]
         assert r.margin >= 0
         assert r.neg_id != r.pos_id
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from briefly_spark.operators.similarity import mmr_rerank
+    import pyspark.sql.functions as F
+
+    # candidates: 11 and 12 are near-duplicates (sim 95), 13 is diverse
+    # (sim 10 to both).  Pure top-k would pick 11, 12; MMR must pick the
+    # diverse 13 at rank 2 despite its lower relevance.
+    cand = spark.createDataFrame(
+        [(1, 11, 100), (1, 12, 98), (1, 13, 60)],
+        "query_id LONG, cid LONG, rel_fp LONG",
+    )
+    pairs = [(1, 11, 12, 95), (1, 11, 13, 10), (1, 12, 13, 10)]
+    sims = spark.createDataFrame(
+        pairs + [(q, b, a, s) for q, a, b, s in pairs],
+        "query_id LONG, cid_a LONG, cid_b LONG, sim_fp LONG",
+    )
+    got = {r.sel_rank: (r.cid, r.mmr_fp) for r in mmr_rerank(cand, sims, k=3).collect()}
+    assert got[1] == (11, 100)
+    assert got[2] == (13, 50)   # 60 - 10 beats 98 - 95
+    assert got[3] == (12, 3)    # 98 - max(95, 10)
+
+
+def test_mmr_rerank_tie_breaks_to_smallest_cid(spark):
+    from briefly_spark.operators.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 21, 50), (1, 20, 50)], "query_id LONG, cid LONG, rel_fp LONG"
+    )
+    sims = spark.createDataFrame(
+        [(1, 20, 21, 0), (1, 21, 20, 0)],
+        "query_id LONG, cid_a LONG, cid_b LONG, sim_fp LONG",
+    )
+    got = {r.sel_rank: r.cid for r in mmr_rerank(cand, sims, k=2).collect()}
+    assert got == {1: 20, 2: 21}
