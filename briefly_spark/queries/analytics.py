@@ -600,3 +600,102 @@ def q111_nation_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "s_name", "bal_cents")
     )
+
+
+# --------------------------------------------------------------------------
+# q117 — corpus drift matrix: smoothed unigram KL divergence per source pair.
+# --------------------------------------------------------------------------
+def _q117_oracle() -> str:
+    from briefly_spark.numerics import det_ln_sql
+
+    def fp(arg: str) -> str:
+        return f"CAST(floor(({det_ln_sql(arg, 'duckdb')}) * 10000.0) AS BIGINT)"
+
+    return f"""
+WITH st AS MATERIALIZED (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      w -> w <> '')) AS term
+    FROM documents)
+  GROUP BY source, term
+),
+v AS (SELECT count(DISTINCT term) AS n_terms FROM st),
+srcs AS (SELECT DISTINCT source FROM st),
+dense AS MATERIALIZED (
+  SELECT s.source, t.term, COALESCE(st.c, 0) + 1 AS c1
+  FROM srcs s
+  CROSS JOIN (SELECT DISTINCT term FROM st) t
+  LEFT JOIN st ON st.source = s.source AND st.term = t.term
+),
+tot AS MATERIALIZED (
+  SELECT source, CAST(sum(c1) AS BIGINT) AS n1 FROM dense GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       (SELECT n_terms FROM v) AS n_terms,
+       CAST(sum(a.c1 * (({fp("a.c1")}) + ({fp("tb.n1")})
+                        - ({fp("b.c1")}) - ({fp("ta.n1")}))) AS BIGINT)
+         AS kl_sum_fp
+FROM dense a
+JOIN dense b ON a.term = b.term AND a.source <> b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY src_a, src_b
+"""
+
+
+@register("q117_source_drift_kl", covers=("A4", "J4"), oracle=_q117_oracle())
+def q117_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift matrix for mixture monitoring: add-1-smoothed
+    unigram KL(A‖B) between every pair of sources.  The per-term
+    contribution is c·(dln(cA') + dln(NB') − dln(cB') − dln(NA')) with
+    EACH det_ln fixed-pointed separately before the integer-weighted
+    sum — order-independent, engine-exact, and overflow-free by
+    construction (no cA'·NB' products, whose 100 TB magnitudes would
+    overflow BIGINT inside a single ln argument).  Plan: the corpus
+    collapses once to the (source, term) count frame (q108 discipline);
+    the smoothed dense frame is |vocab|·|sources| — bounded by dimensions,
+    not the corpus — sources meet through a term equi-join on it, and
+    totals broadcast back."""
+    from briefly_spark.numerics import det_ln_sql
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    st = (
+        docs.select("source", F.explode(tokens_of(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = st.persist()
+    terms = st.select("term").distinct()
+    srcs = st.select("source").distinct()
+    v = terms.agg(F.count(F.lit(1)).alias("n_terms"))
+    dense = (
+        srcs.crossJoin(terms)
+        .join(st, ["source", "term"], "left")
+        .select("source", "term", (F.coalesce("c", F.lit(0)) + 1).alias("c1"))
+    )
+    dense = dense.persist()
+    tot = dense.groupBy("source").agg(F.sum("c1").alias("n1"))
+
+    def fp(arg: str) -> F.Column:
+        return F.expr(
+            f"CAST(floor(({det_ln_sql(arg, 'spark')}) * 10000.0) AS BIGINT)"
+        )
+
+    a = dense.select(F.col("source").alias("src_a"), "term", F.col("c1").alias("ca"))
+    b = dense.select(F.col("source").alias("src_b"), "term", F.col("c1").alias("cb"))
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n1").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n1").alias("nb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .withColumn(
+            "contrib",
+            F.col("ca") * (fp("ca") + fp("nb") - fp("cb") - fp("na")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("contrib").alias("kl_sum_fp"))
+        .crossJoin(F.broadcast(v))
+        .select("src_a", "src_b", "n_terms", "kl_sum_fp")
+    )

@@ -379,3 +379,13 @@ def test_q116_queries_broadcast_corpus_streams(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q117_dense_frame_persisted_totals_broadcast(spark, sf_dir):
+    # the corpus collapses to the persisted (source, term) frame; the
+    # smoothed dense frame persists for its three consumers; per-source
+    # totals and the vocab count broadcast into the pair join
+    plan = plan_of(spark, sf_dir, "q117_source_drift_kl")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
