@@ -64,12 +64,17 @@ def load_registry() -> dict[str, QuerySpec]:
     next-round #2): the 30 queries whose only green driver row is r03
     (textstats q50–q59/q35/q38/q39/q66–q69, text q20–q27, ingest q90,
     worklists q92–q94, tts q91) lead, then search (q46–q48 changed this
-    round: det_ln deterministic scores — q48 was the r04 red), then the
-    modules needing first driver rows — training (q83–q89), graph (q95,
-    q96), analytics (q16–q19, q28) and scale (q97–q99) — filling the
-    50-entry window exactly; everything displaced (pipeline, events,
-    temporal, dedup, similarity, relational, multimodal) is
-    r04-driver-green and unchanged.
+    round: det_ln deterministic scores — q48 was the r04 red), then
+    first-driver-row candidates in priority order — the curation pack
+    (q83–q89), the iterative ops (q96 k-means, q109 BPE, q95 PageRank,
+    q115 label propagation, plus q114 riding in the textstats block) and
+    the decision-support joins (q16–q19, q28) — filling the 50-entry
+    window exactly.  Everything beyond the window either has an
+    r04-green driver row (pipeline, events, temporal, dedup, similarity,
+    relational, multimodal) or queues for the r06 rotation (scale
+    q97–q106, analytics q100/q107/q108/q110/q111/q117, events q112,
+    similarity q113/q116); ALL of it is covered by the committed
+    check_oracle full-sweep evidence either way.
     """
     from briefly_spark.queries import (  # noqa: F401
         textstats,

@@ -62,6 +62,8 @@ QUERIES = (
     "q47_bm25_search",
     "q28_heavy_hitters",
     "q97_bloom_decontaminate",
+    "q109_bpe_merges",
+    "q117_source_drift_kl",
 )
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
