@@ -529,11 +529,15 @@ def q116_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = F.expr(
         _COS_FP.format(dot="dot_fp", na="q_nf", nb="c_nf")
     )
+    # score with vectors in hand (map-side), but send only the THIN
+    # (query_id, cid, rel_fp) triple through the ranking-window shuffle —
+    # the q42/q45 "shuffles never carry vectors" discipline; shortlist
+    # vectors re-attach afterwards by equi-join against the cached base.
     pairs = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("cid"))
         .withColumn("dot_fp", dot)
-        .select("query_id", "cid", "c_qv", "c_nf", rel.alias("rel_fp"))
+        .select("query_id", "cid", rel.alias("rel_fp"))
     )
     from pyspark.sql import Window
 
@@ -544,8 +548,12 @@ def q116_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     cand = cand.persist()
-    a = cand.select("query_id", F.col("cid").alias("cid_a"), F.col("c_qv").alias("a_qv"), F.col("c_nf").alias("a_nf"))
-    b = cand.select("query_id", F.col("cid").alias("cid_b"), F.col("c_qv").alias("b_qv"), F.col("c_nf").alias("b_nf"))
+    hydrate = base.select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("h_qv"), F.col("nf").alias("h_nf")
+    )
+    cand_v = cand.join(hydrate, "cid")
+    a = cand_v.select("query_id", F.col("cid").alias("cid_a"), F.col("h_qv").alias("a_qv"), F.col("h_nf").alias("a_nf"))
+    b = cand_v.select("query_id", F.col("cid").alias("cid_b"), F.col("h_qv").alias("b_qv"), F.col("h_nf").alias("b_nf"))
     sdot = F.aggregate(
         F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
         F.lit(0).cast("long"),

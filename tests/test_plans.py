@@ -389,3 +389,11 @@ def test_q117_dense_frame_persisted_totals_broadcast(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q116_ranking_shuffle_carries_no_vectors(spark, sf_dir):
+    # the shortlist window shuffles the thin (query_id, cid, rel_fp)
+    # triple only; vectors re-attach by equi-join against the cached base
+    plan = plan_of(spark, sf_dir, "q116_mmr_rerank")
+    offenders = [l for l in shuffle_exchanges(plan) if re.search(r"\bqv#\d+", l)]
+    assert not offenders, offenders
