@@ -170,7 +170,15 @@ def main() -> None:
         # the keep equi-join (AQE skew-splits) — the claimed no-hot-window
         # design, measured
         "q83_span_dedup": registry["q83_span_dedup"].fn,
+        # q115 hot-component hazard: the boilerplate slice collapses into
+        # ONE giant near-dup component; the per-round (dst, label) tally
+        # partial-aggregates map-side, so the hot vertex never serializes
+        "q115_label_propagation": registry["q115_label_propagation"].fn,
     }
+    # q109 hot-word hazard rides the FOOTER corpus (below): a sentence in
+    # every document makes its words corpus-hot, but BPE counts pairs on
+    # the distinct-WORD frame — frequency is a weight column, not a key
+    footer_queries = {"q109_bpe_merges": registry["q109_bpe_merges"].fn}
 
     skew_dir = tempfile.mkdtemp(prefix="skewed_sf_")
     footer_dir = tempfile.mkdtemp(prefix="skewed_footer_sf_")
@@ -196,6 +204,16 @@ def main() -> None:
                 "skewed_no_skewjoin_s": skewed_noaqe,
                 "ratio": round(skewed / uniform, 2),
             }
+
+        for name, fn in footer_queries.items():
+            fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+            out[name] = {
+                "uniform_s": run(fn, spark, sf_dir),
+                "skewed_s": run(fn, spark, footer_dir),
+            }
+            out[name]["ratio"] = round(
+                out[name]["skewed_s"] / out[name]["uniform_s"], 2
+            )
 
         # q48 hot-bigram shape: window vs join global-count strategy under
         # the same universal-footer skew (lm.py's documented scale path)
