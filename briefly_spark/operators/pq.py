@@ -1,0 +1,225 @@
+"""Product quantization (PQ) for approximate nearest neighbor — Jégou et
+al. 2011, the codebook compression behind FAISS's IVF-PQ indexes.
+
+Completes the engine's ANN ladder (operators/similarity.py): brute-force
+(q40) → hyperplane LSH (q42) → IVF (q43) → int8 scalar quantization
+(q45) → PQ (q118).  Where SQ compresses each coordinate independently
+(8× smaller), PQ compresses SUBVECTORS against learned codebooks: with 4
+subspaces × 8 centroids a 64-dim float vector becomes 4 small ints —
+64× smaller resident data — and query-time distances collapse to
+distance-TABLE lookups (asymmetric distance computation, ADC) instead of
+64-dimension dot products.
+
+Determinism — everything stays on the oracle surface:
+
+- coordinates quantize to floor(x·2²⁰) (exact power-of-two multiply);
+- each subspace codebook is the q96 integer Lloyd's loop verbatim
+  (operators/curation.py:kmeans_refine discipline): k smallest ids seed,
+  INTEGER squared-L2 argmin with ties to the smallest cell, centroid
+  update by integer floor division;
+- ADC distances are integer sums of integer subspace distances.
+
+Scale shape: codebook training shuffles only (cell, dim) partial sums
+per round (k·d groups, corpus-size-independent); encoding is map-only
+against broadcast codebooks; ADC scoring joins the 4-int code table
+against a broadcast |queries|·S·k distance table — the corpus's FULL
+vectors never enter the query path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QSCALE = 2**20
+
+
+def quantized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, q): floor(x·2²⁰) integer coordinates."""
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(QSCALE))).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _sq_dist(a: str = "q", b: str = "cv") -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _fit_subspace(sub: DataFrame, k: int, iters: int) -> DataFrame:
+    """Integer Lloyd's over one subspace frame (id, q).  Returns the
+    final codebook (cell, cv) — cells keyed by their seed's id."""
+    cent = sub.orderBy("id").limit(k).select(
+        F.col("id").alias("cell"), F.col("q").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = (
+            sub.crossJoin(F.broadcast(cent))
+            .select("id", "q", _sq_dist().alias("sq_dist"), "cell")
+            .groupBy("id")
+            .agg(
+                F.min(F.struct("sq_dist", "cell")).alias("best"),
+                F.first("q").alias("q"),
+            )
+            .select("q", F.col("best.cell").alias("cell"))
+        )
+        sums = assigned.select("cell", F.posexplode("q").alias("dim", "val")).groupBy(
+            "cell", "dim"
+        ).agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        cent = (
+            sums.select("cell", "dim", F.expr("s div cnt").alias("cval"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda st: st["cval"],
+                ).alias("cv")
+            )
+        )
+    return cent
+
+
+def pq_fit_encode(
+    vectors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    subspaces: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns (codes, codebooks): ``codes`` = (id, s, code) — ``subspaces``
+    rows per vector; ``codebooks`` = (s, cell, cv).  The input dimension
+    must divide evenly into ``subspaces``."""
+    qv = quantized(vectors, id_col, vec_col).persist()
+    width = dim // subspaces
+    assert width * subspaces == dim, "subspaces must divide the dimension"
+    codes = None
+    books = None
+    for s in range(subspaces):
+        sub = qv.select("id", F.slice("q", s * width + 1, width).alias("q"))
+        sub = sub.persist()
+        cent = _fit_subspace(sub, k, iters).persist()
+        assigned = (
+            sub.crossJoin(F.broadcast(cent))
+            .select("id", _sq_dist().alias("sq_dist"), "cell")
+            .groupBy("id")
+            .agg(F.min(F.struct("sq_dist", "cell")).alias("best"))
+            .select(
+                "id",
+                F.lit(s).cast("int").alias("s"),
+                F.col("best.cell").alias("code"),
+            )
+        )
+        book = cent.select(F.lit(s).cast("int").alias("s"), "cell", "cv")
+        codes = assigned if codes is None else codes.unionByName(assigned)
+        books = book if books is None else books.unionByName(book)
+    return codes, books
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    *,
+    dim: int,
+    subspaces: int = 4,
+    k_final: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact (quantized) queries against
+    PQ-encoded corpus.  ``queries`` = (query_id, q) full-width integer
+    vectors.  Returns (query_id, neighbor_id, rank, adc_dist).
+
+    The distance table (query_id, s, cell, d) has |queries|·S·k rows —
+    broadcast-sized by construction — and the corpus contributes ONLY its
+    (id, s, code) rows: at 100 TB the scored frame is 4 ints per corpus
+    vector fanned against a broadcast, with the per-(query, id) sum a
+    partial-aggregable integer."""
+    width = dim // subspaces
+    sub_q = queries.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.slice("q", s * width + 1, width).alias("q"),
+                    )
+                    for s in range(subspaces)
+                ]
+            )
+        ).alias("p"),
+    ).select("query_id", "p.s", "p.q")
+    dt = sub_q.join(codebooks, "s").select(
+        "query_id", "s", F.col("cell").alias("code"), _sq_dist().alias("d")
+    )
+    scored = (
+        codes.join(F.broadcast(dt), ["s", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_final)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    corpus_q: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    *,
+    dim: int,
+    subspaces: int,
+    shortlist: int = 32,
+    k_final: int = 5,
+) -> DataFrame:
+    """Full PQ search: ADC shortlist, then EXACT integer re-rank — the
+    production IVF-PQ usage (coarse codes prune, full precision decides).
+    ``corpus_q`` = (id, q) quantized full-width corpus for the re-rank
+    hydration (an id equi-join against the shortlist — only shortlist
+    vectors are ever touched).  Returns (query_id, neighbor_id, rank,
+    sq_dist) with the exact quantized distance."""
+    cand = pq_adc_topk(
+        queries, codes, codebooks, dim=dim, subspaces=subspaces, k_final=shortlist
+    ).select("query_id", "neighbor_id")
+    hydrated = (
+        cand.join(
+            corpus_q.select(F.col("id").alias("neighbor_id"), F.col("q").alias("cq")),
+            "neighbor_id",
+        )
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq_dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    return (
+        hydrated.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_final)
+        .select("query_id", "neighbor_id", "rank", "sq_dist")
+    )

@@ -573,3 +573,145 @@ def q116_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         cand.select("query_id", "cid", "rel_fp"), sims, k=_MMR_K
     )
+
+
+# --------------------------------------------------------------------------
+# q118 — product-quantization ANN with asymmetric distance computation.
+# --------------------------------------------------------------------------
+_PQ_S = 8       # subspaces (64 dims -> 8 × 8)
+_PQ_W = 8       # subspace width
+_PQ_K = 16      # centroids per subspace codebook
+_PQ_ITERS = 2   # Lloyd rounds per codebook
+_PQ_SHORTLIST = 32  # ADC candidates per query, exact-re-ranked to top-k
+_PQ_TOPK = 5
+
+
+def _q118_oracle() -> str:
+    def sq(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_PQ_W} + 1),"
+            f" i -> ({v}.q[i] - {c}.cv[i]) * ({v}.q[i] - {c}.cv[i])))"
+        )
+
+    parts = [
+        """qv AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+)"""
+    ]
+    for s in range(_PQ_S):
+        lo, hi = s * _PQ_W + 1, (s + 1) * _PQ_W
+        parts.append(f"""
+sub{s} AS MATERIALIZED (SELECT id, q[{lo}:{hi}] AS q FROM qv),
+c{s}r0 AS MATERIALIZED (
+  SELECT id AS cell, q AS cv FROM sub{s} ORDER BY id LIMIT {_PQ_K})""")
+        for r in range(_PQ_ITERS):
+            parts.append(f"""
+as{s}r{r} AS MATERIALIZED (
+  SELECT id, q, cell FROM (
+    SELECT v.id, v.q, c.cell,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {sq("v", "c")}, c.cell) AS rn
+    FROM sub{s} v CROSS JOIN c{s}r{r} c) WHERE rn = 1
+),
+c{s}r{r + 1} AS MATERIALIZED (
+  SELECT cell, list(cval ORDER BY dim) AS cv FROM (
+    SELECT cell, u.dim, SUM(u.val) // COUNT(*) AS cval
+    FROM as{s}r{r},
+         UNNEST(list_transform(range(1, len(q) + 1),
+                i -> {{'dim': i, 'val': q[i]}})) t(u)
+    GROUP BY cell, u.dim) GROUP BY cell
+)""")
+        parts.append(f"""
+code{s} AS MATERIALIZED (
+  SELECT id, {s} AS s, cell AS code FROM (
+    SELECT v.id, c.cell,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {sq("v", "c")}, c.cell) AS rn
+    FROM sub{s} v CROSS JOIN c{s}r{_PQ_ITERS} c) WHERE rn = 1
+),
+dt{s} AS MATERIALIZED (
+  SELECT v.id AS query_id, {s} AS s, c.cell AS code,
+         CAST({sq("v", "c")} AS BIGINT) AS d
+  FROM (SELECT id, q FROM sub{s} WHERE id % 20 = 0) v
+  CROSS JOIN c{s}r{_PQ_ITERS} c
+)""")
+    codes = " UNION ALL ".join(f"SELECT * FROM code{s}" for s in range(_PQ_S))
+    dts = " UNION ALL ".join(f"SELECT * FROM dt{s}" for s in range(_PQ_S))
+    parts.append(f"""
+codes AS MATERIALIZED ({codes}),
+dt AS MATERIALIZED ({dts}),
+scored AS MATERIALIZED (
+  SELECT dt.query_id, codes.id AS neighbor_id,
+         CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+  FROM codes JOIN dt ON codes.s = dt.s AND codes.code = dt.code
+  WHERE dt.query_id <> codes.id
+  GROUP BY dt.query_id, codes.id
+)""")
+    parts.append(f"""
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rn
+    FROM scored) WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qq.q) + 1),
+              i -> (qq.q[i] - nq.q[i]) * (qq.q[i] - nq.q[i]))) AS BIGINT)
+           AS sq_dist
+  FROM cand c
+  JOIN qv qq ON qq.id = c.query_id
+  JOIN qv nq ON nq.id = c.neighbor_id
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sq_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sq_dist, neighbor_id) AS rank
+  FROM rerank) WHERE rank <= {_PQ_TOPK}"""
+    )
+
+
+@register("q118_pq_ann", covers=("W5", "J4"), oracle=_q118_oracle())
+def q118_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the last rung of
+    the ANN ladder (q40 exact → q42 LSH → q43 IVF → q45 int8-SQ → PQ):
+    8 per-subspace integer-Lloyd's codebooks (the q96 discipline), the
+    corpus encoded to 8 small ints per vector (32× smaller than floats),
+    asymmetric distances resolved by joining the code table against a
+    BROADCAST |queries|·S·k distance table, and the ADC top-32 shortlist
+    EXACT-re-ranked to top-5 — the production IVF-PQ usage: coarse codes
+    prune, full precision (hydrated by id equi-join, shortlist rows only)
+    decides.  Every stage is integer-exact (quantized coordinates,
+    integer argmins with smallest-cell ties, truncating-division centroid
+    updates, integer ADC sums), so the oracle unrolls the complete
+    fit+encode+search pipeline — 8 codebooks × 2 Lloyd rounds included —
+    as static CTE stages and hashes the exact result.  Measured recall@5
+    vs exact ≈ 0.54 at fixture scale on the synthetic near-uniform
+    embeddings — PQ's adversarial worst case (no cluster structure;
+    distance concentration); K and the shortlist size are the recall
+    levers, and the recall floor is pytest-pinned.  See operators/pq.py
+    for the 100 TB shape."""
+    from briefly_spark.operators.pq import pq_fit_encode, pq_search, quantized
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    codes, books = pq_fit_encode(
+        emb, id_col="vec_id", vec_col="embedding", dim=64,
+        subspaces=_PQ_S, k=_PQ_K, iters=_PQ_ITERS,
+    )
+    corpus_q = quantized(emb, "vec_id", "embedding").persist()
+    queries = corpus_q.filter(F.col("id") % 20 == 0).select(
+        F.col("id").alias("query_id"), "q"
+    )
+    out = pq_search(
+        queries, corpus_q, codes, books,
+        dim=64, subspaces=_PQ_S, shortlist=_PQ_SHORTLIST, k_final=_PQ_TOPK,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sq_dist"
+    )

@@ -397,3 +397,12 @@ def test_q116_ranking_shuffle_carries_no_vectors(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q116_mmr_rerank")
     offenders = [l for l in shuffle_exchanges(plan) if re.search(r"\bqv#\d+", l)]
     assert not offenders, offenders
+
+
+def test_q118_query_path_carries_codes_not_vectors(spark, sf_dir):
+    # the ADC scoring joins the (id, s, code) table against a broadcast
+    # distance table — full vectors only re-enter for the shortlist
+    # hydration (id equi-join); no cartesian anywhere
+    plan = plan_of(spark, sf_dir, "q118_pq_ann")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

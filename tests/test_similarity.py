@@ -211,3 +211,61 @@ def test_mmr_rerank_tie_breaks_to_smallest_cid(spark):
     )
     got = {r.sel_rank: r.cid for r in mmr_rerank(cand, sims, k=2).collect()}
     assert got == {1: 20, 2: 21}
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    # PQ is approximate: assert recall@5 against the exact integer
+    # squared-L2 top-5 stays above a floor at fixture scale
+    import pyspark.sql.functions as F
+    from briefly_spark.operators.pq import pq_fit_encode, pq_search, quantized
+    from briefly_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit_encode(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, subspaces=8, k=16, iters=2
+    )
+    corpus_q = quantized(emb, "vec_id", "embedding")
+    qdf = corpus_q.filter(F.col("id") % 50 == 0).select(
+        F.col("id").alias("query_id"), "q"
+    )
+    approx = pq_search(
+        qdf, corpus_q, codes, books, dim=64, subspaces=8, shortlist=32, k_final=5
+    )
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+
+    corpus = quantized(emb, "vec_id", "embedding")
+    from pyspark.sql import Window
+
+    pairs = (
+        qdf.crossJoin(corpus.select(F.col("id").alias("nid"), F.col("q").alias("cq")))
+        .filter(F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id", "nid",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "nid")
+    exact = {
+        (r.query_id, r.nid)
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.4, recall  # 8x16 codebooks + exact re-rank of the ADC top-32
+
+
+def test_pq_codes_are_compact(spark, sf_dir):
+    from briefly_spark.operators.pq import pq_fit_encode
+    from briefly_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit_encode(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, subspaces=4, k=8, iters=1
+    )
+    n = emb.count()
+    assert codes.count() == 4 * n                      # S rows per vector
+    assert books.count() <= 4 * 8                      # at most S·k centroids
+    assert set(codes.columns) == {"id", "s", "code"}   # no vectors in the code table
