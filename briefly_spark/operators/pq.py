@@ -53,39 +53,6 @@ def _sq_dist(a: str = "q", b: str = "cv") -> F.Column:
     )
 
 
-def _fit_subspace(sub: DataFrame, k: int, iters: int) -> DataFrame:
-    """Integer Lloyd's over one subspace frame (id, q).  Returns the
-    final codebook (cell, cv) — cells keyed by their seed's id."""
-    cent = sub.orderBy("id").limit(k).select(
-        F.col("id").alias("cell"), F.col("q").alias("cv")
-    )
-    for _ in range(iters):
-        assigned = (
-            sub.crossJoin(F.broadcast(cent))
-            .select("id", "q", _sq_dist().alias("sq_dist"), "cell")
-            .groupBy("id")
-            .agg(
-                F.min(F.struct("sq_dist", "cell")).alias("best"),
-                F.first("q").alias("q"),
-            )
-            .select("q", F.col("best.cell").alias("cell"))
-        )
-        sums = assigned.select("cell", F.posexplode("q").alias("dim", "val")).groupBy(
-            "cell", "dim"
-        ).agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
-        cent = (
-            sums.select("cell", "dim", F.expr("s div cnt").alias("cval"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-                    lambda st: st["cval"],
-                ).alias("cv")
-            )
-        )
-    return cent
-
-
 def pq_fit_encode(
     vectors: DataFrame,
     *,
@@ -101,30 +68,66 @@ def pq_fit_encode(
     Returns (codes, codebooks): ``codes`` = (id, s, code) — ``subspaces``
     rows per vector; ``codebooks`` = (s, cell, cv).  The input dimension
     must divide evenly into ``subspaces``."""
-    qv = quantized(vectors, id_col, vec_col).persist()
+    qv = quantized(vectors, id_col, vec_col)
     width = dim // subspaces
     assert width * subspaces == dim, "subspaces must divide the dimension"
-    codes = None
-    books = None
-    for s in range(subspaces):
-        sub = qv.select("id", F.slice("q", s * width + 1, width).alias("q"))
-        sub = sub.persist()
-        cent = _fit_subspace(sub, k, iters).persist()
-        assigned = (
-            sub.crossJoin(F.broadcast(cent))
-            .select("id", _sq_dist().alias("sq_dist"), "cell")
-            .groupBy("id")
-            .agg(F.min(F.struct("sq_dist", "cell")).alias("best"))
-            .select(
-                "id",
-                F.lit(s).cast("int").alias("s"),
-                F.col("best.cell").alias("code"),
+    # ALL subspaces train in one fused (id, s, q) frame: each Lloyd round
+    # is ONE broadcast assignment + ONE (s, cell, dim) partial-agg shuffle
+    # however many subspaces there are — per-subspace loops would multiply
+    # the stage count by S for identical results (subspaces are
+    # independent, so the fused argmins/updates match the loop exactly,
+    # which is why the per-subspace oracle still hashes this).
+    subs = qv.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.slice("q", s * width + 1, width).alias("q"),
+                    )
+                    for s in range(subspaces)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "p.s", "p.q").persist()
+    seed_ids = subs.select("id").distinct().orderBy("id").limit(k)
+    cent = subs.join(F.broadcast(seed_ids), "id").select(
+        "s", F.col("id").alias("cell"), F.col("q").alias("cv")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(centroids), "s")
+            .select("id", "s", "q", _sq_dist().alias("sq_dist"), "cell")
+            .groupBy("id", "s")
+            .agg(
+                F.min(F.struct("sq_dist", "cell")).alias("best"),
+                F.first("q").alias("q"),
+            )
+            .select("id", "s", "q", F.col("best.cell").alias("cell"))
+        )
+
+    for _ in range(iters):
+        assigned = assign(cent)
+        sums = assigned.select(
+            "s", "cell", F.posexplode("q").alias("dim", "val")
+        ).groupBy("s", "cell", "dim").agg(
+            F.sum("val").alias("sv"), F.count(F.lit(1)).alias("cnt")
+        )
+        cent = (
+            sums.select("s", "cell", "dim", F.expr("sv div cnt").alias("cval"))
+            .groupBy("s", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda st: st["cval"],
+                ).alias("cv")
             )
         )
-        book = cent.select(F.lit(s).cast("int").alias("s"), "cell", "cv")
-        codes = assigned if codes is None else codes.unionByName(assigned)
-        books = book if books is None else books.unionByName(book)
-    return codes, books
+    cent = cent.persist()
+    codes = assign(cent).select("id", "s", F.col("cell").alias("code"))
+    return codes, cent.select("s", "cell", "cv")
 
 
 def pq_adc_topk(
