@@ -507,3 +507,72 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# q119 — rank fusion of curation signals WITHOUT a global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q119_rank_fusion",
+    covers=("A3", "W1"),
+    oracle="""
+WITH sig AS (
+  SELECT doc_id, n_chars,
+         (len(list_distinct(toks)) * 10000) // len(toks) AS ttr_fp
+  FROM (SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS toks
+        FROM documents)
+  WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS len_rank,
+       CAST(rank() OVER (ORDER BY ttr_fp) AS BIGINT) AS ttr_rank,
+       CAST(rank() OVER (ORDER BY n_chars) + rank() OVER (ORDER BY ttr_fp)
+            AS BIGINT) AS fused
+FROM sig
+""",
+)
+def q119_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank fusion of curation signals (length, type-token ratio) —
+    the standard way to blend incommensurable quality scores into one
+    ordering.  The oracle is the naive global rank() windows; the Spark
+    plan computes the IDENTICAL ranks with NO corpus sort: each signal's
+    VALUE HISTOGRAM (dimension-sized, the q101 discipline) gets a running
+    count over value order, rank(v) = run(v) − c(v) + 1 (exactly SQL
+    rank()'s strictly-smaller-plus-one tie semantics), and the
+    |distinct values|-row rank maps broadcast back into map-side joins.
+    Signals are integers (chars; (distinct·10⁴) div tokens), so ranks,
+    and therefore the fusion, are engine-exact."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    sig = (
+        docs.select("doc_id", "n_chars", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("(size(array_distinct(t)) * 10000) div size(t)").alias("ttr_fp"),
+        )
+    )
+    sig = sig.persist()
+
+    def rank_map(col: str) -> DataFrame:
+        hist = sig.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        run_w = Window.orderBy("v")
+        return hist.withColumn("run", F.sum("c").over(run_w)).select(
+            F.col("v").alias(col),
+            (F.col("run") - F.col("c") + 1).alias(f"{col}_rank"),
+        )
+
+    fused = (
+        sig.join(F.broadcast(rank_map("n_chars")), "n_chars")
+        .join(F.broadcast(rank_map("ttr_fp")), "ttr_fp")
+        .select(
+            "doc_id",
+            F.col("n_chars_rank").alias("len_rank"),
+            F.col("ttr_fp_rank").alias("ttr_rank"),
+            (F.col("n_chars_rank") + F.col("ttr_fp_rank")).alias("fused"),
+        )
+    )
+    return fused

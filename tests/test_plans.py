@@ -406,3 +406,12 @@ def test_q118_query_path_carries_codes_not_vectors(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q118_pq_ann")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q119_ranks_without_corpus_sort(spark, sf_dir):
+    # ranks come from dimension-sized histogram maps that broadcast back;
+    # the corpus itself is never sorted (the histogram windows sort only
+    # |distinct values| rows)
+    plan = plan_of(spark, sf_dir, "q119_rank_fusion")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
