@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from briefly_spark.functions.vectors import dot, l2_norm
-from briefly_spark.numerics import RATIO_SCALE, det_ln_sql
+from briefly_spark.numerics import RATIO_SCALE, det_ln_items
 from briefly_spark.operators.textstats import _hash16
 
 #: widx stride for the (doc, window) -> single orderable bigint encoding;
@@ -217,10 +217,28 @@ def bigram_strings(words: Column) -> Column:
 
 
 
-def _fp_ln(int_expr: str) -> Column:
-    """floor(det_ln(expr)·1e4) — integer fixed-point of the bit-reproducible
-    log of a positive integer expression (Spark dialect)."""
-    return F.expr(f"floor({det_ln_sql(int_expr, 'spark')} * {RATIO_SCALE})")
+def _dsir_score_items(n_buckets: int, dialect: str) -> list[str]:
+    """The four staged det_ln legs of the DSIR log-ratio plus the combined
+    integer score, as lateral-alias SELECT items ending in
+    ``… AS score_fp``.  One generator for both dialects — identical op
+    order, so floor(det_ln·1e4) is the same integer in every engine; the
+    staged form (numerics.det_ln_items) keeps the emitted SQL ~10× smaller
+    than the inline det_ln expansion with bit-identical results."""
+    legs = [
+        ("ct + 1", "__l_ct"),
+        (f"r_total + {n_buckets}", "__l_rt"),
+        ("cr + 1", "__l_cr"),
+        (f"t_total + {n_buckets}", "__l_tt"),
+    ]
+    items: list[str] = []
+    for expr, out in legs:
+        items.extend(det_ln_items(expr, out, dialect))
+    fp = lambda out: f"floor({out} * {RATIO_SCALE})"  # noqa: E731
+    items.append(
+        f"CAST(((({fp('__l_ct')} + {fp('__l_rt')}) - {fp('__l_cr')})"
+        f" - {fp('__l_tt')}) AS BIGINT) AS score_fp"
+    )
+    return items
 
 
 def dsir_log_weights(
@@ -276,15 +294,7 @@ def dsir_log_weights(
     )
     scored = (
         table.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "score_fp",
-            (
-                _fp_ln("ct + 1")
-                + _fp_ln(f"r_total + {n_buckets}")
-                - _fp_ln("cr + 1")
-                - _fp_ln(f"t_total + {n_buckets}")
-            ).cast("long"),
-        )
+        .selectExpr("f", *_dsir_score_items(n_buckets, "spark"))
         .select("f", "score_fp")
     )
     return (
@@ -306,7 +316,6 @@ def sql_dsir_weights(
     predicate over those columns."""
     from briefly_spark.queries.textstats import _sql_hash16  # shared spelling
 
-    fp = lambda e: f"floor({det_ln_sql(e, 'duckdb')} * {RATIO_SCALE})"  # noqa: E731
     bigram = "t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]"
     return f"""
 WITH src AS ({docs_sql}),
@@ -325,13 +334,14 @@ tot AS (
   SELECT sum(cr) AS r_total, sum(ct) AS t_total FROM tab
 ),
 scored AS (
-  SELECT f,
-         CAST({fp('ct + 1')} + {fp(f'r_total + {n_buckets}')}
-            - {fp('cr + 1')} - {fp(f't_total + {n_buckets}')} AS BIGINT)
-           AS score_fp
+  SELECT f, {', '.join(_dsir_score_items(n_buckets, 'duckdb'))}
   FROM tab CROSS JOIN tot
 )
-SELECT feats.id AS id, count(*) AS n_bigrams, sum(score_fp) AS weight_fp
+SELECT feats.id AS id, count(*) AS n_bigrams,
+       -- CAST: DuckDB widens sum(BIGINT) to HUGEINT, which fetches as
+       -- Decimal/float64 through Arrow/pandas and breaks the value-hash
+       -- against Spark's long — every hashed surface must be BIGINT.
+       CAST(sum(score_fp) AS BIGINT) AS weight_fp
 FROM feats JOIN scored ON feats.f = scored.f
 GROUP BY feats.id
 """

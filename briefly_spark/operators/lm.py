@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from briefly_spark.numerics import RATIO_SCALE, det_ln_sql
+from briefly_spark.numerics import RATIO_SCALE, det_ln_helpers, det_ln_items
 from briefly_spark.operators.search import tokens_of
 
 #: auto c12_mode threshold — above this estimated input size the global
@@ -116,6 +116,38 @@ def lm_doc_scores(
     - ``"join"`` (100 TB): partial-agg the counts and equi-join them back
       — one more scan of the bigram lineage, but the join is
       AQE-skew-splittable, so a hot bigram spreads across tasks."""
+    scored = scored_bigrams(docs, id_col, text_col, c12_mode=c12_mode)
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        (
+            F.expr("sum(n * nll_fp) div sum(n)") / float(RATIO_SCALE)
+        ).alias("avg_nll"),
+    )
+
+
+def lm_doc_nll_sums(
+    docs: DataFrame, id_col: str, text_col: str, *, c12_mode: str = "auto"
+) -> DataFrame:
+    """Integer-only twin of :func:`lm_doc_scores`: (doc_id, n_bigrams,
+    nll_sum_fp) with NO division anywhere — the total fixed-point nll mass
+    per document as an exact long.  avg_nll = (nll_sum_fp div n_bigrams) /
+    10⁴ recovers the q48 score; emitting the undivided integers keeps the
+    hashed surface free of every cross-engine rendering hazard (no DOUBLE,
+    no integer division), which is what the q48a driver diagnostic
+    isolates."""
+    scored = scored_bigrams(docs, id_col, text_col, c12_mode=c12_mode)
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("nll_fp")).cast("long").alias("nll_sum_fp"),
+    )
+
+
+def scored_bigrams(
+    docs: DataFrame, id_col: str, text_col: str, *, c12_mode: str = "auto"
+) -> DataFrame:
+    """The shared per-(doc, bigram) scored frame: (doc_id, w1, w2, n, c12,
+    c1, vocab, nll_fp) with nll_fp = floor((det_ln(c1+V) − det_ln(c12+1))·10⁴)
+    an exact long.  See :func:`lm_doc_scores` for the c12_mode contract."""
     if c12_mode not in ("auto", "window", "join"):
         raise ValueError(
             f"c12_mode must be 'auto', 'window' or 'join', got {c12_mode!r}"
@@ -130,21 +162,13 @@ def lm_doc_scores(
     else:
         c12 = big.withColumn("c12", F.sum("n").over(Window.partitionBy("w1", "w2")))
     uni = unigram_counts(docs, id_col, text_col)
-    scored = c12.join(
+    return c12.join(
         F.broadcast(uni.select(F.col("term").alias("w1"), "c1", "vocab")), "w1"
-    ).withColumn(
-        "nll_fp",
-        F.expr(
-            "floor((("
-            + det_ln_sql("c1 + vocab", "spark")
-            + " - "
-            + det_ln_sql("c12 + 1", "spark")
-            + f") * {float(RATIO_SCALE)!r}))"
-        ),
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("n").alias("n_bigrams"),
-        (
-            F.expr("sum(n * nll_fp) div sum(n)") / float(RATIO_SCALE)
-        ).alias("avg_nll"),
+    ).selectExpr(
+        "*",
+        *det_ln_items("c1 + vocab", "__ln_a", "spark"),
+        *det_ln_items("c12 + 1", "__ln_b", "spark"),
+        f"floor(((__ln_a - __ln_b) * {float(RATIO_SCALE)!r})) AS nll_fp",
+    ).drop(
+        "__ln_a", "__ln_b", *det_ln_helpers("__ln_a"), *det_ln_helpers("__ln_b")
     )

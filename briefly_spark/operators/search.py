@@ -36,18 +36,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from briefly_spark.numerics import RATIO_SCALE, det_ln_sql
+from briefly_spark.numerics import RATIO_SCALE, det_ln_items
 
 
-def tfidf_score_fp_sql(tf: str, n_docs: str, df: str, dialect: str) -> str:
-    """Fixed-point TF-IDF term score, deterministic in any IEEE engine:
-    floor((tf · (det_ln N − det_ln df)) · 10⁴).  Emitted for BOTH dialects
-    from this one generator so the rounding sequence matches exactly."""
-    diff = f"({det_ln_sql(n_docs, dialect)} - {det_ln_sql(df, dialect)})"
-    return f"floor(((CAST(({tf}) AS DOUBLE) * {diff}) * 10000.0))"
+def tfidf_score_items(tf: str, n_docs: str, df: str, dialect: str) -> list[str]:
+    """Fixed-point TF-IDF term score as staged lateral-alias SELECT items
+    ending in ``… AS score_fp``: floor((tf · (det_ln N − det_ln df)) · 10⁴),
+    deterministic in any IEEE engine.  Emitted for BOTH dialects from this
+    one generator so the rounding sequence matches exactly; the staged form
+    (numerics.det_ln_items) keeps the per-row tree ~10× smaller than the
+    inline det_ln expansion with bit-identical results."""
+    return [
+        *det_ln_items(n_docs, "__ln_nd", dialect),
+        *det_ln_items(df, "__ln_df", dialect),
+        f"floor(((CAST(({tf}) AS DOUBLE) * (__ln_nd - __ln_df)) * 10000.0))"
+        " AS score_fp",
+    ]
 
 
-def bm25_score_fp_sql(
+def bm25_score_items(
     tf: str,
     df: str,
     dl: str,
@@ -57,21 +64,23 @@ def bm25_score_fp_sql(
     *,
     k1: float = 1.2,
     b: float = 0.75,
-) -> str:
-    """Fixed-point per-term BM25 contribution, deterministic in any IEEE
-    engine.  idf = det_ln(2N+2) − det_ln(2df+1) (integral log arguments);
-    the k1/b constants are emitted as shortest-repr literals, which every
-    SQL parser rounds to the same double."""
-    idf = (
-        f"({det_ln_sql(f'(2 * ({n_docs})) + 2', dialect)}"
-        f" - {det_ln_sql(f'(2 * ({df})) + 1', dialect)})"
-    )
+) -> list[str]:
+    """Fixed-point per-term BM25 contribution as staged lateral-alias SELECT
+    items ending in ``… AS score_fp``, deterministic in any IEEE engine.
+    idf = det_ln(2N+2) − det_ln(2df+1) (integral log arguments); the k1/b
+    constants are emitted as shortest-repr literals, which every SQL parser
+    rounds to the same double."""
     num = f"(CAST(({tf}) AS DOUBLE) * {k1 + 1.0!r})"
     den = (
         f"(CAST(({tf}) AS DOUBLE) + ({k1!r} * ({1.0 - b!r}"
         f" + (({b!r} * CAST(({dl}) AS DOUBLE)) / ({avgdl})))))"
     )
-    return f"floor((({idf} * ({num} / {den})) * 10000.0))"
+    return [
+        *det_ln_items(f"(2 * ({n_docs})) + 2", "__ln_n2", dialect),
+        *det_ln_items(f"(2 * ({df})) + 1", "__ln_d2", dialect),
+        f"floor((((__ln_n2 - __ln_d2) * ({num} / {den})) * 10000.0))"
+        " AS score_fp",
+    ]
 
 
 def tokens_of(text) -> F.Column:
@@ -126,9 +135,7 @@ def tfidf_topterms(
     scored = (
         postings.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(n_docs)
-        .withColumn(
-            "score_fp", F.expr(tfidf_score_fp_sql("tf", "n_docs", "df", "spark"))
-        )
+        .selectExpr("*", *tfidf_score_items("tf", "n_docs", "df", "spark"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_fp"), F.asc("term"))
     return (
@@ -190,13 +197,8 @@ def bm25_topk(
         doc_t = dict(enriched.dtypes).get("doc_id")
         if qid_t == doc_t:
             matched = matched.filter(F.col("qid") != F.col("doc_id"))
-    scored = matched.withColumn(
-        "score_fp",
-        F.expr(
-            bm25_score_fp_sql(
-                "tf", "df", "dl", "n_docs", "avgdl", "spark", k1=k1, b=b
-            )
-        ),
+    scored = matched.selectExpr(
+        "*", *bm25_score_items("tf", "df", "dl", "n_docs", "avgdl", "spark", k1=k1, b=b)
     )
     per_doc = scored.groupBy("qid", "doc_id").agg(
         F.sum("score_fp").alias("sum_fp"), F.count(F.lit(1)).alias("n_terms_matched")

@@ -352,8 +352,20 @@ def q100_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q107 — term-pair association mining (document-level PMI).
 # --------------------------------------------------------------------------
-_PMI_SPARK = """floor(((((CAST((length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667))))))))))))))))) - (((CAST((length(bin(CAST((c_a * c_b) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667)))))))))))))))))) * 10000.0)"""
-_PMI_DUCK = """floor(((((CAST((length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_ab * n_docs) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_ab * n_docs) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667))))))))))))))))) - (((CAST((length(bin(CAST((c_a * c_b) AS BIGINT))) - 1) AS DOUBLE) * 0.6931471805599453) + ((2.0 * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (1.0 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.3333333333333333 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.2 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.14285714285714285 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.1111111111111111 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.09090909090909091 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * (0.07692307692307693 + (((((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) - 1.0) / ((CAST(CAST((c_a * c_b) AS BIGINT) AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(bin(CAST((c_a * c_b) AS BIGINT))) - 1)) AS DOUBLE)) + 1.0))) * 0.06666666666666667)))))))))))))))))) * 10000.0)"""
+def _pmi_items(dialect: str) -> list[str]:
+    """Staged PMI fixed-point score as lateral-alias SELECT items ending in
+    ``… AS pmi_fp``: floor((det_ln(c_ab·N) − det_ln(c_a·c_b))·10⁴) as
+    BIGINT.  One generator for both dialects — identical op order, so the
+    score is bit-exact cross-engine; the staged form
+    (numerics.det_ln_items) replaces the former ~3.5 KB hand-expanded
+    det_ln constants (the q107 oracle-parse hotspot) with ~0.4 KB."""
+    from briefly_spark.numerics import det_ln_items
+
+    return [
+        *det_ln_items("c_ab * n_docs", "__l_joint", dialect),
+        *det_ln_items("c_a * c_b", "__l_indep", dialect),
+        "CAST(floor(((__l_joint - __l_indep) * 10000.0)) AS BIGINT) AS pmi_fp",
+    ]
 
 
 @register(
@@ -371,14 +383,16 @@ pairs AS (
   SELECT a.term AS t1, b.term AS t2, count(*) AS c_ab
   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
   GROUP BY t1, t2
+),
+scored AS (
+  SELECT t1, t2, c_ab, {', '.join(_pmi_items('duckdb'))}
+  FROM pairs
+  JOIN (SELECT term AS t1, c AS c_a FROM df) USING (t1)
+  JOIN (SELECT term AS t2, c AS c_b FROM df) USING (t2)
+  CROSS JOIN n
+  WHERE c_ab >= 20
 )
-SELECT t1, t2, c_ab,
-       CAST(({_PMI_DUCK}) AS BIGINT) AS pmi_fp
-FROM pairs
-JOIN (SELECT term AS t1, c AS c_a FROM df) USING (t1)
-JOIN (SELECT term AS t2, c AS c_b FROM df) USING (t2)
-CROSS JOIN n
-WHERE c_ab >= 20
+SELECT t1, t2, c_ab, pmi_fp FROM scored
 """,
 )
 def q107_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,10 +430,8 @@ def q107_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(df_counts.select(F.col("term").alias("t2"), F.col("c").alias("c_b"))), "t2"
         )
         .crossJoin(F.broadcast(n))
-        .select(
-            "t1", "t2", "c_ab",
-            F.expr(_PMI_SPARK).cast("long").alias("pmi_fp"),
-        )
+        .selectExpr("t1", "t2", "c_ab", *_pmi_items("spark"))
+        .select("t1", "t2", "c_ab", "pmi_fp")
     )
 
 
@@ -605,12 +617,27 @@ def q111_nation_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q117 — corpus drift matrix: smoothed unigram KL divergence per source pair.
 # --------------------------------------------------------------------------
+def _kl_contrib_items(dialect: str) -> list[str]:
+    """Staged per-row KL contribution as lateral-alias SELECT items ending
+    in ``… AS contrib``: ca · (fp(ca) + fp(nb) − fp(cb) − fp(na)) with
+    fp(x) = CAST(floor(det_ln(x)·10⁴) AS BIGINT).  One generator for both
+    dialects — identical op order (numerics.det_ln_items), ~10× smaller
+    SQL than the inline det_ln expansion with bit-identical results."""
+    from briefly_spark.numerics import det_ln_items
+
+    legs = [("ca", "__l_ca"), ("nb", "__l_nb"), ("cb", "__l_cb"), ("na", "__l_na")]
+    items: list[str] = []
+    for expr, out in legs:
+        items.extend(det_ln_items(expr, out, dialect))
+    fp = lambda o: f"CAST(floor(({o}) * 10000.0) AS BIGINT)"  # noqa: E731
+    items.append(
+        f"(ca * ((({fp('__l_ca')}) + ({fp('__l_nb')})"
+        f" - ({fp('__l_cb')}) - ({fp('__l_na')})))) AS contrib"
+    )
+    return items
+
+
 def _q117_oracle() -> str:
-    from briefly_spark.numerics import det_ln_sql
-
-    def fp(arg: str) -> str:
-        return f"CAST(floor(({det_ln_sql(arg, 'duckdb')}) * 10000.0) AS BIGINT)"
-
     return f"""
 WITH st AS MATERIALIZED (
   SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM (
@@ -630,15 +657,20 @@ dense AS MATERIALIZED (
 tot AS MATERIALIZED (
   SELECT source, CAST(sum(c1) AS BIGINT) AS n1 FROM dense GROUP BY source
 )
-SELECT a.source AS src_a, b.source AS src_b,
+,
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.c1 AS ca, b.c1 AS cb, ta.n1 AS na, tb.n1 AS nb,
+         {', '.join(_kl_contrib_items('duckdb'))}
+  FROM dense a
+  JOIN dense b ON a.term = b.term AND a.source <> b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+)
+SELECT src_a, src_b,
        (SELECT n_terms FROM v) AS n_terms,
-       CAST(sum(a.c1 * (({fp("a.c1")}) + ({fp("tb.n1")})
-                        - ({fp("b.c1")}) - ({fp("ta.n1")}))) AS BIGINT)
-         AS kl_sum_fp
-FROM dense a
-JOIN dense b ON a.term = b.term AND a.source <> b.source
-JOIN tot ta ON ta.source = a.source
-JOIN tot tb ON tb.source = b.source
+       CAST(sum(contrib) AS BIGINT) AS kl_sum_fp
+FROM pairs
 GROUP BY src_a, src_b
 """
 
@@ -656,8 +688,6 @@ def q117_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smoothed dense frame is |vocab|·|sources| — bounded by dimensions,
     not the corpus — sources meet through a term equi-join on it, and
     totals broadcast back."""
-    from briefly_spark.numerics import det_ln_sql
-
     docs = spread(load_table(spark, sf_dir, "documents"))
     st = (
         docs.select("source", F.explode(tokens_of(F.col("text"))).alias("term"))
@@ -676,11 +706,6 @@ def q117_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = dense.persist()
     tot = dense.groupBy("source").agg(F.sum("c1").alias("n1"))
 
-    def fp(arg: str) -> F.Column:
-        return F.expr(
-            f"CAST(floor(({det_ln_sql(arg, 'spark')}) * 10000.0) AS BIGINT)"
-        )
-
     a = dense.select(F.col("source").alias("src_a"), "term", F.col("c1").alias("ca"))
     b = dense.select(F.col("source").alias("src_b"), "term", F.col("c1").alias("cb"))
     ta = tot.select(F.col("source").alias("src_a"), F.col("n1").alias("na"))
@@ -690,10 +715,7 @@ def q117_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_a") != F.col("src_b"))
         .join(F.broadcast(ta), "src_a")
         .join(F.broadcast(tb), "src_b")
-        .withColumn(
-            "contrib",
-            F.col("ca") * (fp("ca") + fp("nb") - fp("cb") - fp("na")),
-        )
+        .selectExpr("src_a", "src_b", *_kl_contrib_items("spark"))
         .groupBy("src_a", "src_b")
         .agg(F.sum("contrib").alias("kl_sum_fp"))
         .crossJoin(F.broadcast(v))

@@ -599,11 +599,20 @@ def q102_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q112 — next-event transition matrix (first-order Markov model).
 # --------------------------------------------------------------------------
-def _q112_oracle() -> str:
-    from briefly_spark.numerics import det_ln_sql
+def _q112_logp_items(dialect: str) -> list[str]:
+    """Staged smoothed-transition log-probability as lateral-alias SELECT
+    items ending in ``… AS logp_fp`` (numerics.det_ln_items — same op
+    order as the inline det_ln expansion, ~10× smaller SQL)."""
+    from briefly_spark.numerics import det_ln_items
 
-    num = det_ln_sql("c_pair + 1", "duckdb")
-    den = det_ln_sql("c_prev + n_types", "duckdb")
+    return [
+        *det_ln_items("c_pair + 1", "__l_num", dialect),
+        *det_ln_items("c_prev + n_types", "__l_den", dialect),
+        "CAST(floor(((__l_num) - (__l_den)) * 10000.0) AS BIGINT) AS logp_fp",
+    ]
+
+
+def _q112_oracle() -> str:
     return f"""
 WITH pairs AS (
   SELECT event_type,
@@ -620,10 +629,12 @@ tot AS (
   SELECT event_type, CAST(sum(c_pair) AS BIGINT) AS c_prev
   FROM trans GROUP BY event_type
 ),
-v AS (SELECT count(DISTINCT next_type) AS n_types FROM trans)
-SELECT event_type, next_type, c_pair,
-       CAST(floor((({num}) - ({den})) * 10000.0) AS BIGINT) AS logp_fp
-FROM trans JOIN tot USING (event_type) CROSS JOIN v
+v AS (SELECT count(DISTINCT next_type) AS n_types FROM trans),
+scored AS (
+  SELECT event_type, next_type, c_pair, {', '.join(_q112_logp_items('duckdb'))}
+  FROM trans JOIN tot USING (event_type) CROSS JOIN v
+)
+SELECT event_type, next_type, c_pair, logp_fp FROM scored
 """
 
 
@@ -641,7 +652,6 @@ def q112_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     back.  At 100 TB the only corpus-sized cost is the one window
     shuffle; everything after is dimension-sized."""
     from pyspark.sql import Window
-    from briefly_spark.numerics import det_ln_sql
 
     events = load_table(spark, sf_dir, "events")
     wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -654,17 +664,9 @@ def q112_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = trans.persist()
     tot = trans.groupBy("event_type").agg(F.sum("c_pair").alias("c_prev"))
     v = trans.agg(F.count_distinct("next_type").alias("n_types"))
-    num = det_ln_sql("c_pair + 1", "spark")
-    den = det_ln_sql("c_prev + n_types", "spark")
     return (
         trans.join(F.broadcast(tot), "event_type")
         .crossJoin(F.broadcast(v))
-        .select(
-            "event_type",
-            "next_type",
-            "c_pair",
-            F.floor((F.expr(num) - F.expr(den)) * 10000.0)
-            .cast("long")
-            .alias("logp_fp"),
-        )
+        .selectExpr("event_type", "next_type", "c_pair", *_q112_logp_items("spark"))
+        .select("event_type", "next_type", "c_pair", "logp_fp")
     )

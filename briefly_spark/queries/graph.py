@@ -67,8 +67,13 @@ def _iter_sql(prev: str, cur: str) -> str:
     return f"""
 {cur} AS (
   SELECT n.id,
-         (SELECT tele FROM params)
-           + (85 * COALESCE(SUM((p.pr * e.w) // e.wdeg), 0)) // 100 AS pr
+         -- CAST: COALESCE(SUM(BIGINT),0) widens to HUGEINT in DuckDB, which
+         -- fetches as Decimal/float64 and breaks the value-hash vs Spark's
+         -- long; BIGINT stages also keep // on the same integer type both
+         -- rounds and both engines.
+         CAST((SELECT tele FROM params)
+           + (85 * CAST(COALESCE(SUM((p.pr * e.w) // e.wdeg), 0) AS BIGINT)) // 100
+           AS BIGINT) AS pr
   FROM nodes n
   LEFT JOIN e ON e.dst = n.id
   LEFT JOIN {prev} p ON p.id = e.src

@@ -18,12 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
-from briefly_spark.numerics import det_ln_sql
+from briefly_spark.numerics import det_ln_items
 from briefly_spark.operators.search import (
-    bm25_score_fp_sql,
+    bm25_score_items,
     bm25_topk,
     term_postings,
-    tfidf_score_fp_sql,
+    tfidf_score_items,
     tfidf_topterms,
 )
 from briefly_spark.queries import register
@@ -56,7 +56,7 @@ stats AS (
 WITH {_TOKS_SQL},
 scored AS (
   SELECT p.doc_id, p.term, p.tf, d.df,
-         {tfidf_score_fp_sql('p.tf', 's.n_docs', 'd.df', 'duckdb')} AS score_fp
+         {', '.join(tfidf_score_items('p.tf', 's.n_docs', 'd.df', 'duckdb'))}
   FROM postings p JOIN dfreq d USING (term), stats s
 )
 SELECT doc_id, term, tf, df, rank, score_fp / 10000.0 AS tfidf
@@ -92,7 +92,7 @@ qterms AS (
 ),
 scored AS (
   SELECT q.qid, p.doc_id,
-         {bm25_score_fp_sql('p.tf', 'd.df', 'l.dl', 's.n_docs', 's.avgdl', 'duckdb')} AS score_fp
+         {', '.join(bm25_score_items('p.tf', 'd.df', 'l.dl', 's.n_docs', 's.avgdl', 'duckdb'))}
   FROM qterms q
   JOIN postings p USING (term)
   JOIN dfreq d USING (term)
@@ -133,11 +133,7 @@ def q47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q48 — bigram-LM perplexity scoring (CCNet-style quality signal).
 # --------------------------------------------------------------------------
-@register(
-    "q48_lm_perplexity",
-    covers=("A3", "A4"),
-    oracle=f"""
-WITH toks AS (
+_LM_CTES = f"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
   FROM documents
@@ -157,14 +153,27 @@ uni AS (
 scored AS (
   -- CAST to BIGINT: DuckDB floor() keeps DOUBLE, and // on DOUBLE is
   -- plain division — integer types are required for true int division.
-  -- The log is numerics.det_ln_sql (bit-reproducible), mirroring the
-  -- Spark plan's expression op-for-op.
+  -- The log is numerics.det_ln_items (bit-reproducible, staged),
+  -- mirroring the Spark plan's expression op-for-op.
   SELECT g.doc_id, g.n,
-         CAST(floor((({det_ln_sql('u.c1 + u.vocab', 'duckdb')} - {det_ln_sql('g.c12 + 1', 'duckdb')}) * 10000.0)) AS BIGINT) AS nll_fp
+         {', '.join(det_ln_items('u.c1 + u.vocab', '__ln_a', 'duckdb'))},
+         {', '.join(det_ln_items('g.c12 + 1', '__ln_b', 'duckdb'))},
+         CAST(floor(((__ln_a - __ln_b) * 10000.0)) AS BIGINT) AS nll_fp
   FROM c12 g JOIN uni u ON u.term = g.w1
-)
-SELECT doc_id, sum(n) AS n_bigrams,
-       (sum(n * nll_fp) // sum(n)) / 10000.0 AS avg_nll
+)"""
+
+
+@register(
+    "q48_lm_perplexity",
+    covers=("A3", "A4"),
+    oracle=f"""
+WITH {_LM_CTES}
+SELECT doc_id,
+       -- CAST: sum(BIGINT) widens to HUGEINT in DuckDB, which fetches as
+       -- Decimal/float64 through Arrow/pandas and breaks the value-hash
+       -- against Spark's long (the r04/r05 q48 red — NOT ln determinism).
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       (CAST(sum(n * nll_fp) AS BIGINT) // CAST(sum(n) AS BIGINT)) / 10000.0 AS avg_nll
 FROM scored GROUP BY doc_id
 """,
 )
@@ -176,6 +185,68 @@ def q48_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish and off-language docs sit far from the corpus model.  Two
     scans, one broadcast of the vocab-sized unigram table, integer-exact
     aggregation (operators/lm.py)."""
+    from briefly_spark.operators.lm import lm_doc_scores
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return lm_doc_scores(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q48a / q48c — driver-gate diagnostics for the r04/r05 q48 hash red
+# (VERDICT.md r05 next-round #1).  Local evidence: the 7 r05 hash-reds are
+# EXACTLY the 7 registry oracles whose output surface carries a DuckDB
+# HUGEINT column (sum(BIGINT) widens; HUGEINT fetches as Decimal via Arrow
+# and float64 via pandas, so any driver-side fetch that is not the native
+# fetchall() renders e.g. 123 as Decimal('123')/123.0 and the value-hash
+# diverges from Spark's long) — and NO green oracle carries one.  The two
+# variants make the r06 driver gate itself confirm or refute that:
+#
+#   q48  (fixed: CAST surface)        expected GREEN
+#   q48a (int-only surface, no `/`)   expected GREEN even if DOUBLE is also
+#                                      implicated (it carries none)
+#   q48c (control: r05 oracle,        expected RED — stays red iff the
+#         HUGEINT surface, verbatim)   HUGEINT mechanism is real
+#
+# {q48 G, q48a G, q48c R} ⇒ HUGEINT-surface mechanism proven;
+# {q48 R, q48a G}         ⇒ a DOUBLE-rendering hazard is ALSO live;
+# {q48c G}                ⇒ driver environment changed — reopen the hunt.
+# --------------------------------------------------------------------------
+@register(
+    "q48a_lm_nll_int_surface",
+    covers=("A3", "A4"),
+    oracle=f"""
+WITH {_LM_CTES}
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(n * nll_fp) AS BIGINT) AS nll_sum_fp
+FROM scored GROUP BY doc_id
+""",
+)
+def q48a_lm_nll_int_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48 with an all-BIGINT hashed surface: the undivided fixed-point nll
+    mass per document (avg_nll = (nll_sum_fp div n_bigrams)/10⁴).  Driver
+    diagnostic — see the block comment above; also the defensive-convention
+    form (engine-primitive integers only) for gated score surfaces."""
+    from briefly_spark.operators.lm import lm_doc_nll_sums
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return lm_doc_nll_sums(docs, "doc_id", "text")
+
+
+@register(
+    "q48c_lm_hugeint_control",
+    covers=("A3", "A4"),
+    oracle=f"""
+WITH {_LM_CTES}
+SELECT doc_id, sum(n) AS n_bigrams,
+       (sum(n * nll_fp) // sum(n)) / 10000.0 AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q48c_lm_hugeint_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control arm: byte-identical to the r05 q48 oracle (n_bigrams is a
+    raw DuckDB HUGEINT).  EXPECTED RED in CORRECTNESS_r06 — a red here plus
+    a green q48/q48a is the driver-side proof of the HUGEINT-surface
+    mechanism; do NOT "fix" this query."""
     from briefly_spark.operators.lm import lm_doc_scores
 
     docs = spread(load_table(spark, sf_dir, "documents"))

@@ -957,8 +957,12 @@ s AS (
 ),
 q AS (
   SELECT source, n_docs, s_fp,
-         greatest(CAST(1 AS BIGINT),
-                  ({_Q114_BUDGET} * s_fp) // (SELECT sum(s_fp) FROM s)) AS quota
+         -- outer CAST: sum(s_fp) widens to HUGEINT in DuckDB, infecting the
+         -- // result and greatest(); HUGEINT fetches as Decimal/float64 and
+         -- breaks the value-hash vs Spark's long.
+         CAST(greatest(CAST(1 AS BIGINT),
+                  ({_Q114_BUDGET} * s_fp) // (SELECT sum(s_fp) FROM s))
+              AS BIGINT) AS quota
   FROM s
 ),
 r AS (

@@ -525,7 +525,8 @@ dims{idx} AS (
 ),
 cent{idx + 1} AS (
   SELECT cell, list(cval ORDER BY dim) AS cv FROM (
-    SELECT cell, dim, SUM(val) // COUNT(*) AS cval
+    -- CAST: keeps // on BIGINT (sum(BIGINT) widens to HUGEINT in DuckDB)
+    SELECT cell, dim, CAST(SUM(val) AS BIGINT) // COUNT(*) AS cval
     FROM dims{idx} GROUP BY cell, dim
   ) GROUP BY cell
 )"""
@@ -554,7 +555,11 @@ def _kmeans_oracle() -> str:
     return (
         "WITH "
         + ",".join(parts)
-        + f"\nSELECT id AS vec_id, cell, sq_dist FROM assign{_KM_ITERS}"
+        # CAST: list_sum over BIGINT widens to HUGEINT in DuckDB, which
+        # fetches as Decimal/float64 and breaks the value-hash vs Spark's
+        # long — every hashed surface must be BIGINT.
+        + f"\nSELECT id AS vec_id, cell, CAST(sq_dist AS BIGINT) AS sq_dist"
+        f" FROM assign{_KM_ITERS}"
     )
 
 

@@ -71,6 +71,40 @@ def test_det_ln_three_engine_bit_agreement(spark):
         assert abs(py - math.log(n)) < 5e-9, f"accuracy at n={n}"
 
 
+def test_det_ln_items_matches_inline_both_engines(spark):
+    """The staged lateral-alias form (det_ln_items — what every production
+    score uses) must be bit-identical to the inline det_ln_sql reference in
+    BOTH engines: staging computes the same subexpressions once each, in
+    the same order, so no rounding can differ."""
+    import struct
+
+    import duckdb
+
+    from briefly_spark.numerics import det_ln_items, det_ln_py
+
+    ns = list(range(1, 300)) + [2**k + d for k in range(9, 53) for d in (-1, 0, 1)]
+    pack = lambda x: struct.pack("<d", x)  # noqa: E731
+
+    sdf = spark.createDataFrame([(n,) for n in ns], "n long")
+    got_spark = {
+        r["n"]: r["v"]
+        for r in sdf.selectExpr("n", *det_ln_items("n", "v", "spark")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in ns])
+    items = ", ".join(det_ln_items("n", "v", "duckdb"))
+    got_duck = dict(
+        (r[0], r[-1]) for r in con.execute(f"SELECT n, {items} FROM t").fetchall()
+    )
+
+    for n in ns:
+        py = det_ln_py(n)
+        assert pack(got_spark[n]) == pack(py), f"spark staged != py at n={n}"
+        assert pack(got_duck[n]) == pack(py), f"duckdb staged != py at n={n}"
+
+
 def test_det_ln_edge_values():
     import math
 
