@@ -114,9 +114,17 @@ def bpe_train(
     (merge_rank, lhs, rhs, pair_freq) — the trained tokenizer — and
     ``symbolized`` the word frame under all merges (word, freq, sym),
     from which the wordpiece vocabulary reads off as the distinct
-    symbols.  Driver state is ONE collected row per round."""
-    cur = symbolize(words).persist()
-    cur.count()  # materialize once; each round's lineage replays cheap map ops
+    symbols.  Driver state is ONE collected row per round.
+
+    The initial symbolized frame is persisted only for the training loop
+    and unpersisted HERE before returning (the caller never sees the
+    cached handle — the returned ``symbolized`` is derived lineage, so a
+    caller-side unpersist would silently leak the cache for the session);
+    consuming ``symbolized`` afterwards replays the cheap map-only
+    lineage."""
+    base = symbolize(words).persist()
+    base.count()  # materialize once; each round's lineage replays cheap map ops
+    cur = base
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         top = (
@@ -133,6 +141,7 @@ def bpe_train(
     out = spark.createDataFrame(
         merges, schema="merge_rank BIGINT, lhs STRING, rhs STRING, pair_freq BIGINT"
     )
+    base.unpersist()
     return out, cur
 
 

@@ -71,13 +71,15 @@ def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def unigram_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus unigram counts with the vocabulary size attached to every row:
-    (term, c1, vocab).  Vocab-sized — a broadcast candidate; the global
-    window runs over the aggregate (|vocab| rows), not the corpus."""
+    (term, c1, vocab).  Vocab-sized — a broadcast candidate.  The vocab
+    count is a 1-row aggregate over the term frame broadcast back onto it
+    (NOT an unpartitioned window, which would drag the whole vocab through
+    one task); ReuseExchange serves both consumers from the single term
+    shuffle."""
     toks = docs.select(F.explode(tokens_of(F.col(text_col))).alias("term"))
     c1 = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
-    return c1.withColumn(
-        "vocab", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    v = c1.agg(F.count(F.lit(1)).alias("vocab"))
+    return c1.crossJoin(F.broadcast(v))
 
 
 def _estimated_bytes(df: DataFrame) -> int:

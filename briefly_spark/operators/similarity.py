@@ -631,7 +631,14 @@ def mmr_rerank(cand: DataFrame, sims: DataFrame, *, k: int = 3) -> DataFrame:
     rounds run over the per-query shortlist (m·|queries| rows, m ~ 10):
     after the retrieval stage everything here is shortlist-sized, and the
     round count is the FIXED k — the plan composes lazily, no driver
-    loop."""
+    loop.
+
+    ``sims`` may be SPARSE (a thresholded pair table): a missing
+    (cid, sel_cid) row means "no measurable redundancy" and contributes
+    penalty 0 — the redundancy probe is a LEFT join with a coalesced max,
+    so a candidate fully dissimilar to everything selected (exactly the
+    one MMR should promote) stays in contention instead of dropping out
+    of the argmax."""
 
     def _argmax(df: DataFrame, score: str, rank: int) -> DataFrame:
         return (
@@ -669,9 +676,10 @@ def mmr_rerank(cand: DataFrame, sims: DataFrame, *, k: int = 3) -> DataFrame:
                     "sim_fp",
                 ),
                 ["query_id", "cid", "sel_cid"],
+                "left",
             )
             .groupBy("query_id", "cid", "rel_fp")
-            .agg(F.max("sim_fp").alias("pen_fp"))
+            .agg(F.coalesce(F.max("sim_fp"), F.lit(0)).alias("pen_fp"))
         )
         scored = pen.withColumn("score", F.col("rel_fp") - F.col("pen_fp"))
         picked = picked.unionByName(_argmax(scored, "score", r))

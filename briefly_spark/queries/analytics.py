@@ -237,22 +237,24 @@ def q19_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1.3e16 total cents; the left side multiplies per-PART cents (≪
     total) by n_parts·5, same order of magnitude.
 
-    The total is a global window OVER the per-part frame — ONE fact scan,
-    one partkey shuffle, then a single-partition pass over |parts| rows
-    (dimension-sized, the unigram_counts pattern).  If the part dimension
-    itself outgrows one partition, swap the window for an agg + broadcast
-    back; AQE reuses the partkey exchange for both consumers."""
+    The total is a 1-row aggregate OVER the per-part frame broadcast back
+    onto it — NOT an unpartitioned window, which would drag the whole
+    part dimension through one task (the part dimension grows with the
+    fact at TPC-H scale, unlike a vocab frame): Spark's ReuseExchange
+    serves both consumers from the single partkey shuffle, so the fact is
+    still scanned once."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy()
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        ).alias("part_cents")
+    )
+    tot = per_part.agg(
+        F.sum("part_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        li.groupBy("l_partkey")
-        .agg(
-            F.sum(
-                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-            ).alias("part_cents")
-        )
-        .withColumn("total_cents", F.sum("part_cents").over(w))
-        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        per_part.crossJoin(F.broadcast(tot))
         .filter(
             F.col("part_cents") * F.col("n_parts") * 5 > F.col("total_cents") * 7
         )

@@ -647,7 +647,6 @@ def q109_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from briefly_spark.operators.bpe import bpe_train, word_freqs
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    merges, symbolized = bpe_train(spark, word_freqs(docs), rounds=_BPE_ROUNDS)
-    symbolized.unpersist()
+    merges, _symbolized = bpe_train(spark, word_freqs(docs), rounds=_BPE_ROUNDS)
     return merges
 

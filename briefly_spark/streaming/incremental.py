@@ -214,10 +214,12 @@ def heavy_hitter_stream(
     bounded Misra–Gries pass and MERGEs its summary (plus a
     total-token sentinel row, term='') into a persisted candidates table.
 
-    Replay safety (foreachBatch is at-least-once): rows key on
-    (batch_id, term), so re-delivering a batch overwrites its own prior
-    contribution instead of double-counting — the merge is idempotent per
-    batch.  The MG merge bound survives batching: every token belongs to
+    Replay safety (foreachBatch is at-least-once): the merge keys on
+    ``batch_id`` ALONE, so re-delivering a batch replaces its ENTIRE
+    prior contribution — stale (batch_id, term) rows from a replay that
+    partitioned differently (and so surfaced different MG candidates)
+    are dropped, not merely overwritten per key.  The MG merge bound
+    survives batching: every token belongs to
     exactly one partition of one batch, so the accumulated undercount
     stays ≤ N/k over the whole stream and the candidate set remains a
     superset of every φ-heavy term, whatever the batch boundaries.  The
@@ -236,9 +238,12 @@ def heavy_hitter_stream(
             .groupBy("term")
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("batch_id", F.lit(batch_id))
-        )
-        if summary.take(1):
-            wh.merge_upsert(summary, candidates_table, ["batch_id", "term"])
+        ).persist()  # the emptiness probe and the merge share one MG pass
+        try:
+            if summary.take(1):
+                wh.merge_upsert(summary, candidates_table, ["batch_id"])
+        finally:
+            summary.unpersist()
 
     q = (
         source.writeStream.foreachBatch(sink)

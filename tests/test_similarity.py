@@ -199,6 +199,28 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert got[3] == (12, 3)    # 98 - max(95, 10)
 
 
+def test_mmr_rerank_sparse_sims_missing_pair_is_zero_penalty(spark):
+    """A thresholded/sparse sims table omits dissimilar pairs; a candidate
+    with NO sims row to any selected candidate must get penalty 0 (the most
+    diverse candidate is exactly the one a sparse table omits), not drop
+    out of contention via an inner join."""
+    from briefly_spark.operators.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 11, 100), (1, 12, 98), (1, 13, 60)],
+        "query_id LONG, cid LONG, rel_fp LONG",
+    )
+    # only the near-dup pair survives the threshold; 13 has no rows at all
+    sims = spark.createDataFrame(
+        [(1, 11, 12, 95), (1, 12, 11, 95)],
+        "query_id LONG, cid_a LONG, cid_b LONG, sim_fp LONG",
+    )
+    got = {r.sel_rank: (r.cid, r.mmr_fp) for r in mmr_rerank(cand, sims, k=3).collect()}
+    assert got[1] == (11, 100)
+    assert got[2] == (13, 60)  # penalty 0, beats 12's 98 - 95 = 3
+    assert got[3] == (12, 3)
+
+
 def test_mmr_rerank_tie_breaks_to_smallest_cid(spark):
     from briefly_spark.operators.similarity import mmr_rerank
 

@@ -367,8 +367,10 @@ def test_heavy_hitter_stream_matches_batch_query(spark, sf_dir, tmp_path):
     """Streaming MG accumulation over micro-batches + exact resolve must
     equal the one-shot batch heavy-hitters query on the same corpus —
     the MG merge bound is batch-boundary-independent.  A checkpointed
-    re-run is a no-op (no new files), and replaying a batch's merge is
-    idempotent (keyed on batch_id, term)."""
+    re-run is a no-op (no new files), and replaying a batch REPLACES its
+    entire prior contribution (merge keyed on batch_id alone), so a
+    replay that partitioned differently leaves no stale candidate
+    rows."""
     from briefly_spark.queries import load_registry
     from briefly_spark.storage import Warehouse
     from briefly_spark.streaming.incremental import (
@@ -416,3 +418,15 @@ def test_heavy_hitter_stream_matches_batch_query(spark, sf_dir, tmp_path):
     # checkpointed re-run: no new batches, registry unchanged
     run()
     assert wh.read("hh_cand").count() == reg_rows
+
+    # at-least-once replay with a DIFFERENT candidate set: merging a batch
+    # id that already has rows must drop every stale row of that batch,
+    # not just overwrite overlapping (batch_id, term) keys
+    some_batch = wh.read("hh_cand").agg(F.min("batch_id")).collect()[0][0]
+    replay = spark.createDataFrame(
+        [("zzz_only_term", 7, some_batch), ("", 7, some_batch)],
+        "term STRING, cnt LONG, batch_id LONG",
+    )
+    wh.merge_upsert(replay, "hh_cand", ["batch_id"])
+    after = wh.read("hh_cand").filter(F.col("batch_id") == some_batch)
+    assert sorted(r.term for r in after.collect()) == ["", "zzz_only_term"]

@@ -72,7 +72,13 @@ def build_skewed_dir(spark, sf_dir: str, out_dir: str, shape: str = "lsh") -> No
     """Skewed copy of an sf dir: all tables linked through, documents (and
     for ``lsh`` also embeddings) rewritten with the requested skew shape."""
     os.makedirs(out_dir, exist_ok=True)
-    rewrite = ("documents", "embeddings") if shape == "lsh" else ("documents",)
+    rewrite = (
+        ("documents", "embeddings")
+        if shape == "lsh"
+        else ("embeddings",)
+        if shape == "vecdup"
+        else ("documents",)
+    )
     for t in TABLES:
         src = table_path(sf_dir, t)
         dst = table_path(out_dir, t)
@@ -94,6 +100,19 @@ def build_skewed_dir(spark, sf_dir: str, out_dir: str, shape: str = "lsh") -> No
         skewed_docs = docs.withColumn(
             "text", F.concat_ws(" ", F.lit(HEADER), F.col("text"))
         )
+    elif shape == "vecdup":
+        # 20% of embeddings replaced by ONE constant vector: they all
+        # quantize to identical PQ codes and coarse-assign to one cell —
+        # the hot-cell / hot-candidate-bucket hazard for the ANN ladder
+        emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+        emb.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 5 == 0,
+                F.transform(F.col("embedding"), lambda x: x * F.lit(0.0) + F.lit(0.25)),
+            ).otherwise(F.col("embedding")),
+        ).write.mode("overwrite").parquet(table_path(out_dir, "embeddings"))
+        return
     else:
         raise ValueError(f"unknown skew shape {shape!r}")
     skewed_docs.write.mode("overwrite").parquet(table_path(out_dir, "documents"))
@@ -174,6 +193,13 @@ def main() -> None:
         # ONE giant near-dup component; the per-round (dst, label) tally
         # partial-aggregates map-side, so the hot vertex never serializes
         "q115_label_propagation": registry["q115_label_propagation"].fn,
+        # q119 tie-mass hazard: the identical-boilerplate slice gives 5%
+        # of documents IDENTICAL curation-signal values, so each signal's
+        # value histogram gets one hot bucket and the Borda rank map
+        # hands out one giant tie class — the sort-free prefix-sum design
+        # must absorb it (the histogram is value-keyed and partial-aggs
+        # map-side; ranks attach by broadcast, never a per-doc window)
+        "q119_rank_fusion": registry["q119_rank_fusion"].fn,
     }
     # q109 hot-word hazard rides the FOOTER corpus (below): a sentence in
     # every document makes its words corpus-hot, but BPE counts pairs on
@@ -230,6 +256,26 @@ def main() -> None:
             lm_out["skewed_join_s"] / lm_out["uniform_join_s"], 2
         )
         out["q48_lm_doc_scores"] = lm_out
+
+        # q118 hot-cell shape: 20% of embeddings are one constant vector,
+        # so they share PQ codes and a coarse cell — candidate generation
+        # must stay bucket-bounded (per-query shortlist cap) instead of
+        # fanning out quadratically in the hot cell
+        vecdup_dir = tempfile.mkdtemp(prefix="skewed_vecdup_sf_")
+        try:
+            build_skewed_dir(spark, sf_dir, vecdup_dir, shape="vecdup")
+            fn = registry["q118_pq_ann"].fn
+            fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+            q118_out = {
+                "uniform_s": run(fn, spark, sf_dir),
+                "skewed_s": run(fn, spark, vecdup_dir),
+            }
+            q118_out["ratio"] = round(
+                q118_out["skewed_s"] / q118_out["uniform_s"], 2
+            )
+            out["q118_pq_ann"] = q118_out
+        finally:
+            shutil.rmtree(vecdup_dir, ignore_errors=True)
 
         # q104 hot-frame shape: a universal 64-byte header makes the
         # first two fixed-stride frames corpus-hot; the df cap drops

@@ -22,6 +22,11 @@ from briefly_spark.catalog import TABLES, table_path
 from briefly_spark.queries import load_registry
 from briefly_spark.session import get_spark
 
+#: queries whose oracle KEEPS a non-primitive (HUGEINT) output type on
+#: purpose — q48c is the r06 driver-diagnostic control arm that must
+#: reproduce the r05 red mechanism verbatim (see queries/search.py).
+TYPE_AUDIT_EXEMPT = {"q48c_lm_hugeint_control"}
+
 
 def norm_cell(v) -> str:
     if v is None:
@@ -85,6 +90,23 @@ def main() -> int:
                 print(f"FAIL  {name}: zero rows")
             continue
         try:
+            # Output-surface type audit: DuckDB widens sum(BIGINT) to
+            # HUGEINT, which round-trips as int through the native fetch
+            # below but as Decimal/float64 through Arrow/pandas — the r05
+            # driver-red mechanism.  A hashed surface must stick to
+            # engine-primitive types or the gate result depends on the
+            # fetch path, so flag it HERE even though the local hash
+            # would pass.
+            desc = con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+            widened = [
+                (r[0], r[1])
+                for r in desc
+                if any(b in r[1] for b in ("HUGEINT", "DECIMAL", "UBIGINT"))
+            ]
+            if widened and name not in TYPE_AUDIT_EXEMPT:
+                failures.append(name)
+                print(f"FAIL  {name}: non-primitive oracle output type {widened}")
+                continue
             res = con.execute(spec.oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()

@@ -9,6 +9,10 @@ not per-query by hand:
   ``mapInPandas``/``FlatMapGroupsInPandas``... nodes).
 - ``Sort`` with ``global=true`` feeding anything but a bounded
   ``TakeOrderedAndProject``/limit: a whole-dataset global sort.
+- ``Window`` with an EMPTY partition spec: the whole input collapses to a
+  single task (windows cannot be skew-split), so this is only acceptable
+  on provably dimension-bounded frames (a vocab aggregate, a per-day
+  frame) — each instance must be allow-listed with the frame-size reason.
 
 Known, documented exceptions are allow-listed per query with the reason —
 an exception without a live plan hit fails too (stale allowlist).
@@ -34,7 +38,57 @@ ALLOW: dict[str, dict[str, str]] = {
     # (tens of rows), not the corpus — a global sort there is the point.
     "q06_distinct_segments": {"global Sort": "dimension-sized post-agg output order"},
     "q23_doc_source_dims": {"global Sort": "dimension-sized post-agg output order"},
+    # Unpartitioned windows on provably dimension-bounded frames (VERDICT
+    # r05 #3): each runs over an aggregate whose row count is bounded by a
+    # dimension, not the corpus — corpus-sized inputs never reach them.
+    "q101_winsorize_lengths": {
+        "unpartitioned Window": "value-histogram frame (distinct doc lengths), "
+        "prefix-sum for the winsorize percentile cut"
+    },
+    "q102_peak_concurrency": {
+        "unpartitioned Window": "per-day net-change frame (|days| rows), "
+        "running concurrency prefix-sum"
+    },
+    "q119_rank_fusion": {
+        "unpartitioned Window": "per-signal value-histogram frames, "
+        "sort-free Borda rank via prefix-sum"
+    },
+    "q88_vocab_encode": {
+        "unpartitioned Window": "vid ranking runs on the ALREADY-LIMITED "
+        "top-V frame (V rows by construction)"
+    },
 }
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan line (nested brackets folded)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def _is_unpartitioned_window(line: str) -> bool:
+    """True when a ``Window`` plan line has an empty partition spec.
+
+    The toString shapes are ``Window [exprs], [part], [order]``,
+    ``Window [exprs], [part]``, ``Window [exprs], [order]`` (unpartitioned
+    but ordered) and ``Window [exprs]`` (neither) — a 2-group line is
+    unpartitioned iff its second group is an ORDER spec (every order entry
+    carries an ASC/DESC direction; partition entries never do)."""
+    groups = _bracket_groups(line.split("Window", 1)[1])
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 2:
+        return " ASC" in groups[1] or " DESC" in groups[1]
+    return True
 
 
 def lint_plan(plan: str) -> list[str]:
@@ -48,6 +102,8 @@ def lint_plan(plan: str) -> list[str]:
     for line in plan.splitlines():
         if re.search(r"\bSort (\[.*\]), true,", line):
             problems.append(f"global Sort: {line.strip()[:100]}")
+        if re.search(r"\bWindow \[", line) and _is_unpartitioned_window(line):
+            problems.append(f"unpartitioned Window: {line.strip()[:100]}")
     return problems
 
 
