@@ -20,7 +20,7 @@ order-independent and engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
