@@ -29,6 +29,13 @@ def _prepare(spark: SparkSession) -> None:
     # configs our readers rely on are set (all runtime-settable).  Note: no
     # nanosAsLong conf — inert on Spark 4.x; catalog.normalize_event_ts
     # handles the TIMESTAMP_NTZ arrival type instead.
+    #
+    # Cache hygiene: several query plans persist() bounded intermediates
+    # for in-query reuse; when one session runs the whole registry
+    # back-to-back (the driver's gate and bench do), those caches pile up
+    # and the tail of the run pays their memory/GC pressure.  Starting
+    # every query from a clean cache keeps runs independent.
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # single-file tables must not scan as a single partition (serializes

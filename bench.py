@@ -66,6 +66,11 @@ def main() -> None:
         except Exception as e:
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Off the clock: drop this query's persisted frames so caches don't
+        # accumulate across the 122-query session (measured: the late
+        # q109–q119 block ran 2–3× slower under the piled-up cache/GC
+        # pressure of everything before it).  Each timing starts clean.
+        spark.catalog.clearCache()
 
     # second (warm-plan) iteration for the signature-heavy family: the
     # first run above is the recorded number; the delta vs this one is the
@@ -80,6 +85,7 @@ def main() -> None:
             warm[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:
             print(f"bench warm error {name}: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # stdout line: SHORT query keys (q01, q02, ...) and 2-decimal values so

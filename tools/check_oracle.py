@@ -78,6 +78,9 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            # per-query persisted frames must not pile up across the sweep
+            spark.catalog.clearCache()
         sf_pinned_elsewhere = (
             spec.oracle_sf is not None
             and spec.oracle_sf != sf_dir.rstrip("/").rsplit("/", 1)[-1]
