@@ -41,6 +41,43 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert s_fp == d_fp, f"{name}: spark={s_fp} duckdb={d_fp}"
 
 
+def test_oracle_output_types_engine_primitive(duck):
+    """Every gated oracle's OUTPUT surface must stick to engine-primitive
+    types: DuckDB widens sum(BIGINT)/list_sum to HUGEINT, which fetches as
+    Decimal (Arrow) / float64 (pandas) while the native fetchall() gives
+    int — the r04/r05 driver-red mechanism (local mirror green, driver
+    red).  Schema-only bind per oracle; q48c is the deliberate diagnostic
+    control that keeps the hazard."""
+    from tools.check_oracle import TYPE_AUDIT_EXEMPT
+
+    bad = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or name in TYPE_AUDIT_EXEMPT:
+            continue
+        desc = duck.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+        widened = [
+            (r[0], r[1])
+            for r in desc
+            if any(b in r[1] for b in ("HUGEINT", "DECIMAL", "UBIGINT"))
+        ]
+        if widened:
+            bad[name] = widened
+    assert not bad, f"non-primitive oracle output types: {bad}"
+
+
+def test_window_head_names_resolve_and_lead():
+    """WINDOW_HEAD (the driver-gate rotation) must name real queries and
+    actually lead the registry iteration order — the driver records the
+    first 50 entries in insertion order."""
+    from briefly_spark.queries import WINDOW_HEAD
+
+    names = list(REGISTRY)
+    assert len(WINDOW_HEAD) == len(set(WINDOW_HEAD)), "duplicate head entry"
+    assert set(WINDOW_HEAD) <= set(names), "head names a missing query"
+    assert names[: len(WINDOW_HEAD)] == list(WINDOW_HEAD)
+    assert len(WINDOW_HEAD) <= 50, "head exceeds the driver's 50-row window"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
