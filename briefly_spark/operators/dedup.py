@@ -134,6 +134,67 @@ def ngram_jaccard_pairs(
     return inter.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_fp: int = 8000,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs — |A∩B|/|A| and |A∩B|/|B| —
+    the subset-duplicate detector symmetric Jaccard misses: a short
+    article wholly quoted inside a long roundup has containment ≈ 1 but
+    Jaccard ≈ |A|/|B| ≈ 0 (Broder's resemblance-vs-containment
+    distinction; the Lee et al. 2022 sub-document dedup motivation at
+    document granularity).
+
+    Same inverted-index discipline as :func:`ngram_jaccard_pairs` — only
+    pairs sharing ≥1 shingle are generated, |A∩B| is a count aggregation
+    on the (shingle, *block_cols) equi-join — but WITHOUT the size-ratio
+    prune: that prune is Jaccard-specific and would drop exactly the
+    asymmetric pairs this operator exists to find.  Containment is an
+    integer fixed-point ``(inter · 10⁴) div |A|`` (no doubles anywhere),
+    so the scores are engine-exact by construction.
+
+    Returns ``(id_a, id_b, inter, sa, sb, cont_a_fp, cont_b_fp)`` with
+    ``greatest(cont_a_fp, cont_b_fp) >= threshold_fp``.
+    """
+    sh = with_shingles(df, text_col, n)
+    post = sh.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    a, b = post.alias("a"), post.alias("b")
+    cond = F.col("a.s") == F.col("b.s")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.col("a.id") < F.col("b.id"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.sz").cast("long").alias("sa"),
+            F.max("b.sz").cast("long").alias("sb"),
+        )
+    )
+    scored = inter.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "sa",
+        "sb",
+        F.expr("(inter * 10000) div sa").alias("cont_a_fp"),
+        F.expr("(inter * 10000) div sb").alias("cont_b_fp"),
+    )
+    return scored.filter(
+        F.greatest(F.col("cont_a_fp"), F.col("cont_b_fp")) >= threshold_fp
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

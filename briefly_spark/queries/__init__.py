@@ -102,8 +102,11 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q46_tfidf_topterms",
     "q47_bm25_search",
     "q87_curation_funnel",
-    # (d) new this round: first driver row for the streaming/jobs surface
+    # (d) new this round: first driver row for the streaming/jobs surface,
+    #     plus the round's two new curation signals
     "q120_hh_stream_resolve",
+    "q121_token_surprisal",
+    "q122_shingle_containment",
 )
 
 

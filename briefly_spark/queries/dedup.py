@@ -207,6 +207,60 @@ def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q122 — asymmetric shingle containment (subset-duplicate detection).
+# --------------------------------------------------------------------------
+@register(
+    "q122_shingle_containment",
+    covers=("J4", "P5"),
+    oracle=f"""
+WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         CAST(len(a.shingles) AS BIGINT) AS sa,
+         CAST(len(b.shingles) AS BIGINT) AS sb
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
+  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+),
+scored AS (
+  SELECT id_a, id_b, inter, sa, sb,
+         (inter * 10000) // sa AS cont_a_fp,
+         (inter * 10000) // sb AS cont_b_fp
+  FROM pairs
+)
+SELECT id_a, id_b, inter, sa, sb, cont_a_fp, cont_b_fp
+FROM scored WHERE greatest(cont_a_fp, cont_b_fp) >= 8000
+""",
+)
+def q122_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — |A∩B|/|A| vs |A∩B|/|B| per shingle-
+    sharing pair, keeping pairs where EITHER direction ≥ 0.8: the
+    subset-duplicate detector symmetric Jaccard (q33) structurally misses
+    (the planted corpus proves it — the truncated mutant of a long doc has
+    containment 1.0 in the original but Jaccard well below the q33 cut for
+    short docs).  A curation pipeline runs both: Jaccard for mutual
+    near-dups, containment for quote-expansions, wrapper pages and
+    wholesale inclusions.
+
+    Plan: the q33 inverted-index discipline (postings equi-join on
+    (shingle, source, lang), count-agg intersection — O(postings), never
+    O(block²)) WITHOUT the Jaccard size-ratio prune, which would drop
+    exactly the asymmetric pairs this query exists to find; scores are
+    integer fixed-point divisions, engine-exact with no doubles.  The
+    oracle states the quadratic blocked semantics; its empty-shingle guard
+    is vacuous on the Spark side (pairs only arise from a shared
+    shingle)."""
+    from briefly_spark.operators.dedup import shingle_containment_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    return shingle_containment_pairs(
+        corpus, "id", "text", n=3, threshold_fp=8000,
+        block_cols=("source", "lang"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q34 — embedding cosine near-dup (label-blocked).
 # --------------------------------------------------------------------------
 @register(

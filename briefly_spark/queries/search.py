@@ -232,6 +232,72 @@ def q48a_lm_nll_int_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_doc_nll_sums(docs, "doc_id", "text")
 
 
+# --------------------------------------------------------------------------
+# q121 — per-document token surprisal under the corpus unigram LM.
+# --------------------------------------------------------------------------
+@register(
+    "q121_token_surprisal",
+    covers=("A3", "A4"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+dt AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY doc_id, term),
+cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS c FROM dt GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cw),
+scored AS (
+  SELECT dt.doc_id, dt.n,
+         {', '.join(det_ln_items('n_total', '__ln_t', 'duckdb'))},
+         {', '.join(det_ln_items('c', '__ln_c', 'duckdb'))},
+         CAST(floor(((__ln_t - __ln_c) * 10000.0)) AS BIGINT) AS s_fp
+  FROM dt JOIN cw USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+       CAST(sum(n * s_fp) AS BIGINT) AS surp_sum_fp
+FROM scored GROUP BY doc_id
+""",
+)
+def q121_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-surprisal quality signal under the corpus UNIGRAM model — the
+    rare-token-density complement to q48's bigram perplexity (CCNet keeps
+    both: bigram NLL catches broken word ORDER, unigram surprisal catches
+    vocabulary outliers — gibberish, code, off-language fragments — even
+    when locally fluent).  s(w) = ln N − ln c_w, fixed-pointed per term
+    BEFORE the per-doc weighted sum; the surface is the undivided
+    integers (n_toks, surp_sum_fp — mean = (surp_sum_fp div n_toks)/10⁴),
+    following the engine-primitive convention.
+
+    Plan: ONE (doc, term) postings shuffle; corpus term counts
+    partial-agg off that frame (vocab-sized) and broadcast back with the
+    1-row total; the scoring join + per-doc agg never rescan the corpus.
+    Every log is the staged bit-reproducible det_ln."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from briefly_spark.operators.search import term_postings
+
+    dt = term_postings(docs, "doc_id", "text").withColumnRenamed("tf", "n")
+    cw = dt.groupBy("term").agg(F.sum("n").cast("long").alias("c"))
+    tot = cw.agg(F.sum("c").cast("long").alias("n_total"))
+    from briefly_spark.numerics import det_ln_items
+
+    scored = (
+        dt.join(F.broadcast(cw), "term")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "doc_id",
+            "n",
+            *det_ln_items("n_total", "__ln_t", "spark"),
+            *det_ln_items("c", "__ln_c", "spark"),
+            "CAST(floor(((__ln_t - __ln_c) * 10000.0)) AS BIGINT) AS s_fp",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_toks"),
+        F.sum(F.col("n") * F.col("s_fp")).cast("long").alias("surp_sum_fp"),
+    )
+
+
 @register(
     "q48c_lm_hugeint_control",
     covers=("A3", "A4"),
