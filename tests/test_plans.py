@@ -197,6 +197,28 @@ def test_q19_single_scan_share_of_total(spark, sf_dir):
     assert "unpartitioned" not in plan and "Window" not in plan, plan
 
 
+def test_q121_postings_exchange_reused_and_dims_broadcast(spark, sf_dir):
+    # the (doc, term) postings shuffle feeds three consumers (term counts,
+    # the total, the scoring join) — AQE must serve them from ONE exchange,
+    # and the vocab-sized count frame + 1-row total must broadcast
+    from briefly_spark.queries import load_registry
+
+    df = load_registry()["q121_token_surprisal"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q122_containment_is_postings_equi_join(spark, sf_dir):
+    # containment pairs must come from the shingle-postings equi-join —
+    # never a blocked cartesian or nested-loop pair enumeration
+    plan = plan_of(spark, sf_dir, "q122_shingle_containment")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_q28_mg_summary_cached_and_candidates_broadcast(spark, sf_dir):
     # the Misra–Gries summary frame is persisted (two consumers, one MG
     # pass) and the candidate set enters the exact pass as a broadcast
