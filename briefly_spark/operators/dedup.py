@@ -106,6 +106,34 @@ def ngram_jaccard_pairs(
     Returns ``(id_a, id_b, jac)`` with ``jac >= threshold`` (untruncated;
     callers round for hash-stable output).
     """
+    # size-ratio prune: jac ≤ min(sa,sb)/max(sa,sb), so pairs whose size
+    # ratio is below the threshold can never qualify — drop them before the
+    # count aggregation (exact, not approximate).
+    ratio_prune = F.least(F.col("a.sz"), F.col("b.sz")) >= F.greatest(
+        F.col("a.sz"), F.col("b.sz")
+    ) * F.lit(threshold)
+    inter = _blocked_pair_counts(
+        df, id_col, text_col, n, block_cols, extra_cond=ratio_prune
+    )
+    jac = F.col("inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    return inter.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
+
+
+def _blocked_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    block_cols: tuple[str, ...],
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Shared inverted-index pair scaffolding for the shingle-overlap
+    family: explode distinct shingles into postings, equi-join on
+    ``(shingle, *block_cols)`` with ``id_a < id_b`` (plus the caller's
+    optional per-pair prune on ``a.sz``/``b.sz``), and count-aggregate the
+    intersection.  Returns ``(id_a, id_b, inter, sa, sb)`` — the one spot
+    tokenization/blocking changes must be made for BOTH Jaccard and
+    containment scoring."""
     sh = with_shingles(df, text_col, n)
     post = sh.select(
         F.col(id_col).alias("id"),
@@ -118,20 +146,17 @@ def ngram_jaccard_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cond = cond & (F.col("a.id") < F.col("b.id"))
-    # size-ratio prune: jac ≤ min(sa,sb)/max(sa,sb), so pairs whose size
-    # ratio is below the threshold can never qualify — drop them before the
-    # count aggregation (exact, not approximate).
-    cond = cond & (
-        F.least(F.col("a.sz"), F.col("b.sz"))
-        >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
-    )
-    inter = (
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return (
         a.join(b, cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"), F.max("a.sz").alias("sa"), F.max("b.sz").alias("sb"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.sz").alias("sa"),
+            F.max("b.sz").alias("sb"),
+        )
     )
-    jac = F.col("inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("inter"))
-    return inter.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
 
 
 def shingle_containment_pairs(
@@ -160,33 +185,13 @@ def shingle_containment_pairs(
     Returns ``(id_a, id_b, inter, sa, sb, cont_a_fp, cont_b_fp)`` with
     ``greatest(cont_a_fp, cont_b_fp) >= threshold_fp``.
     """
-    sh = with_shingles(df, text_col, n)
-    post = sh.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        F.size("shingles").alias("sz"),
-        F.explode("shingles").alias("s"),
-    )
-    a, b = post.alias("a"), post.alias("b")
-    cond = F.col("a.s") == F.col("b.s")
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cond = cond & (F.col("a.id") < F.col("b.id"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.max("a.sz").cast("long").alias("sa"),
-            F.max("b.sz").cast("long").alias("sb"),
-        )
-    )
+    inter = _blocked_pair_counts(df, id_col, text_col, n, block_cols)
     scored = inter.select(
         "id_a",
         "id_b",
         "inter",
-        "sa",
-        "sb",
+        F.col("sa").cast("long").alias("sa"),
+        F.col("sb").cast("long").alias("sb"),
         F.expr("(inter * 10000) div sa").alias("cont_a_fp"),
         F.expr("(inter * 10000) div sb").alias("cont_b_fp"),
     )

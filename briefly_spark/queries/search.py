@@ -235,6 +235,18 @@ def q48a_lm_nll_int_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q121 — per-document token surprisal under the corpus unigram LM.
 # --------------------------------------------------------------------------
+def _surprisal_items(dialect: str) -> list[str]:
+    """Staged per-term surprisal as lateral-alias SELECT items ending in
+    ``… AS s_fp``: floor((det_ln(N) − det_ln(c_w))·10⁴) as BIGINT.  One
+    generator for BOTH dialects so the rounding-sequence spelling cannot
+    drift between the Spark plan and the DuckDB oracle."""
+    return [
+        *det_ln_items("n_total", "__ln_t", dialect),
+        *det_ln_items("c", "__ln_c", dialect),
+        "CAST(floor(((__ln_t - __ln_c) * 10000.0)) AS BIGINT) AS s_fp",
+    ]
+
+
 @register(
     "q121_token_surprisal",
     covers=("A3", "A4"),
@@ -248,10 +260,7 @@ dt AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY doc_id, term),
 cw AS (SELECT term, CAST(sum(n) AS BIGINT) AS c FROM dt GROUP BY term),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cw),
 scored AS (
-  SELECT dt.doc_id, dt.n,
-         {', '.join(det_ln_items('n_total', '__ln_t', 'duckdb'))},
-         {', '.join(det_ln_items('c', '__ln_c', 'duckdb'))},
-         CAST(floor(((__ln_t - __ln_c) * 10000.0)) AS BIGINT) AS s_fp
+  SELECT dt.doc_id, dt.n, {', '.join(_surprisal_items('duckdb'))}
   FROM dt JOIN cw USING (term) CROSS JOIN tot
 )
 SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
@@ -279,18 +288,10 @@ def q121_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = term_postings(docs, "doc_id", "text").withColumnRenamed("tf", "n")
     cw = dt.groupBy("term").agg(F.sum("n").cast("long").alias("c"))
     tot = cw.agg(F.sum("c").cast("long").alias("n_total"))
-    from briefly_spark.numerics import det_ln_items
-
     scored = (
         dt.join(F.broadcast(cw), "term")
         .crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "doc_id",
-            "n",
-            *det_ln_items("n_total", "__ln_t", "spark"),
-            *det_ln_items("c", "__ln_c", "spark"),
-            "CAST(floor(((__ln_t - __ln_c) * 10000.0)) AS BIGINT) AS s_fp",
-        )
+        .selectExpr("doc_id", "n", *_surprisal_items("spark"))
     )
     return scored.groupBy("doc_id").agg(
         F.sum("n").cast("long").alias("n_toks"),

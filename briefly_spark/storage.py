@@ -217,6 +217,18 @@ class Warehouse:
         is a no-op.  Plan: target ⟕(left_anti) updates ∪ updates — one join,
         with the batch side broadcast when small.
 
+        GROUP-REPLACE CONTRACT (load-bearing, test-pinned): the key need
+        not be unique on either side — EVERY target row whose key appears
+        in the update batch is dropped and EVERY update row is inserted.
+        ``streaming/incremental.py:heavy_hitter_stream`` keys its merges
+        on ``batch_id`` alone precisely so a replayed micro-batch replaces
+        its ENTIRE prior contribution (stale candidate rows from a
+        differently-partitioned replay must vanish, not merely be
+        overwritten per key).  Any reimplementation — e.g. a transactional
+        format's ``MERGE INTO``, whose WHEN MATCHED clause is
+        one-row-per-key — must preserve this multi-row group-replace
+        semantics (spell it DELETE WHERE key IN batch + INSERT).
+
         With ``partition_by``, the merge is PARTITION-SCOPED: only the
         partitions present in the update batch are read, rewritten, and
         swapped — the untouched rest of a 100 TB table is never touched

