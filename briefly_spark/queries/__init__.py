@@ -64,6 +64,12 @@ def register(
 #:     composes the staged DSIR plan).
 #: The tail (50 − len) falls through in prior insertion order, which keeps
 #: r04/r05-green evidence fresh for the oldest of the remaining queries.
+#:
+#: r06 expectation: 49/50 green — q48c_lm_hugeint_control is the
+#: EXPECTED-RED control arm of the HUGEINT-surface diagnostic (see
+#: queries/search.py); a red there plus green q48/q48a CONFIRMS the
+#: mechanism.  r07 rotation: lead with any r06 reds, then r07-changed
+#: queries, then the oldest r04-green packs.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) fixed reds + diagnostics
     "q48_lm_perplexity",

@@ -197,6 +197,23 @@ def test_q19_single_scan_share_of_total(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_det_ln_stays_staged_in_optimized_plans(spark, sf_dir):
+    # the staged det_ln (numerics.det_ln_items) must SURVIVE optimization:
+    # each ln leg computes its bit-length stage once, so `bin(` appears
+    # once per leg in the optimized plan.  The inline expansion this
+    # replaced carried ~10-30 copies per score and cost q47 3.5× wall —
+    # if CollapseProject ever re-inlines the stages (alias-reuse heuristics
+    # changing under a Spark upgrade, or a refactor dropping the staging),
+    # this trips before the bench does.
+    from briefly_spark.queries import load_registry
+
+    reg = load_registry()
+    for q, legs in (("q47_bm25_search", 2), ("q48_lm_perplexity", 2)):
+        opt = reg[q].fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("bin(") <= 2 * legs, f"{q}: det_ln re-inlined ({opt.count('bin(')} copies)"
+        assert len(opt) < 50_000, f"{q}: optimized plan bloated to {len(opt)} chars"
+
+
 def test_q121_postings_exchange_reused_and_dims_broadcast(spark, sf_dir):
     # the (doc, term) postings shuffle feeds three consumers (term counts,
     # the total, the scoring join) — AQE must serve them from ONE exchange,
