@@ -200,6 +200,13 @@ def main() -> None:
         # must absorb it (the histogram is value-keyed and partial-aggs
         # map-side; ranks attach by broadcast, never a per-doc window)
         "q119_rank_fusion": registry["q119_rank_fusion"].fn,
+        # q122 output-explosion hazard (the q31 class, amplified): the
+        # boilerplate slice is a containment-1.0 CLIQUE and q122 ships
+        # WITHOUT the Jaccard size-ratio prune by design — the measured
+        # ratio is the price of the correct answer (quadratic OUTPUT in
+        # clique size), not an engine pathology; any correct engine must
+        # emit those pairs
+        "q122_shingle_containment": registry["q122_shingle_containment"].fn,
     }
     # q109 hot-word hazard rides the FOOTER corpus (below): a sentence in
     # every document makes its words corpus-hot, but BPE counts pairs on
