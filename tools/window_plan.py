@@ -1,0 +1,92 @@
+"""Driver-window rotation planner — proposes the next round's WINDOW_HEAD.
+
+The driver's correctness gate records only the FIRST 50 registry entries
+(insertion order), so each round `briefly_spark/queries/__init__.py:
+WINDOW_HEAD` must rotate to put the right queries in front.  This tool
+encodes the standing policy (memory + VERDICT r05 #3):
+
+  1. every query RED in the latest CORRECTNESS_r{N}.json (these must be
+     re-gated after their fix) — minus known expected-red diagnostics;
+  2. every query with NO driver row in any CORRECTNESS file (new since
+     the last rotation, or never-window-resident);
+  3. every query whose newest green driver row is oldest (stalest
+     evidence first), as the fill.
+
+Usage: python tools/window_plan.py [--head N]
+Prints the proposed head list plus a freshness table; the builder pastes
+the head into WINDOW_HEAD (and keeps any round-specific diagnostics on
+top by hand).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from briefly_spark.queries import load_registry
+
+#: diagnostics whose driver outcome is expected and must NOT trigger
+#: re-gating pressure (see queries/search.py q48c block comment)
+EXPECTED_RED = {"q48c_lm_hugeint_control"}
+
+
+def main() -> int:
+    head_n = 50
+    if "--head" in sys.argv:
+        head_n = int(sys.argv[sys.argv.index("--head") + 1])
+    reg = list(load_registry())
+
+    rounds: list[tuple[int, dict]] = []
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path)
+        if m:
+            rounds.append((int(m.group(1)), json.load(open(path))))
+    if not rounds:
+        print("no CORRECTNESS_r*.json files found")
+        return 1
+    latest_n, latest = rounds[-1]
+
+    def green(rec: dict) -> bool:
+        return bool(
+            rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+        )
+
+    newest_green: dict[str, int] = {}
+    for n, data in rounds:
+        for q, rec in data.items():
+            if green(rec):
+                newest_green[q] = n
+
+    reds = [q for q, rec in latest.items() if not green(rec) and q in reg]
+    red_head = [q for q in reds if q not in EXPECTED_RED]
+    never = [q for q in reg if not any(q in data for _, data in rounds)]
+    stale = sorted(
+        (q for q in reg if q in newest_green and q not in red_head and q not in never),
+        key=lambda q: (newest_green[q], reg.index(q)),
+    )
+
+    proposal = (red_head + never + stale)[:head_n]
+    print(f"latest round: r{latest_n:02d};  registry: {len(reg)} queries")
+    print(f"reds to re-gate ({len(red_head)}): {red_head}")
+    if set(reds) & EXPECTED_RED:
+        print(f"expected-red diagnostics (excluded): {sorted(set(reds) & EXPECTED_RED)}")
+    print(f"never driver-gated ({len(never)}): {never}")
+    print(f"\nproposed WINDOW_HEAD ({len(proposal)} of {head_n}):")
+    for q in proposal:
+        tag = (
+            "RED"
+            if q in red_head
+            else "never"
+            if q in never
+            else f"green r{newest_green[q]:02d}"
+        )
+        print(f"  {q}  [{tag}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
