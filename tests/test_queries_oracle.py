@@ -65,6 +65,38 @@ def test_oracle_output_types_engine_primitive(duck):
     assert not bad, f"non-primitive oracle output types: {bad}"
 
 
+def test_hugeint_surface_reproduces_driver_red_under_arrow_fetch(spark, sf_dir, duck):
+    """Local reproduction of the r04/r05 driver-red mechanism: fetch the
+    oracle through Arrow with a repr-sensitive row normalizer (a plausible
+    driver implementation — the native fetchall() path is the one that
+    CANNOT see the bug).  The unfixed HUGEINT surface (q48c) must
+    hash-DIVERGE from Spark (HUGEINT → Decimal('123') vs Spark's 123),
+    while the CAST-fixed q48 must match through the same path.  This
+    upgrades the 7/7-reds-vs-0/112-greens correlation to a reproduced
+    failure + verified fix."""
+    import hashlib
+
+    def fp_repr(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        lines = sorted("\x01".join(repr(r[i]) for i in order) for r in rows)
+        return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+    def spark_fp(name):
+        sdf = REGISTRY[name].fn(spark, sf_dir)
+        return fp_repr(sdf.columns, [tuple(r) for r in sdf.collect()])
+
+    def arrow_fp(name):
+        cols = [d[0] for d in duck.execute(REGISTRY[name].oracle).description]
+        tbl = duck.execute(REGISTRY[name].oracle).arrow()
+        return fp_repr(cols, [tuple(d[c] for c in cols) for d in tbl.to_pylist()])
+
+    assert arrow_fp("q48c_lm_hugeint_control") != spark_fp("q48c_lm_hugeint_control"), (
+        "HUGEINT surface no longer diverges under Arrow fetch — "
+        "either DuckDB stopped widening sum(BIGINT) or the control was 'fixed'"
+    )
+    assert arrow_fp("q48_lm_perplexity") == spark_fp("q48_lm_perplexity")
+
+
 def test_window_head_names_resolve_and_lead():
     """WINDOW_HEAD (the driver-gate rotation) must name real queries and
     actually lead the registry iteration order — the driver records the
