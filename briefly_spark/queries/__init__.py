@@ -113,6 +113,7 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q120_hh_stream_resolve",
     "q121_token_surprisal",
     "q122_shingle_containment",
+    "q123_dup_cluster_histogram",
 )
 
 

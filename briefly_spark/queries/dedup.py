@@ -537,3 +537,52 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         "id", "component", (F.col("component") == F.col("id")).alias("is_survivor")
     )
+
+
+# --------------------------------------------------------------------------
+# q123 — duplication profile: near-dup cluster-size histogram.
+# --------------------------------------------------------------------------
+@register(
+    "q123_dup_cluster_histogram",
+    covers=("P5", "A3"),
+    oracle=_q37_oracle_prefix()
+    + """,
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""",
+)
+def q123_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile — the cluster-size histogram of the
+    near-dup graph (how many singletons, pairs, k-cliques…): the one-page
+    number a curation run reports before/after dedup (dup rate = 1 −
+    n_clusters/n_docs summed over the histogram), and the standard check
+    that duplicate mass follows the expected power law rather than one
+    pathological mega-cluster (which would indicate boilerplate leaking
+    past the quality filters, the q95 template-hub signal in aggregate).
+
+    Plan: q37's pair generation + connected components unchanged, then
+    TWO partial-agg shuffles over the component frame (component → size,
+    size → histogram) — the histogram is bounded by the largest cluster
+    size, dimension-sized however large the corpus."""
+    from briefly_spark.operators.dedup import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
+    comp = connected_components(corpus.select("id"), pairs.select("id_a", "id_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )
+
