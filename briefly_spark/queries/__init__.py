@@ -30,6 +30,14 @@ class QuerySpec:
     #: sf_dir basename the oracle is pinned to (golden-fixture oracles are
     #: SF-specific); None = valid at any SF.  The driver gate runs at sf0.01.
     oracle_sf: str | None = None
+    #: diagnostic queries whose driver outcome is EXPECTED red (e.g. a
+    #: control arm that keeps a known hash hazard on purpose).  The single
+    #: source of truth for tools/window_plan.py (no re-gate pressure) and
+    #: tools/check_oracle.py (type-audit exemption).  r06's
+    #: q48c_lm_hugeint_control was the only instance; it was retired after
+    #: CORRECTNESS_r06 confirmed the HUGEINT mechanism (red exactly as
+    #: predicted, q48/q48a green) — see queries/search.py for the record.
+    expected_red: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -41,79 +49,83 @@ def register(
     oracle: str | None = None,
     covers: tuple[str, ...] = (),
     oracle_sf: str | None = None,
+    expected_red: bool = False,
 ):  # decorator
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name}")
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, covers=covers, doc=fn.__doc__ or "",
-            oracle_sf=oracle_sf,
+            oracle_sf=oracle_sf, expected_red=expected_red,
         )
         return fn
 
     return deco
 
 
-#: r06 driver-window head (VERDICT.md r05 next-round #1/#3), in order:
-#: (a) the 7 r05 hash-reds, now fixed (HUGEINT→BIGINT oracle surfaces) +
-#:     the q48a/q48c diagnostics that make the gate prove the mechanism;
-#: (b) the 22 queries that have never had a driver row (registry outgrew
-#:     the 50-entry window in r05);
-#: (c) q46/q47 (re-gate: det_ln restaged this round) and the remaining
-#:     det_ln/dsir-staged queries changed this round (q84–q89 pack, q87
-#:     composes the staged DSIR plan).
-#: The tail (50 − len) falls through in prior insertion order, which keeps
-#: r04/r05-green evidence fresh for the oldest of the remaining queries.
-#:
-#: r06 expectation: 49/50 green — q48c_lm_hugeint_control is the
-#: EXPECTED-RED control arm of the HUGEINT-surface diagnostic (see
-#: queries/search.py); a red there plus green q48/q48a CONFIRMS the
-#: mechanism.  r07 rotation: lead with any r06 reds, then r07-changed
-#: queries, then the oldest r04-green packs.
+#: r07 driver-window head.  r06 was 49/50 green (the one red was the
+#: EXPECTED-RED q48c HUGEINT control — mechanism confirmed, control since
+#: retired), so the r07 rotation is pure freshness per the standing policy
+#: (tools/window_plan.py): no reds to re-gate, no never-gated queries —
+#: lead with (a) queries new/changed in r07 (they need their first driver
+#: row), then (b) the stalest green evidence, i.e. the r04-green packs
+#: that haven't had a driver row since (pipeline/events/dedup/similarity/
+#: relational/multimodal), exactly as window_plan.py proposed from
+#: CORRECTNESS_r01..r06.
 WINDOW_HEAD: tuple[str, ...] = (
-    # (a) fixed reds + diagnostics
-    "q48_lm_perplexity",
-    "q48a_lm_nll_int_surface",
-    "q48c_lm_hugeint_control",
-    "q84_dsir_weights",
-    "q86_dsir_select",
-    "q89_dsir_budget_fill",
-    "q95_dup_graph_pagerank",
-    "q96_kmeans_clusters",
-    "q114_temperature_mixture",
-    # (b) first driver row ever
-    "q64_retention_cohorts",
-    "q65_median_gap",
-    "q97_bloom_decontaminate",
-    "q98_zorder_layout",
-    "q99_group_sample",
-    "q100_waiting_suppliers",
-    "q101_winsorize_lengths",
-    "q102_peak_concurrency",
-    "q103_grouped_median",
-    "q104_frame_fingerprint_pairs",
-    "q105_snapshot_diff",
-    "q106_weighted_sample",
-    "q107_term_pmi",
-    "q108_source_similarity",
-    "q110_balance_prospects",
-    "q111_nation_top_supplier",
-    "q112_event_transitions",
-    "q113_random_projection",
-    "q116_mmr_rerank",
-    "q117_source_drift_kl",
-    "q118_pq_ann",
-    "q119_rank_fusion",
-    # (c) re-gate the other queries whose score expressions were restaged
-    "q46_tfidf_topterms",
-    "q47_bm25_search",
-    "q87_curation_funnel",
-    # (d) new this round: first driver row for the streaming/jobs surface,
-    #     plus the round's two new curation signals
-    "q120_hh_stream_resolve",
-    "q121_token_surprisal",
-    "q122_shingle_containment",
-    "q123_dup_cluster_histogram",
+    # (a) new in r07 — first driver row
+    # (entries are prepended here as the round adds queries)
+    # (b) stalest-evidence fill (window_plan.py proposal, r04-green packs)
+    "q60_chunk_embed_meanpool",
+    "q61_factcheck_scores",
+    "q62_summarize_worklist",
+    "q63_embed_arrow_harness",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_windows",
+    "q73_props_json_extract",
+    "q74_sketch_audit",
+    "q75_funnel",
+    "q78_rolling_features",
+    "q79_attribution",
+    "q76_asof_enrich",
+    "q77_range_join",
+    "q30_exact_dedup",
+    "q31_minhash_lsh_pairs",
+    "q32_simhash_fingerprints",
+    "q33_ngram_jaccard_pairs",
+    "q34_embedding_near_dup",
+    "q36_decontaminate",
+    "q29_dedup_survivors",
+    "q37_dup_clusters",
+    "q40_ann_topk",
+    "q41_related_articles",
+    "q42_lsh_ann",
+    "q43_ivf_ann",
+    "q49_contrastive_pairs",
+    "q45_quantized_ann",
+    "q44_related_lsh",
+    "q01_pricing_summary",
+    "q02_topk_orders_per_customer",
+    "q03_revenue_by_nation",
+    "q04_customers_without_orders",
+    "q05_orders_with_heavy_items",
+    "q06_distinct_segments",
+    "q07_order_status_tallies",
+    "q08_order_set_ops",
+    "q09_part_scalar_funcs",
+    "q10_latest_events_per_user",
+    "q11_events_worklist",
+    "q12_weighted_customer_score",
+    "q13_cube_revenue",
+    "q14_running_totals",
+    "q15_small_lot_revenue",
+    "q80_media_metadata",
+    "q81_media_decode_arrow",
+    "q82_frame_sample",
+    "q39_line_boilerplate_filter",
+    "q66_curriculum_buckets",
+    "q67_pack_exact",
 )
 
 

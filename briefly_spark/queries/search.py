@@ -192,24 +192,20 @@ def q48_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q48a / q48c — driver-gate diagnostics for the r04/r05 q48 hash red
-# (VERDICT.md r05 next-round #1).  Local evidence: the 7 r05 hash-reds are
-# EXACTLY the 7 registry oracles whose output surface carries a DuckDB
-# HUGEINT column (sum(BIGINT) widens; HUGEINT fetches as Decimal via Arrow
-# and float64 via pandas, so any driver-side fetch that is not the native
-# fetchall() renders e.g. 123 as Decimal('123')/123.0 and the value-hash
-# diverges from Spark's long) — and NO green oracle carries one.  The two
-# variants make the r06 driver gate itself confirm or refute that:
-#
-#   q48  (fixed: CAST surface)        expected GREEN
-#   q48a (int-only surface, no `/`)   expected GREEN even if DOUBLE is also
-#                                      implicated (it carries none)
-#   q48c (control: r05 oracle,        expected RED — stays red iff the
-#         HUGEINT surface, verbatim)   HUGEINT mechanism is real
-#
-# {q48 G, q48a G, q48c R} ⇒ HUGEINT-surface mechanism proven;
-# {q48 R, q48a G}         ⇒ a DOUBLE-rendering hazard is ALSO live;
-# {q48c G}                ⇒ driver environment changed — reopen the hunt.
+# q48a — driver-gate diagnostic for the r04/r05 q48 hash red (VERDICT.md
+# r05 next-round #1).  The r05 evidence: the 7 hash-reds were EXACTLY the 7
+# registry oracles whose output surface carried a DuckDB HUGEINT column
+# (sum(BIGINT) widens; HUGEINT fetches as Decimal via Arrow and float64 via
+# pandas, so any driver-side fetch that is not the native fetchall()
+# renders e.g. 123 as Decimal('123')/123.0 and the value-hash diverges from
+# Spark's long) — and NO green oracle carried one.  The r06 gate confirmed
+# it: q48 (CAST-fixed) GREEN, q48a (int-only surface) GREEN, and the
+# deliberately-unfixed control q48c_lm_hugeint_control RED — exactly the
+# predicted {G, G, R} pattern (CORRECTNESS_r06.json).  The control was
+# retired after serving its purpose; its oracle survives below as
+# HUGEINT_CONTROL_ORACLE so the local Arrow-fetch reproduction test
+# (tests/test_queries_oracle.py) keeps pinning the mechanism without a
+# permanently-red registry entry.
 # --------------------------------------------------------------------------
 @register(
     "q48a_lm_nll_int_surface",
@@ -299,22 +295,14 @@ def q121_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q48c_lm_hugeint_control",
-    covers=("A3", "A4"),
-    oracle=f"""
+#: The retired q48c control's oracle, byte-identical to the r05 q48 oracle
+#: (n_bigrams is a raw DuckDB HUGEINT).  Proven RED at the driver in
+#: CORRECTNESS_r06 while q48/q48a were green; kept (unregistered) so the
+#: local Arrow-fetch reproduction test can keep pinning the mechanism.
+#: The matching Spark side is q48's own plan (lm_doc_scores).
+HUGEINT_CONTROL_ORACLE = f"""
 WITH {_LM_CTES}
 SELECT doc_id, sum(n) AS n_bigrams,
        (sum(n * nll_fp) // sum(n)) / 10000.0 AS avg_nll
 FROM scored GROUP BY doc_id
-""",
-)
-def q48c_lm_hugeint_control(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Control arm: byte-identical to the r05 q48 oracle (n_bigrams is a
-    raw DuckDB HUGEINT).  EXPECTED RED in CORRECTNESS_r06 — a red here plus
-    a green q48/q48a is the driver-side proof of the HUGEINT-surface
-    mechanism; do NOT "fix" this query."""
-    from briefly_spark.operators.lm import lm_doc_scores
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    return lm_doc_scores(docs, "doc_id", "text")
+"""

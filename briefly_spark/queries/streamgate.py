@@ -16,7 +16,6 @@ the batch answer (q28's oracle shape with the same φ = 1/100).
 
 from __future__ import annotations
 
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,8 +63,9 @@ def q120_hh_stream_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="q120_hh_")
-    try:
+    # TemporaryDirectory (not bare mkdtemp) so the dir cannot leak if this
+    # frame unwinds before any later cleanup would run
+    with tempfile.TemporaryDirectory(prefix="q120_hh_") as root:
         src = f"{root}/src"
         for i in range(3):
             docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
@@ -87,5 +87,3 @@ def q120_hh_stream_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             resolved.collect(), schema="term STRING, freq BIGINT"
         )
         return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)

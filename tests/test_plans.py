@@ -462,3 +462,43 @@ def test_q119_ranks_without_corpus_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q119_rank_fusion")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_plan_lint_window_heuristic_pins_all_tostring_shapes():
+    """Pin tools/plan_lint._is_unpartitioned_window against the four
+    ``Window`` toString shapes (ADVICE r06): the classifier reads the
+    SECOND bracket group and calls it an ORDER spec iff it carries an
+    ASC/DESC direction.  Captured-plan-shaped samples, one per shape, so a
+    Spark upgrade that changes the printer breaks THIS test loudly instead
+    of silently mis-classifying (the stale-allowlist check is the backstop
+    for systematic failure)."""
+    from tools.plan_lint import _is_unpartitioned_window
+
+    spec = (
+        "windowspecdefinition(k#0, t#3 ASC NULLS FIRST, specifiedwindowframe("
+        "RangeFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    # [exprs], [part], [order] — partitioned and ordered
+    assert not _is_unpartitioned_window(
+        f"   Window [sum(x#1L) {spec} AS s#9L], [k#0], [t#3 ASC NULLS FIRST]"
+    )
+    # [exprs], [part] — partitioned, no order (partition entries never
+    # carry a direction keyword)
+    assert not _is_unpartitioned_window(
+        f"   Window [row_number() {spec} AS rk#9], [k#0, src#4]"
+    )
+    # [exprs], [order] — UNPARTITIONED but ordered (the hazardous shape
+    # the lint exists for: all rows collapse to one task)
+    assert _is_unpartitioned_window(
+        f"   Window [sum(x#1L) {spec} AS s#9L], [t#3 ASC NULLS FIRST]"
+    )
+    assert _is_unpartitioned_window(
+        f"   Window [lag(x#1L, 1, null) {spec} AS p#9L], [t#3 DESC NULLS LAST]"
+    )
+    # [exprs] only — neither partition nor order
+    assert _is_unpartitioned_window(f"   Window [sum(x#1L) {spec} AS s#9L]")
+    # nested brackets inside the expression group must fold (CASE WHEN /
+    # array exprs print brackets) — still 3 top-level groups
+    assert not _is_unpartitioned_window(
+        f"   Window [first(a#2[0]) {spec} AS f#9], [k#0], [t#3 ASC NULLS FIRST]"
+    )

@@ -46,13 +46,11 @@ def test_oracle_output_types_engine_primitive(duck):
     types: DuckDB widens sum(BIGINT)/list_sum to HUGEINT, which fetches as
     Decimal (Arrow) / float64 (pandas) while the native fetchall() gives
     int — the r04/r05 driver-red mechanism (local mirror green, driver
-    red).  Schema-only bind per oracle; q48c is the deliberate diagnostic
-    control that keeps the hazard."""
-    from tools.check_oracle import TYPE_AUDIT_EXEMPT
-
+    red).  Schema-only bind per oracle; expected-red diagnostics (none
+    registered since the q48c control retired after r06) are exempt."""
     bad = {}
     for name, spec in REGISTRY.items():
-        if spec.oracle is None or name in TYPE_AUDIT_EXEMPT:
+        if spec.oracle is None or spec.expected_red:
             continue
         desc = duck.execute(f"DESCRIBE ({spec.oracle})").fetchall()
         widened = [
@@ -69,12 +67,14 @@ def test_hugeint_surface_reproduces_driver_red_under_arrow_fetch(spark, sf_dir, 
     """Local reproduction of the r04/r05 driver-red mechanism: fetch the
     oracle through Arrow with a repr-sensitive row normalizer (a plausible
     driver implementation — the native fetchall() path is the one that
-    CANNOT see the bug).  The unfixed HUGEINT surface (q48c) must
-    hash-DIVERGE from Spark (HUGEINT → Decimal('123') vs Spark's 123),
-    while the CAST-fixed q48 must match through the same path.  This
-    upgrades the 7/7-reds-vs-0/112-greens correlation to a reproduced
-    failure + verified fix."""
+    CANNOT see the bug).  The unfixed HUGEINT surface (the retired q48c
+    control's oracle, CORRECTNESS_r06-proven red at the driver) must
+    hash-DIVERGE from the identical-semantics Spark plan (HUGEINT →
+    Decimal('123') vs Spark's 123), while the CAST-fixed q48 must match
+    through the same path."""
     import hashlib
+
+    from briefly_spark.queries.search import HUGEINT_CONTROL_ORACLE
 
     def fp_repr(cols, rows):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -85,16 +85,18 @@ def test_hugeint_surface_reproduces_driver_red_under_arrow_fetch(spark, sf_dir, 
         sdf = REGISTRY[name].fn(spark, sf_dir)
         return fp_repr(sdf.columns, [tuple(r) for r in sdf.collect()])
 
-    def arrow_fp(name):
-        cols = [d[0] for d in duck.execute(REGISTRY[name].oracle).description]
-        tbl = duck.execute(REGISTRY[name].oracle).arrow()
+    def arrow_fp(sql):
+        cols = [d[0] for d in duck.execute(sql).description]
+        tbl = duck.execute(sql).arrow()
         return fp_repr(cols, [tuple(d[c] for c in cols) for d in tbl.to_pylist()])
 
-    assert arrow_fp("q48c_lm_hugeint_control") != spark_fp("q48c_lm_hugeint_control"), (
+    # q48's Spark plan is the control's Spark side too (same semantics;
+    # only the oracle's output-surface typing differs)
+    assert arrow_fp(HUGEINT_CONTROL_ORACLE) != spark_fp("q48_lm_perplexity"), (
         "HUGEINT surface no longer diverges under Arrow fetch — "
         "either DuckDB stopped widening sum(BIGINT) or the control was 'fixed'"
     )
-    assert arrow_fp("q48_lm_perplexity") == spark_fp("q48_lm_perplexity")
+    assert arrow_fp(REGISTRY["q48_lm_perplexity"].oracle) == spark_fp("q48_lm_perplexity")
 
 
 def test_window_head_names_resolve_and_lead():

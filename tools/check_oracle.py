@@ -22,12 +22,6 @@ from briefly_spark.catalog import TABLES, table_path
 from briefly_spark.queries import load_registry
 from briefly_spark.session import get_spark
 
-#: queries whose oracle KEEPS a non-primitive (HUGEINT) output type on
-#: purpose — q48c is the r06 driver-diagnostic control arm that must
-#: reproduce the r05 red mechanism verbatim (see queries/search.py).
-TYPE_AUDIT_EXEMPT = {"q48c_lm_hugeint_control"}
-
-
 def norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -106,7 +100,7 @@ def main() -> int:
                 for r in desc
                 if any(b in r[1] for b in ("HUGEINT", "DECIMAL", "UBIGINT"))
             ]
-            if widened and name not in TYPE_AUDIT_EXEMPT:
+            if widened and not spec.expected_red:
                 failures.append(name)
                 print(f"FAIL  {name}: non-primitive oracle output type {widened}")
                 continue

@@ -29,16 +29,19 @@ sys.path.insert(0, ".")
 
 from briefly_spark.queries import load_registry
 
-#: diagnostics whose driver outcome is expected and must NOT trigger
-#: re-gating pressure (see queries/search.py q48c block comment)
-EXPECTED_RED = {"q48c_lm_hugeint_control"}
-
-
 def main() -> int:
     head_n = 50
     if "--head" in sys.argv:
         head_n = int(sys.argv[sys.argv.index("--head") + 1])
-    reg = list(load_registry())
+    registry = load_registry()
+    reg = list(registry)
+    # diagnostics whose driver outcome is expected red must NOT trigger
+    # re-gating pressure; the flag lives on the QuerySpec (single source
+    # of truth, shared with check_oracle's type audit).  Retired controls
+    # (r06's q48c) may still appear in old CORRECTNESS files — keep their
+    # names exempt too.
+    expected_red = {n for n, s in registry.items() if s.expected_red}
+    expected_red.add("q48c_lm_hugeint_control")  # retired r06 control
 
     rounds: list[tuple[int, dict]] = []
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
@@ -62,7 +65,7 @@ def main() -> int:
                 newest_green[q] = n
 
     reds = [q for q, rec in latest.items() if not green(rec) and q in reg]
-    red_head = [q for q in reds if q not in EXPECTED_RED]
+    red_head = [q for q in reds if q not in expected_red]
     never = [q for q in reg if not any(q in data for _, data in rounds)]
     stale = sorted(
         (q for q in reg if q in newest_green and q not in red_head and q not in never),
@@ -72,8 +75,8 @@ def main() -> int:
     proposal = (red_head + never + stale)[:head_n]
     print(f"latest round: r{latest_n:02d};  registry: {len(reg)} queries")
     print(f"reds to re-gate ({len(red_head)}): {red_head}")
-    if set(reds) & EXPECTED_RED:
-        print(f"expected-red diagnostics (excluded): {sorted(set(reds) & EXPECTED_RED)}")
+    if set(reds) & expected_red:
+        print(f"expected-red diagnostics (excluded): {sorted(set(reds) & expected_red)}")
     print(f"never driver-gated ({len(never)}): {never}")
     print(f"\nproposed WINDOW_HEAD ({len(proposal)} of {head_n}):")
     for q in proposal:
