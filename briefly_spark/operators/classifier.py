@@ -1,0 +1,215 @@
+"""Distributed linear quality-classifier training — integer batch
+perceptron over hashed bag-of-words features.
+
+The fastText-style quality/language filter is a standard stage in LLM
+data pipelines (CCNet's fastText LID gate; LLaMA's "looks like a
+reference page" classifier): train a cheap linear model on labeled
+examples, score every document, keep what clears a margin.  Reference
+parity: the reference repo has no trainable classifier (its quality
+gates are rule-based); this module is the training-data-pipeline
+extension next to the rule rubrics (operators/textstats.py) and DSIR
+(operators/curation.py) — DSIR weights by a FIXED generative ratio,
+this trains a DISCRIMINATIVE model from labels.
+
+Why a batch perceptron and not logistic regression: the whole training
+run sits under the driver's hash gate, so every update must be
+engine-exact.  Logistic loss needs exp/sigmoid (library transcendentals
+are not correctly rounded — numerics.py); the perceptron's update rule
+
+    w ← w + Σ_{misclassified d} y_d · x_d
+
+is pure integer arithmetic over integer features, so the trained
+weights are bit-identical in any engine, at any partitioning, and the
+synchronous (batch) update has no row-order dependence (unlike the
+classic sequential perceptron).
+
+Scale design (the q96/q109 driver-loop discipline):
+
+- The corpus collapses ONCE to the hashed feature frame
+  (id, y, j, x) — at most ``n_buckets + 1`` rows per document — and is
+  hash-partitioned by id and persisted; no later stage re-tokenizes.
+- Per round: margins are a map-only projection (the weight vector is a
+  D+1 literal array, no join) + a groupBy(id) that reuses the persisted
+  partitioning (zero exchange); the gradient partial-aggregates into
+  ≤ D+1 groups map-side; the driver collects ≤ D+1 rows per round —
+  same O(1)-per-round driver state as the BPE argmax and the k-means
+  centroid fold.
+- Weight magnitudes are bounded by the total token mass (Σ|x| per
+  round), margins by D·max(x)·max|w| — at 100 TB corpus scale that is
+  ~10¹⁶, inside BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, functions as F
+
+from briefly_spark.operators.textstats import _hash16
+
+
+def hashed_features(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hashed bag-of-words training frame (id, y, j, x): x = count of
+    tokens hashing into bucket j (md5-nibble hash, the engine-portable
+    _hash16), plus a constant bias feature j = n_buckets with x = 1 for
+    every document.  y = ±1 from the boolean ``label``.
+
+    One tokenize + groupBy(id, j) shuffle; the result is the only
+    corpus-sized frame the training loop touches."""
+    y = (label.cast("long") * 2 - 1).alias("y")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    feats = (
+        docs.select(F.col(id_col).alias("id"), y, F.explode(toks).alias("term"))
+        .select("id", "y", (_hash16(F.col("term")) % n_buckets).alias("j"))
+        .groupBy("id", "y", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bias = docs.select(
+        F.col(id_col).alias("id"),
+        y,
+        F.lit(n_buckets).alias("j"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    return feats.unionByName(bias)
+
+
+def _margins(feats: DataFrame, w: list[int]) -> DataFrame:
+    """(id, y, m): per-document integer margin under weight vector ``w``,
+    as a map-only projection (w enters as a literal array — no join) plus
+    a groupBy(id) that reuses feats' hash partitioning."""
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    return feats.groupBy("id").agg(
+        F.max("y").alias("y"),
+        F.sum(F.col("x") * F.element_at(warr, (F.col("j") + 1).cast("int"))).alias("m"),
+    )
+
+
+def perceptron_train(
+    feats: DataFrame, *, n_buckets: int = 32, rounds: int = 3
+) -> list[int]:
+    """Synchronous batch-perceptron training over the persisted feature
+    frame; returns the final integer weight vector (length n_buckets + 1,
+    bias last).  Each round collects ≤ n_buckets + 1 gradient rows."""
+    w = [0] * (n_buckets + 1)
+    for _ in range(rounds):
+        mis = _margins(feats, w).filter(F.col("y") * F.col("m") <= 0).select("id")
+        grad = (
+            feats.join(mis, "id")
+            .groupBy("j")
+            .agg(F.sum(F.col("y") * F.col("x")).alias("g"))
+            .collect()
+        )
+        for row in grad:
+            w[int(row["j"])] += int(row["g"])
+    return w
+
+
+def perceptron_train_frames(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    n_buckets: int = 32,
+    rounds: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end train; returns (weights, margins) — ``weights`` the
+    (j, w) final model (n_buckets + 1 rows, the trained artifact) and
+    ``margins`` the per-document (id, y, m) scores under it (the
+    inference pass the selection queries consume).  The feature frame is
+    persisted for the loop and unpersisted here; ``margins`` replays its
+    (cheap, map-only past the one shuffle) lineage."""
+    feats = hashed_features(
+        docs, id_col=id_col, text_col=text_col, label=label, n_buckets=n_buckets
+    ).repartition("id").persist()
+    feats.count()  # materialize: every round reuses this one shuffle
+    w = perceptron_train(feats, n_buckets=n_buckets, rounds=rounds)
+    weights = spark.createDataFrame(
+        list(enumerate(w)), schema="j BIGINT, w BIGINT"
+    )
+    margins = _margins(feats, w)
+    feats.unpersist()
+    return weights, margins
+
+
+def perceptron_reference(
+    rows: list[tuple[int, int, int, int]], *, n_buckets: int, rounds: int
+) -> list[int]:
+    """Pure-Python reference trainer for tests: rows are (id, y, j, x)."""
+    w = [0] * (n_buckets + 1)
+    by_doc: dict[int, list[tuple[int, int, int]]] = {}
+    for i, y, j, x in rows:
+        by_doc.setdefault(i, []).append((y, j, x))
+    for _ in range(rounds):
+        grad = [0] * (n_buckets + 1)
+        for _, fs in by_doc.items():
+            y = fs[0][0]
+            m = sum(x * w[j] for _, j, x in fs)
+            if y * m <= 0:
+                for _, j, x in fs:
+                    grad[j] += y * x
+        w = [a + b for a, b in zip(w, grad)]
+    return w
+
+
+def sql_perceptron_ctes(
+    docs_sql: str, label_pred: str, *, n_buckets: int = 32, rounds: int = 3
+) -> str:
+    """DuckDB mirror of the training loop as unrolled CTE stages —
+    identical hash, identical integer updates, so the oracle replays the
+    ENTIRE training run (q109's unrolled-loop discipline).  Emits CTEs
+    ``pfeat`` (the feature frame), ``w0..w{rounds}`` (weights per round)
+    and ``m{rounds}`` (final margins); callers select from ``w{rounds}``
+    or ``m{rounds}``.  ``docs_sql`` must yield (id, text, plus whatever
+    ``label_pred`` reads)."""
+    from briefly_spark.queries.textstats import _sql_hash16  # shared spelling
+
+    parts = [
+        f"""psrc AS (SELECT *, CASE WHEN {label_pred} THEN 1 ELSE -1 END AS y
+         FROM ({docs_sql})),
+ptoks AS (
+  SELECT id, y,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS term
+  FROM psrc
+),
+pfeat AS MATERIALIZED (
+  SELECT id, y, j, CAST(count(*) AS BIGINT) AS x FROM (
+    SELECT id, y, {_sql_hash16('term')} % {n_buckets} AS j FROM ptoks)
+  GROUP BY id, y, j
+  UNION ALL
+  SELECT id, y, {n_buckets} AS j, CAST(1 AS BIGINT) AS x FROM psrc
+),
+w0 AS (SELECT CAST(u.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+       FROM (SELECT unnest(range(0, {n_buckets + 1})) AS j) u)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""m{r} AS (
+  SELECT f.id, max(f.y) AS y, CAST(sum(f.x * w.w) AS BIGINT) AS m
+  FROM pfeat f JOIN w{r} w USING (j) GROUP BY f.id
+),
+g{r} AS (
+  SELECT f.j, CAST(sum(f.y * f.x) AS BIGINT) AS g
+  FROM pfeat f JOIN (SELECT id FROM m{r} WHERE y * m <= 0) mis USING (id)
+  GROUP BY f.j
+),
+w{r + 1} AS (
+  SELECT w.j, CAST(w.w + coalesce(g.g, 0) AS BIGINT) AS w
+  FROM w{r} w LEFT JOIN g{r} g USING (j)
+)"""
+        )
+    parts.append(
+        f"""m{rounds} AS (
+  SELECT f.id, max(f.y) AS y, CAST(sum(f.x * w.w) AS BIGINT) AS m
+  FROM pfeat f JOIN w{rounds} w USING (j) GROUP BY f.id
+)"""
+    )
+    return ",\n".join(parts)

@@ -596,11 +596,13 @@ def q96_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 8
 
 
-def _q109_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = _BPE_ROUNDS) -> str:
     """Unrolled DuckDB replay of the BPE driver loop: each round is a CTE
     trio (pair counts -> argmax -> merge via replace with scalar
     subqueries), so the data-dependent merge choice stays INSIDE the
-    static SQL and the full training run is hash-gated."""
+    static SQL and the full training run is hash-gated.  The sym chain
+    carries ``word`` so consumers can read off the per-word encoding
+    (q126); q109 selects only the merge arms."""
     parts = [r"""
 WITH words AS MATERIALIZED (
   SELECT word, count(*) AS freq FROM (
@@ -609,7 +611,7 @@ WITH words AS MATERIALIZED (
     FROM documents)
   GROUP BY word
 ),
-sym0 AS MATERIALIZED (SELECT freq, ' ' || regexp_replace(word, '(.)', '\1  ', 'g')
+sym0 AS MATERIALIZED (SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1  ', 'g')
                       || '</w> ' AS sym FROM words)"""]
     for k in range(1, rounds + 1):
         parts.append(f""",
@@ -621,17 +623,20 @@ p{k} AS MATERIALIZED (
   GROUP BY lhs, rhs
 ),
 t{k} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1),
-sym{k} AS MATERIALIZED (SELECT freq, replace(sym,
+sym{k} AS MATERIALIZED (SELECT word, freq, replace(sym,
     ' ' || (SELECT lhs FROM t{k}) || '  ' || (SELECT rhs FROM t{k}) || ' ',
     ' ' || (SELECT lhs FROM t{k}) || (SELECT rhs FROM t{k}) || ' ') AS sym
   FROM sym{k-1})""")
+    return "".join(parts)
+
+
+def _q109_oracle(rounds: int = _BPE_ROUNDS) -> str:
     arms = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, c AS pair_freq"
         f" FROM t{k}"
         for k in range(1, rounds + 1)
     )
-    parts.append("\n" + arms)
-    return "".join(parts)
+    return _bpe_ctes(rounds) + "\n" + arms
 
 
 @register("q109_bpe_merges", covers=("A1", "M1"), oracle=_q109_oracle())
@@ -650,3 +655,148 @@ def q109_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _symbolized = bpe_train(spark, word_freqs(docs), rounds=_BPE_ROUNDS)
     return merges
 
+
+
+# ---------------------------------------------------------------------------
+# q126 — BPE tokenizer APPLY: encode the corpus with the trained merges.
+# ---------------------------------------------------------------------------
+@register(
+    "q126_bpe_encode",
+    covers=("A1", "M1"),
+    oracle=_bpe_ctes() + """,
+enc AS (SELECT word, CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sub
+        FROM sym8),
+dtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_sub) AS BIGINT) AS n_subwords
+FROM dtoks JOIN enc e USING (word)
+GROUP BY doc_id
+""",
+)
+def q126_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the q109 training run's output put to work: the
+    corpus re-encodes under the 8 trained merges and every document gets
+    its subword token count (n_subwords / n_words is the tokenizer's
+    fertility, the metric that decides whether a vocab suits a corpus —
+    and n_subwords is the number the packing queries q59/q67/q69 budget
+    by for a subword model).  Closes the tokenizer loop: train (q109) →
+    encode (here) → pack (q59).
+
+    Scale: encoding joins the corpus token stream against the WORD
+    frame's final symbolization (vocab-sized, Heaps-law bounded —
+    broadcast), so no per-token merge replay ever touches the corpus:
+    the merge loop ran once on the word frame and each corpus token
+    just looks its word up.  One tokenize shuffle for the doc-side
+    aggregate; the oracle replays training + encode as one static
+    unrolled chain."""
+    from briefly_spark.operators.bpe import bpe_train, word_freqs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _merges, symbolized = bpe_train(spark, word_freqs(docs), rounds=_BPE_ROUNDS)
+    enc = symbolized.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long").alias("n_sub"),
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    dtoks = docs.select("doc_id", F.explode(toks).alias("word"))
+    return (
+        dtoks.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 / q125 — linear quality-classifier training + inference (integer
+# batch perceptron; see operators/classifier.py for the scale design).
+# ---------------------------------------------------------------------------
+_PCT_B = 32  # hashed feature buckets (+1 bias)
+_PCT_R = 3   # synchronous training rounds
+
+_PCT_DOCS = "SELECT doc_id AS id, text, lang FROM documents"
+_PCT_LABEL = "lang = 'en'"
+
+
+def _pct_ctes() -> str:
+    from briefly_spark.operators.classifier import sql_perceptron_ctes
+
+    return sql_perceptron_ctes(
+        _PCT_DOCS, _PCT_LABEL, n_buckets=_PCT_B, rounds=_PCT_R
+    )
+
+
+@register(
+    "q124_classifier_train",
+    covers=("A3", "A4"),
+    oracle=f"WITH {_pct_ctes()}\nSELECT j, w FROM w{_PCT_R}",
+)
+def q124_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of the fastText-style linear quality/language
+    classifier (integer batch perceptron, 3 synchronous rounds, 32 hashed
+    bag-of-words buckets + bias; labels: lang = 'en').  The output IS the
+    trained model — 33 (feature, weight) rows, every update integer-exact,
+    so the whole training run sits under the driver's hash gate exactly
+    like BPE training (q109) and k-means (q96).
+
+    Scale: the corpus collapses once to the hashed feature frame
+    (≤ 33 rows/doc), hash-partitioned by doc and persisted; each round is
+    a map-only margin projection (weights enter as a literal array — no
+    join), an exchange-free groupBy(id), and a ≤ 33-group gradient
+    partial-agg; the driver holds ≤ 33 rows per round."""
+    from briefly_spark.operators.classifier import perceptron_train_frames
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    weights, _margins = perceptron_train_frames(
+        spark,
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        label=F.col("lang") == "en",
+        n_buckets=_PCT_B,
+        rounds=_PCT_R,
+    )
+    return weights
+
+
+@register(
+    "q125_classifier_margins",
+    covers=("A3", "P7"),
+    oracle=f"""WITH {_pct_ctes()}
+SELECT id AS doc_id, CAST(y AS BIGINT) AS y, m AS margin,
+       CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM m{_PCT_R}""",
+)
+def q125_classifier_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier INFERENCE over the whole corpus: per-document integer
+    margin under the q124-trained weights, predicted label (sign of the
+    margin, ties to −1) next to the true label — the scoring pass a
+    quality-filter stage thresholds on (keep margin > τ), and the frame
+    accuracy/precision audits read from.  Inference is one map-only
+    projection + one exchange-free per-doc aggregate; the oracle replays
+    training AND scoring as one static chain."""
+    from briefly_spark.operators.classifier import perceptron_train_frames
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _weights, margins = perceptron_train_frames(
+        spark,
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        label=F.col("lang") == "en",
+        n_buckets=_PCT_B,
+        rounds=_PCT_R,
+    )
+    return margins.select(
+        F.col("id").alias("doc_id"),
+        F.col("y").cast("long").alias("y"),
+        F.col("m").cast("long").alias("margin"),
+        F.when(F.col("m") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("pred"),
+    )
