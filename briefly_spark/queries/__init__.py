@@ -63,69 +63,71 @@ def register(
     return deco
 
 
-#: r07 driver-window head.  r06 was 49/50 green (the one red was the
-#: EXPECTED-RED q48c HUGEINT control — mechanism confirmed, control since
-#: retired), so the r07 rotation is pure freshness per the standing policy
-#: (tools/window_plan.py): no reds to re-gate, no never-gated queries —
-#: lead with (a) queries new/changed in r07 (they need their first driver
-#: row), then (b) the stalest green evidence, i.e. the r04-green packs
-#: that haven't had a driver row since (pipeline/events/dedup/similarity/
-#: relational/multimodal), exactly as window_plan.py proposed from
-#: CORRECTNESS_r01..r06.
+#: r08 driver-window head (VERDICT r07 "Next round" #1).  r07 was 50/50
+#: green, so the rotation is: (a) the three queries added in r07 AFTER the
+#: window was rotated — never driver-gated (the r07 process defect this
+#: head pays off), plus any queries new in r08; (b) queries whose CODE
+#: changed in r07 so their newest driver row (r06) predates their current
+#: form (q109/q46–q48a oracle refactor, q120 temp-dir fix); (c) the
+#: stalest green evidence — the r05-green ingest/worklist/chunking/
+#: curation/TPC-H packs; (d) r06-green fills to 50.  Mechanically checked
+#: by tools/gate_debt.py + tests/test_gate_debt.py against the committed
+#: last-gated-hash manifest.
 WINDOW_HEAD: tuple[str, ...] = (
-    # (a) new in r07 — first driver row
-    # (entries are prepended here as the round adds queries)
-    # (b) stalest-evidence fill (window_plan.py proposal, r04-green packs)
-    "q60_chunk_embed_meanpool",
-    "q61_factcheck_scores",
-    "q62_summarize_worklist",
-    "q63_embed_arrow_harness",
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_windows",
-    "q73_props_json_extract",
-    "q74_sketch_audit",
-    "q75_funnel",
-    "q78_rolling_features",
-    "q79_attribution",
-    "q76_asof_enrich",
-    "q77_range_join",
-    "q30_exact_dedup",
-    "q31_minhash_lsh_pairs",
-    "q32_simhash_fingerprints",
-    "q33_ngram_jaccard_pairs",
-    "q34_embedding_near_dup",
-    "q36_decontaminate",
-    "q29_dedup_survivors",
-    "q37_dup_clusters",
-    "q40_ann_topk",
-    "q41_related_articles",
-    "q42_lsh_ann",
-    "q43_ivf_ann",
-    "q49_contrastive_pairs",
-    "q45_quantized_ann",
-    "q44_related_lsh",
-    "q01_pricing_summary",
-    "q02_topk_orders_per_customer",
-    "q03_revenue_by_nation",
-    "q04_customers_without_orders",
-    "q05_orders_with_heavy_items",
-    "q06_distinct_segments",
-    "q07_order_status_tallies",
-    "q08_order_set_ops",
-    "q09_part_scalar_funcs",
-    "q10_latest_events_per_user",
-    "q11_events_worklist",
-    "q12_weighted_customer_score",
-    "q13_cube_revenue",
-    "q14_running_totals",
-    "q15_small_lot_revenue",
-    "q80_media_metadata",
-    "q81_media_decode_arrow",
-    "q82_frame_sample",
-    "q39_line_boilerplate_filter",
-    "q66_curriculum_buckets",
-    "q67_pack_exact",
+    # (a) never driver-gated (added late in r07) / new in r08
+    "q126_bpe_encode",
+    "q124_classifier_train",
+    "q125_classifier_margins",
+    # (b) code changed in r07; newest driver row predates current form
+    "q120_hh_stream_resolve",
+    "q109_bpe_merges",
+    "q46_tfidf_topterms",
+    "q47_bm25_search",
+    "q48_lm_perplexity",
+    "q48a_lm_nll_int_surface",
+    # (c) stalest green evidence (r05 rows)
+    "q68_group_split",
+    "q69_pack_assemble",
+    "q20_clean_documents",
+    "q21_chunk_fixed",
+    "q22_chunk_recursive",
+    "q23_doc_source_dims",
+    "q24_summary_bullets",
+    "q25_img_and_ids",
+    "q26_url_canonical",
+    "q27_paragraph_extract",
+    "q90_ingest_normalize",
+    "q92_feeds_config",
+    "q93_two_tier_worklist",
+    "q94_worklist_hydration",
+    "q91_tts_synthesis",
+    "q83_span_dedup",
+    "q85_semantic_dedup",
+    "q88_vocab_encode",
+    "q115_label_propagation",
+    "q16_volume_shipping",
+    "q17_large_volume_orders",
+    "q18_disjunctive_revenue",
+    "q19_revenue_concentration",
+    "q28_heavy_hitters",
+    # (d) r06-green fill
+    "q50_token_stats",
+    "q51_language_id",
+    "q52_quality_score",
+    "q53_winnow_fingerprints",
+    "q54_source_quality_rollup",
+    "q55_gopher_rules",
+    "q56_pii_scrub",
+    "q57_hash_split",
+    "q58_mixture_resample",
+    "q59_pack_sequences",
+    "q35_top_ngram_repetition",
+    "q38_stratified_quota_sample",
+    "q114_temperature_mixture",
+    "q121_token_surprisal",
+    "q84_dsir_weights",
+    "q86_dsir_select",
+    "q87_curation_funnel",
 )
 
 

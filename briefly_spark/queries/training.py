@@ -754,7 +754,7 @@ def q124_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from briefly_spark.operators.classifier import perceptron_train_frames
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    weights, _margins = perceptron_train_frames(
+    weights, _ = perceptron_train_frames(
         spark,
         docs,
         id_col="doc_id",
@@ -762,6 +762,7 @@ def q124_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=F.col("lang") == "en",
         n_buckets=_PCT_B,
         rounds=_PCT_R,
+        want_margins=False,
     )
     return weights
 

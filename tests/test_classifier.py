@@ -1,0 +1,137 @@
+"""Perceptron trainer: Spark pipeline vs the pure-Python reference on the
+adversarial edge cases (VERDICT r07 next-round #2a) — all-one-label
+corpora, empty documents (bias-only), tie margins (y·m = 0 must count as
+misclassified), hash-bucket collisions, and NULL labels (must map to
+y = -1, the oracle's CASE ELSE branch — ADVICE r07)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from briefly_spark.operators.classifier import (
+    hashed_features,
+    perceptron_reference,
+    perceptron_train,
+    perceptron_train_frames,
+)
+
+
+def _h16(term: str) -> int:
+    """Python twin of textstats._hash16 (first 4 md5 hex nibbles)."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:4], 16)
+
+
+def _reference_rows(docs: list[tuple[int, str, bool | None]], n_buckets: int):
+    """(id, y, j, x) rows exactly as hashed_features builds them:
+    bucketed token counts plus the bias feature j = n_buckets, x = 1.
+    NULL label -> y = -1 (CASE ELSE semantics)."""
+    rows = []
+    for i, text, lab in docs:
+        y = 1 if lab else -1
+        counts: dict[int, int] = {}
+        for w in text.lower().split():
+            if w:
+                counts[_h16(w) % n_buckets] = counts.get(_h16(w) % n_buckets, 0) + 1
+        rows.extend((i, y, j, x) for j, x in counts.items())
+        rows.append((i, y, n_buckets, 1))
+    return rows
+
+
+def _feats_df(spark, docs, n_buckets):
+    df = spark.createDataFrame(
+        [(i, t, lab) for i, t, lab in docs], schema="id LONG, text STRING, lab BOOLEAN"
+    )
+    return hashed_features(
+        df, id_col="id", text_col="text", label=F.col("lab"), n_buckets=n_buckets
+    )
+
+
+CASES = {
+    # y·m = 0 at w = 0: EVERY doc misclassified in round 1 (tie rule)
+    "mixed": [
+        (1, "the cat sat on the mat", True),
+        (2, "le chat est assis", False),
+        (3, "the dog ran", True),
+        (4, "der hund lief schnell", False),
+    ],
+    # all-one label: gradient never flips sign, weights grow monotonically
+    "all_positive": [(i, f"token{i} common word", True) for i in range(1, 6)],
+    # empty docs: only the bias feature; bias weight must still train
+    "empty_docs": [(1, "", True), (2, "", False), (3, "some text here", True)],
+    # single doc, single repeated token: x > 1 path
+    "repeats": [(1, "a a a a a b b", True), (2, "b b b", False)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("n_buckets", [2, 8])  # n_buckets=2 forces collisions
+def test_perceptron_matches_reference(spark, name, n_buckets):
+    docs = CASES[name]
+    rows = _reference_rows(docs, n_buckets)
+    for rounds in (1, 3):
+        want = perceptron_reference(rows, n_buckets=n_buckets, rounds=rounds)
+        got = perceptron_train(
+            _feats_df(spark, docs, n_buckets), n_buckets=n_buckets, rounds=rounds
+        )
+        assert got == want, f"{name} b={n_buckets} r={rounds}"
+
+
+def test_tie_margin_counts_as_misclassified(spark):
+    """A doc whose margin is exactly 0 after round 1 must re-enter the
+    gradient: with one positive doc the round-1 update makes every later
+    margin positive, but a crafted opposing pair returns to w = 0 (margins
+    all 0 again) and the loop must keep updating, not converge."""
+    docs = [(1, "x y", True), (2, "x y", False)]  # identical features, opposite y
+    rows = _reference_rows(docs, 4)
+    # gradients cancel exactly every round -> w stays all-zero forever
+    for rounds in (1, 2, 5):
+        assert perceptron_reference(rows, n_buckets=4, rounds=rounds) == [0] * 5
+    assert perceptron_train(_feats_df(spark, docs, 4), n_buckets=4, rounds=2) == [0] * 5
+
+
+def test_null_label_maps_to_minus_one(spark):
+    """lang IS NULL must behave as label false (y = -1), matching the
+    DuckDB oracle's CASE WHEN … THEN 1 ELSE -1 (ADVICE r07)."""
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour monde", None)],
+        schema="id LONG, text STRING, lang STRING",
+    )
+    feats = hashed_features(
+        df, id_col="id", text_col="text", label=F.col("lang") == "en", n_buckets=4
+    )
+    ys = {r["id"]: r["y"] for r in feats.select("id", "y").distinct().collect()}
+    assert ys == {1: 1, 2: -1}  # NULL predicate -> -1, never NULL
+
+
+def test_train_frames_margins_materialized(spark):
+    """perceptron_train_frames must hand back margins already persisted
+    (one corpus tokenize total — VERDICT r07 What's-wrong #3) and agree
+    with the reference margins; want_margins=False skips the pass."""
+    docs = CASES["mixed"]
+    df = spark.createDataFrame(docs, schema="id LONG, text STRING, lab BOOLEAN")
+    weights, margins = perceptron_train_frames(
+        spark, df, id_col="id", text_col="text", label=F.col("lab"),
+        n_buckets=8, rounds=3,
+    )
+    assert margins.storageLevel.useMemory  # pinned before feats unpersist
+    w = [0] * 9
+    for r in weights.collect():
+        w[int(r["j"])] = int(r["w"])
+    rows = _reference_rows(docs, 8)
+    assert w == perceptron_reference(rows, n_buckets=8, rounds=3)
+    by_doc: dict[int, int] = {}
+    for i, _y, j, x in rows:
+        by_doc[i] = by_doc.get(i, 0) + x * w[j]
+    got = {int(r["id"]): int(r["m"]) for r in margins.collect()}
+    assert got == by_doc
+    margins.unpersist()
+
+    w2, none = perceptron_train_frames(
+        spark, df, id_col="id", text_col="text", label=F.col("lab"),
+        n_buckets=8, rounds=3, want_margins=False,
+    )
+    assert none is None
+    assert {int(r["j"]): int(r["w"]) for r in w2.collect()} == dict(enumerate(w))
