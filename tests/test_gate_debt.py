@@ -1,0 +1,65 @@
+"""Gate-debt invariant (VERDICT r07 next-round #6): every registered
+query whose current form (oracle + fn source) has never earned a green
+driver row must be scheduled in WINDOW_HEAD for this round's gate.
+
+This is the mechanical guard against the r07 omission — registering a
+query after the window rotation and shipping it with no driver row."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from tools.gate_debt import current_hashes, gate_debt, load_manifest
+
+
+def test_all_gate_debt_is_window_scheduled():
+    from briefly_spark.queries import WINDOW_HEAD, load_registry
+
+    load_registry()
+    debt = gate_debt()
+    uncovered = [n for n in debt if n not in WINDOW_HEAD]
+    assert not uncovered, (
+        f"queries changed/added without a WINDOW_HEAD slot (no driver row "
+        f"will ever gate their current form): {uncovered} — rotate them into "
+        f"briefly_spark/queries/__init__.py:WINDOW_HEAD or, if the driver "
+        f"just gated this exact tree, run tools/gate_debt.py --update N"
+    )
+
+
+def test_reproduces_r07_omission():
+    """On the r07 tree the check would have failed: q124–q126 were debt
+    (never gated) while the r07 WINDOW_HEAD had no slot for them.  Replay
+    that head shape against today's manifest."""
+    from briefly_spark.queries import load_registry
+
+    load_registry()
+    r07_head_sample = (  # the r07 head started with the stale-evidence fill
+        "q60_chunk_embed_meanpool",
+        "q61_factcheck_scores",
+        "q62_summarize_worklist",
+    )
+    debt = set(gate_debt())
+    new_in_r07 = {"q124_classifier_train", "q125_classifier_margins", "q126_bpe_encode"}
+    assert new_in_r07 <= debt  # still debt until CORRECTNESS_r08 lands
+    uncovered = new_in_r07 - set(r07_head_sample)
+    assert uncovered == new_in_r07  # the r07 head missed all three -> red
+
+
+def test_manifest_covers_registry():
+    """manifest ∪ debt = registry (nothing silently unaccounted), and a
+    doctored manifest flags a tampered query."""
+    from briefly_spark.queries import load_registry
+
+    reg = load_registry()
+    hashes = current_hashes()
+    manifest = load_manifest()
+    assert set(hashes) == set(reg)
+    debt = set(gate_debt(hashes, manifest))
+    assert set(manifest) | debt >= set(reg)
+    # simulate an edit to a gated query: its hash changes -> becomes debt
+    victim = next(n for n in reg if n in manifest and n not in debt)
+    doctored = dict(hashes)
+    doctored[victim] = "0" * 64
+    assert victim in gate_debt(doctored, manifest)
