@@ -75,6 +75,7 @@ def register(
 #: last-gated-hash manifest.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) never driver-gated (added late in r07) / new in r08
+    "q127_classifier_funnel_audit",
     "q126_bpe_encode",
     "q124_classifier_train",
     "q125_classifier_margins",
@@ -127,7 +128,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q121_token_surprisal",
     "q84_dsir_weights",
     "q86_dsir_select",
-    "q87_curation_funnel",
 )
 
 

@@ -801,3 +801,105 @@ def q125_classifier_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("margin"),
         F.when(F.col("m") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — classifier-gated curation audit (the q87-style capstone for the
+# learned gate: keep-gate from q125's margins, audited against the q52
+# rubric labels).
+# ---------------------------------------------------------------------------
+_PCT_TAU = 0        # keep-gate: margin > 0 (predicted in-domain)
+_Q127_QTAU_FP = 50000  # rubric "good" label: floor(quality * 1e4) >= 5.0
+
+
+def _q127_oracle() -> str:
+    from briefly_spark.queries.textstats import _SQL_QUALITY, _TOKS
+
+    return f"""WITH {_pct_ctes()},
+qual AS (
+  SELECT doc_id, CAST(floor(({_SQL_QUALITY}) * 10000) AS BIGINT) AS q_fp
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) t
+),
+gate AS (
+  SELECT m.id AS doc_id,
+         CASE WHEN m.m > {_PCT_TAU} THEN 1 ELSE 0 END AS keep,
+         CASE WHEN q.q_fp >= {_Q127_QTAU_FP} THEN 1 ELSE 0 END AS good
+  FROM m{_PCT_R} m JOIN qual q ON m.id = q.doc_id
+),
+conf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_input,
+         CAST(sum(keep) AS BIGINT) AS n_kept,
+         CAST(sum(keep * good) AS BIGINT) AS tp,
+         CAST(sum(keep * (1 - good)) AS BIGINT) AS fp,
+         CAST(sum((1 - keep) * good) AS BIGINT) AS fn,
+         CAST(sum((1 - keep) * (1 - good)) AS BIGINT) AS tn
+  FROM gate
+)
+SELECT n_input, n_kept, tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp = 0 THEN NULL
+                 ELSE (tp * 10000) // (tp + fp) END AS BIGINT) AS precision_fp,
+       CAST(CASE WHEN tp + fn = 0 THEN NULL
+                 ELSE (tp * 10000) // (tp + fn) END AS BIGINT) AS recall_fp
+FROM conf"""
+
+
+@register("q127_classifier_funnel_audit", covers=("A3", "P7"), oracle=_q127_oracle())
+def q127_classifier_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gated curation audit — the learned-gate counterpart of
+    q87's funnel report: train the q124 perceptron, keep documents whose
+    margin clears the threshold (the quality-filter stage a LLaMA-style
+    pipeline runs), and audit the keep set against the INDEPENDENT q52
+    rubric labels (floor(quality·10⁴) ≥ 5.0 = "good") as a confusion
+    matrix with fixed-point precision/recall — the number a curation run
+    reports before committing a 100 TB keep decision to disk.
+
+    Scale: margins come back MATERIALIZED from perceptron_train_frames
+    (the corpus tokenizes exactly once — VERDICT r07 #3 discipline); the
+    rubric is a map-only second scan reading only (doc_id, text); one id
+    equi-join + a single-row rollup.  All hashed surfaces BIGINT; the
+    precision/recall divisions are integer fixed-point (both engines
+    floor nonnegative division identically)."""
+    from briefly_spark.operators.classifier import perceptron_train_frames
+    from briefly_spark.operators.textstats import quality_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _w, margins = perceptron_train_frames(
+        spark,
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        label=F.col("lang") == "en",
+        n_buckets=_PCT_B,
+        rounds=_PCT_R,
+    )
+    qual = docs.select(
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 10000).cast("long").alias("q_fp"),
+    )
+    gate = (
+        margins.select(
+            F.col("id").alias("doc_id"),
+            (F.col("m") > _PCT_TAU).cast("long").alias("keep"),
+        )
+        .join(qual, "doc_id")
+        .withColumn("good", (F.col("q_fp") >= _Q127_QTAU_FP).cast("long"))
+    )
+    conf = gate.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(F.col("keep") * F.col("good")).cast("long").alias("tp"),
+        F.sum(F.col("keep") * (1 - F.col("good"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("keep")) * F.col("good")).cast("long").alias("fn"),
+        F.sum((1 - F.col("keep")) * (1 - F.col("good"))).cast("long").alias("tn"),
+    )
+    return conf.select(
+        "n_input", "n_kept", "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(tp * 10000) div (tp + fp)"))
+        .cast("long")
+        .alias("precision_fp"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(tp * 10000) div (tp + fn)"))
+        .cast("long")
+        .alias("recall_fp"),
+    )
