@@ -75,6 +75,7 @@ def register(
 #: last-gated-hash manifest.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) never driver-gated (added late in r07) / new in r08
+    "q128_jobs_dag_resolve",
     "q127_classifier_funnel_audit",
     "q126_bpe_encode",
     "q124_classifier_train",
@@ -127,7 +128,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q114_temperature_mixture",
     "q121_token_surprisal",
     "q84_dsir_weights",
-    "q86_dsir_select",
 )
 
 
@@ -161,6 +161,7 @@ def load_registry() -> dict[str, QuerySpec]:
         relational,
         multimodal,
         streamgate,
+        jobsgate,
     )
 
     missing = [n for n in WINDOW_HEAD if n not in REGISTRY]

@@ -40,6 +40,14 @@ from briefly_spark.queries import register
 _SPAN_W = 8
 
 #: shared WITH-body for the span-dedup pipeline (q83 + the q87 funnel)
+def sql_span_ctes(src: str = "documents") -> str:
+    """The q83 span-dedup CTE chain over an arbitrary (doc_id, text)
+    source — shared with the q128 jobs-DAG gate, whose curate stage must
+    drain to exactly this one-shot answer (the incremental≡one-shot pin
+    in tests/test_streaming.py)."""
+    return _SQL_SPAN_CTES.replace("FROM documents\n", f"FROM {src}\n", 1)
+
+
 _SQL_SPAN_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),

@@ -64,6 +64,10 @@ QUERIES = (
     "q97_bloom_decontaminate",
     "q109_bpe_merges",
     "q117_source_drift_kl",
+    # iterative driver-loop family: 3 synchronous perceptron rounds over
+    # the ONE persisted feature frame — time must scale with the frame,
+    # rounds stay 3, driver state stays ≤33 rows at every K
+    "q124_classifier_train",
 )
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)

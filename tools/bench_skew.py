@@ -100,6 +100,16 @@ def build_skewed_dir(spark, sf_dir: str, out_dir: str, shape: str = "lsh") -> No
         skewed_docs = docs.withColumn(
             "text", F.concat_ws(" ", F.lit(HEADER), F.col("text"))
         )
+    elif shape == "onelabel":
+        # 99% of documents forced to lang='en': the q124 perceptron's
+        # label becomes almost-constant, so early rounds misclassify
+        # nearly everything and the gradient's feats⋈misclassified join
+        # is corpus-sized — it must ride the persisted id partitioning
+        # (equi-join, AQE-splittable), never a hot-key window
+        skewed_docs = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 100 != 0, F.lit("en")).otherwise(F.col("lang")),
+        )
     elif shape == "vecdup":
         # 20% of embeddings replaced by ONE constant vector: they all
         # quantize to identical PQ codes and coarse-assign to one cell —
@@ -283,6 +293,34 @@ def main() -> None:
             out["q118_pq_ann"] = q118_out
         finally:
             shutil.rmtree(vecdup_dir, ignore_errors=True)
+
+        # q124 classifier shapes (VERDICT r07 #2c): (1) hot feature
+        # bucket — the universal footer concentrates token mass into the
+        # footer words' few hash buckets, which the ≤33-group gradient
+        # partial-agg must absorb map-side (j is never a shuffle key at
+        # corpus granularity); (2) 99%-one-label — an almost-constant
+        # label makes the per-round misclassified set corpus-sized, so
+        # the feats⋈mis id equi-join carries the whole corpus and must
+        # reuse the persisted id partitioning instead of serializing
+        onelabel_dir = tempfile.mkdtemp(prefix="skewed_onelabel_sf_")
+        try:
+            build_skewed_dir(spark, sf_dir, onelabel_dir, shape="onelabel")
+            clf_fn = registry["q124_classifier_train"].fn
+            clf_fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+            clf_out = {
+                "uniform_s": run(clf_fn, spark, sf_dir),
+                "hot_bucket_footer_s": run(clf_fn, spark, footer_dir),
+                "onelabel_s": run(clf_fn, spark, onelabel_dir),
+            }
+            clf_out["ratio_hot_bucket"] = round(
+                clf_out["hot_bucket_footer_s"] / clf_out["uniform_s"], 2
+            )
+            clf_out["ratio_onelabel"] = round(
+                clf_out["onelabel_s"] / clf_out["uniform_s"], 2
+            )
+            out["q124_classifier_train"] = clf_out
+        finally:
+            shutil.rmtree(onelabel_dir, ignore_errors=True)
 
         # q104 hot-frame shape: a universal 64-byte header makes the
         # first two fixed-stride frames corpus-hot; the df cap drops
