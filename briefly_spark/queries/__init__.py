@@ -75,6 +75,7 @@ def register(
 #: last-gated-hash manifest.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) never driver-gated (added late in r07) / new in r08
+    "q129_hybrid_rrf",
     "q128_jobs_dag_resolve",
     "q127_classifier_funnel_audit",
     "q126_bpe_encode",
@@ -127,7 +128,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q38_stratified_quota_sample",
     "q114_temperature_mixture",
     "q121_token_surprisal",
-    "q84_dsir_weights",
 )
 
 

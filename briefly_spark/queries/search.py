@@ -306,3 +306,135 @@ SELECT doc_id, sum(n) AS n_bigrams,
        (sum(n * nll_fp) // sum(n)) / 10000.0 AS avg_nll
 FROM scored GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# q129 — hybrid retrieval: BM25 ∪ dense cosine, reciprocal-rank fusion.
+# --------------------------------------------------------------------------
+_RRF_K = 60           # the standard RRF damping constant (Cormack et al.)
+_RRF_SCALE = 1_000_000  # integer fixed point: each vote = SCALE // (K + rank)
+_HYB_BRANCH_K = 10    # per-branch candidate depth before fusion
+_HYB_K = 5            # fused top-k
+
+
+def _q129_oracle() -> str:
+    from briefly_spark.queries.similarity import _cos_sql
+
+    return f"""WITH {_TOKS_SQL},
+qterms AS (
+  SELECT qid, term FROM (
+    SELECT doc_id AS qid, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
+    FROM postings WHERE doc_id % 100 = 0
+  ) WHERE rk <= 3
+),
+bscored AS (
+  SELECT q.qid, p.doc_id,
+         {', '.join(bm25_score_items('p.tf', 'd.df', 'l.dl', 's.n_docs', 's.avgdl', 'duckdb'))}
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc_id = p.doc_id, stats s
+  WHERE q.qid <> p.doc_id
+),
+bagg AS (
+  SELECT qid, doc_id, sum(score_fp) AS sum_fp FROM bscored GROUP BY qid, doc_id
+),
+lex AS (
+  SELECT qid, doc_id AS id, brank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sum_fp DESC, doc_id) AS brank
+    FROM bagg
+  ) WHERE brank <= {_HYB_BRANCH_K}
+),
+emb AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+vq AS (SELECT * FROM emb WHERE id % 100 = 0),
+vpairs AS (
+  SELECT vq.id AS qid, c.id, {_cos_sql('vq.v', 'c.v')} AS cos
+  FROM vq JOIN emb c ON vq.id <> c.id
+),
+vec AS (
+  SELECT qid, id, brank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS brank
+    FROM vpairs
+  ) WHERE brank <= {_HYB_BRANCH_K}
+),
+fused AS (
+  SELECT qid, id,
+         CAST(sum({_RRF_SCALE} // ({_RRF_K} + brank)) AS BIGINT) AS fused_fp,
+         CAST(count(*) AS BIGINT) AS n_branches
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+  GROUP BY qid, id
+)
+SELECT qid, id, rank, fused_fp, n_branches
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY fused_fp DESC, id) AS rank
+      FROM fused)
+WHERE rank <= {_HYB_K}"""
+
+
+@register("q129_hybrid_rrf", covers=("J4", "U2", "W1", "W5"), oracle=_q129_oracle())
+def q129_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-stack standard the lexical (q47) and
+    dense (q40) rungs exist to feed: each seed query (doc_id % 100 == 0,
+    its own top-3 tf terms; embeddings keyed by the same id space per the
+    testdata convention q41 uses) retrieves top-10 candidates from BOTH
+    the BM25 inverted index and exact cosine over the embedding corpus,
+    and the two lists merge by reciprocal-rank fusion
+    (Cormack/Clarke/Buettcher 2009): score = Σ_branches SCALE//(60+rank),
+    an INTEGER vote so the fused surface is engine-exact; fused top-5 per
+    query, ties to the lower id.
+
+    Scale: the branches are q47's postings equi-join and q40's
+    broadcast-queries/streamed-corpus scoring — both bounded by their own
+    plans; fusion itself touches only |Q|·20 candidate rows (a
+    union + one partial-agg + a per-query window over ≤20 rows/query) —
+    at 100 TB the corpus cost lives entirely in the branch indexes, and
+    swapping the exact cosine branch for the LSH/IVF/PQ rungs
+    (q42/q43/q118) changes nothing downstream of the rank columns."""
+    from pyspark.sql import Window
+
+    from briefly_spark.operators.search import bm25_topk, term_postings
+    from briefly_spark.operators.similarity import topk_cosine
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    postings = term_postings(docs, "doc_id", "text")
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    qterms = (
+        postings.filter(F.col("doc_id") % 100 == 0)
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("doc_id").alias("qid"), "term")
+    )
+    lex = bm25_topk(docs, qterms, "doc_id", "text", k=_HYB_BRANCH_K).select(
+        "qid", F.col("doc_id").alias("id"), F.col("rank").alias("brank")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    vq = emb.filter(F.col("id") % 100 == 0).select(F.col("id").alias("query_id"), "v")
+    vec = topk_cosine(
+        vq, emb.select(F.col("id").alias("neighbor_id"), "v"), k=_HYB_BRANCH_K
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").alias("brank"),
+    )
+    fused = (
+        lex.unionByName(vec)
+        .groupBy("qid", "id")
+        .agg(
+            F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + brank)"))
+            .cast("long")
+            .alias("fused_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_branches"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("fused_fp"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HYB_K)
+        .select("qid", "id", "rank", "fused_fp", "n_branches")
+    )

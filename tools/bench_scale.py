@@ -135,6 +135,7 @@ def main() -> None:
         for name in QUERIES:
             row: dict[str, float] = {}
             for k in ks:
+                print(f"# {name} @ {k}x ...", file=sys.stderr, flush=True)
                 row[f"t_{k}x"] = run_cold(registry[name].fn, spark, dirs[k])
             kmax = max(ks)
             growth = row[f"t_{kmax}x"] / max(row[f"t_{min(ks)}x"], 1e-9)
