@@ -137,7 +137,14 @@ def perceptron_train_frames(
     replay the margins lineage from scratch and pay the corpus tokenize
     shuffle a second time (VERDICT r07 "What's wrong" #3).  Callers that
     only need the model pass ``want_margins=False`` (margins returns
-    None) and skip that extra cached-frame pass."""
+    None) and skip that extra cached-frame pass.
+
+    CALLERS OWN the returned persisted ``margins`` frame: call
+    ``margins.unpersist()`` once your final action on it has run
+    (bounded-output callers like q127 do so eagerly; corpus-sized-output
+    callers like q125 rely on the per-query ``clearCache()`` every repo
+    harness — driver gate, check_oracle, bench — performs).  ADVICE r08
+    #3."""
     feats = hashed_features(
         docs, id_col=id_col, text_col=text_col, label=label, n_buckets=n_buckets
     ).repartition("id").persist()

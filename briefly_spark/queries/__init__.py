@@ -63,71 +63,69 @@ def register(
     return deco
 
 
-#: r08 driver-window head (VERDICT r07 "Next round" #1).  r07 was 50/50
-#: green, so the rotation is: (a) the three queries added in r07 AFTER the
-#: window was rotated — never driver-gated (the r07 process defect this
-#: head pays off), plus any queries new in r08; (b) queries whose CODE
-#: changed in r07 so their newest driver row (r06) predates their current
-#: form (q109/q46–q48a oracle refactor, q120 temp-dir fix); (c) the
-#: stalest green evidence — the r05-green ingest/worklist/chunking/
-#: curation/TPC-H packs; (d) r06-green fills to 50.  Mechanically checked
-#: by tools/gate_debt.py + tests/test_gate_debt.py against the committed
-#: last-gated-hash manifest.
+#: r09 driver-window head (VERDICT r08 "Next round" #1).  r08 was 50/50
+#: green, so the rotation is: (a) queries NEW in r09 (gate debt by
+#: construction) plus queries whose code/oracle changed in r09 (q128
+#: oracle has_related derivation, q125/q127 unpersist — ADVICE r08);
+#: (b) the 30 queries whose newest green driver row is r06 — after this
+#: round no registry query's evidence predates r07; (c) stalest-r07 fill
+#: to 50.  Mechanically checked by tools/gate_debt.py +
+#: tests/test_gate_debt.py against the committed last-gated-hash
+#: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
-    # (a) never driver-gated (added late in r07) / new in r08
-    "q129_hybrid_rrf",
+    # (a) new in r09 / code or oracle changed in r09
     "q128_jobs_dag_resolve",
-    "q127_classifier_funnel_audit",
-    "q126_bpe_encode",
-    "q124_classifier_train",
     "q125_classifier_margins",
-    # (b) code changed in r07; newest driver row predates current form
-    "q120_hh_stream_resolve",
-    "q109_bpe_merges",
-    "q46_tfidf_topterms",
-    "q47_bm25_search",
-    "q48_lm_perplexity",
-    "q48a_lm_nll_int_surface",
-    # (c) stalest green evidence (r05 rows)
-    "q68_group_split",
-    "q69_pack_assemble",
-    "q20_clean_documents",
-    "q21_chunk_fixed",
-    "q22_chunk_recursive",
-    "q23_doc_source_dims",
-    "q24_summary_bullets",
-    "q25_img_and_ids",
-    "q26_url_canonical",
-    "q27_paragraph_extract",
-    "q90_ingest_normalize",
-    "q92_feeds_config",
-    "q93_two_tier_worklist",
-    "q94_worklist_hydration",
-    "q91_tts_synthesis",
-    "q83_span_dedup",
-    "q85_semantic_dedup",
-    "q88_vocab_encode",
-    "q115_label_propagation",
-    "q16_volume_shipping",
-    "q17_large_volume_orders",
-    "q18_disjunctive_revenue",
-    "q19_revenue_concentration",
-    "q28_heavy_hitters",
-    # (d) r06-green fill
-    "q50_token_stats",
-    "q51_language_id",
-    "q52_quality_score",
-    "q53_winnow_fingerprints",
-    "q54_source_quality_rollup",
-    "q55_gopher_rules",
-    "q56_pii_scrub",
-    "q57_hash_split",
-    "q58_mixture_resample",
-    "q59_pack_sequences",
-    "q35_top_ngram_repetition",
-    "q38_stratified_quota_sample",
-    "q114_temperature_mixture",
-    "q121_token_surprisal",
+    "q127_classifier_funnel_audit",
+    # (b) stalest green evidence (r06 rows) — exhaustive per window_plan.py
+    "q113_random_projection",
+    "q116_mmr_rerank",
+    "q118_pq_ann",
+    "q84_dsir_weights",
+    "q86_dsir_select",
+    "q87_curation_funnel",
+    "q89_dsir_budget_fill",
+    "q96_kmeans_clusters",
+    "q95_dup_graph_pagerank",
+    "q100_waiting_suppliers",
+    "q107_term_pmi",
+    "q108_source_similarity",
+    "q110_balance_prospects",
+    "q111_nation_top_supplier",
+    "q117_source_drift_kl",
+    "q97_bloom_decontaminate",
+    "q98_zorder_layout",
+    "q99_group_sample",
+    "q101_winsorize_lengths",
+    "q103_grouped_median",
+    "q105_snapshot_diff",
+    "q106_weighted_sample",
+    "q119_rank_fusion",
+    "q64_retention_cohorts",
+    "q65_median_gap",
+    "q102_peak_concurrency",
+    "q112_event_transitions",
+    "q122_shingle_containment",
+    "q123_dup_cluster_histogram",
+    "q104_frame_fingerprint_pairs",
+    # (c) stalest-r07 fill to 50
+    "q39_line_boilerplate_filter",
+    "q66_curriculum_buckets",
+    "q67_pack_exact",
+    "q40_ann_topk",
+    "q41_related_articles",
+    "q42_lsh_ann",
+    "q43_ivf_ann",
+    "q49_contrastive_pairs",
+    "q45_quantized_ann",
+    "q44_related_lsh",
+    "q60_chunk_embed_meanpool",
+    "q61_factcheck_scores",
+    "q62_summarize_worklist",
+    "q63_embed_arrow_harness",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_windows",
 )
 
 

@@ -21,7 +21,10 @@ contract:
 - the relate stage fills ``related_ids`` for every embedded article (its
   content is schedule-dependent — earlier batches see a smaller corpus —
   so the gate hashes only the filled/non-empty fact, not the ids; id-level
-  relate parity is q41's job).
+  relate parity is q41's job).  The oracle derives the expected flag from
+  the corpus size (>1 embedded article → filled) rather than hardcoding 1,
+  so a degenerate slice with a single article cannot go spuriously red
+  (ADVICE r08 #2).
 
 Reference parity: definitions.py's asset graph (ingest → summarize →
 embed → relate) ran one article per OS process; here each stage is one
@@ -105,7 +108,8 @@ SELECT a.url, a.source, CAST(a.n_chars AS BIGINT) AS n_chars,
        CAST(CAST(ceil(len(string_split(a.text, ' ')) / 8.0) AS BIGINT)
             - coalesce(c.n_kept, 0) AS BIGINT) AS n_spans_trimmed,
        md5(coalesce(c.clean_text, '')) AS curated_md5,
-       CAST(1 AS BIGINT) AS has_related
+       CAST(CASE WHEN (SELECT count(*) FROM arts) > 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS has_related
 FROM arts a
 JOIN summ m USING (doc_id)
 JOIN score v USING (doc_id)

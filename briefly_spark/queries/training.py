@@ -790,7 +790,12 @@ def q125_classifier_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-filter stage thresholds on (keep margin > τ), and the frame
     accuracy/precision audits read from.  Inference is one map-only
     projection + one exchange-free per-doc aggregate; the oracle replays
-    training AND scoring as one static chain."""
+    training AND scoring as one static chain.
+
+    The returned frame reads the persisted margins cache (corpus-sized —
+    too big to materialize eagerly like q127's one-row audit); every repo
+    harness clearCache()s per query, and external repeat-callers own the
+    release per perceptron_train_frames' contract (ADVICE r08 #3)."""
     from briefly_spark.operators.classifier import perceptron_train_frames
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -900,7 +905,7 @@ def q127_classifier_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("keep")) * F.col("good")).cast("long").alias("fn"),
         F.sum((1 - F.col("keep")) * (1 - F.col("good"))).cast("long").alias("tn"),
     )
-    return conf.select(
+    out = conf.select(
         "n_input", "n_kept", "tp", "fp", "fn", "tn",
         F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("long"))
         .otherwise(F.expr("(tp * 10000) div (tp + fp)"))
@@ -911,3 +916,10 @@ def q127_classifier_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_fp"),
     )
+    # single-row rollup: materialize eagerly so the persisted margins frame
+    # can be released HERE instead of leaking into the caller's session
+    # (ADVICE r08 #3); q125 cannot do this (corpus-sized result) and
+    # documents caller ownership instead.
+    out = spark.createDataFrame(out.collect(), schema=out.schema)
+    margins.unpersist()
+    return out

@@ -31,7 +31,9 @@ def test_all_gate_debt_is_window_scheduled():
 def test_reproduces_r07_omission():
     """On the r07 tree the check would have failed: q124–q126 were debt
     (never gated) while the r07 WINDOW_HEAD had no slot for them.  Replay
-    that head shape against today's manifest."""
+    against a FROZEN r07-era manifest snapshot (current hashes minus the
+    three then-new queries) so the test stays valid after later
+    ``gate_debt.py --update N`` runs record their green rows."""
     from briefly_spark.queries import load_registry
 
     load_registry()
@@ -40,11 +42,32 @@ def test_reproduces_r07_omission():
         "q61_factcheck_scores",
         "q62_summarize_worklist",
     )
-    debt = set(gate_debt())
     new_in_r07 = {"q124_classifier_train", "q125_classifier_margins", "q126_bpe_encode"}
-    assert new_in_r07 <= debt  # still debt until CORRECTNESS_r08 lands
+    hashes = current_hashes()
+    # r07-era manifest: every query gated at its CURRENT form except the
+    # three that were registered post-rotation (they had no row at all).
+    frozen = {
+        n: {"hash": h, "round": 7} for n, h in hashes.items() if n not in new_in_r07
+    }
+    debt = set(gate_debt(hashes, frozen))
+    assert new_in_r07 <= debt  # never-gated queries surface as debt
     uncovered = new_in_r07 - set(r07_head_sample)
     assert uncovered == new_in_r07  # the r07 head missed all three -> red
+
+
+def test_no_overage_evidence_unscheduled():
+    """Staleness policing made mechanical (VERDICT r08 next-round #7):
+    any query whose newest green driver row would be >= 3 rounds old at
+    the round being gated next must hold a WINDOW_HEAD slot.  Before this
+    invariant, over-age evidence was flagged judge-side only."""
+    from tools.window_plan import overage
+
+    over = overage()
+    assert not over, (
+        f"queries with over-age driver evidence (>=3 rounds old) not "
+        f"scheduled in WINDOW_HEAD — rotate them into "
+        f"briefly_spark/queries/__init__.py: {over}"
+    )
 
 
 def test_manifest_covers_registry():

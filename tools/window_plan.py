@@ -29,6 +29,55 @@ sys.path.insert(0, ".")
 
 from briefly_spark.queries import load_registry
 
+def _green(rec: dict) -> bool:
+    return bool(
+        rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+    )
+
+
+def freshness() -> tuple[int, dict[str, int], set[str]]:
+    """(latest gated round N, query -> newest round with a green driver
+    row, set of queries with ANY driver row) from the committed
+    CORRECTNESS_r*.json files."""
+    rounds: list[tuple[int, dict]] = []
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path)
+        if m:
+            rounds.append((int(m.group(1)), json.load(open(path))))
+    if not rounds:
+        raise FileNotFoundError("no CORRECTNESS_r*.json files found")
+    newest_green: dict[str, int] = {}
+    seen: set[str] = set()
+    for n, data in rounds:
+        for q, rec in data.items():
+            seen.add(q)
+            if _green(rec):
+                newest_green[q] = n
+    return rounds[-1][0], newest_green, seen
+
+
+def overage(max_age: int = 3) -> list[str]:
+    """Registry queries whose evidence would be >= max_age rounds old at
+    the round being gated NEXT (latest_n + 1) yet are NOT scheduled in
+    WINDOW_HEAD — i.e. staleness debt nobody rotated in (VERDICT r08
+    next-round #7; previously judge-side-only policing).  Never-gated
+    queries are gate_debt's job and excluded here; expected-red
+    diagnostics exempt."""
+    from briefly_spark.queries import WINDOW_HEAD, load_registry
+
+    registry = load_registry()
+    latest_n, newest_green, _seen = freshness()
+    cutoff = latest_n + 1 - max_age  # green row <= cutoff -> over-age
+    return sorted(
+        q
+        for q, s in registry.items()
+        if not s.expected_red
+        and q in newest_green
+        and newest_green[q] <= cutoff
+        and q not in WINDOW_HEAD
+    )
+
+
 def main() -> int:
     head_n = 50
     if "--head" in sys.argv:
@@ -43,30 +92,13 @@ def main() -> int:
     expected_red = {n for n, s in registry.items() if s.expected_red}
     expected_red.add("q48c_lm_hugeint_control")  # retired r06 control
 
-    rounds: list[tuple[int, dict]] = []
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", path)
-        if m:
-            rounds.append((int(m.group(1)), json.load(open(path))))
-    if not rounds:
-        print("no CORRECTNESS_r*.json files found")
-        return 1
-    latest_n, latest = rounds[-1]
-
-    def green(rec: dict) -> bool:
-        return bool(
-            rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
-        )
-
-    newest_green: dict[str, int] = {}
-    for n, data in rounds:
-        for q, rec in data.items():
-            if green(rec):
-                newest_green[q] = n
+    latest_n, newest_green, seen = freshness()
+    latest = json.load(open(f"CORRECTNESS_r{latest_n:02d}.json"))
+    green = _green
 
     reds = [q for q, rec in latest.items() if not green(rec) and q in reg]
     red_head = [q for q in reds if q not in expected_red]
-    never = [q for q in reg if not any(q in data for _, data in rounds)]
+    never = [q for q in reg if q not in seen]
     stale = sorted(
         (q for q in reg if q in newest_green and q not in red_head and q not in never),
         key=lambda q: (newest_green[q], reg.index(q)),
@@ -88,7 +120,9 @@ def main() -> int:
             else f"green r{newest_green[q]:02d}"
         )
         print(f"  {q}  [{tag}]")
-    return 0
+    over = overage()
+    print(f"\nover-age (evidence >=3 rounds old next round, NOT scheduled): {over or 'none'}")
+    return 1 if over else 0
 
 
 if __name__ == "__main__":
