@@ -102,7 +102,25 @@ def perceptron_train(
     """Synchronous batch-perceptron training over the persisted feature
     frame; returns the final integer weight vector (length n_buckets + 1,
     bias last).  Each round collects ≤ n_buckets + 1 gradient rows."""
+    w, _ = perceptron_train_avg(feats, n_buckets=n_buckets, rounds=rounds)
+    return w
+
+
+def perceptron_train_avg(
+    feats: DataFrame, *, n_buckets: int = 32, rounds: int = 3
+) -> tuple[list[int], list[int]]:
+    """Batch perceptron + AVERAGED weights (Freund & Schapire 1999's
+    voted perceptron in Collins 2002's averaged form, adapted to the
+    synchronous batch rounds): returns ``(w_final, w_sum)`` where
+    ``w_sum[j] = Σ_{r=1..rounds} w^{(r)}[j]`` — the integer SUM of the
+    post-round weight vectors, deliberately left UNNORMALIZED (dividing
+    by ``rounds`` would leave integer exactness; sign(margin) and every
+    margin ordering under w_sum equal those under the true average, so
+    thresholding/gating behave identically).  The accumulation is pure
+    driver-side addition of the ≤ n_buckets + 1 round state — no new
+    shuffle, no extra job."""
     w = [0] * (n_buckets + 1)
+    wsum = [0] * (n_buckets + 1)
     for _ in range(rounds):
         mis = _margins(feats, w).filter(F.col("y") * F.col("m") <= 0).select("id")
         grad = (
@@ -113,7 +131,8 @@ def perceptron_train(
         )
         for row in grad:
             w[int(row["j"])] += int(row["g"])
-    return w
+        wsum = [a + b for a, b in zip(wsum, w)]
+    return w, wsum
 
 
 def perceptron_train_frames(
@@ -165,7 +184,17 @@ def perceptron_reference(
     rows: list[tuple[int, int, int, int]], *, n_buckets: int, rounds: int
 ) -> list[int]:
     """Pure-Python reference trainer for tests: rows are (id, y, j, x)."""
+    w, _ = perceptron_reference_avg(rows, n_buckets=n_buckets, rounds=rounds)
+    return w
+
+
+def perceptron_reference_avg(
+    rows: list[tuple[int, int, int, int]], *, n_buckets: int, rounds: int
+) -> tuple[list[int], list[int]]:
+    """Pure-Python reference for the averaged trainer: (w_final, w_sum),
+    w_sum the post-round-vector sum — the perceptron_train_avg contract."""
     w = [0] * (n_buckets + 1)
+    wsum = [0] * (n_buckets + 1)
     by_doc: dict[int, list[tuple[int, int, int]]] = {}
     for i, y, j, x in rows:
         by_doc.setdefault(i, []).append((y, j, x))
@@ -178,7 +207,8 @@ def perceptron_reference(
                 for _, j, x in fs:
                     grad[j] += y * x
         w = [a + b for a, b in zip(w, grad)]
-    return w
+        wsum = [a + b for a, b in zip(wsum, w)]
+    return w, wsum
 
 
 def sql_perceptron_ctes(
@@ -235,3 +265,21 @@ w{r + 1} AS (
 )"""
     )
     return ",\n".join(parts)
+
+
+def sql_perceptron_avg_ctes(*, rounds: int = 3) -> str:
+    """Append-on CTEs for the AVERAGED weights (perceptron_train_avg's
+    w_sum contract): ``wavg`` joins the already-unrolled post-round
+    weight CTEs w1..w{rounds} on j and sums them (w0 is identically zero
+    and excluded), and ``mavg`` scores every document under that summed
+    vector.  Compose after :func:`sql_perceptron_ctes`."""
+    joins = " ".join(f"JOIN w{r} USING (j)" for r in range(2, rounds + 1))
+    total = " + ".join(f"w{r}.w" for r in range(1, rounds + 1))
+    return f"""wavg AS (
+  SELECT w1.j, CAST({total} AS BIGINT) AS ws
+  FROM w1 {joins}
+),
+mavg AS (
+  SELECT f.id, max(f.y) AS y, CAST(sum(f.x * a.ws) AS BIGINT) AS m
+  FROM pfeat f JOIN wavg a USING (j) GROUP BY f.id
+)"""

@@ -74,6 +74,8 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q131_exact_substring_dedup",
+    "q130_classifier_margins_avg",
     "q128_jobs_dag_resolve",
     "q125_classifier_margins",
     "q127_classifier_funnel_audit",
@@ -124,8 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q62_summarize_worklist",
     "q63_embed_arrow_harness",
     "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_windows",
 )
 
 

@@ -102,6 +102,96 @@ def q83_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q131 — ANY-length exact duplicate-substring dedup (Lee et al. 2022
+# ExactSubstr; the rung q83's fixed windows approximate).  VERDICT r08 #5.
+# ---------------------------------------------------------------------------
+_SUB_L = 8  # minimum repeated-substring length in tokens (aligned with q83)
+
+_Q131_ORACLE = f"""WITH stoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         md5(array_to_string(
+           t[(CAST(i AS INT) + 1):(CAST(i AS INT) + {_SUB_L})], ' ')) AS h
+  FROM stoks, UNNEST(range(greatest(len(t) - {_SUB_L} + 1, 0))) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+ds AS MATERIALIZED (
+  SELECT s.doc_id, s.p FROM sh s JOIN dup d USING (h)
+),
+dsx AS (
+  SELECT doc_id, p,
+         max(p + {_SUB_L} - 1) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM ds
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(CASE WHEN prev_end IS NULL OR prev_end < p - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+         CAST(sum((p + {_SUB_L} - 1)
+                  - greatest(coalesce(prev_end, -1), p - 1)) AS BIGINT)
+           AS n_covered
+  FROM dsx GROUP BY doc_id
+),
+cov AS (
+  SELECT DISTINCT doc_id, p + CAST(j AS INT) AS tp
+  FROM ds, UNNEST(range({_SUB_L})) AS v(j)
+),
+tokpos AS (
+  SELECT doc_id, CAST(i AS INT) AS tp, t[CAST(i AS INT) + 1] AS w
+  FROM stoks, UNNEST(range(len(t))) AS u(i)
+),
+clean AS (
+  SELECT k.doc_id, string_agg(k.w, ' ' ORDER BY k.tp) AS clean_text
+  FROM tokpos k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+  WHERE c.tp IS NULL GROUP BY k.doc_id
+)
+SELECT s.doc_id, CAST(len(s.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(st.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(st.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(coalesce(st.n_covered, 0) AS BIGINT) AS n_covered,
+       md5(coalesce(c.clean_text, '')) AS clean_md5
+FROM stoks s
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN clean c USING (doc_id)"""
+
+
+@register("q131_exact_substring_dedup", covers=("P5",), oracle=_Q131_ORACLE)
+def q131_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-length exact duplicate-substring dedup — the true Lee et al.
+    2022 ExactSubstr semantics q83's fixed windows approximate, computed
+    WITHOUT a suffix array: a token sits inside a corpus-repeated
+    substring of length >= 8 iff some repeated overlapping 8-shingle
+    covers it (see operators/curation.py:substring_coverage for the
+    equivalence proof), so duplicated-region detection reduces to one
+    shingle-count groupBy plus a per-doc interval merge — Spark-shaped
+    and exactly equal to the suffix-array removal set.  Per doc: token
+    count, repeated-window count, number of maximal repeated substrings,
+    tokens covered, and the md5 of the text with every repeated region
+    cut (the paper's remove-all-copies variant; q83 remains the
+    keep-first rung).
+
+    Scale: window text never shuffles (md5 keys); the dup test is a
+    partial-aggregable count; the interval merge windows over sparse dup
+    starts only, partitioned by doc; rebuild is the q83 reassembly.  No
+    quadratic stage, no driver loop."""
+    from briefly_spark.operators.curation import substring_coverage
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = substring_coverage(docs, id_col="doc_id", text_col="text", min_tokens=_SUB_L)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_dup_windows",
+        "n_runs",
+        "n_covered",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q84 — DSIR importance weights toward an English target distribution.
 # ---------------------------------------------------------------------------
 _DSIR_B = 4096
@@ -813,6 +903,83 @@ def q125_classifier_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("y"),
         F.col("m").cast("long").alias("margin"),
         F.when(F.col("m") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("pred"),
+    )
+
+
+def _q130_oracle() -> str:
+    from briefly_spark.operators.classifier import sql_perceptron_avg_ctes
+
+    return f"""WITH {_pct_ctes()},
+{sql_perceptron_avg_ctes(rounds=_PCT_R)}
+SELECT m.id AS doc_id, CAST(m.y AS BIGINT) AS y,
+       m.m AS margin_final, a.m AS margin_avgsum,
+       CAST(CASE WHEN m.m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred_final,
+       CAST(CASE WHEN a.m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred_avg,
+       CAST(CASE WHEN (m.m > 0) <> (a.m > 0) THEN 1 ELSE 0 END AS BIGINT)
+         AS flipped
+FROM m{_PCT_R} m JOIN mavg a USING (id)"""
+
+
+@register("q130_classifier_margins_avg", covers=("A3", "P7"), oracle=_q130_oracle())
+def q130_classifier_margins_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGED-perceptron inference (VERDICT r08 next-round #6): the
+    standard stability fix for the q124 trainer — Freund & Schapire
+    1999's voted perceptron in Collins 2002's averaged form.  Scores
+    every document under BOTH the final round-3 weights and the integer
+    SUM of the post-round vectors Σ_r w_r (unnormalized: /R would break
+    integer exactness, and sign/ordering are invariant to the scale), and
+    flags the documents whose keep decision the averaging flips — the
+    delta a curation pipeline inspects before switching gates.
+
+    Scale: identical shape to q125 — the corpus collapses once to the
+    persisted feature frame; the averaged accumulation is driver-side
+    addition of the ≤33-row round state (no new shuffle, no extra job);
+    BOTH margin columns come from ONE exchange-free groupBy(id) over the
+    cached frame (the two weight vectors enter as literal arrays).  The
+    oracle replays training, the w1..w3 running sum, and dual scoring as
+    one static CTE chain."""
+    from briefly_spark.operators.classifier import (
+        hashed_features,
+        perceptron_train_avg,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    feats = (
+        hashed_features(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            label=F.col("lang") == "en",
+            n_buckets=_PCT_B,
+        )
+        .repartition("id")
+        .persist()
+    )
+    feats.count()
+    wf, ws = perceptron_train_avg(feats, n_buckets=_PCT_B, rounds=_PCT_R)
+    wfarr = F.array(*[F.lit(int(v)).cast("long") for v in wf])
+    wsarr = F.array(*[F.lit(int(v)).cast("long") for v in ws])
+    both = feats.groupBy("id").agg(
+        F.max("y").alias("y"),
+        F.sum(F.col("x") * F.element_at(wfarr, (F.col("j") + 1).cast("int")))
+        .alias("m_fin"),
+        F.sum(F.col("x") * F.element_at(wsarr, (F.col("j") + 1).cast("int")))
+        .alias("m_avg"),
+    ).persist()
+    both.count()  # pin while feats is cached: ONE tokenize total (q125 rule)
+    feats.unpersist()
+    return both.select(
+        F.col("id").alias("doc_id"),
+        F.col("y").cast("long").alias("y"),
+        F.col("m_fin").cast("long").alias("margin_final"),
+        F.col("m_avg").cast("long").alias("margin_avgsum"),
+        F.when(F.col("m_fin") > 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pred_final"),
+        F.when(F.col("m_avg") > 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pred_avg"),
+        ((F.col("m_fin") > 0) != (F.col("m_avg") > 0)).cast("long").alias("flipped"),
     )
 
 

@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from briefly_spark.operators.classifier import (
     hashed_features,
     perceptron_reference,
+    perceptron_reference_avg,
     perceptron_train,
+    perceptron_train_avg,
     perceptron_train_frames,
 )
 
@@ -77,6 +79,28 @@ def test_perceptron_matches_reference(spark, name, n_buckets):
             _feats_df(spark, docs, n_buckets), n_buckets=n_buckets, rounds=rounds
         )
         assert got == want, f"{name} b={n_buckets} r={rounds}"
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_averaged_perceptron_matches_reference(spark, name):
+    """Averaged trainer (VERDICT r08 #6): both the final and the summed
+    post-round weight vectors must match the pure-Python reference, and
+    w_sum after 1 round must equal w_final (single term in the sum)."""
+    docs = CASES[name]
+    rows = _reference_rows(docs, 8)
+    for rounds in (1, 3):
+        want_w, want_s = perceptron_reference_avg(rows, n_buckets=8, rounds=rounds)
+        got_w, got_s = perceptron_train_avg(
+            _feats_df(spark, docs, 8), n_buckets=8, rounds=rounds
+        )
+        assert (got_w, got_s) == (want_w, want_s), f"{name} r={rounds}"
+        if rounds == 1:
+            assert got_s == got_w
+    # unnormalized sum: margins under w_sum have the same SIGN as under
+    # the true average (w_sum = rounds * avg, rounds > 0)
+    assert all(
+        (s > 0) == (s / 3 > 0) and (s < 0) == (s / 3 < 0) for s in got_s
+    )
 
 
 def test_tie_margin_counts_as_misclassified(spark):

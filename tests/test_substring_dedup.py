@@ -1,0 +1,98 @@
+"""q131 any-length exact substring dedup (Lee et al. 2022 ExactSubstr):
+the shingle-coverage plan must equal an INDEPENDENT brute-force oracle
+that literally enumerates repeated substrings of length >= L — proving
+the covered-by-dup-L-window ⇔ inside-a-repeated-substring equivalence the
+operator's docstring claims, not just re-running the same algorithm."""
+
+from __future__ import annotations
+
+from briefly_spark.operators.curation import substring_coverage
+
+
+def _brute_coverage(corpus: dict[int, list[str]], L: int) -> dict[int, set[int]]:
+    """Token positions inside ANY substring of length >= L that occurs at
+    least twice in the corpus (distinct (doc, start) occurrences; within-
+    doc repeats count).  Direct definition — O(everything), tiny inputs."""
+    covered: dict[int, set[int]] = {i: set() for i in corpus}
+    occ: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for d, toks in corpus.items():
+        for i in range(len(toks)):
+            for j in range(i + L, len(toks) + 1):
+                occ.setdefault(tuple(toks[i:j]), []).append((d, i))
+    for sub, places in occ.items():
+        if len(places) >= 2:
+            for d, i in places:
+                covered[d].update(range(i, i + len(sub)))
+    return covered
+
+
+def _runs(pos: set[int]) -> int:
+    return sum(1 for p in pos if p - 1 not in pos)
+
+
+CORPORA = {
+    # exactly-L shared substring across docs; L-1 share must NOT trigger
+    "cross_doc": {
+        1: "a b c d e f g h x y z".split(),
+        2: "q r a b c d e f g h s".split(),
+        3: "b c d e f g h unique1 unique2 unique3 unique4".split(),  # only 7 shared
+    },
+    # repeat WITHIN one doc (self-repetition counts, per the paper)
+    "within_doc": {
+        1: "p q r s t u v w k p q r s t u v w".split(),
+        2: "totally different tokens here one two three four five".split(),
+    },
+    # two overlapping repeated regions must merge into one run
+    "merge_runs": {
+        1: "a b c d e f g h i j k l m n o p".split(),
+        2: "a b c d e f g h Z Z Z Z Z Z Z Z".split(),
+        3: "Y Y Y Y e f g h i j k l m n o p".split(),
+    },
+    # doc shorter than L: no windows, nothing covered
+    "short_doc": {1: "a b c".split(), 2: "a b c".split()},
+}
+
+
+def test_substring_coverage_matches_brute_force(spark):
+    L = 8
+    for name, corpus in CORPORA.items():
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in corpus.items()],
+            schema="doc_id LONG, text STRING",
+        )
+        got = {
+            int(r["id"]): r
+            for r in substring_coverage(
+                docs, id_col="doc_id", text_col="text", min_tokens=L
+            ).collect()
+        }
+        want = _brute_coverage(corpus, L)
+        assert set(got) == set(corpus), name
+        for d, toks in corpus.items():
+            cov = want[d]
+            r = got[d]
+            assert r["n_tokens"] == len(toks), (name, d)
+            assert r["n_covered"] == len(cov), (name, d)
+            assert r["n_runs"] == _runs(cov), (name, d)
+            clean = " ".join(w for i, w in enumerate(toks) if i not in cov)
+            assert r["clean_text"] == clean, (name, d)
+
+
+def test_merge_runs_is_one_run(spark):
+    """The merge_runs corpus's doc 1 shares its first 8 tokens with doc 2
+    and its last 12 with doc 3; the two covered intervals overlap and must
+    report as ONE maximal repeated region covering the entire doc."""
+    corpus = CORPORA["merge_runs"]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()],
+        schema="doc_id LONG, text STRING",
+    )
+    out = {
+        int(r["id"]): r
+        for r in substring_coverage(
+            docs, id_col="doc_id", text_col="text", min_tokens=8
+        ).collect()
+    }
+    assert out[1]["n_runs"] == 1
+    assert out[1]["n_covered"] == 16
+    assert out[1]["clean_text"] == ""
