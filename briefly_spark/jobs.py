@@ -97,6 +97,8 @@ def normalize_documents(docs: DataFrame) -> DataFrame:
         .withColumn("curated_content", F.lit(None).cast("string"))
         .withColumn("curated_status", F.lit(None).cast("string"))
         .withColumn("n_spans_trimmed", F.lit(None).cast("long"))
+        .withColumn("male_audio_id", F.lit(None).cast("string"))
+        .withColumn("female_audio_id", F.lit(None).cast("string"))
     )
 
 
@@ -363,6 +365,62 @@ def relate_batch(
 
 
 # ---------------------------------------------------------------------------
+# tts (§3.4): dual-voice synthesis + audio-id write-back
+# ---------------------------------------------------------------------------
+def tts_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
+    """Work-list P3 (summarized ∧ missing either audio id — the
+    reference's both_exists skip, text_to_speech.py:39-43) → M7 synthesis
+    stub over the newline-joined summary (text_to_speech.py:84-88's
+    "\\n".join) through the REAL Arrow mapInPandas plumbing → one K3
+    merge of {male_audio_id, female_audio_id} (text_to_speech.py:101-112's
+    per-gender update_one, set-oriented).  The "upload id" the reference
+    gets back from its API is replaced by the deterministic
+    md5(voice ':' md5(audio)) — unique per (voice, payload), byte-exact in
+    SQL, so the whole leg sits under the q128 driver hash; the
+    side-effecting upload sink itself (K7/M8) stays in
+    operators/tts.py:upload_audio_sink with its pytest contract."""
+    from briefly_spark.operators.tts import gender_voice, synthesize_speech
+
+    articles = wh.read(ARTICLES)
+    work = _work_barrier(
+        articles.filter(
+            F.col("summary_status").isNotNull()
+            & (F.col("male_audio_id").isNull() | F.col("female_audio_id").isNull())
+        )
+        .orderBy(F.desc("n_chars"), F.asc("url"))
+        .limit(batch_size)
+        .select(
+            "url",
+            "source",
+            "article_id",
+            F.array_join("summary", "\n").alias("summary_text"),
+        )
+    )
+    audio = synthesize_speech(work, "summary_text", "article_id", backend="fake")
+    delta = work.join(audio, "article_id").select(
+        "url",
+        "source",
+        F.md5(
+            F.concat(gender_voice(F.col("url"), "male"), F.lit(":"), F.md5("audio"))
+        ).alias("male_audio_id"),
+        F.md5(
+            F.concat(gender_voice(F.col("url"), "female"), F.lit(":"), F.md5("audio"))
+        ).alias("female_audio_id"),
+    )
+    n = _merge_batch(
+        delta,
+        lambda d: wh.merge_update(
+            d,
+            ARTICLES,
+            ["url"],
+            ["male_audio_id", "female_audio_id"],
+            partition_by=PARTITION,
+        ),
+    )
+    return JobResult("tts", n)
+
+
+# ---------------------------------------------------------------------------
 # streaming sensor loop (T1 → T2 end-to-end)
 # ---------------------------------------------------------------------------
 def stream_ingest(
@@ -412,7 +470,7 @@ def sensor_cycle(
     batch_size: int = 200,
 ) -> list[JobResult]:
     """One full sensor sweep: streaming ingest of new files, then drain the
-    enrichment jobs (curate → summarize → embed → relate) to quiescence.  Running a
+    enrichment jobs (curate → summarize → tts → embed → relate) to quiescence.  Running a
     cycle twice with no new input leaves every table byte-identical —
     the exactly-once property the whole jobs layer is built around."""
     stream_ingest(wh, spark, src_path, checkpoint=checkpoint)
@@ -425,15 +483,16 @@ def sensor_cycle(
 def run_until_drained(
     wh: Warehouse, *, batch_size: int = 200, max_rounds: int = 100
 ) -> list[JobResult]:
-    """Run curate → summarize → embed → relate until no job finds work —
-    the idempotent backfill sweep: because every write is a keyed merge
-    driven by a status predicate, re-running is always safe and always
-    converges."""
+    """Run curate → summarize → tts → embed → relate until no job finds
+    work — the idempotent backfill sweep: because every write is a keyed
+    merge driven by a status predicate, re-running is always safe and
+    always converges."""
     results: list[JobResult] = []
     for _ in range(max_rounds):
         round_results = [
             curate_batch(wh, batch_size),
             summarize_batch(wh, batch_size),
+            tts_batch(wh, batch_size),
             embed_batch(wh, batch_size),
             relate_batch(wh, batch_size=batch_size),
         ]

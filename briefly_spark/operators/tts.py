@@ -38,6 +38,23 @@ def pick_voice(url: Column) -> Column:
     return F.element_at(F.array(*[F.lit(v) for v in VOICES]), (nib % len(VOICES) + 1).cast("int"))
 
 
+#: gender-scoped pools (tts_utils.py:47-54's male/female voice sets)
+MALE_VOICES = VOICES[:4]
+FEMALE_VOICES = VOICES[4:]
+
+
+def gender_voice(url: Column, gender: str) -> Column:
+    """Deterministic gender-scoped voice for the dual-voice TTS job
+    (text_to_speech.py:58-62's male/female configs; random.choice replaced
+    by the url-hash pick per SURVEY §7.2 — same nibble as pick_voice, so
+    one article's male and female voices share an index)."""
+    pool = MALE_VOICES if gender == "male" else FEMALE_VOICES
+    nib = F.instr(F.lit(HEX), F.substring(F.md5(url), 1, 1)) - 1
+    return F.element_at(
+        F.array(*[F.lit(v) for v in pool]), (nib % len(pool) + 1).cast("int")
+    )
+
+
 def fake_audio_py(text: str) -> bytes:
     """Deterministic stand-in waveform: the text digest repeated to a
     length proportional to the text (SQL mirror: repeat(md5(text), k))."""

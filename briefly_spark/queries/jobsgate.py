@@ -5,9 +5,15 @@ as idempotent work-list jobs) was pytest-only at the driver: its entry
 points need a warehouse root, which the pure ``(spark, sf_dir) ->
 DataFrame`` contract doesn't provide.  q128 closes that gap the way q120
 did for streaming (VERDICT r07 next-round #8): the WHOLE
-ingest → (curate → summarize → embed → relate) drain runs inside the
-query function against a throwaway warehouse, and the final articles
+ingest → (curate → summarize → tts → embed → relate) drain runs inside
+the query function against a throwaway warehouse, and the final articles
 table's lifecycle columns hash against a plain one-shot SQL restatement.
+Since r09 the surface includes the TTS leg (VERDICT r08 next-round #4):
+the deterministic gender voices and both audio ids (md5(voice ':'
+md5(audio)) over the newline-joined summary) — putting the M7 synthesis
+composition and the P3 dual-audio work-list predicate under the same
+fixed-point hash; only the side-effecting upload itself (K7/M8) remains
+pytest-only.
 
 The equality is the point — it driver-pins the jobs layer's convergence
 contract:
@@ -100,6 +106,24 @@ score AS (
             - 0.5 * sum(CASE WHEN nib >= 8 AND nib < 11 THEN 1 ELSE 0 END))
            / count(*) * 10, 3.0), 10.0) * 10000) AS BIGINT) AS validation_fp
   FROM veri GROUP BY doc_id
+),
+stext AS (
+  SELECT a.doc_id,
+         CASE WHEN len(n.w) >= 10
+              THEN array_to_string(list_slice(n.s, 1, 4), chr(10))
+              ELSE substr(a.text, 1, 500) END AS st
+  FROM arts a JOIN sents n USING (doc_id)
+),
+tts AS (
+  SELECT x.doc_id,
+         md5(repeat(md5(x.st), CAST(1 + length(x.st) // 100 AS INT))) AS audio_md5,
+         ['onyx','echo','fable','alloy']
+           [(strpos('0123456789abcdef', substr(md5(a.url), 1, 1)) - 1) % 4 + 1]
+           AS male_voice,
+         ['nova','shimmer','coral','sage']
+           [(strpos('0123456789abcdef', substr(md5(a.url), 1, 1)) - 1) % 4 + 1]
+           AS female_voice
+  FROM stext x JOIN arts a USING (doc_id)
 )
 SELECT a.url, a.source, CAST(a.n_chars AS BIGINT) AS n_chars,
        m.summary_status, m.n_points, v.validation_fp,
@@ -109,16 +133,20 @@ SELECT a.url, a.source, CAST(a.n_chars AS BIGINT) AS n_chars,
             - coalesce(c.n_kept, 0) AS BIGINT) AS n_spans_trimmed,
        md5(coalesce(c.clean_text, '')) AS curated_md5,
        CAST(CASE WHEN (SELECT count(*) FROM arts) > 1 THEN 1 ELSE 0 END
-            AS BIGINT) AS has_related
+            AS BIGINT) AS has_related,
+       t.male_voice, t.female_voice,
+       md5(t.male_voice || ':' || t.audio_md5) AS male_audio_id,
+       md5(t.female_voice || ':' || t.audio_md5) AS female_audio_id
 FROM arts a
 JOIN summ m USING (doc_id)
 JOIN score v USING (doc_id)
+JOIN tts t USING (doc_id)
 LEFT JOIN curated c USING (doc_id)"""
 
 
 @register(
     "q128_jobs_dag_resolve",
-    covers=("K1", "K3", "K5", "T1", "T3"),
+    covers=("K1", "K3", "K5", "M7", "P3", "T1", "T3"),
     oracle=_q128_oracle(),
 )
 def q128_jobs_dag_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +165,7 @@ def q128_jobs_dag_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     full multi-merge pipeline against temp dirs — a pipeline benchmark,
     not a query plan (BENCH_NOTES caveat, like q120)."""
     from briefly_spark.jobs import ARTICLES, ingest_documents, run_until_drained
+    from briefly_spark.operators.tts import gender_voice
     from briefly_spark.storage import Warehouse
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -163,6 +192,10 @@ def q128_jobs_dag_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("related_ids").isNotNull() & (F.size("related_ids") > 0))
             .cast("long")
             .alias("has_related"),
+            gender_voice(F.col("url"), "male").alias("male_voice"),
+            gender_voice(F.col("url"), "female").alias("female_voice"),
+            "male_audio_id",
+            "female_audio_id",
         )
         # materialize before the temp warehouse disappears (q120 pattern)
         return spark.createDataFrame(out.collect(), schema=out.schema)

@@ -197,13 +197,62 @@ def test_pipeline_drains_and_fills_lifecycle(spark, sf_dir, tmp_path):
     assert bad == 0
     # validation scores clamped to [3, 10]
     assert arts.filter((F.col("validation_score") < 3) | (F.col("validation_score") > 10)).count() == 0
+    # tts leg: both audio ids filled, distinct per gender, voice-prefixed
+    from briefly_spark.jobs import tts_batch
+
+    assert arts.filter(
+        F.col("male_audio_id").isNull() | F.col("female_audio_id").isNull()
+    ).count() == 0
+    assert arts.filter(F.col("male_audio_id") == F.col("female_audio_id")).count() == 0
     # drained: one more full round finds zero work
     assert summarize_batch(wh, 25).processed == 0
+    assert tts_batch(wh, 25).processed == 0
     assert embed_batch(wh, 25).processed == 0
     assert relate_batch(wh, batch_size=25).processed == 0
     # batching happened (more than one summarize round for 60 docs @ 25)
     n_summary_rounds = sum(1 for r in results if r.job == "summarize" and r.processed > 0)
     assert n_summary_rounds >= 2
+
+
+def test_tts_batch_partial_fill_and_determinism(spark, sf_dir, tmp_path):
+    """The reference's per-gender skip (text_to_speech.py:39-43,76-80):
+    an article missing only ONE audio id re-enters the work-list and gets
+    (re)filled; already-complete rows are untouched; the refill is
+    byte-identical to the first (deterministic ids), so replay is a
+    no-op in value space."""
+    from briefly_spark.jobs import tts_batch
+
+    wh = _wh(spark, tmp_path)
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    ingest_documents(wh, docs)
+    summarize_batch(wh, 100)
+    assert tts_batch(wh, 100).processed > 0
+    before = {
+        r["url"]: (r["male_audio_id"], r["female_audio_id"])
+        for r in wh.read(ARTICLES).collect()
+    }
+    assert all(m and f and m != f for m, f in before.values())
+    # drained
+    assert tts_batch(wh, 100).processed == 0
+    # null out one row's female id -> exactly that row re-enters
+    # (merge_update coalesces — it can never null a field — so simulate
+    # the reference's partially-filled article by rewriting table state)
+    victim = sorted(before)[0]
+    arts_now = wh.read(ARTICLES)
+    doctored = arts_now.withColumn(
+        "female_audio_id",
+        F.when(F.col("url") == victim, F.lit(None).cast("string")).otherwise(
+            F.col("female_audio_id")
+        ),
+    )
+    doctored = spark.createDataFrame(doctored.collect(), schema=doctored.schema)
+    wh.overwrite(doctored, ARTICLES, partition_by=["source"])
+    assert tts_batch(wh, 100).processed == 1
+    after = {
+        r["url"]: (r["male_audio_id"], r["female_audio_id"])
+        for r in wh.read(ARTICLES).collect()
+    }
+    assert after == before  # refilled to the same deterministic ids
 
 
 def test_sensor_cycle_end_to_end_byte_stable(spark, sf_dir, tmp_path):
