@@ -217,9 +217,12 @@ def substring_coverage(
     variant there too).
 
     Returns one row per input doc: ``(id, n_tokens, n_dup_windows,
-    n_runs, n_covered, clean_text)`` — ``n_runs`` the number of maximal
-    repeated substrings (merged intervals), ``n_covered`` the tokens they
-    span, ``clean_text`` the surviving tokens in original order.
+    n_runs, n_covered, max_run_len, clean_text)`` — ``n_runs`` the number
+    of maximal repeated substrings (merged intervals), ``n_covered`` the
+    tokens they span, ``max_run_len`` the longest repeated substring in
+    tokens (the contamination-triage signal: a 500-token max run is a
+    wholesale copy, an 8-token one is a boilerplate phrase), and
+    ``clean_text`` the surviving tokens in original order.
 
     Scale shape: shingle-ize is map-only (md5 of each window — 32-char
     keys, the heavy window text never shuffles); the duplicate test is
@@ -267,10 +270,25 @@ def substring_coverage(
     contrib = (F.col("p") + (L - 1)) - F.greatest(
         F.coalesce(F.col("prev_end"), F.lit(-1)), F.col("p") - 1
     )
-    stats = dsx.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
-        F.sum(new_run.cast("long")).cast("long").alias("n_runs"),
-        F.sum(contrib).cast("long").alias("n_covered"),
+    # run_id (running count of run starts) groups each doc's dup starts
+    # into maximal merged intervals; run length = span of the interval
+    run_id = F.sum(new_run.cast("long")).over(
+        Window.partitionBy("id").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        dsx.withColumn("run_id", run_id)
+        .groupBy("id", "run_id")
+        .agg((F.max("p") + (L - 1) - F.min("p") + 1).cast("long").alias("run_len"))
+    )
+    maxrun = runs.groupBy("id").agg(F.max("run_len").alias("max_run_len"))
+    stats = (
+        dsx.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+            F.sum(new_run.cast("long")).cast("long").alias("n_runs"),
+            F.sum(contrib).cast("long").alias("n_covered"),
+        )
+        .join(maxrun, "id")
     )
     covered = ds.select(
         "id", F.explode(F.sequence(F.col("p"), F.col("p") + (L - 1))).alias("tp")
@@ -299,6 +317,7 @@ def substring_coverage(
             F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
             F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
             F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+            F.coalesce(F.col("max_run_len"), F.lit(0)).cast("long").alias("max_run_len"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )

@@ -120,20 +120,37 @@ dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
 ds AS MATERIALIZED (
   SELECT s.doc_id, s.p FROM sh s JOIN dup d USING (h)
 ),
-dsx AS (
+dsx AS MATERIALIZED (
   SELECT doc_id, p,
          max(p + {_SUB_L} - 1) OVER (PARTITION BY doc_id ORDER BY p
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
   FROM ds
 ),
+dsr AS (
+  SELECT doc_id, p, prev_end,
+         sum(CASE WHEN prev_end IS NULL OR prev_end < p - 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM dsx
+),
+runlens AS (
+  SELECT doc_id, run_id,
+         max(p) + {_SUB_L} - 1 - min(p) + 1 AS run_len
+  FROM dsr GROUP BY doc_id, run_id
+),
+maxrun AS (
+  SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run_len
+  FROM runlens GROUP BY doc_id
+),
 stats AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
-         CAST(sum(CASE WHEN prev_end IS NULL OR prev_end < p - 1
+  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(CASE WHEN x.prev_end IS NULL OR x.prev_end < x.p - 1
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
-         CAST(sum((p + {_SUB_L} - 1)
-                  - greatest(coalesce(prev_end, -1), p - 1)) AS BIGINT)
+         CAST(sum((x.p + {_SUB_L} - 1)
+                  - greatest(coalesce(x.prev_end, -1), x.p - 1)) AS BIGINT)
            AS n_covered
-  FROM dsx GROUP BY doc_id
+  FROM dsx x GROUP BY x.doc_id
 ),
 cov AS (
   SELECT DISTINCT doc_id, p + CAST(j AS INT) AS tp
@@ -152,9 +169,11 @@ SELECT s.doc_id, CAST(len(s.t) AS BIGINT) AS n_tokens,
        CAST(coalesce(st.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(st.n_runs, 0) AS BIGINT) AS n_runs,
        CAST(coalesce(st.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(coalesce(m.max_run_len, 0) AS BIGINT) AS max_run_len,
        md5(coalesce(c.clean_text, '')) AS clean_md5
 FROM stoks s
 LEFT JOIN stats st USING (doc_id)
+LEFT JOIN maxrun m USING (doc_id)
 LEFT JOIN clean c USING (doc_id)"""
 
 
@@ -169,8 +188,10 @@ def q131_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-count groupBy plus a per-doc interval merge — Spark-shaped
     and exactly equal to the suffix-array removal set.  Per doc: token
     count, repeated-window count, number of maximal repeated substrings,
-    tokens covered, and the md5 of the text with every repeated region
-    cut (the paper's remove-all-copies variant; q83 remains the
+    tokens covered, the LONGEST repeated substring in tokens (the
+    contamination-triage signal: ~500 means wholesale copy, ~8 means a
+    boilerplate phrase), and the md5 of the text with every repeated
+    region cut (the paper's remove-all-copies variant; q83 remains the
     keep-first rung).
 
     Scale: window text never shuffles (md5 keys); the dup test is a
@@ -187,6 +208,7 @@ def q131_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_windows",
         "n_runs",
         "n_covered",
+        "max_run_len",
         F.md5(F.col("clean_text")).alias("clean_md5"),
     )
 
@@ -1087,6 +1109,136 @@ def q127_classifier_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can be released HERE instead of leaking into the caller's session
     # (ADVICE r08 #3); q125 cannot do this (corpus-sized result) and
     # documents caller ownership instead.
+    out = spark.createDataFrame(out.collect(), schema=out.schema)
+    margins.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q132 — classifier threshold sweep (PR curve): the tau-selection table a
+# curation pipeline reads BEFORE fixing the q127 keep-gate.
+# ---------------------------------------------------------------------------
+_PRC_STEPS = 10  # ladder granularity: tau_i = mmin + i*span//10, i = 1..9
+
+
+def _q132_oracle() -> str:
+    from briefly_spark.queries.textstats import _SQL_QUALITY, _TOKS
+
+    return f"""WITH {_pct_ctes()},
+qual AS (
+  SELECT doc_id, CAST(floor(({_SQL_QUALITY}) * 10000) AS BIGINT) AS q_fp
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) t
+),
+gate AS MATERIALIZED (
+  SELECT m.id AS doc_id, m.m,
+         CASE WHEN q.q_fp >= {_Q127_QTAU_FP} THEN 1 ELSE 0 END AS good
+  FROM m{_PCT_R} m JOIN qual q ON m.id = q.doc_id
+),
+bounds AS (SELECT min(m) AS mmin, max(m) AS mmax FROM gate),
+taus AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         CAST(b.mmin + i * (b.mmax - b.mmin) // {_PRC_STEPS} AS BIGINT) AS tau
+  FROM bounds b, UNNEST(range(1, {_PRC_STEPS})) AS u(i)
+),
+conf AS (
+  SELECT t.i, t.tau,
+         CAST(sum(CASE WHEN g.m > t.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN g.m > t.tau THEN g.good ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN g.m > t.tau THEN 1 - g.good ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN g.m <= t.tau THEN g.good ELSE 0 END) AS BIGINT) AS fn
+  FROM gate g, taus t GROUP BY t.i, t.tau
+)
+SELECT i, tau, n_kept, tp, fp, fn,
+       CAST(CASE WHEN tp + fp = 0 THEN NULL
+                 ELSE (tp * 10000) // (tp + fp) END AS BIGINT) AS precision_fp,
+       CAST(CASE WHEN tp + fn = 0 THEN NULL
+                 ELSE (tp * 10000) // (tp + fn) END AS BIGINT) AS recall_fp,
+       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                 ELSE (2 * tp * 10000) // (2 * tp + fp + fn) END AS BIGINT) AS f1_fp
+FROM conf"""
+
+
+@register("q132_classifier_pr_curve", covers=("A3", "P7"), oracle=_q132_oracle())
+def q132_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier THRESHOLD SWEEP — the precision/recall/F1 curve over a
+    9-point integer tau ladder spanning the margin range, against the
+    independent q52 rubric labels: the table a pipeline reads to pick the
+    q127 keep-gate before committing a 100 TB keep decision (trading
+    recall for precision is THE curation dial; fastText-gate pipelines
+    publish exactly this sweep).  The ladder is data-dependent but
+    engine-exact: tau_i = mmin + i*(mmax - mmin)//10 in pure integer
+    arithmetic from the margins' own bounds.
+
+    Scale: margins come back materialized (one corpus tokenize — q125
+    rule); the rubric is the q127 map-only second scan; bounds are one
+    2-value aggregate broadcast back; the sweep fans each doc out x9
+    map-side and partial-aggregates into 9 groups — one tiny shuffle,
+    output 9 rows regardless of corpus size.  All surfaces BIGINT; the
+    divisions are nonnegative integer floors (both engines identical)."""
+    from briefly_spark.operators.classifier import perceptron_train_frames
+    from briefly_spark.operators.textstats import quality_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _w, margins = perceptron_train_frames(
+        spark,
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        label=F.col("lang") == "en",
+        n_buckets=_PCT_B,
+        rounds=_PCT_R,
+    )
+    qual = docs.select(
+        "doc_id",
+        (F.floor(quality_score(F.col("text")) * 10000).cast("long") >= _Q127_QTAU_FP)
+        .cast("long")
+        .alias("good"),
+    )
+    gate = margins.select(F.col("id").alias("doc_id"), "m").join(qual, "doc_id")
+    bounds = gate.agg(
+        F.min("m").cast("long").alias("mmin"), F.max("m").cast("long").alias("mmax")
+    )
+    taus = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_PRC_STEPS - 1))).alias("i"),
+        "mmin",
+        "mmax",
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.expr(f"CAST(mmin + i * (mmax - mmin) div {_PRC_STEPS} AS BIGINT)").alias(
+            "tau"
+        ),
+    )
+    swept = gate.crossJoin(F.broadcast(taus))
+    conf = swept.groupBy("i", "tau").agg(
+        F.sum((F.col("m") > F.col("tau")).cast("long")).alias("n_kept"),
+        F.sum(((F.col("m") > F.col("tau")).cast("long") * F.col("good"))).alias("tp"),
+        F.sum(
+            ((F.col("m") > F.col("tau")).cast("long") * (1 - F.col("good")))
+        ).alias("fp"),
+        F.sum(((F.col("m") <= F.col("tau")).cast("long") * F.col("good"))).alias("fn"),
+    )
+    out = conf.select(
+        "i",
+        "tau",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(tp * 10000) div (tp + fp)"))
+        .cast("long")
+        .alias("precision_fp"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(tp * 10000) div (tp + fn)"))
+        .cast("long")
+        .alias("recall_fp"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(2 * tp * 10000) div (2 * tp + fp + fn)"))
+        .cast("long")
+        .alias("f1_fp"),
+    )
+    # bounded 9-row result: materialize eagerly, release the margins cache
+    # (the q127 pattern — ADVICE r08 #3)
     out = spark.createDataFrame(out.collect(), schema=out.schema)
     margins.unpersist()
     return out

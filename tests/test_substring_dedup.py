@@ -30,6 +30,17 @@ def _runs(pos: set[int]) -> int:
     return sum(1 for p in pos if p - 1 not in pos)
 
 
+def _max_run(pos: set[int]) -> int:
+    best = 0
+    for p in pos:
+        if p - 1 not in pos:  # run start
+            q = p
+            while q + 1 in pos:
+                q += 1
+            best = max(best, q - p + 1)
+    return best
+
+
 CORPORA = {
     # exactly-L shared substring across docs; L-1 share must NOT trigger
     "cross_doc": {
@@ -74,8 +85,51 @@ def test_substring_coverage_matches_brute_force(spark):
             assert r["n_tokens"] == len(toks), (name, d)
             assert r["n_covered"] == len(cov), (name, d)
             assert r["n_runs"] == _runs(cov), (name, d)
+            assert r["max_run_len"] == _max_run(cov), (name, d)
             clean = " ".join(w for i, w in enumerate(toks) if i not in cov)
             assert r["clean_text"] == clean, (name, d)
+
+
+def test_random_corpora_match_brute_force(spark):
+    """Seeded random corpora with PLANTED duplications (copied slices of
+    random length 4–20 spliced at random offsets, cross- and within-doc)
+    — the adversarial shapes the handcrafted cases can't enumerate."""
+    import random
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        corpus: dict[int, list[str]] = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(1, 60))]
+            for d in range(1, 7)
+        }
+        for _ in range(4):  # plant copies
+            src = corpus[rng.randint(1, 6)]
+            if len(src) < 4:
+                continue
+            i = rng.randrange(len(src) - 3)
+            j = min(len(src), i + rng.randint(4, 20))
+            dst = corpus[rng.randint(1, 6)]
+            at = rng.randint(0, len(dst))
+            dst[at:at] = src[i:j]
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in corpus.items()],
+            schema="doc_id LONG, text STRING",
+        )
+        got = {
+            int(r["id"]): r
+            for r in substring_coverage(
+                docs, id_col="doc_id", text_col="text", min_tokens=8
+            ).collect()
+        }
+        want = _brute_coverage(corpus, 8)
+        for d, toks in corpus.items():
+            cov, r = want[d], got[d]
+            assert r["n_covered"] == len(cov), (seed, d)
+            assert r["n_runs"] == _runs(cov), (seed, d)
+            assert r["max_run_len"] == _max_run(cov), (seed, d)
+            clean = " ".join(w for i, w in enumerate(toks) if i not in cov)
+            assert r["clean_text"] == clean, (seed, d)
 
 
 def test_merge_runs_is_one_run(spark):

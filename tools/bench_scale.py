@@ -68,6 +68,8 @@ QUERIES = (
     # the ONE persisted feature frame — time must scale with the frame,
     # rounds stay 3, driver state stays ≤33 rows at every K
     "q124_classifier_train",
+    # train + materialized margins + rubric second scan + one-row audit
+    "q127_classifier_funnel_audit",
 )
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
