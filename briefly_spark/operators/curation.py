@@ -232,6 +232,21 @@ def substring_coverage(
     bounded by doc length, partitioned by id); the rebuild is the q83
     reassembly groupBy.  Nothing quadratic, nothing driver-side."""
     L = min_tokens
+    toks, staged, sh = _substring_windows(docs, id_col, text_col, L)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    ds = sh.join(dup, "h", "leftsemi").select("id", "p")  # dup window starts
+    return _coverage_from_starts(toks, staged, ds, L)
+
+
+def _substring_windows(docs: DataFrame, id_col: str, text_col: str, L: int):
+    """(toks, staged, sh): token arrays, staged window starts, and the
+    exploded (id, p, h) overlapping-L-shingle frame (md5 keys — the
+    window text itself never leaves the projection)."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("t")
     )
@@ -251,13 +266,15 @@ def substring_coverage(
         ).alias("hs"),
     )
     sh = hashed.select("id", F.posexplode("hs").alias("p", "h"))
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("h")
-    )
-    ds = sh.join(dup, "h", "leftsemi").select("id", "p")  # dup window starts
+    return toks, staged, sh
+
+
+def _coverage_from_starts(
+    toks: DataFrame, staged: DataFrame, ds: DataFrame, L: int
+) -> DataFrame:
+    """Per-doc coverage stats + cleaned text from a (id, p) frame of
+    covered window starts: interval-merge window over the SPARSE starts,
+    run-id grouping for max_run_len, covered-position anti-join rebuild."""
     from pyspark.sql.window import Window
 
     prev_end = F.max(F.col("p") + (L - 1)).over(
@@ -321,6 +338,102 @@ def substring_coverage(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def substring_dedup_keepfirst(
+    docs: DataFrame, *, id_col: str, text_col: str, min_tokens: int = 8
+) -> DataFrame:
+    """KEEP-FIRST any-length substring dedup — the information-preserving
+    variant of :func:`substring_coverage` (Lee et al. 2022 discuss both;
+    keep-one retains exactly one copy of every repeated region): a window
+    occurrence is cut iff an occurrence of the same L-shingle exists at a
+    strictly smaller (id, position) key — so the EARLIEST occurrence of
+    every repeated substring survives and every later copy is removed.
+    Equivalently: cut(o) ⇔ min_okey(h) < okey(o) — no global count
+    needed, which is precisely what makes this form INCREMENTAL
+    (:func:`substring_dedup_incremental`) without retroactive updates:
+    under monotone batch ids, "seen at a smaller key" ≡ "seen in an
+    earlier batch or earlier in this batch".
+
+    Same per-doc surface as substring_coverage; ``n_dup_windows`` counts
+    CUT window occurrences (first occurrences are not cut).
+
+    Scale shape: identical to substring_coverage except the dup test is a
+    partial-aggregable min-groupBy (boilerplate shingles combine
+    map-side) + one equi-join instead of a count filter."""
+    L = min_tokens
+    toks, staged, sh = _substring_windows(docs, id_col, text_col, L)
+    sh = sh.withColumn("okey", F.col("id") * _WIDX_STRIDE + F.col("p"))
+    firsts = sh.groupBy("h").agg(F.min("okey").alias("first_key"))
+    ds = (
+        sh.join(firsts, "h")
+        .filter(F.col("okey") > F.col("first_key"))
+        .select("id", "p")
+    )
+    return _coverage_from_starts(toks, staged, ds, L)
+
+
+def substring_dedup_incremental(
+    new_docs: DataFrame,
+    registry: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental keep-first substring dedup against a persisted SHINGLE
+    registry — the ingestion form of :func:`substring_dedup_keepfirst`,
+    mirroring :func:`span_dedup_incremental`'s contract: ``registry``
+    holds ``(h, first_key)`` for every shingle hash already claimed;
+    returns ``(clean, registry_delta)`` where ``clean`` is the
+    keep-first per-doc surface for the batch and ``registry_delta`` the
+    ``(h, first_key)`` claims to merge before the next batch.
+
+    Own-claim recognition makes batch REPLAY idempotent: a shingle whose
+    registry first_key equals this batch's own min key is treated as
+    unclaimed (it IS this batch's claim from the crashed prior run), so
+    re-running reproduces byte-identical output.
+
+    Equivalence contract (pytest-pinned): with monotone batch ids,
+    sequentially folding batches reproduces EXACTLY the one-shot
+    :func:`substring_dedup_keepfirst` over the union — cut(o) ⇔ an
+    occurrence at a smaller key exists, and under monotone ids that
+    earlier occurrence is either in the registry or earlier in this
+    batch; nothing is ever retroactively cut.
+
+    Scale shape: batch-local min-groupBy + ONE equi-join against the
+    registry driven by the (bounded) batch side; the registry only ever
+    gains keys."""
+    L = min_tokens
+    toks, staged, sh = _substring_windows(new_docs, id_col, text_col, L)
+    sh = sh.withColumn("okey", F.col("id") * _WIDX_STRIDE + F.col("p"))
+    batch_firsts = sh.groupBy("h").agg(F.min("okey").alias("bkey"))
+    probed = batch_firsts.join(
+        registry.select("h", F.col("first_key").alias("reg_key")), "h", "left"
+    )
+    # effective first key per shingle: the registry's claim unless it is
+    # our own (replay) or absent — then this batch's earliest occurrence
+    eff = probed.select(
+        "h",
+        F.when(
+            F.col("reg_key").isNull() | (F.col("reg_key") == F.col("bkey")),
+            F.col("bkey"),
+        )
+        .otherwise(F.least(F.col("reg_key"), F.col("bkey")))
+        .alias("eff_key"),
+        F.col("reg_key").isNull().alias("unclaimed"),
+        (F.col("reg_key") == F.col("bkey")).alias("own"),
+        "bkey",
+    )
+    ds = (
+        sh.join(eff.select("h", "eff_key"), "h")
+        .filter(F.col("okey") > F.col("eff_key"))
+        .select("id", "p")
+    )
+    delta = eff.filter(F.col("unclaimed") | F.coalesce(F.col("own"), F.lit(False))).select(
+        "h", F.col("bkey").alias("first_key")
+    )
+    return _coverage_from_starts(toks, staged, ds, L), delta
 
 
 # ---------------------------------------------------------------------------

@@ -107,7 +107,8 @@ def q83_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SUB_L = 8  # minimum repeated-substring length in tokens (aligned with q83)
 
-_Q131_ORACLE = f"""WITH stoks AS (
+#: shared head: token arrays + overlapping md5 L-shingles
+_SUB_HEAD = f"""stoks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 sh AS MATERIALIZED (
@@ -115,12 +116,12 @@ sh AS MATERIALIZED (
          md5(array_to_string(
            t[(CAST(i AS INT) + 1):(CAST(i AS INT) + {_SUB_L})], ' ')) AS h
   FROM stoks, UNNEST(range(greatest(len(t) - {_SUB_L} + 1, 0))) AS u(i)
-),
-dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
-ds AS MATERIALIZED (
-  SELECT s.doc_id, s.p FROM sh s JOIN dup d USING (h)
-),
-dsx AS MATERIALIZED (
+)"""
+
+#: shared tail: interval merge + run stats + rebuild over a `ds` CTE of
+#: (doc_id, p) covered window starts — q131 (remove-all) and q133
+#: (keep-first) differ ONLY in how ds is derived
+_SUB_TAIL = f"""dsx AS MATERIALIZED (
   SELECT doc_id, p,
          max(p + {_SUB_L} - 1) OVER (PARTITION BY doc_id ORDER BY p
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -176,6 +177,23 @@ LEFT JOIN stats st USING (doc_id)
 LEFT JOIN maxrun m USING (doc_id)
 LEFT JOIN clean c USING (doc_id)"""
 
+_Q131_ORACLE = f"""WITH {_SUB_HEAD},
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+ds AS MATERIALIZED (
+  SELECT s.doc_id, s.p FROM sh s JOIN dup d USING (h)
+),
+{_SUB_TAIL}"""
+
+_Q133_ORACLE = f"""WITH {_SUB_HEAD},
+firsts AS (
+  SELECT h, min(doc_id * 1000000 + p) AS first_key FROM sh GROUP BY h
+),
+ds AS MATERIALIZED (
+  SELECT s.doc_id, s.p FROM sh s JOIN firsts f USING (h)
+  WHERE s.doc_id * 1000000 + s.p > f.first_key
+),
+{_SUB_TAIL}"""
+
 
 @register("q131_exact_substring_dedup", covers=("P5",), oracle=_Q131_ORACLE)
 def q131_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,6 +220,39 @@ def q131_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     out = substring_coverage(docs, id_col="doc_id", text_col="text", min_tokens=_SUB_L)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_dup_windows",
+        "n_runs",
+        "n_covered",
+        "max_run_len",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+@register("q133_substring_dedup_keepfirst", covers=("P5", "U4"), oracle=_Q133_ORACLE)
+def q133_substring_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-FIRST any-length substring dedup — q131's information-
+    preserving sibling and the one-shot anchor for the INCREMENTAL form:
+    a window occurrence is cut iff the same 8-shingle occurs at a
+    strictly smaller (doc, position) key, so the earliest occurrence of
+    every repeated substring survives and every later copy is removed
+    (cut(o) ⇔ min_okey < okey — no global count, which is exactly why
+    this form folds batch-by-batch against a shingle registry with zero
+    retroactive updates; operators/curation.py:
+    substring_dedup_incremental, batch≡one-shot pytest-pinned).  Same
+    per-doc surface as q131 with n_dup_windows counting CUT occurrences.
+
+    Scale: the dup test is a partial-aggregable min-groupBy on the md5
+    shingle key (hot boilerplate combines map-side) + one equi-join;
+    everything downstream is q131's sparse interval merge."""
+    from briefly_spark.operators.curation import substring_dedup_keepfirst
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = substring_dedup_keepfirst(
+        docs, id_col="doc_id", text_col="text", min_tokens=_SUB_L
+    )
     return out.select(
         F.col("id").alias("doc_id"),
         "n_tokens",

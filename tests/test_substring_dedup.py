@@ -6,6 +6,8 @@ operator's docstring claims, not just re-running the same algorithm."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from briefly_spark.operators.curation import substring_coverage
 
 
@@ -130,6 +132,98 @@ def test_random_corpora_match_brute_force(spark):
             assert r["max_run_len"] == _max_run(cov), (seed, d)
             clean = " ".join(w for i, w in enumerate(toks) if i not in cov)
             assert r["clean_text"] == clean, (seed, d)
+
+
+def _kf_brute(corpus: dict[int, list[str]], L: int) -> dict[int, set[int]]:
+    """Keep-first covered positions: occurrence (d, p) of an L-shingle is
+    cut iff the same shingle occurs at a smaller (doc, position) key."""
+    first: dict[tuple[str, ...], int] = {}
+    for d in sorted(corpus):
+        toks = corpus[d]
+        for p in range(len(toks) - L + 1):
+            key = d * 1_000_000 + p
+            sh = tuple(toks[p : p + L])
+            first.setdefault(sh, key)
+    covered: dict[int, set[int]] = {i: set() for i in corpus}
+    for d, toks in corpus.items():
+        for p in range(len(toks) - L + 1):
+            sh = tuple(toks[p : p + L])
+            if d * 1_000_000 + p > first[sh]:
+                covered[d].update(range(p, p + L))
+    return covered
+
+
+def test_keepfirst_matches_brute_force(spark):
+    from briefly_spark.operators.curation import substring_dedup_keepfirst
+
+    for name, corpus in CORPORA.items():
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in corpus.items()],
+            schema="doc_id LONG, text STRING",
+        )
+        got = {
+            int(r["id"]): r
+            for r in substring_dedup_keepfirst(
+                docs, id_col="doc_id", text_col="text", min_tokens=8
+            ).collect()
+        }
+        want = _kf_brute(corpus, 8)
+        for d, toks in corpus.items():
+            cov, r = want[d], got[d]
+            assert r["n_covered"] == len(cov), (name, d)
+            assert r["n_runs"] == _runs(cov), (name, d)
+            assert r["max_run_len"] == _max_run(cov), (name, d)
+            clean = " ".join(w for i, w in enumerate(toks) if i not in cov)
+            assert r["clean_text"] == clean, (name, d)
+        # keep-first cuts a subset of remove-all's coverage
+        ra = _brute_coverage(corpus, 8)
+        assert all(want[d] <= ra[d] for d in corpus), name
+
+
+def test_incremental_equals_oneshot_and_replays(spark):
+    """Monotone batches folded through substring_dedup_incremental must
+    reproduce the one-shot keep-first output exactly, and replaying a
+    batch whose delta was already merged is byte-identical (own-claim
+    recognition) — the span_dedup_incremental contract, for shingles."""
+    from briefly_spark.operators.curation import (
+        substring_dedup_incremental,
+        substring_dedup_keepfirst,
+    )
+
+    corpus = {**CORPORA["merge_runs"], **{10 + k: v for k, v in CORPORA["within_doc"].items()}}
+    full = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()],
+        schema="doc_id LONG, text STRING",
+    )
+    want = {
+        int(r["id"]): tuple(r)
+        for r in substring_dedup_keepfirst(
+            docs=full, id_col="doc_id", text_col="text", min_tokens=8
+        ).collect()
+    }
+    registry = spark.createDataFrame([], "h string, first_key long")
+    got: dict[int, tuple] = {}
+    batches = [[1, 2], [3, 11], [12]]
+    for ids in batches:
+        batch = full.filter(F.col("doc_id").isin(ids))
+        clean, delta = substring_dedup_incremental(
+            batch, registry, id_col="doc_id", text_col="text", min_tokens=8
+        )
+        rows = clean.collect()
+        got.update({int(r["id"]): tuple(r) for r in rows})
+        # replay the SAME batch with its claims already merged: identical
+        merged = registry.unionByName(delta).groupBy("h").agg(
+            F.min("first_key").alias("first_key")
+        )
+        merged = spark.createDataFrame(merged.collect(), schema=merged.schema)
+        replay, _ = substring_dedup_incremental(
+            batch, merged, id_col="doc_id", text_col="text", min_tokens=8
+        )
+        assert sorted(tuple(r) for r in replay.collect()) == sorted(
+            tuple(r) for r in rows
+        )
+        registry = merged
+    assert got == want
 
 
 def test_merge_runs_is_one_run(spark):
