@@ -26,6 +26,7 @@ from briefly_spark.streaming.incremental import (  # noqa: F401
     read_parquet_stream,
     session_counts,
     span_dedup_stream,
+    substring_dedup_stream,
     windowed_counts,
 )
 from briefly_spark.streaming.stateful import stateful_dedup  # noqa: F401

@@ -201,6 +201,59 @@ def span_dedup_stream(
     q.awaitTermination()
 
 
+def substring_dedup_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    *,
+    clean_table: str,
+    registry_table: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+) -> None:
+    """Streaming ANY-length keep-first substring dedup — the ingestion
+    twin of :func:`~briefly_spark.operators.curation.
+    substring_dedup_keepfirst`, completing the batch ≡ incremental ≡
+    stream triple for the ExactSubstr rung exactly as
+    :func:`span_dedup_stream` does for fixed spans: each micro-batch is
+    trimmed against the persisted SHINGLE registry via
+    ``substring_dedup_incremental``, the per-doc coverage surface MERGEs
+    into ``clean_table`` and the batch's shingle claims into
+    ``registry_table``.
+
+    Crash-replay safety: clean merge BEFORE registry merge + own-claim
+    recognition in the incremental operator ⇒ replaying a batch from any
+    crash point reproduces byte-identical merges.  Keep-first follows
+    ARRIVAL order (earlier-arriving content claims the shingle); the
+    equivalence to the one-shot keep-first under monotone ids is
+    pytest-pinned."""
+    from briefly_spark.operators.curation import substring_dedup_incremental
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        clean, delta = substring_dedup_incremental(
+            batch_df,
+            wh.read(registry_table),
+            id_col=id_col,
+            text_col=text_col,
+            min_tokens=min_tokens,
+        )
+        # clean holds EVERY batch doc (zero-coverage docs are full
+        # survivors), so the guard is on the batch, not the claims
+        if clean.take(1):
+            wh.merge_upsert(clean, clean_table, ["id"])
+            if delta.take(1):
+                wh.merge_upsert(delta, registry_table, ["h"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def heavy_hitter_stream(
     source: DataFrame,
     wh: Warehouse,

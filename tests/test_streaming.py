@@ -363,6 +363,77 @@ def test_span_dedup_stream_matches_one_shot(spark, tmp_path):
     assert wh.read("span_registry").count() == n_reg
 
 
+def test_substring_dedup_stream_matches_one_shot(spark, tmp_path):
+    """Streaming ExactSubstr twin: monotone-id micro-batches through the
+    shingle-registry stream must reproduce the one-shot keep-first
+    substring dedup, and a checkpoint re-run must be a no-op."""
+    import random
+    import time
+
+    from briefly_spark.operators.curation import substring_dedup_keepfirst
+    from briefly_spark.streaming import substring_dedup_stream
+
+    rng = random.Random(131)
+    alphabet = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 14))))
+        for i in range(24)
+    ]
+    all_docs = spark.createDataFrame(rows, "id long, text string")
+    cols = ("n_tokens", "n_dup_windows", "n_runs", "n_covered", "max_run_len", "clean_text")
+    expect = {
+        r["id"]: tuple(r[c] for c in cols)
+        for r in substring_dedup_keepfirst(
+            all_docs, id_col="id", text_col="text", min_tokens=3
+        ).collect()
+    }
+
+    src = tmp_path / "sub_batches"
+    src.mkdir()
+    for j, (lo, hi) in enumerate(((0, 8), (8, 16), (16, 24))):
+        spark.createDataFrame(rows[lo:hi], "id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{j}"))
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    wh = Warehouse(spark, str(tmp_path / "wh_stream_sub"))
+    wh.overwrite(
+        spark.createDataFrame(
+            [],
+            "id long, n_tokens long, n_dup_windows long, n_runs long, "
+            "n_covered long, max_run_len long, clean_text string",
+        ),
+        "clean_docs",
+    )
+    wh.overwrite(
+        spark.createDataFrame([], "h string, first_key long"), "sub_registry"
+    )
+    ckpt = str(tmp_path / "sub_ckpt")
+    run = lambda: substring_dedup_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh,
+        clean_table="clean_docs",
+        registry_table="sub_registry",
+        checkpoint=ckpt,
+        id_col="id",
+        text_col="text",
+        min_tokens=3,
+    )
+    run()
+    got = {
+        r["id"]: tuple(r[c] for c in cols)
+        for r in wh.read("clean_docs").collect()
+    }
+    assert got == expect
+    n_reg = wh.read("sub_registry").count()
+    assert n_reg > 0
+
+    # checkpoint re-run: nothing new → both tables unchanged
+    run()
+    assert wh.read("clean_docs").count() == len(expect)
+    assert wh.read("sub_registry").count() == n_reg
+
+
 def test_heavy_hitter_stream_matches_batch_query(spark, sf_dir, tmp_path):
     """Streaming MG accumulation over micro-batches + exact resolve must
     equal the one-shot batch heavy-hitters query on the same corpus —
