@@ -502,3 +502,30 @@ def test_plan_lint_window_heuristic_pins_all_tostring_shapes():
     assert not _is_unpartitioned_window(
         f"   Window [first(a#2[0]) {spec} AS f#9], [k#0], [t#3 ASC NULLS FIRST]"
     )
+
+
+def test_q131_dup_shuffles_carry_hashes_not_window_text(spark, sf_dir):
+    """substring_coverage's scale claim: the overlapping-window TEXT never
+    rides a shuffle — only the 32-char md5 keys (h) and positions do.
+    The token array (t) and the hashed-window array (hs) must stay inside
+    map-side projections."""
+    plan = plan_of(spark, sf_dir, "q131_exact_substring_dedup")
+    offenders = [
+        l
+        for l in shuffle_exchanges(plan)
+        if re.search(r"\bhs#\d+", l) or re.search(r"\bt#\d+", l)
+    ]
+    assert not offenders, offenders
+
+
+def test_q133_keepfirst_first_occurrence_is_partial_agg_not_window(spark, sf_dir):
+    """q133's dup test must be the partial-aggregable min-groupBy on the
+    shingle hash (map-side combine on corpus-hot boilerplate shingles),
+    never a window over the shingle partition — the q48 hot-window
+    hazard."""
+    plan = plan_of(spark, sf_dir, "q133_substring_dedup_keepfirst")
+    # HashAggregate on h with partial_min upstream of the exchange
+    assert re.search(r"HashAggregate.*partial_min", plan), plan[:2000]
+    # the only Window ops are the per-doc interval-merge ones (id-keyed)
+    win_lines = [l for l in plan.splitlines() if "Window" in l and "windowspec" not in l]
+    assert all("id#" in l for l in win_lines if re.search(r"partitionBy|Window \[", l)) or win_lines == [], win_lines

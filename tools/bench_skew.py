@@ -217,11 +217,30 @@ def main() -> None:
         # clique size), not an engine pathology; any correct engine must
         # emit those pairs
         "q122_shingle_containment": registry["q122_shingle_containment"].fn,
+        # q131 hot-shingle + full-coverage hazard: the 5% identical-
+        # boilerplate slice makes every one of its overlapping 8-shingles
+        # corpus-hot (count groupBy must partial-agg map-side) and those
+        # docs FULLY covered (the interval-merge window sees a dense dup-
+        # start frame for them, still partitioned by doc)
+        "q131_exact_substring_dedup": registry["q131_exact_substring_dedup"].fn,
     }
     # q109 hot-word hazard rides the FOOTER corpus (below): a sentence in
     # every document makes its words corpus-hot, but BPE counts pairs on
     # the distinct-WORD frame — frequency is a weight column, not a key
-    footer_queries = {"q109_bpe_merges": registry["q109_bpe_merges"].fn}
+    footer_queries = {
+        "q109_bpe_merges": registry["q109_bpe_merges"].fn,
+        # footer shape for the substring pair: EVERY doc gains the same
+        # 9-token footer, so every doc carries dup windows — the sparse-
+        # dup-starts assumption is deliberately violated corpus-wide; the
+        # per-doc windows stay doc-partitioned and the keep-first min-
+        # groupBy (q133) must combine the corpus-hot shingle map-side
+        "q131_exact_substring_dedup_footer": registry[
+            "q131_exact_substring_dedup"
+        ].fn,
+        "q133_substring_dedup_keepfirst": registry[
+            "q133_substring_dedup_keepfirst"
+        ].fn,
+    }
 
     skew_dir = tempfile.mkdtemp(prefix="skewed_sf_")
     footer_dir = tempfile.mkdtemp(prefix="skewed_footer_sf_")
