@@ -74,6 +74,7 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q134_duplication_flow",
     "q133_substring_dedup_keepfirst",
     "q132_classifier_pr_curve",
     "q131_exact_substring_dedup",
@@ -125,7 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q44_related_lsh",
     "q60_chunk_embed_meanpool",
     "q61_factcheck_scores",
-    "q62_summarize_worklist",
 )
 
 

@@ -264,6 +264,81 @@ def q133_substring_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_Q134_ORACLE = f"""WITH {_SUB_HEAD},
+firsts AS (
+  SELECT h, min(doc_id * 1000000 + p) AS first_key FROM sh GROUP BY h
+),
+cuts AS (
+  SELECT s.doc_id AS cutter_id, CAST(f.first_key // 1000000 AS BIGINT) AS origin_id
+  FROM sh s JOIN firsts f USING (h)
+  WHERE s.doc_id * 1000000 + s.p > f.first_key
+),
+srcs AS (SELECT doc_id, source FROM documents)
+SELECT o.source AS origin_source, c.source AS cutter_source,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(DISTINCT k.cutter_id) AS BIGINT) AS n_cutter_docs,
+       CAST(count(DISTINCT k.origin_id) AS BIGINT) AS n_origin_docs
+FROM cuts k
+JOIN srcs o ON k.origin_id = o.doc_id
+JOIN srcs c ON k.cutter_id = c.doc_id
+GROUP BY o.source, c.source"""
+
+
+@register("q134_duplication_flow", covers=("A4", "J3"), oracle=_Q134_ORACLE)
+def q134_duplication_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication PROVENANCE matrix — who copies whom: every keep-first
+    CUT window occurrence (q133 semantics) is attributed to the SOURCE of
+    its earliest occurrence, yielding the (origin_source, cutter_source)
+    flow with window mass and distinct doc counts on both ends — the
+    report a corpus owner reads to find the syndication/mirror/boilerplate
+    channels BEFORE deciding which feeds to drop (diagonal = within-source
+    self-copying, off-diagonal = cross-source plagiarism/syndication).
+
+    Scale: the cut frame is the q133 postings-shaped join (md5 keys,
+    window text never shuffles); origin ids come FREE from the claimed
+    first_key (integer div — no third scan); the two source hydrations
+    are thin (doc_id, source) equi-joins; output is |sources|² rows.
+    count(DISTINCT) partial-aggregates per group — exact, engine-exact."""
+    from briefly_spark.operators.curation import _substring_windows
+    from briefly_spark.operators.curation import _WIDX_STRIDE
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _toks, _staged, sh = _substring_windows(docs, "doc_id", "text", _SUB_L)
+    sh = sh.withColumn("okey", F.col("id") * _WIDX_STRIDE + F.col("p"))
+    firsts = sh.groupBy("h").agg(F.min("okey").alias("first_key"))
+    cuts = (
+        sh.join(firsts, "h")
+        .filter(F.col("okey") > F.col("first_key"))
+        .select(
+            F.col("id").alias("cutter_id"),
+            F.expr(f"CAST(first_key div {_WIDX_STRIDE} AS BIGINT)").alias("origin_id"),
+        )
+    )
+    srcs = docs.select("doc_id", "source")
+    return (
+        cuts.join(
+            srcs.select(
+                F.col("doc_id").alias("origin_id"),
+                F.col("source").alias("origin_source"),
+            ),
+            "origin_id",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("cutter_id"),
+                F.col("source").alias("cutter_source"),
+            ),
+            "cutter_id",
+        )
+        .groupBy("origin_source", "cutter_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.countDistinct("cutter_id").cast("long").alias("n_cutter_docs"),
+            F.countDistinct("origin_id").cast("long").alias("n_origin_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # q84 — DSIR importance weights toward an English target distribution.
 # ---------------------------------------------------------------------------
