@@ -396,27 +396,34 @@ def tts_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
             F.array_join("summary", "\n").alias("summary_text"),
         )
     )
-    audio = synthesize_speech(work, "summary_text", "article_id", backend="fake")
-    delta = work.join(audio, "article_id").select(
-        "url",
-        "source",
-        F.md5(
-            F.concat(gender_voice(F.col("url"), "male"), F.lit(":"), F.md5("audio"))
-        ).alias("male_audio_id"),
-        F.md5(
-            F.concat(gender_voice(F.col("url"), "female"), F.lit(":"), F.md5("audio"))
-        ).alias("female_audio_id"),
-    )
-    n = _merge_batch(
-        delta,
-        lambda d: wh.merge_update(
-            d,
-            ARTICLES,
-            ["url"],
-            ["male_audio_id", "female_audio_id"],
-            partition_by=PARTITION,
-        ),
-    )
+    # work feeds BOTH join branches (the Arrow synthesis side and the
+    # url/source hydration side) — persist so the articles work-list scan
+    # runs once per round, the curate_batch discipline
+    work = work.persist()
+    try:
+        audio = synthesize_speech(work, "summary_text", "article_id", backend="fake")
+        delta = work.join(audio, "article_id").select(
+            "url",
+            "source",
+            F.md5(
+                F.concat(gender_voice(F.col("url"), "male"), F.lit(":"), F.md5("audio"))
+            ).alias("male_audio_id"),
+            F.md5(
+                F.concat(gender_voice(F.col("url"), "female"), F.lit(":"), F.md5("audio"))
+            ).alias("female_audio_id"),
+        )
+        n = _merge_batch(
+            delta,
+            lambda d: wh.merge_update(
+                d,
+                ARTICLES,
+                ["url"],
+                ["male_audio_id", "female_audio_id"],
+                partition_by=PARTITION,
+            ),
+        )
+    finally:
+        work.unpersist()
     return JobResult("tts", n)
 
 
