@@ -74,6 +74,7 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q135_eval_overlap_exact",
     "q134_duplication_flow",
     "q133_substring_dedup_keepfirst",
     "q132_classifier_pr_curve",
@@ -125,7 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q45_quantized_ann",
     "q44_related_lsh",
     "q60_chunk_embed_meanpool",
-    "q61_factcheck_scores",
 )
 
 

@@ -118,10 +118,11 @@ sh AS MATERIALIZED (
   FROM stoks, UNNEST(range(greatest(len(t) - {_SUB_L} + 1, 0))) AS u(i)
 )"""
 
-#: shared tail: interval merge + run stats + rebuild over a `ds` CTE of
-#: (doc_id, p) covered window starts — q131 (remove-all) and q133
-#: (keep-first) differ ONLY in how ds is derived
-_SUB_TAIL = f"""dsx AS MATERIALIZED (
+#: shared tail CTEs: interval merge + run stats + rebuild over a `ds`
+#: CTE of (doc_id, p) covered window starts — q131 (remove-all), q133
+#: (keep-first) and q135 (train↔eval overlap) differ ONLY in how ds is
+#: derived (and q135 in its final projection)
+_SUB_TAIL_CTES = f"""dsx AS MATERIALIZED (
   SELECT doc_id, p,
          max(p + {_SUB_L} - 1) OVER (PARTITION BY doc_id ORDER BY p
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -165,8 +166,10 @@ clean AS (
   SELECT k.doc_id, string_agg(k.w, ' ' ORDER BY k.tp) AS clean_text
   FROM tokpos k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tp = c.tp
   WHERE c.tp IS NULL GROUP BY k.doc_id
-)
-SELECT s.doc_id, CAST(len(s.t) AS BIGINT) AS n_tokens,
+)"""
+
+#: shared final projection over the tail CTEs
+_SUB_FINAL = """SELECT s.doc_id, CAST(len(s.t) AS BIGINT) AS n_tokens,
        CAST(coalesce(st.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(st.n_runs, 0) AS BIGINT) AS n_runs,
        CAST(coalesce(st.n_covered, 0) AS BIGINT) AS n_covered,
@@ -176,6 +179,8 @@ FROM stoks s
 LEFT JOIN stats st USING (doc_id)
 LEFT JOIN maxrun m USING (doc_id)
 LEFT JOIN clean c USING (doc_id)"""
+
+_SUB_TAIL = _SUB_TAIL_CTES + "\n" + _SUB_FINAL
 
 _Q131_ORACLE = f"""WITH {_SUB_HEAD},
 dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
@@ -336,6 +341,69 @@ def q134_duplication_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cutter_id").cast("long").alias("n_cutter_docs"),
             F.countDistinct("origin_id").cast("long").alias("n_origin_docs"),
         )
+    )
+
+
+_Q135_ORACLE = f"""WITH {_SUB_HEAD},
+trainh AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 <> 0),
+ds AS MATERIALIZED (
+  SELECT s.doc_id, s.p FROM sh s JOIN trainh t USING (h)
+  WHERE s.doc_id % 50 = 0
+),
+{_SUB_TAIL_CTES}
+SELECT v.doc_id, v.n_tokens,
+       v.n_dup_windows AS n_shared_windows, v.n_runs, v.n_covered,
+       v.max_run_len, v.clean_md5,
+       CAST(CASE WHEN v.n_tokens = 0 THEN NULL
+                 ELSE (v.n_covered * 10000) // v.n_tokens END AS BIGINT)
+         AS overlap_fp
+FROM ({_SUB_FINAL}) v
+WHERE v.doc_id % 50 = 0"""
+
+
+@register("q135_eval_overlap_exact", covers=("P5", "J3"), oracle=_Q135_ORACLE)
+def q135_eval_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train↔eval EXACT-SUBSTRING contamination report (Lee et al. 2022
+    §6.2's train-test overlap, at substring rather than whole-doc
+    granularity; the q36/q97 shingle/Bloom decontamination rungs answer
+    "does this eval doc overlap AT ALL" — this answers WHERE and HOW
+    MUCH): for every benchmark doc (the standing doc_id % 50 = 0 eval
+    slice), the tokens covered by >=8-token substrings that also appear
+    in the training split, the number and longest of those shared
+    regions, the fixed-point overlap fraction, and the md5 of the eval
+    text with every contaminated region cut — i.e. the decontaminated
+    eval set AND its audit trail in one pass.
+
+    Scale: train shingles collapse to a DISTINCT hash set (partial-agg);
+    eval windows (2% of the corpus) semi-join it — postings-shaped,
+    md5 keys only; coverage is the q131 sparse interval merge over eval
+    docs alone."""
+    from briefly_spark.operators.curation import (
+        _coverage_from_starts,
+        _substring_windows,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    is_eval = F.col("doc_id") % 50 == 0
+    toks_e, staged_e, sh_e = _substring_windows(
+        docs.filter(is_eval), "doc_id", "text", _SUB_L
+    )
+    _t, _s, sh_t = _substring_windows(docs.filter(~is_eval), "doc_id", "text", _SUB_L)
+    trainh = sh_t.select("h").distinct()
+    ds = sh_e.join(trainh, "h", "leftsemi").select("id", "p")
+    out = _coverage_from_starts(toks_e, staged_e, ds, _SUB_L)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.col("n_dup_windows").alias("n_shared_windows"),
+        "n_runs",
+        "n_covered",
+        "max_run_len",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(n_covered * 10000) div n_tokens"))
+        .cast("long")
+        .alias("overlap_fp"),
     )
 
 
