@@ -74,6 +74,8 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q137_zipf_rank_curve",
+    "q136_heaps_vocab_growth",
     "q135_eval_overlap_exact",
     "q134_duplication_flow",
     "q133_substring_dedup_keepfirst",
@@ -124,8 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q43_ivf_ann",
     "q49_contrastive_pairs",
     "q45_quantized_ann",
-    "q44_related_lsh",
-    "q60_chunk_embed_meanpool",
 )
 
 

@@ -723,3 +723,240 @@ def q117_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select("src_a", "src_b", "n_terms", "kl_sum_fp")
     )
+
+
+# --------------------------------------------------------------------------
+# q136 — Heaps'-law vocabulary-growth curve (corpus health / tokenizer
+# sizing).  q137 — Zipf rank-frequency curve with piecewise log-log slopes.
+# --------------------------------------------------------------------------
+_HEAPS_B = 20  # corpus checkpoints (buckets over the doc_id range)
+
+
+def _lnfp_sql(n_expr: str, out: str, dialect: str) -> list[str]:
+    """Staged det_ln fixed-point items ending in ``… AS {out}`` (BIGINT,
+    floor(ln·10⁴)) — the engine-exact log both q136/q137 surfaces use.
+    Guarded upstream: callers pass ``greatest(n, 1)`` and NULL the output
+    when the true argument is < 1."""
+    from briefly_spark.numerics import det_ln_items
+
+    return [
+        *det_ln_items(n_expr, f"__{out}", dialect),
+        f"CAST(floor(__{out} * 10000.0) AS BIGINT) AS {out}",
+    ]
+
+
+def _q136_oracle() -> str:
+    ln_t = ",\n         ".join(_lnfp_sql("greatest(toks_cum, 1)", "ln_toks_raw", "duckdb"))
+    ln_v = ",\n         ".join(_lnfp_sql("greatest(types_cum, 1)", "ln_types_raw", "duckdb"))
+    return f"""
+WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+base AS MATERIALIZED (
+  SELECT (d.doc_id * {_HEAPS_B}) // (m.max_id + 1) AS bucket, d.text
+  FROM documents d, mx m
+),
+bstat AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_toks
+  FROM base GROUP BY bucket
+),
+firstb AS (
+  SELECT term, min(bucket) AS fb FROM (
+    SELECT bucket, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      w -> w <> '')) AS term
+    FROM base
+  ) GROUP BY term
+),
+newt AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_types
+         FROM firstb GROUP BY fb),
+cum AS MATERIALIZED (
+  SELECT b.bucket, b.n_docs, b.n_toks,
+         coalesce(n.new_types, CAST(0 AS BIGINT)) AS new_types,
+         CAST(sum(b.n_docs) OVER w AS BIGINT) AS docs_cum,
+         CAST(sum(b.n_toks) OVER w AS BIGINT) AS toks_cum,
+         CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT) AS types_cum
+  FROM bstat b LEFT JOIN newt n USING (bucket)
+  WINDOW w AS (ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+fps AS MATERIALIZED (
+  SELECT bucket, n_docs, n_toks, new_types, docs_cum, toks_cum, types_cum,
+         {ln_t},
+         {ln_v},
+         CASE WHEN toks_cum >= 1 THEN ln_toks_raw END AS ln_toks_fp,
+         CASE WHEN types_cum >= 1 THEN ln_types_raw END AS ln_types_fp
+  FROM cum
+)
+SELECT bucket, n_docs, n_toks, new_types, docs_cum, toks_cum, types_cum,
+       ln_toks_fp, ln_types_fp,
+       CAST(CASE WHEN lag(ln_toks_fp) OVER (ORDER BY bucket) IS NOT NULL
+                  AND ln_toks_fp > lag(ln_toks_fp) OVER (ORDER BY bucket)
+            THEN ((ln_types_fp - lag(ln_types_fp) OVER (ORDER BY bucket)) * 10000)
+                 // (ln_toks_fp - lag(ln_toks_fp) OVER (ORDER BY bucket))
+       END AS BIGINT) AS beta_fp
+FROM fps
+"""
+
+
+@register("q136_heaps_vocab_growth", covers=("A2", "A3"), oracle=_q136_oracle())
+def q136_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (Heaps 1978): at 20
+    deterministic corpus checkpoints (doc_id-range buckets — no global
+    sort), the cumulative docs/tokens/distinct-types counts plus the
+    LOCAL Heaps exponent between consecutive checkpoints,
+    β = Δln V / Δln N as a 10⁴ fixed-point integer over the
+    bit-reproducible det_ln.  This is the corpus-health report a
+    tokenizer-sizing / dedup pipeline reads first: a β that stops
+    falling flags boilerplate injection or OCR noise; V(N) directly
+    sizes the BPE vocab (operators/bpe.py budgets off it).
+
+    Plan shape at 100 TB: one (term) shuffle for first-occurrence
+    (postings-shaped, partial-agg), a map-only per-bucket token tally,
+    then every window/lag runs on the 20-row checkpoint frame —
+    corpus-sized rows never reach an unpartitioned window
+    (tools/plan_lint.py allowlist)."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    base = docs.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(doc_id * {_HEAPS_B}) div (max_id + 1)").alias("bucket"),
+        "text",
+    )
+    bstat = (
+        base.select("bucket", F.size(tokens_of(F.col("text"))).alias("ntok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_toks"),
+        )
+    )
+    firstb = (
+        base.select("bucket", F.explode(tokens_of(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("bucket").alias("fb"))
+    )
+    newt = firstb.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        bstat.join(newt, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0).cast("long")))
+        .select(
+            "bucket", "n_docs", "n_toks", "new_types",
+            F.sum("n_docs").over(w).cast("long").alias("docs_cum"),
+            F.sum("n_toks").over(w).cast("long").alias("toks_cum"),
+            F.sum("new_types").over(w).cast("long").alias("types_cum"),
+        )
+    )
+    fps = cum.selectExpr(
+        "bucket", "n_docs", "n_toks", "new_types",
+        "docs_cum", "toks_cum", "types_cum",
+        *_lnfp_sql("greatest(toks_cum, 1)", "ln_toks_raw", "spark"),
+        *_lnfp_sql("greatest(types_cum, 1)", "ln_types_raw", "spark"),
+    ).selectExpr(
+        "bucket", "n_docs", "n_toks", "new_types",
+        "docs_cum", "toks_cum", "types_cum",
+        "CASE WHEN toks_cum >= 1 THEN ln_toks_raw END AS ln_toks_fp",
+        "CASE WHEN types_cum >= 1 THEN ln_types_raw END AS ln_types_fp",
+    )
+    wl = Window.orderBy("bucket")
+    return (
+        fps.withColumn("__pt", F.lag("ln_toks_fp").over(wl))
+        .withColumn("__pv", F.lag("ln_types_fp").over(wl))
+        .withColumn(
+            "beta_fp",
+            F.expr(
+                "CASE WHEN __pt IS NOT NULL AND ln_toks_fp > __pt"
+                " THEN ((ln_types_fp - __pv) * 10000) div (ln_toks_fp - __pt) END"
+            ).cast("long"),
+        )
+        .drop("__pt", "__pv")
+    )
+
+
+_ZIPF_K = 1024  # rank depth; checkpoints are the powers of two <= K
+
+
+def _q137_oracle() -> str:
+    ln_r = ",\n         ".join(_lnfp_sql("rk", "ln_rank_fp", "duckdb"))
+    ln_c = ",\n         ".join(_lnfp_sql("c", "ln_count_fp", "duckdb"))
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS term
+  FROM documents
+),
+cw AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+topk AS (SELECT term, c FROM cw ORDER BY c DESC, term LIMIT {_ZIPF_K}),
+ranked AS MATERIALIZED (
+  SELECT term, c,
+         CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS rk
+  FROM topk
+),
+chk AS MATERIALIZED (SELECT rk, term, c FROM ranked WHERE (rk & (rk - 1)) = 0),
+fps AS MATERIALIZED (
+  SELECT rk, term, c,
+         {ln_r},
+         {ln_c}
+  FROM chk
+)
+SELECT rk, term, c, ln_rank_fp, ln_count_fp,
+       CAST(CASE WHEN lag(ln_rank_fp) OVER (ORDER BY rk) IS NOT NULL
+            THEN ((lag(ln_count_fp) OVER (ORDER BY rk) - ln_count_fp) * 10000)
+                 // (ln_rank_fp - lag(ln_rank_fp) OVER (ORDER BY rk))
+       END AS BIGINT) AS slope_fp
+FROM fps
+"""
+
+
+@register("q137_zipf_rank_curve", covers=("W1", "A3"), oracle=_q137_oracle())
+def q137_zipf_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve (Zipf 1949) at geometric rank
+    checkpoints (1, 2, 4, … ≤ 1024) with the PIECEWISE log-log
+    slope between consecutive checkpoints — the local Zipf exponent
+    s = −Δln c / Δln r as a 10⁴ fixed-point integer.  Piecewise rather
+    than one OLS slope: the per-segment view shows WHERE the power law
+    breaks (head boilerplate flattens the top segments, a contaminated
+    tail steepens the last ones), and every intermediate stays far from
+    BIGINT overflow — an OLS over fp⁴ logs would need Σx·y products at
+    10⁸ scale that overflow 2⁶³ at modest K.  All logs are the staged
+    bit-reproducible det_ln; counts/ranks are exact integers.
+
+    Plan shape at 100 TB: one (term) count shuffle (vocab-sized output,
+    Heaps-bounded), TakeOrdered top-1024 to the
+    limited frame, then rank/lag windows run on ≤1024 rows
+    (tools/plan_lint.py allowlist, q88 precedent)."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cw = (
+        docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    topk = cw.orderBy(F.desc("c"), "term").limit(_ZIPF_K)
+    wr = Window.orderBy(F.desc("c"), "term")
+    chk = (
+        topk.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.expr("(rk & (rk - 1)) = 0"))
+        .selectExpr(
+            "rk", "term", "c",
+            *_lnfp_sql("rk", "ln_rank_fp", "spark"),
+            *_lnfp_sql("c", "ln_count_fp", "spark"),
+        )
+        .select("rk", "term", "c", "ln_rank_fp", "ln_count_fp")
+    )
+    wl = Window.orderBy("rk")
+    return (
+        chk.withColumn("__pr", F.lag("ln_rank_fp").over(wl))
+        .withColumn("__pc", F.lag("ln_count_fp").over(wl))
+        .withColumn(
+            "slope_fp",
+            F.expr(
+                "CASE WHEN __pr IS NOT NULL"
+                " THEN ((__pc - ln_count_fp) * 10000) div (ln_rank_fp - __pr) END"
+            ).cast("long"),
+        )
+        .drop("__pr", "__pc")
+    )

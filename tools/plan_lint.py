@@ -57,6 +57,14 @@ ALLOW: dict[str, dict[str, str]] = {
         "unpartitioned Window": "vid ranking runs on the ALREADY-LIMITED "
         "top-V frame (V rows by construction)"
     },
+    "q136_heaps_vocab_growth": {
+        "unpartitioned Window": "checkpoint frame (B=20 doc_id-range "
+        "buckets) — prefix sums + lag on 20 rows"
+    },
+    "q137_zipf_rank_curve": {
+        "unpartitioned Window": "rank/lag run on the ALREADY-LIMITED "
+        "top-K frame (K=1024 rows by construction)"
+    },
 }
 
 
