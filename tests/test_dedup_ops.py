@@ -132,3 +132,57 @@ def test_connected_components_bad_method(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError, match="method"):
         connected_components(nodes, edges, method="bogus")
+
+
+def test_lsh_calibration_matches_bruteforce(spark):
+    """q138's decile buckets, candidate flags, and theory column pinned
+    against an itertools all-pairs reference on the sf0.001 corpus — a
+    third engine next to the Spark plan and the DuckDB oracle."""
+    import hashlib
+    import itertools
+
+    from briefly_spark.queries.dedup import _corpus, q138_lsh_calibration
+
+    rows = _corpus(spark, "/root/testdata/sf0.001").select("id", "text").collect()
+
+    def shingles(text):
+        w = [t for t in text.split()]
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 0))}
+
+    def sig(sh):
+        hh = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        return [min(h[i * 4 : i * 4 + 4] for h in hh) for i in range(8)]
+
+    def bandkeys(sg):
+        return [
+            hashlib.md5(f"{sg[2 * b]}|{sg[2 * b + 1]}".encode()).hexdigest()
+            for b in range(4)
+        ]
+
+    docs = {r["id"]: shingles(r["text"]) for r in rows}
+    keys = {i: bandkeys(sig(sh)) for i, sh in docs.items() if sh}
+    expected = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = docs[a], docs[b]
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac < 0.1:
+            continue
+        bucket = min(int(jac * 10 // 1), 9)
+        hit = any(ka == kb for ka, kb in zip(keys[a], keys[b]))
+        n, c = expected.get(bucket, (0, 0))
+        expected[bucket] = (n + 1, c + int(hit))
+
+    got = {
+        r["bucket"]: (r["n_pairs"], r["n_cand"], r["hit_rate_fp"], r["theory_fp"])
+        for r in q138_lsh_calibration(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(expected)
+    for bucket, (n, c) in expected.items():
+        mid = bucket * 1000 + 500
+        s2 = (mid * mid) // 10000
+        p2 = ((10000 - s2) * (10000 - s2)) // 10000
+        theory = 10000 - (p2 * p2) // 10000
+        assert got[bucket] == (n, c, (c * 10000) // n, theory), bucket
