@@ -436,6 +436,51 @@ def substring_dedup_incremental(
     return _coverage_from_starts(toks, staged, ds, L), delta
 
 
+def contamination_registry_delta(
+    train_docs: DataFrame, *, id_col: str, text_col: str, min_tokens: int = 8
+) -> DataFrame:
+    """DISTINCT L-shingle hashes of a train batch — the ``(h)`` rows to
+    merge (``unionByName → distinct``) into a contamination registry.
+    Merging the same batch twice is a no-op by construction (set union),
+    so train-side ingestion is replay-idempotent with no key arithmetic
+    at all — contamination is symmetric membership, unlike keep-first's
+    ordered claims."""
+    _t, _s, sh = _substring_windows(train_docs, id_col, text_col, min_tokens)
+    return sh.select("h").distinct()
+
+
+def decontaminate_incremental(
+    eval_docs: DataFrame,
+    registry: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Per-eval-doc substring-contamination surface against a train-shingle
+    registry — the ingestion form of the one-shot train↔eval overlap
+    report (q135; Lee et al. 2022 §6.2 at substring granularity): every
+    eval window whose L-shingle hash appears in the registry is a shared
+    region; the output is :func:`_coverage_from_starts`'s per-doc surface
+    (shared-window/run counts, covered tokens, longest run, cleaned
+    text).
+
+    Equivalence contract (pytest-pinned): with the registry built by
+    folding train batches through :func:`contamination_registry_delta`,
+    the report over any eval frame equals the one-shot computation
+    against the unioned train corpus — and it is MONOTONE: a growing
+    registry never decreases any eval doc's covered-token count, so
+    decontamination decisions are safe to act on early (a doc flagged
+    contaminated stays contaminated).
+
+    Scale shape: the eval batch's shingles left-semi join the registry
+    (md5 keys only — window text never shuffles); coverage is the sparse
+    interval merge over eval docs alone."""
+    toks, staged, sh = _substring_windows(eval_docs, id_col, text_col, min_tokens)
+    ds = sh.join(registry.select("h"), "h", "leftsemi").select("id", "p")
+    return _coverage_from_starts(toks, staged, ds, min_tokens)
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------

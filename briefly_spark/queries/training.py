@@ -379,19 +379,18 @@ def q135_eval_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 keys only; coverage is the q131 sparse interval merge over eval
     docs alone."""
     from briefly_spark.operators.curation import (
-        _coverage_from_starts,
-        _substring_windows,
+        contamination_registry_delta,
+        decontaminate_incremental,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     is_eval = F.col("doc_id") % 50 == 0
-    toks_e, staged_e, sh_e = _substring_windows(
-        docs.filter(is_eval), "doc_id", "text", _SUB_L
+    trainh = contamination_registry_delta(
+        docs.filter(~is_eval), id_col="doc_id", text_col="text", min_tokens=_SUB_L
     )
-    _t, _s, sh_t = _substring_windows(docs.filter(~is_eval), "doc_id", "text", _SUB_L)
-    trainh = sh_t.select("h").distinct()
-    ds = sh_e.join(trainh, "h", "leftsemi").select("id", "p")
-    out = _coverage_from_starts(toks_e, staged_e, ds, _SUB_L)
+    out = decontaminate_incremental(
+        docs.filter(is_eval), trainh, id_col="doc_id", text_col="text", min_tokens=_SUB_L
+    )
     return out.select(
         F.col("id").alias("doc_id"),
         "n_tokens",

@@ -244,3 +244,66 @@ def test_merge_runs_is_one_run(spark):
     assert out[1]["n_runs"] == 1
     assert out[1]["n_covered"] == 16
     assert out[1]["clean_text"] == ""
+
+
+def test_decontaminate_incremental_equals_oneshot_and_monotone(spark):
+    """Folding train batches through contamination_registry_delta then
+    decontaminating must equal the one-shot report against the unioned
+    train corpus; the per-doc covered count is MONOTONE in the registry;
+    re-merging a batch's delta is a no-op (set-union idempotence)."""
+    from briefly_spark.operators.curation import (
+        contamination_registry_delta,
+        decontaminate_incremental,
+    )
+
+    train = {**CORPORA["merge_runs"], **{10 + k: v for k, v in CORPORA["within_doc"].items()}}
+    # eval docs: one sharing a run with train doc 1, one clean, one empty-ish
+    eval_docs = {
+        100: train[1][:12] + ["uniqueevaltoken%d" % i for i in range(6)],
+        101: ["cleanevaltoken%d" % i for i in range(20)],
+        102: ["tiny"],
+    }
+    train_df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in train.items()], schema="doc_id LONG, text STRING"
+    )
+    eval_df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in eval_docs.items()], schema="doc_id LONG, text STRING"
+    )
+
+    full_reg = contamination_registry_delta(
+        train_df, id_col="doc_id", text_col="text", min_tokens=8
+    )
+    want = {
+        int(r["id"]): tuple(r)
+        for r in decontaminate_incremental(
+            eval_df, full_reg, id_col="doc_id", text_col="text", min_tokens=8
+        ).collect()
+    }
+
+    registry = spark.createDataFrame([], "h string")
+    prev_covered = {d: 0 for d in eval_docs}
+    for ids in ([1, 2], [3, 11], [12]):
+        batch = train_df.filter(F.col("doc_id").isin(ids))
+        delta = contamination_registry_delta(
+            batch, id_col="doc_id", text_col="text", min_tokens=8
+        )
+        merged = registry.unionByName(delta).distinct()
+        # replay idempotence: merging the same delta again changes nothing
+        assert merged.unionByName(delta).distinct().count() == merged.count()
+        registry = spark.createDataFrame(merged.collect(), schema=merged.schema)
+        rep = decontaminate_incremental(
+            eval_df, registry, id_col="doc_id", text_col="text", min_tokens=8
+        )
+        for r in rep.collect():
+            cov = r["n_covered"] or 0
+            assert cov >= prev_covered[int(r["id"])]  # monotone
+            prev_covered[int(r["id"])] = cov
+
+    got = {
+        int(r["id"]): tuple(r)
+        for r in decontaminate_incremental(
+            eval_df, registry, id_col="doc_id", text_col="text", min_tokens=8
+        ).collect()
+    }
+    assert got == want
+    assert (prev_covered[100] > 0) and prev_covered[101] == 0 and prev_covered[102] == 0
