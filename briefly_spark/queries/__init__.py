@@ -74,6 +74,7 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q139_vocab_coverage",
     "q138_lsh_calibration",
     "q137_zipf_rank_curve",
     "q136_heaps_vocab_growth",
@@ -125,7 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q41_related_articles",
     "q42_lsh_ann",
     "q43_ivf_ann",
-    "q49_contrastive_pairs",
 )
 
 

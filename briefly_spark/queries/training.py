@@ -1435,3 +1435,119 @@ def q132_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(out.collect(), schema=out.schema)
     margins.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# q139 — vocabulary-coverage / OOV curve, sort-free via count-class
+# histogram.  The tokenizer-sizing companion to q88/q136/q137.
+# ---------------------------------------------------------------------------
+_Q139_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS term
+  FROM documents
+),
+cw AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_mass,
+               CAST(count(*) AS BIGINT) AS n_vocab FROM cw),
+hist AS MATERIALIZED (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_terms FROM cw GROUP BY c
+),
+run AS MATERIALIZED (
+  SELECT c, n_terms,
+         CAST(sum(n_terms) OVER w AS BIGINT) AS cum_terms,
+         CAST(sum(c * n_terms) OVER w AS BIGINT) AS cum_mass
+  FROM hist
+  WINDOW w AS (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+chk AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT (CAST(1 AS BIGINT) << i) AS v
+    FROM (SELECT unnest(range(0, 40)) AS i), tot WHERE (CAST(1 AS BIGINT) << i) < n_vocab
+    UNION SELECT n_vocab FROM tot
+  )
+)
+SELECT k.v, r.c AS boundary_count,
+       CAST(r.cum_mass - (r.cum_terms - k.v) * r.c AS BIGINT) AS covered_mass,
+       CAST(((r.cum_mass - (r.cum_terms - k.v) * r.c) * 10000) // t.total_mass
+            AS BIGINT) AS coverage_fp,
+       CAST(10000 - ((r.cum_mass - (r.cum_terms - k.v) * r.c) * 10000) // t.total_mass
+            AS BIGINT) AS oov_fp
+FROM chk k
+JOIN run r ON r.cum_terms >= k.v AND r.cum_terms - r.n_terms < k.v, tot t
+"""
+
+
+@register("q139_vocab_coverage", covers=("A3", "W1"), oracle=_Q139_ORACLE)
+def q139_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV curve at geometric vocab-size
+    checkpoints (V = 1, 2, 4, … plus the full vocab): the fraction of
+    all corpus tokens covered by the top-V terms — the table a pipeline
+    reads to pick q88's V ("what V reaches 99% coverage") and to budget
+    q126's fertility expectations.  SORT-FREE: instead of ranking the
+    vocab, terms collapse into a COUNT-CLASS histogram (one row per
+    distinct frequency — O(√corpus-mass) rows, since distinct values in
+    an integer partition of M are ≤ ~√(2M)); running (terms, mass)
+    prefix sums over that frame locate each checkpoint's boundary class,
+    and the exact top-V mass is cum_mass − (cum_terms − V)·c — exact for
+    ANY tie-break among equal-count terms, because every term in the
+    boundary class carries the same mass.  Pure integer arithmetic;
+    coverage as 10⁴ fixed-point floor-div.
+
+    Plan shape at 100 TB: one (term) count shuffle (vocab-sized,
+    Heaps-bounded), one (c) histogram shuffle (√-bounded), windows and
+    the ≤40-row checkpoint range-join on the histogram frame only
+    (plan_lint allowlisted; q119's value-histogram precedent).
+    covered_mass·10⁴ stays under 2⁶³ for corpora to ~9·10¹⁴ tokens —
+    above the 100 TB design point's ~2·10¹³."""
+    from pyspark.sql.window import Window
+
+    from briefly_spark.operators.search import tokens_of
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cw = (
+        docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cw.agg(
+        F.sum("c").cast("long").alias("total_mass"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    hist = cw.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, 0)
+    run = hist.select(
+        "c",
+        "n_terms",
+        F.sum("n_terms").over(w).cast("long").alias("cum_terms"),
+        F.sum(F.col("c") * F.col("n_terms")).over(w).cast("long").alias("cum_mass"),
+    )
+    chk = (
+        spark.range(0, 40)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("v"),
+            "n_vocab",
+        )
+        .filter(F.col("v") < F.col("n_vocab"))
+        .select("v")
+        .unionByName(tot.select(F.col("n_vocab").alias("v")))
+        .distinct()
+    )
+    joined = F.broadcast(chk).crossJoin(F.broadcast(tot)).join(
+        run,
+        (F.col("cum_terms") >= F.col("v"))
+        & (F.col("cum_terms") - F.col("n_terms") < F.col("v")),
+    )
+    covered = F.col("cum_mass") - (F.col("cum_terms") - F.col("v")) * F.col("c")
+    return joined.select(
+        "v",
+        F.col("c").alias("boundary_count"),
+        covered.cast("long").alias("covered_mass"),
+        F.expr(
+            "CAST(((cum_mass - (cum_terms - v) * c) * 10000) div total_mass AS BIGINT)"
+        ).alias("coverage_fp"),
+        F.expr(
+            "CAST(10000 - ((cum_mass - (cum_terms - v) * c) * 10000) div total_mass AS BIGINT)"
+        ).alias("oov_fp"),
+    )

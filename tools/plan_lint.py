@@ -65,6 +65,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "unpartitioned Window": "rank/lag run on the ALREADY-LIMITED "
         "top-K frame (K=1024 rows by construction)"
     },
+    "q139_vocab_coverage": {
+        "unpartitioned Window": "count-class histogram frame "
+        "(<= ~sqrt(2*corpus-mass) rows — q119's value-histogram bound)"
+    },
 }
 
 
