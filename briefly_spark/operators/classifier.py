@@ -283,3 +283,220 @@ mavg AS (
   SELECT f.id, max(f.y) AS y, CAST(sum(f.x * a.ws) AS BIGINT) AS m
   FROM pfeat f JOIN wavg a USING (j) GROUP BY f.id
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes — the GENERATIVE counterpart to the perceptron:
+# the fastText-style multi-class tagger (language / domain routing) trained
+# in one aggregation pass, no rounds, no driver loop at all.
+# ---------------------------------------------------------------------------
+
+def nb_label_features(
+    docs: DataFrame, *, id_col: str, text_col: str, label_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hashed bag-of-words frame with the STRING class label carried:
+    (id, lab, j, x).  Same tokenizer + md5-nibble bucket hash as the
+    perceptron's hashed_features; no bias row (NB priors play that role),
+    so zero-token documents drop out of scoring (they have no evidence —
+    documented contract, mirrored by the SQL oracle)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("lab"),
+            F.explode(toks).alias("term"),
+        )
+        .select("id", "lab", (_hash16(F.col("term")) % n_buckets).alias("j"))
+        .groupBy("id", "lab", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+
+def nb_confusion(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Train + self-score a multinomial Naive Bayes classifier and return
+    the confusion matrix (true_lab, pred_lab, n_docs) — ≤ n_classes² rows.
+
+    Model (add-one smoothing over the hashed buckets):
+        score(l, d) = ln P(l) + Σ_j x_{d,j} · ln p_{l,j}
+        p_{l,j} = (c_{l,j} + 1) / (n_l + n_buckets)
+        P(l)    = d_l / d_total
+    Every log is the bit-reproducible numerics.det_ln fixed-pointed to
+    1e-4 BEFORE the per-doc sum, so scores are exact integers and the
+    argmax (ties → lexicographically smallest class, via the max-score
+    filter + min(lab) two-step) is engine-independent.
+
+    Scale: the corpus collapses once to the hashed feature frame
+    (≤ n_buckets rows/doc); the model is a (n_classes × n_buckets)
+    weight table + n_classes priors — built from class-sized aggregates
+    and BROADCAST back, so scoring is one map-side expansion (×n_classes)
+    + a partial-aggregating groupBy(id, class); no driver loop, no
+    iteration — NB trains in one pass, which is exactly why pipelines
+    reach for it before a discriminative model."""
+    feats = nb_label_features(
+        docs, id_col=id_col, text_col=text_col, label_col=label_col,
+        n_buckets=n_buckets,
+    )
+    labs = docs.select(F.col(label_col).alias("lab")).distinct()
+    jr = spark.range(n_buckets).select(F.col("id").cast("long").alias("j"))
+    grid = labs.crossJoin(F.broadcast(jr))
+    cnt_raw = feats.groupBy("lab", "j").agg(F.sum("x").alias("cx"))
+    cnt = grid.join(cnt_raw, ["lab", "j"], "left").select(
+        "lab", "j", F.coalesce(F.col("cx"), F.lit(0)).cast("long").alias("c")
+    )
+    ntot = cnt.groupBy("lab").agg(F.sum("c").cast("long").alias("nl"))
+    from briefly_spark.numerics import RATIO_SCALE, det_ln_helpers, det_ln_items
+
+    wts = (
+        cnt.join(ntot, "lab")
+        .selectExpr(
+            "lab",
+            "j",
+            *det_ln_items("c + 1", "__ln_n", "spark"),
+            *det_ln_items(f"nl + {n_buckets}", "__ln_d", "spark"),
+            f"CAST(floor(((__ln_n - __ln_d) * {float(RATIO_SCALE)!r})) AS BIGINT) AS w",
+        )
+        .drop("__ln_n", "__ln_d", *det_ln_helpers("__ln_n"), *det_ln_helpers("__ln_d"))
+        .select("lab", "j", "w")
+    )
+    dl = docs.groupBy(F.col(label_col).alias("lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    dt = docs.agg(F.count(F.lit(1)).cast("long").alias("dt"))
+    pri = (
+        dl.crossJoin(F.broadcast(dt))
+        .selectExpr(
+            "lab",
+            *det_ln_items("dl", "__ln_l", "spark"),
+            *det_ln_items("dt", "__ln_t", "spark"),
+            f"CAST(floor(((__ln_l - __ln_t) * {float(RATIO_SCALE)!r})) AS BIGINT) AS p",
+        )
+        .select("lab", "p")
+    )
+    scr = (
+        feats.select("id", F.col("lab").alias("tru"), "j", "x")
+        .join(F.broadcast(wts.withColumnRenamed("lab", "cls")), "j")
+        .groupBy("id", "cls")
+        .agg(F.max("tru").alias("tru"), F.sum(F.col("x") * F.col("w")).cast("long").alias("sx"))
+        .join(F.broadcast(pri.withColumnRenamed("lab", "cls")), "cls")
+        .select("id", "cls", "tru", (F.col("sx") + F.col("p")).alias("s"))
+    )
+    best = scr.groupBy("id").agg(F.max("s").alias("smax"))
+    pred = (
+        scr.join(best, "id")
+        .filter(F.col("s") == F.col("smax"))
+        .groupBy("id")
+        .agg(F.max("tru").alias("true_lab"), F.min("cls").alias("pred_lab"))
+    )
+    return pred.groupBy("true_lab", "pred_lab").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def nb_reference(
+    doc_rows: list[tuple[int, str]],
+    feat_rows: list[tuple[int, str, int, int]],
+    *,
+    n_buckets: int,
+) -> dict[tuple[str, str], int]:
+    """Pure-Python third-engine reference for tests: doc_rows = (id, lab)
+    for EVERY doc (priors), feat_rows = (id, lab, j, x) hashed counts
+    (zero-token docs absent).  Returns {(true_lab, pred_lab): n_docs}."""
+    from briefly_spark.numerics import RATIO_SCALE, det_ln_py
+    from math import floor
+
+    def fp(a: int, b: int) -> int:
+        return floor((det_ln_py(a) - det_ln_py(b)) * float(RATIO_SCALE))
+
+    labs = sorted({lab for _, lab in doc_rows})
+    cnt: dict[tuple[str, int], int] = {(l, j): 0 for l in labs for j in range(n_buckets)}
+    for _, lab, j, x in feat_rows:
+        cnt[(lab, j)] += x
+    nl = {l: sum(cnt[(l, j)] for j in range(n_buckets)) for l in labs}
+    w = {(l, j): fp(cnt[(l, j)] + 1, nl[l] + n_buckets) for l in labs for j in range(n_buckets)}
+    dl: dict[str, int] = {}
+    for _, lab in doc_rows:
+        dl[lab] = dl.get(lab, 0) + 1
+    dt = len(doc_rows)
+    pri = {l: fp(dl[l], dt) for l in labs}
+    by_doc: dict[int, list[tuple[str, int, int]]] = {}
+    for i, lab, j, x in feat_rows:
+        by_doc.setdefault(i, []).append((lab, j, x))
+    conf: dict[tuple[str, str], int] = {}
+    for i, fs in by_doc.items():
+        tru = fs[0][0]
+        scores = {l: pri[l] + sum(x * w[(l, j)] for _, j, x in fs) for l in labs}
+        smax = max(scores.values())
+        pred = min(l for l in labs if scores[l] == smax)
+        conf[(tru, pred)] = conf.get((tru, pred), 0) + 1
+    return conf
+
+
+def sql_nb_ctes(docs_sql: str, *, n_buckets: int = 32) -> str:
+    """DuckDB mirror of the NB train + self-score as CTEs — identical
+    hash, identical det_ln staging, identical argmax tie-break.  Emits
+    ``npred`` (id, true_lab, pred_lab); ``docs_sql`` must yield
+    (id, lab, text)."""
+    from briefly_spark.numerics import det_ln_items
+    from briefly_spark.queries.textstats import _sql_hash16  # shared spelling
+
+    ln_n = ", ".join(det_ln_items("c.c + 1", "__ln_n", "duckdb"))
+    ln_d = ", ".join(det_ln_items(f"t.nl + {n_buckets}", "__ln_d", "duckdb"))
+    ln_l = ", ".join(det_ln_items("dl", "__ln_l", "duckdb"))
+    ln_t = ", ".join(det_ln_items("dt", "__ln_t", "duckdb"))
+    return f"""nsrc AS (SELECT * FROM ({docs_sql})),
+ntoks AS (
+  SELECT id, lab,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS term
+  FROM nsrc
+),
+nfeat AS MATERIALIZED (
+  SELECT id, lab, j, CAST(count(*) AS BIGINT) AS x FROM (
+    SELECT id, lab, {_sql_hash16('term')} % {n_buckets} AS j FROM ntoks)
+  GROUP BY id, lab, j
+),
+ngrid AS (
+  SELECT l.lab, CAST(u.j AS BIGINT) AS j
+  FROM (SELECT DISTINCT lab FROM nsrc) l,
+       (SELECT unnest(range(0, {n_buckets})) AS j) u
+),
+ncnt AS (
+  SELECT g.lab, g.j, CAST(coalesce(s.cx, 0) AS BIGINT) AS c
+  FROM ngrid g LEFT JOIN (
+    SELECT lab, j, sum(x) AS cx FROM nfeat GROUP BY lab, j) s
+  ON s.lab = g.lab AND s.j = g.j
+),
+ntot AS (SELECT lab, CAST(sum(c) AS BIGINT) AS nl FROM ncnt GROUP BY lab),
+nwts AS (
+  SELECT c.lab, c.j, {ln_n}, {ln_d},
+         CAST(floor(((__ln_n - __ln_d) * 10000.0)) AS BIGINT) AS w
+  FROM ncnt c JOIN ntot t USING (lab)
+),
+npri AS (
+  SELECT lab, {ln_l}, {ln_t},
+         CAST(floor(((__ln_l - __ln_t) * 10000.0)) AS BIGINT) AS p
+  FROM (SELECT lab, CAST(count(*) AS BIGINT) AS dl,
+               (SELECT CAST(count(*) AS BIGINT) FROM nsrc) AS dt
+        FROM nsrc GROUP BY lab)
+),
+nscr AS (
+  SELECT f.id, max(f.lab) AS tru, w.lab AS cls,
+         CAST(sum(f.x * w.w) AS BIGINT) + max(p.p) AS s
+  FROM nfeat f JOIN nwts w USING (j) JOIN npri p ON p.lab = w.lab
+  GROUP BY f.id, w.lab
+),
+nbest AS (SELECT id, max(s) AS smax FROM nscr GROUP BY id),
+npred AS (
+  SELECT n.id, max(n.tru) AS true_lab, min(n.cls) AS pred_lab
+  FROM nscr n JOIN nbest b ON b.id = n.id AND n.s = b.smax
+  GROUP BY n.id
+)"""

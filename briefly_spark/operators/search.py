@@ -215,3 +215,56 @@ def bm25_topk(
             (F.col("sum_fp") / float(RATIO_SCALE)).alias("bm25"),
         )
     )
+
+
+def positional_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted-index postings: one row per token OCCURRENCE —
+    (doc_id, pos, term), pos 0-based.  The index phrase/proximity queries
+    intersect on; tf-only consumers keep using term_postings (smaller)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_of(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_topk(
+    docs: DataFrame, phrases: DataFrame, id_col: str, text_col: str, *, k: int = 5
+) -> DataFrame:
+    """Exact two-word-phrase retrieval (positional intersection —
+    Manning/Raghavan/Schütze IR §2.4): for each (qid, w1, w2) phrase,
+    every document where w2 occurs DIRECTLY AFTER w1, ranked by adjacency
+    count, top-k per query, ties to the lower doc_id.  Returns
+    (qid, doc_id, n_hits, rank).
+
+    Plan: one posexplode builds the positional postings; ``phrases`` is
+    query-sized and broadcast, so leg A costs O(postings of the phrases'
+    first words); the adjacency check is an equi-join on
+    (doc, pos+1, term) — AQE-skew-splittable, no inequality scan; the
+    ranking window sees only matched (query, doc) counts."""
+    from pyspark.sql import Window
+
+    ptoks = positional_postings(docs, id_col, text_col)
+    cand = ptoks.join(F.broadcast(phrases), ptoks["term"] == phrases["w1"]).select(
+        "qid", "doc_id", "pos", "w2"
+    )
+    nxt = ptoks.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("b_pos"),
+        F.col("term").alias("b_term"),
+    )
+    hits = (
+        cand.join(
+            nxt,
+            (F.col("b_doc") == F.col("doc_id"))
+            & (F.col("b_pos") == F.col("pos") + 1)
+            & (F.col("b_term") == F.col("w2")),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "n_hits", "rank")
+    )

@@ -74,6 +74,9 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q142_phrase_search",
+    "q141_nb_confusion",
+    "q140_ccnet_ppl_buckets",
     "q139_vocab_coverage",
     "q138_lsh_calibration",
     "q137_zipf_rank_curve",
@@ -123,9 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q66_curriculum_buckets",
     "q67_pack_exact",
     "q40_ann_topk",
-    "q41_related_articles",
-    "q42_lsh_ann",
-    "q43_ivf_ann",
 )
 
 

@@ -438,3 +438,162 @@ def q129_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HYB_K)
         .select("qid", "id", "rank", "fused_fp", "n_branches")
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — CCNet head/middle/tail perplexity buckets (per-language terciles).
+# --------------------------------------------------------------------------
+@register(
+    "q140_ccnet_ppl_buckets",
+    covers=("A3", "A4", "P7"),
+    oracle=f"""
+WITH {_LM_CTES},
+nll AS (
+  SELECT doc_id,
+         (CAST(sum(n * nll_fp) AS BIGINT) // CAST(sum(n) AS BIGINT)) AS avg_fp
+  FROM scored GROUP BY doc_id
+),
+sc AS (
+  SELECT n.doc_id, d.lang, n.avg_fp
+  FROM nll n JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+),
+h AS (SELECT lang, avg_fp AS v, count(*) AS c FROM sc GROUP BY 1, 2),
+tots AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM h GROUP BY lang),
+r AS (
+  SELECT h.lang, h.v,
+         sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.v) AS run, t.tot
+  FROM h JOIN tots t USING (lang)
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN run * 3 >= tot THEN v END) AS c1,
+         min(CASE WHEN run * 3 >= 2 * tot THEN v END) AS c2
+  FROM r GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, CAST(sc.avg_fp AS BIGINT) AS avg_nll_fp,
+       CASE WHEN sc.avg_fp <= cu.c1 THEN 'head'
+            WHEN sc.avg_fp <= cu.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN cuts cu USING (lang)
+""",
+)
+def q140_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining partition (Wenzek et al. 2020 §4.4): within each
+    language, split the corpus into head / middle / tail TERCILES of the
+    bigram-LM perplexity score (q48's avg NLL) — 'head' is the third
+    closest to the corpus model, the slice CCNet-style pipelines keep or
+    upsample.  Cuts are DISCRETE per-language percentiles computed on the
+    value histogram (q101's winsorize pattern): cut_k = min score v such
+    that 3·cumcount(≤v) ≥ k·total — integer-exact, no quantile
+    interpolation, no per-doc sort, so the whole assignment hash-matches
+    any engine.
+
+    Scale: the LM score is q48's two-scan plan; bucketing adds one keyed
+    join to attach lang, one groupBy(lang, avg_fp) histogram, a
+    cumulative window over the HISTOGRAM (per-lang partitions whose size
+    is bounded by the fixed-point score RANGE — avg_fp ∈ [0, ~2·10⁵] by
+    construction (ln(N+V)·10⁴), corpus-size-independent), and a 5-row
+    broadcast of the cuts back onto the scored frame.  No corpus-sized
+    sort anywhere.  The (doc_id, lang, avg_fp) frame feeds BOTH the cuts
+    branch and the returned projection; Spark has no cross-branch CSE, so
+    the LM lineage plans twice — measured at sf0.1 a persist() is a wash
+    against the recompute (4.6 s vs 4.7 s cold: the LM is two cheap
+    scans), so the plan stays cache-free here.  At 100 TB, persist the
+    ~16 B/doc projection before bucketing (the q125 cache contract) and
+    the LM runs once."""
+    from pyspark.sql import Window
+
+    from briefly_spark.operators.lm import lm_doc_nll_sums
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    avg = lm_doc_nll_sums(docs, "doc_id", "text").select(
+        "doc_id", F.expr("nll_sum_fp div n_bigrams").alias("avg_fp")
+    )
+    sc = avg.join(docs.select("doc_id", "lang"), "doc_id")
+    h = sc.groupBy("lang", F.col("avg_fp").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tots = h.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    cum = Window.partitionBy("lang").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.join(F.broadcast(tots), "lang").withColumn("run", F.sum("c").over(cum))
+    cuts = r.groupBy("lang").agg(
+        F.min(F.when(F.col("run") * 3 >= F.col("tot"), F.col("v"))).alias("c1"),
+        F.min(F.when(F.col("run") * 3 >= 2 * F.col("tot"), F.col("v"))).alias("c2"),
+    )
+    return sc.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("avg_fp").cast("long").alias("avg_nll_fp"),
+        F.when(F.col("avg_fp") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_fp") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q142 — positional phrase search over the inverted index.
+# --------------------------------------------------------------------------
+@register(
+    "q142_phrase_search",
+    covers=("J4", "W1"),
+    oracle="""
+WITH wlists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents
+),
+ptoks AS (
+  SELECT doc_id, u.term AS term, u.pos AS pos
+  FROM wlists, unnest(list_transform(range(1, len(w) + 1),
+                      i -> struct_pack(term := w[i], pos := i))) AS t(u)
+),
+qphr AS (
+  SELECT doc_id AS qid, w[1] AS w1, w[2] AS w2
+  FROM wlists WHERE doc_id % 97 = 0 AND len(w) >= 2
+),
+hits AS (
+  SELECT q.qid, a.doc_id, count(*) AS n_hits
+  FROM qphr q
+  JOIN ptoks a ON a.term = q.w1
+  JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = q.w2
+  GROUP BY q.qid, a.doc_id
+),
+rk AS (
+  SELECT qid, doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank
+  FROM hits
+)
+SELECT qid, doc_id, n_hits, rank FROM rk WHERE rank <= 5
+""",
+)
+def q142_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval — the positional-index capability BM25 bags
+    of words (q47) cannot express: each seed query (doc_id % 97 == 0, its
+    own leading bigram as the phrase) finds every document where the two
+    words occur ADJACENT in order, ranked by occurrence count, top-5 per
+    query (ties to the lower doc_id).  The standard two-term
+    positional-intersection plan (Manning/Raghavan/Schütze IR §2.4).
+
+    Scale: one posexplode builds the positional postings; the phrase
+    table is query-sized (broadcast), so leg A is an index lookup
+    bounded by the postings of the phrase's FIRST word; the adjacency
+    check is an equi-join on (doc, pos+1, term) — AQE-skew-splittable,
+    never an inequality scan — and the final window sees only the
+    matched doc counts per query."""
+    from briefly_spark.operators.search import phrase_topk, tokens_of
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    qphr = (
+        docs.select("doc_id", tokens_of(F.col("text")).alias("w"))
+        .filter((F.col("doc_id") % 97 == 0) & (F.size("w") >= 2))
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.element_at("w", 1).alias("w1"),
+            F.element_at("w", 2).alias("w2"),
+        )
+    )
+    return phrase_topk(docs, qphr, "doc_id", "text", k=5)

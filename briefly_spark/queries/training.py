@@ -1551,3 +1551,50 @@ def q139_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(10000 - ((cum_mass - (cum_terms - v) * c) * 10000) div total_mass AS BIGINT)"
         ).alias("oov_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — multinomial Naive Bayes language tagger (generative classifier).
+# ---------------------------------------------------------------------------
+_NB_B = 32
+_NB_DOCS = "SELECT doc_id AS id, lang AS lab, text FROM documents"
+
+
+def _q141_oracle() -> str:
+    from briefly_spark.operators.classifier import sql_nb_ctes
+
+    return f"""WITH {sql_nb_ctes(_NB_DOCS, n_buckets=_NB_B)}
+SELECT true_lab AS true_lang, pred_lab AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM npred GROUP BY 1, 2"""
+
+
+@register("q141_nb_confusion", covers=("A3", "A4"), oracle=_q141_oracle())
+def q141_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language tagger, trained and self-scored in
+    ONE aggregation pass — the GENERATIVE counterpart to the q124
+    perceptron (fastText-style multi-class routing: language, domain,
+    topic), with the confusion matrix (true_lang, pred_lang, n_docs;
+    ≤ n_langs² rows) as the gated surface.  Add-one smoothing over 32
+    hashed buckets; every log is det_ln fixed-pointed before the per-doc
+    sum, so scores are exact integers and the argmax (ties → smallest
+    class, max-score filter + min two-step) hash-matches the oracle's
+    replay of the identical model.
+
+    Scale (operators/classifier.py:nb_confusion): corpus → hashed feature
+    frame once; the model is a (classes × buckets) table + class priors,
+    all class-sized aggregates BROADCAST back; scoring is one map-side
+    ×n_classes expansion with partial-agg — no rounds, no driver state at
+    all (the one-pass trainability is why pipelines deploy NB gates
+    before anything iterative)."""
+    from briefly_spark.operators.classifier import nb_confusion
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return nb_confusion(
+        spark, docs, id_col="doc_id", text_col="text", label_col="lang",
+        n_buckets=_NB_B,
+    ).select(
+        F.col("true_lab").alias("true_lang"),
+        F.col("pred_lab").alias("pred_lang"),
+        "n_docs",
+    )

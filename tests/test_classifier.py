@@ -159,3 +159,93 @@ def test_train_frames_margins_materialized(spark):
     )
     assert none is None
     assert {int(r["j"]): int(r["w"]) for r in w2.collect()} == dict(enumerate(w))
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes (q141) vs the pure-Python reference.
+# ---------------------------------------------------------------------------
+from briefly_spark.operators.classifier import nb_confusion, nb_reference  # noqa: E402
+
+NB_CASES = {
+    "three_class": [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat est assis sur le tapis", "fr"),
+        (3, "der hund lief schnell durch den wald", "de"),
+        (4, "the dog ran through the woods", "en"),
+        (5, "le chien courait vite", "fr"),
+        (6, "the the the repeated token mass", "en"),
+    ],
+    # skewed priors: one giant class, one singleton — priors must matter
+    "skewed_priors": [(i, f"shared word w{i % 3}", "big") for i in range(1, 9)]
+    + [(9, "shared word w0", "tiny")],
+    # identical feature rows in two classes -> scores can tie
+    "tie_classes": [
+        (1, "x y z", "a"),
+        (2, "x y z", "b"),
+        (3, "x y z", "a"),
+        (4, "x y z", "b"),
+    ],
+}
+
+
+def _nb_rows(docs: list[tuple[int, str, str]], n_buckets: int):
+    doc_rows = [(i, lab) for i, _, lab in docs]
+    feat_rows = []
+    for i, text, lab in docs:
+        counts: dict[int, int] = {}
+        for w in text.lower().split():
+            if w:
+                counts[_h16(w) % n_buckets] = counts.get(_h16(w) % n_buckets, 0) + 1
+        feat_rows.extend((i, lab, j, x) for j, x in counts.items())
+    return doc_rows, feat_rows
+
+
+@pytest.mark.parametrize("name", sorted(NB_CASES))
+@pytest.mark.parametrize("n_buckets", [4, 32])  # 4 forces bucket collisions
+def test_nb_confusion_matches_reference(spark, name, n_buckets):
+    docs = NB_CASES[name]
+    doc_rows, feat_rows = _nb_rows(docs, n_buckets)
+    want = nb_reference(doc_rows, feat_rows, n_buckets=n_buckets)
+    df = spark.createDataFrame(docs, schema="id LONG, text STRING, lab STRING")
+    got = {
+        (r["true_lab"], r["pred_lab"]): r["n_docs"]
+        for r in nb_confusion(
+            spark, df, id_col="id", text_col="text", label_col="lab",
+            n_buckets=n_buckets,
+        ).collect()
+    }
+    assert got == want, f"{name} b={n_buckets}"
+
+
+def test_nb_tie_breaks_to_smallest_class(spark):
+    """Two classes with identical token mass and equal priors score every
+    doc identically — the argmax must resolve to the lexicographically
+    smallest class on BOTH engines via the two-step (max score, then min
+    label), matching the oracle's min(cls)."""
+    docs = NB_CASES["tie_classes"]
+    df = spark.createDataFrame(docs, schema="id LONG, text STRING, lab STRING")
+    rows = nb_confusion(
+        spark, df, id_col="id", text_col="text", label_col="lab", n_buckets=8
+    ).collect()
+    assert {r["pred_lab"] for r in rows} == {"a"}
+    assert sum(r["n_docs"] for r in rows) == 4
+
+
+def test_nb_zero_token_docs_count_in_priors_only(spark):
+    """An empty document contributes to the class prior (it is a real
+    training doc) but has no feature evidence, so it drops from the
+    scored/confusion surface — the documented contract the SQL oracle
+    mirrors (nsrc vs nfeat)."""
+    docs = [(1, "hello world", "en"), (2, "", "fr"), (3, "bonjour monde", "fr")]
+    doc_rows, feat_rows = _nb_rows(docs, 8)
+    assert len(doc_rows) == 3 and {i for i, *_ in feat_rows} == {1, 3}
+    want = nb_reference(doc_rows, feat_rows, n_buckets=8)
+    df = spark.createDataFrame(docs, schema="id LONG, text STRING, lab STRING")
+    got = {
+        (r["true_lab"], r["pred_lab"]): r["n_docs"]
+        for r in nb_confusion(
+            spark, df, id_col="id", text_col="text", label_col="lab", n_buckets=8
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 2  # doc 2 absent

@@ -176,3 +176,83 @@ def test_bm25_string_qids_do_not_silently_drop_matches(spark):
     rows = bm25_topk(docs, qterms, "id", "text", k=5).collect()
     assert {r.qid for r in rows} == {"probe-a"}
     assert rows and rows[0].doc_id == 1
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (q142).
+# ---------------------------------------------------------------------------
+def test_phrase_topk_counts_adjacency(spark):
+    from briefly_spark.operators.search import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # "a b" x3
+            (2, "a b c"),        # "a b" x1
+            (3, "b a b a"),      # "a b" x1 (positions 1-2)
+            (4, "a c b"),        # no adjacent "a b"
+            (5, "a a a"),        # "a a" x2 (overlapping occurrences count)
+        ],
+        ["id", "text"],
+    )
+    phrases = spark.createDataFrame(
+        [(10, "a", "b"), (20, "a", "a")], ["qid", "w1", "w2"]
+    )
+    got = {
+        (r.qid, r.doc_id): (r.n_hits, r.rank)
+        for r in phrase_topk(docs, phrases, "id", "text", k=5).collect()
+    }
+    assert got == {
+        (10, 1): (3, 1),
+        (10, 2): (1, 2),  # tie on n_hits with doc 3 -> lower doc_id first
+        (10, 3): (1, 3),
+        (20, 5): (2, 1),
+    }
+
+
+def test_phrase_topk_k_bound_and_order_sensitivity(spark):
+    from briefly_spark.operators.search import phrase_topk
+
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(1, 8)] + [(9, "y x")], ["id", "text"]
+    )
+    out = phrase_topk(
+        docs,
+        spark.createDataFrame([(1, "x", "y")], ["qid", "w1", "w2"]),
+        "id", "text", k=3,
+    ).collect()
+    # 7 matching docs, k=3 keeps the 3 lowest ids; "y x" never matches
+    assert [(r.doc_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [
+        (1, 1), (2, 2), (3, 3)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets (q140) — discrete-tercile invariants.
+# ---------------------------------------------------------------------------
+def test_ccnet_buckets_tercile_invariants(spark):
+    from briefly_spark.queries import load_registry
+
+    rows = (
+        load_registry()["q140_ccnet_ppl_buckets"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        heads = [r.avg_nll_fp for r in rs if r.bucket == "head"]
+        mids = [r.avg_nll_fp for r in rs if r.bucket == "middle"]
+        tails = [r.avg_nll_fp for r in rs if r.bucket == "tail"]
+        # discrete-cut cumulative bounds: cum(head) >= n/3, cum(head+mid) >= 2n/3
+        assert 3 * len(heads) >= n, lang
+        assert 3 * (len(heads) + len(mids)) >= 2 * n, lang
+        # score ordering between buckets is strict (cuts are values)
+        if heads and mids:
+            assert max(heads) < min(mids), lang
+        if mids and tails:
+            assert max(mids) < min(tails), lang
+        assert all(r.bucket in order for r in rs)
