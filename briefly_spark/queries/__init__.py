@@ -74,6 +74,7 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q143_doc_entropy",
     "q142_phrase_search",
     "q141_nb_confusion",
     "q140_ccnet_ppl_buckets",
@@ -125,7 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q39_line_boilerplate_filter",
     "q66_curriculum_buckets",
     "q67_pack_exact",
-    "q40_ann_topk",
 )
 
 

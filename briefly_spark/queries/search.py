@@ -597,3 +597,75 @@ def q142_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return phrase_topk(docs, qphr, "doc_id", "text", k=5)
+
+
+# --------------------------------------------------------------------------
+# q143 — intra-document token-distribution entropy (repetition detector).
+# --------------------------------------------------------------------------
+def _entropy_items(dialect: str) -> list[str]:
+    """Staged per-term self-information under the DOCUMENT's own unigram
+    distribution, as lateral-alias items ending in ``… AS e_fp``:
+    floor((det_ln(dl) − det_ln(n))·10⁴) — p = n/dl, −ln p = ln dl − ln n.
+    One generator for both dialects (the q121 discipline)."""
+    return [
+        *det_ln_items("dl", "__ln_dl", dialect),
+        *det_ln_items("n", "__ln_n", dialect),
+        "CAST(floor(((__ln_dl - __ln_n) * 10000.0)) AS BIGINT) AS e_fp",
+    ]
+
+
+@register(
+    "q143_doc_entropy",
+    covers=("A3", "A4"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+dt AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS dl,
+              CAST(count(*) AS BIGINT) AS n_types
+       FROM dt GROUP BY doc_id),
+scored AS (
+  SELECT dt.doc_id, dt.n, l.dl, l.n_types, {', '.join(_entropy_items('duckdb'))}
+  FROM dt JOIN dl l USING (doc_id)
+)
+SELECT doc_id, max(dl) AS n_toks, max(n_types) AS n_types,
+       CAST(sum(n * e_fp) AS BIGINT) AS ent_sum_fp
+FROM scored GROUP BY doc_id
+""",
+)
+def q143_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document unigram entropy — the third leg of the LM-signal
+    family: q48 scores word ORDER against the corpus model, q121 scores
+    vocabulary RARITY against the corpus, this scores the document's OWN
+    token distribution: H = Σ_w (n_w/dl)·(ln dl − ln n_w).  Low mean
+    entropy = repetitive/boilerplate text (a handful of tokens dominate —
+    the distributional generalization of Gopher's repeated-line rules,
+    q55), maximal entropy = all-unique tokens.  Emitted as the undivided
+    integers (n_toks, n_types, ent_sum_fp; mean-per-token =
+    (ent_sum_fp div n_toks)/10⁴), the engine-primitive convention; every
+    log is the staged det_ln, fixed-pointed per TERM before the sum.
+
+    Plan: ONE (doc, term) postings shuffle; doc length and type count
+    partial-agg off that frame and rejoin co-keyed on doc_id (no second
+    corpus scan, no broadcast needed — both sides share the doc_id
+    shuffle); per-doc weighted sum.  Map-only after the postings
+    aggregate — corpus-size-independent state everywhere."""
+    from briefly_spark.operators.search import term_postings
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dt = term_postings(docs, "doc_id", "text").withColumnRenamed("tf", "n")
+    dl = dt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    scored = dt.join(dl, "doc_id").selectExpr(
+        "doc_id", "n", "dl", "n_types", *_entropy_items("spark")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.max("dl").alias("n_toks"),
+        F.max("n_types").alias("n_types"),
+        F.sum(F.col("n") * F.col("e_fp")).cast("long").alias("ent_sum_fp"),
+    )

@@ -256,3 +256,43 @@ def test_ccnet_buckets_tercile_invariants(spark):
         if mids and tails:
             assert max(mids) < min(tails), lang
         assert all(r.bucket in order for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document entropy (q143) — hand-computed pin.
+# ---------------------------------------------------------------------------
+def test_doc_entropy_hand_computed(spark, tmp_path):
+    from briefly_spark.numerics import det_ln_py
+    from briefly_spark.queries import load_registry
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "en", "s", 7),      # zero entropy: single type
+            (2, "a b a b", "en", "s", 7),      # uniform over 2 types
+            (3, "a a a b", "en", "s", 7),      # skewed
+            (4, "w x y z", "en", "s", 7),      # max entropy: all unique
+            (5, "", "en", "s", 0),             # empty: no postings row
+        ],
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in load_registry()["q143_doc_entropy"].fn(spark, str(tmp_path)).collect()
+    }
+
+    def efp(dl: int, n: int) -> int:
+        import math
+        return math.floor((det_ln_py(dl) - det_ln_py(n)) * 10000.0)
+
+    assert set(rows) == {1, 2, 3, 4}  # empty doc drops out
+    assert (rows[1].n_toks, rows[1].n_types, rows[1].ent_sum_fp) == (4, 1, 0)
+    assert rows[2].ent_sum_fp == 2 * efp(4, 2) + 2 * efp(4, 2)
+    assert rows[3].ent_sum_fp == 3 * efp(4, 3) + 1 * efp(4, 1)
+    assert rows[4].ent_sum_fp == 4 * efp(4, 1)
+    # ordering: repetitive < skewed < uniform-2 < all-unique (per-token mean;
+    # equal n_toks here so the raw sums order identically)
+    assert (
+        rows[1].ent_sum_fp < rows[3].ent_sum_fp
+        < rows[2].ent_sum_fp < rows[4].ent_sum_fp
+    )
