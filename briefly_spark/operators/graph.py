@@ -168,3 +168,86 @@ def label_propagation(
             )
         )
     return cur.select("id", F.col("seed").isNotNull().alias("seeded"), "label")
+
+
+def triangle_stats(und: DataFrame, blocks: DataFrame) -> DataFrame:
+    """Per-block triangle census over an undirected graph — edges ``und``
+    as (a, b) with a < b, one row per edge; ``blocks`` maps vertex id →
+    grouping attrs (every edge is intra-block by construction).  Returns
+    one row per block: (…attrs, n_edges, n_wedges, n_triangles,
+    transitivity_fp) with transitivity = 3·triangles/wedges at 10⁴
+    fixed point (0 when wedgeless).
+
+    Degree-ordered orientation (Suri & Vassilvitskii, WWW 2011 — public
+    method): orient every edge from the (degree, id)-smaller endpoint to
+    the larger, enumerate wedges as ordered out-neighbor pairs of each
+    source, and close them against the oriented edge set.  Out-degrees
+    under this orientation are O(√m) regardless of hub degrees, so the
+    wedge self-join — the only super-linear step — is arboricity-bounded,
+    never hub-quadratic; every join is an equi-join (AQE-splittable) and
+    each triangle is counted exactly once."""
+    a_deg = und.select(F.col("a").alias("v"))
+    b_deg = und.select(F.col("b").alias("v"))
+    vdeg = (
+        a_deg.unionByName(b_deg)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = (
+        und.join(vdeg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(vdeg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    e1 = orient.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv"))
+    e2 = orient.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw"))
+    wedge = e1.join(e2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedge.join(
+        orient.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select("src")
+    attrs = [c for c in blocks.columns if c != "id"]
+    be = (
+        und.join(blocks.withColumnRenamed("id", "a"), "a")
+        .groupBy(*attrs)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    bw = (
+        vdeg.join(blocks.withColumnRenamed("id", "v"), "v")
+        .groupBy(*attrs)
+        .agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        )
+    )
+    bt = (
+        tri.join(blocks.withColumnRenamed("id", "src"), "src")
+        .groupBy(*attrs)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = (
+        be.join(bw, attrs)
+        .join(bt, attrs, "left")
+        .withColumn("n_triangles", F.coalesce(F.col("n_tri"), F.lit(0)).cast("long"))
+    )
+    return out.select(
+        *attrs,
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("(3 * n_triangles * 10000) div n_wedges"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("transitivity_fp"),
+    )

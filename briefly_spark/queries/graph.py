@@ -205,3 +205,107 @@ def q115_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lp = label_propagation(seeded, edges, iters=_LP_ITERS)
     return lp.select(F.col("id").alias("doc_id"), "seeded", "label")
+
+
+# --------------------------------------------------------------------------
+# q144 — triangle census / transitivity of the near-dup graph.
+# --------------------------------------------------------------------------
+_TRI_EDGES_SQL = """
+toks AS (
+  SELECT doc_id AS id, source, lang,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT id, source, lang,
+         list_distinct(
+           list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1])) AS shingles
+  FROM toks
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
+),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jac >= 0.05),
+vdeg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+),
+orient AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS dst,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN db.d ELSE da.d END AS dd
+  FROM und u JOIN vdeg da ON da.v = u.a JOIN vdeg db ON db.v = u.b
+),
+wedge AS (
+  SELECT e1.src, e1.dst AS v, e2.dst AS w
+  FROM orient e1 JOIN orient e2 USING (src)
+  WHERE (e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst)
+),
+tri AS (
+  SELECT wd.src FROM wedge wd
+  JOIN orient t ON t.src = wd.v AND t.dst = wd.w
+),
+blocks AS (SELECT doc_id, source, lang FROM documents),
+be AS (
+  SELECT bl.source, bl.lang, CAST(count(*) AS BIGINT) AS n_edges
+  FROM und u JOIN blocks bl ON bl.doc_id = u.a GROUP BY 1, 2
+),
+bw AS (
+  SELECT bl.source, bl.lang,
+         CAST(sum(d.d * (d.d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM vdeg d JOIN blocks bl ON bl.doc_id = d.v GROUP BY 1, 2
+),
+bt AS (
+  SELECT bl.source, bl.lang, CAST(count(*) AS BIGINT) AS n_tri
+  FROM tri t JOIN blocks bl ON bl.doc_id = t.src GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "q144_dup_triangles",
+    covers=("J4", "A3", "A4"),
+    oracle=f"""
+WITH {_TRI_EDGES_SQL.strip()}
+SELECT be.source, be.lang, be.n_edges, bw.n_wedges,
+       CAST(coalesce(bt.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN bw.n_wedges > 0
+                 THEN (3 * coalesce(bt.n_tri, 0) * 10000) // bw.n_wedges
+                 ELSE 0 END AS BIGINT) AS transitivity_fp
+FROM be JOIN bw ON bw.source = be.source AND bw.lang = be.lang
+LEFT JOIN bt ON bt.source = be.source AND bt.lang = be.lang
+""",
+)
+def q144_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph, per (source, lang) block:
+    edges, wedges, triangles, and global-clustering transitivity
+    (3·T/wedges, 10⁴ fixed point).  The cluster-QUALITY diagnostic the CC
+    family (q37/q123) can't give: a component can be a chain of
+    borderline pairs (transitivity ≈ 0 — survivor election is risky) or
+    a template clique (≈ 10⁴ — collapse is safe); read next to q123's
+    size histogram it says WHICH.
+
+    Scale (operators/graph.py:triangle_stats): edge generation is the
+    q33/q95 inverted-index join; triangles use the degree-ordered
+    orientation (Suri & Vassilvitskii 2011), so the wedge self-join —
+    the only super-linear step — is bounded by oriented out-degree
+    O(√m) even at hub vertices; everything is equi-joins and partial
+    aggregates, and the oracle states the same census quadratically."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.05, block_cols=("source", "lang")
+    )
+    und = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    blocks = docs.select(F.col("doc_id").alias("id"), "source", "lang")
+    from briefly_spark.operators.graph import triangle_stats
+
+    return triangle_stats(und, blocks)

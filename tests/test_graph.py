@@ -103,3 +103,50 @@ def test_label_propagation_isolated_keeps_null_and_carry(spark):
     edges = spark.createDataFrame([(1, 2, 1)], "src LONG, dst LONG, w LONG")
     got = {r.id: r.label for r in label_propagation(seeded, edges, iters=2).collect()}
     assert got == {1: "en", 2: "en", 3: None}
+
+
+# ---------------------------------------------------------------------------
+# Triangle census (q144) — hand-built graphs.
+# ---------------------------------------------------------------------------
+def test_triangle_stats_hand_built(spark):
+    from briefly_spark.operators.graph import triangle_stats
+
+    # block "k4": complete graph on {1,2,3,4} -> 4 triangles, 12 wedges,
+    # transitivity 3*4/12 = 1.0 -> 10000
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    # block "path": 10-11-12-13 -> 0 triangles, wedges = 1+1 = 2
+    path = [(10, 11), (11, 12), (12, 13)]
+    # block "star": hub 20, leaves 21-24 -> 0 triangles, wedges C(4,2)=6
+    star = [(20, x) for x in (21, 22, 23, 24)]
+    # block "tri+tail": triangle 30-31-32 plus pendant 33 on 30
+    #   wedges: d(30)=3 -> 3, d(31)=d(32)=2 -> 1+1, total 5; T=1
+    tt = [(30, 31), (30, 32), (31, 32), (30, 33)]
+    und = spark.createDataFrame(k4 + path + star + tt, ["a", "b"])
+    blocks = spark.createDataFrame(
+        [(i, "k4") for i in range(1, 5)]
+        + [(i, "path") for i in range(10, 14)]
+        + [(i, "star") for i in range(20, 25)]
+        + [(i, "tri_tail") for i in range(30, 34)],
+        ["id", "blk"],
+    )
+    got = {
+        r.blk: (r.n_edges, r.n_wedges, r.n_triangles, r.transitivity_fp)
+        for r in triangle_stats(und, blocks).collect()
+    }
+    assert got == {
+        "k4": (6, 12, 4, 10000),
+        "path": (3, 2, 0, 0),
+        "star": (4, 6, 0, 0),
+        "tri_tail": (4, 5, 1, (3 * 1 * 10000) // 5),
+    }
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    """Degree ties everywhere (every vertex d=2 in a pure triangle): the
+    (deg, id) orientation must still count the triangle exactly once."""
+    from briefly_spark.operators.graph import triangle_stats
+
+    und = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["a", "b"])
+    blocks = spark.createDataFrame([(i, "t") for i in (1, 2, 3)], ["id", "blk"])
+    [r] = triangle_stats(und, blocks).collect()
+    assert (r.n_edges, r.n_wedges, r.n_triangles, r.transitivity_fp) == (3, 3, 1, 10000)

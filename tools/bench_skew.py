@@ -223,6 +223,12 @@ def main() -> None:
         # docs FULLY covered (the interval-merge window sees a dense dup-
         # start frame for them, still partitioned by doc)
         "q131_exact_substring_dedup": registry["q131_exact_substring_dedup"].fn,
+        # q140 hot-histogram-value hazard: the 5% identical-boilerplate
+        # slice gets ONE identical avg-NLL score, so the (lang, avg_fp)
+        # value histogram gains a hot key — it must partial-agg map-side,
+        # and the cumulative window still runs on the value-bounded
+        # histogram (never per-doc)
+        "q140_ccnet_ppl_buckets": registry["q140_ccnet_ppl_buckets"].fn,
     }
     # q109 hot-word hazard rides the FOOTER corpus (below): a sentence in
     # every document makes its words corpus-hot, but BPE counts pairs on
@@ -338,6 +344,27 @@ def main() -> None:
                 clf_out["onelabel_s"] / clf_out["uniform_s"], 2
             )
             out["q124_classifier_train"] = clf_out
+
+            # q141 NB shapes (same corpora): (1) footer — token mass
+            # concentrates into the footer words' few hash buckets, which
+            # the (class, bucket) count aggregate must absorb map-side
+            # (bounded groups, never a doc-keyed shuffle); (2) onelabel —
+            # one class owns ~99% of the token mass AND the priors; the
+            # model stays a (classes × buckets) broadcast either way
+            nb_fn = registry["q141_nb_confusion"].fn
+            nb_fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+            nb_out = {
+                "uniform_s": run(nb_fn, spark, sf_dir),
+                "hot_bucket_footer_s": run(nb_fn, spark, footer_dir),
+                "onelabel_s": run(nb_fn, spark, onelabel_dir),
+            }
+            nb_out["ratio_hot_bucket"] = round(
+                nb_out["hot_bucket_footer_s"] / nb_out["uniform_s"], 2
+            )
+            nb_out["ratio_onelabel"] = round(
+                nb_out["onelabel_s"] / nb_out["uniform_s"], 2
+            )
+            out["q141_nb_confusion"] = nb_out
         finally:
             shutil.rmtree(onelabel_dir, ignore_errors=True)
 
@@ -360,6 +387,21 @@ def main() -> None:
                 q104_out["header_nocap_s"] / q104_out["uniform_nocap_s"], 2
             )
             out["q104_frame_fingerprints"] = q104_out
+
+            # q142 hot-posting hazard: the universal header makes every
+            # query doc's leading bigram (the phrase) corpus-hot — leg A
+            # touches the postings of that first word corpus-wide and
+            # EVERY doc matches every query (output-driven work, the
+            # q31/q122 class); the adjacency equi-join must AQE-split and
+            # the (qid, doc) count must partial-agg map-side
+            ph_fn = registry["q142_phrase_search"].fn
+            ph_fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+            ph_out = {
+                "uniform_s": run(ph_fn, spark, sf_dir),
+                "header_s": run(ph_fn, spark, header_dir),
+            }
+            ph_out["ratio"] = round(ph_out["header_s"] / ph_out["uniform_s"], 2)
+            out["q142_phrase_search"] = ph_out
         finally:
             shutil.rmtree(header_dir, ignore_errors=True)
 
