@@ -174,3 +174,53 @@ def scored_bigrams(
     ).drop(
         "__ln_a", "__ln_b", *det_ln_helpers("__ln_a"), *det_ln_helpers("__ln_b")
     )
+
+
+def lm_holdout_nll_sums(
+    train_docs: DataFrame, score_docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Held-out LM scoring — the model trains on ``train_docs`` ONLY and
+    scores ``score_docs`` (the real CCNet configuration: the reference
+    model comes from a target corpus, the scored slice is disjoint).
+    Returns (doc_id, n_bigrams, nll_sum_fp) integers for every scored doc
+    with ≥ 1 bigram.
+
+    Unseen-event semantics under the same add-one smoothing: a bigram or
+    head word absent from the training counts scores with c12 = 0 /
+    c1 = 0 (nll = det_ln(0 + V) − det_ln(0 + 1) = ln V for a fully-novel
+    head) — LEFT joins with coalesce(0), never dropped rows, so
+    out-of-domain text scores HIGH instead of silently shrinking its own
+    denominator.
+
+    Plan: two scans of each corpus slice (bigrams + unigrams, both
+    partial-agg shuffles bounded by the slice's token mass); the train
+    model joins back as one (w1, w2) equi-join (AQE-splittable — hot
+    boilerplate bigrams split, same as the join c12_mode of
+    :func:`lm_doc_scores`) plus a vocab-sized broadcast."""
+    ebig = doc_bigrams(score_docs, id_col, text_col)
+    tglob = (
+        doc_bigrams(train_docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").cast("long").alias("c12"))
+    )
+    ttoks = train_docs.select(F.explode(tokens_of(F.col(text_col))).alias("term"))
+    tuni = ttoks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    tv = tuni.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    scored = (
+        ebig.join(tglob, ["w1", "w2"], "left")
+        .join(
+            F.broadcast(tuni.select(F.col("term").alias("w1"), "c1")), "w1", "left"
+        )
+        .crossJoin(F.broadcast(tv))
+        .selectExpr(
+            "doc_id",
+            "n",
+            *det_ln_items("coalesce(c1, 0) + vocab", "__ln_a", "spark"),
+            *det_ln_items("coalesce(c12, 0) + 1", "__ln_b", "spark"),
+            f"CAST(floor(((__ln_a - __ln_b) * {float(RATIO_SCALE)!r})) AS BIGINT) AS nll_fp",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("nll_fp")).cast("long").alias("nll_sum_fp"),
+    )

@@ -74,6 +74,7 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q145_lm_holdout_ppl",
     "q144_dup_triangles",
     "q143_doc_entropy",
     "q142_phrase_search",
@@ -125,7 +126,6 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q104_frame_fingerprint_pairs",
     # (c) stalest-r07 fill to 50
     "q39_line_boilerplate_filter",
-    "q66_curriculum_buckets",
 )
 
 

@@ -669,3 +669,81 @@ def q143_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_types").alias("n_types"),
         F.sum(F.col("n") * F.col("e_fp")).cast("long").alias("ent_sum_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# q145 — held-out LM perplexity: train on the hash-split train slice,
+# score the val slice (the real CCNet configuration; q48 is leave-in).
+# --------------------------------------------------------------------------
+def _q145_oracle() -> str:
+    from briefly_spark.queries.textstats import _sql_hash16
+
+    split = f"{_sql_hash16('CAST(doc_id AS VARCHAR)')} % 100"
+    return f"""
+WITH tdocs AS (SELECT doc_id, text FROM documents WHERE {split} >= 10),
+edocs AS (SELECT doc_id, text FROM documents WHERE {split} < 5),
+twl AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM tdocs
+),
+tbig AS (
+  SELECT u.w1 AS w1, u.w2 AS w2
+  FROM twl, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS t(u)
+),
+tglob AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbig GROUP BY 1, 2),
+tuni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(w) AS term FROM twl) GROUP BY term
+),
+tv AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM tuni),
+ewl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM edocs
+),
+ebig AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM ewl, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS t(u)
+),
+egrp AS (SELECT doc_id, w1, w2, count(*) AS n FROM ebig GROUP BY 1, 2, 3),
+scored AS (
+  SELECT e.doc_id, e.n,
+         {', '.join(det_ln_items('coalesce(u.c1, 0) + v.vocab', '__ln_a', 'duckdb'))},
+         {', '.join(det_ln_items('coalesce(g.c12, 0) + 1', '__ln_b', 'duckdb'))},
+         CAST(floor(((__ln_a - __ln_b) * 10000.0)) AS BIGINT) AS nll_fp
+  FROM egrp e
+  LEFT JOIN tglob g ON g.w1 = e.w1 AND g.w2 = e.w2
+  LEFT JOIN tuni u ON u.term = e.w1
+  CROSS JOIN tv v
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(n * nll_fp) AS BIGINT) AS nll_sum_fp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("q145_lm_holdout_ppl", covers=("A3", "A4", "P7"), oracle=_q145_oracle())
+def q145_lm_holdout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity — the evaluation configuration q48's leave-in
+    self-scoring can't provide: the add-one bigram LM trains on the
+    deterministic hash-split TRAIN slice (q57's buckets ≥ 10) and scores
+    the disjoint VAL slice (< 5).  Unseen heads/bigrams score through
+    coalesce(0) under the same smoothing (a fully-novel head costs ln V),
+    so out-of-domain text scores high instead of vanishing — this is the
+    CCNet deployment shape: reference model from a target corpus, scores
+    for a disjoint slice, and the number that detects train/val drift.
+
+    Scale (operators/lm.py:lm_holdout_nll_sums): bigram + unigram
+    partial-agg shuffles bounded by each slice's token mass; the model
+    returns as one AQE-splittable (w1, w2) equi-join + a vocab broadcast;
+    integer surface (n_bigrams, nll_sum_fp)."""
+    from briefly_spark.operators.lm import lm_holdout_nll_sums
+    from briefly_spark.operators.textstats import _hash16
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = _hash16(F.col("doc_id")) % 100
+    return lm_holdout_nll_sums(
+        docs.filter(bucket >= 10), docs.filter(bucket < 5), "doc_id", "text"
+    )

@@ -296,3 +296,40 @@ def test_doc_entropy_hand_computed(spark, tmp_path):
         rows[1].ent_sum_fp < rows[3].ent_sum_fp
         < rows[2].ent_sum_fp < rows[4].ent_sum_fp
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM scoring (q145) — unseen-event semantics, hand-computed.
+# ---------------------------------------------------------------------------
+def test_lm_holdout_unseen_events_hand_computed(spark):
+    import math
+
+    from briefly_spark.numerics import det_ln_py
+    from briefly_spark.operators.lm import lm_holdout_nll_sums
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], ["id", "text"]
+    )  # unigrams: a=3, b=2, c=1 -> V=3; bigrams: (a,b)=2, (b,a)=1, (a,c)=1
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "a z"), (12, "q r")], ["id", "text"]
+    )
+    rows = {
+        r.doc_id: r for r in lm_holdout_nll_sums(train, score, "id", "text").collect()
+    }
+
+    def nll(c1: int, c12: int) -> int:
+        return math.floor(
+            (det_ln_py(c1 + 3) - det_ln_py(c12 + 1)) * 10000.0
+        )
+
+    # seen bigram: c1(a)=3, c12(a,b)=2
+    assert rows[10].nll_sum_fp == nll(3, 2) and rows[10].n_bigrams == 1
+    # seen head, unseen tail: c1(a)=3, c12=0
+    assert rows[11].nll_sum_fp == nll(3, 0)
+    # fully novel head: c1=0, c12=0 -> ln(V) - ln(1)
+    assert rows[12].nll_sum_fp == nll(0, 0)
+    assert rows[12].nll_sum_fp == math.floor(det_ln_py(3) * 10000.0)
+    # in-domain scores lowest; the smoothing artifact orders the unseen
+    # cases: a fully-novel head gets p = 1/V (> 1/(c1+V) for a seen head
+    # with an unseen tail), so seen-head/unseen-tail is the MOST surprised
+    assert rows[10].nll_sum_fp < rows[12].nll_sum_fp < rows[11].nll_sum_fp
