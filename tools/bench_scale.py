@@ -70,6 +70,15 @@ QUERIES = (
     "q124_classifier_train",
     # train + materialized margins + rubric second scan + one-row audit
     "q127_classifier_funnel_audit",
+    # one-pass generative trainer: (classes × buckets) model, no rounds —
+    # time must scale with the feature frame alone
+    "q141_nb_confusion",
+    # LM + value-histogram bucketing: the histogram/cuts stages are
+    # value-bounded, so growth must track the LM scans only
+    "q140_ccnet_ppl_buckets",
+    # held-out LM: train-slice model joined onto the val slice — both
+    # sides grow with K, the vocab broadcast with Heaps(K)
+    "q145_lm_holdout_ppl",
 )
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
@@ -119,6 +128,14 @@ def run_cold(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     ks = [int(a) for a in sys.argv[2:]] or [1, 8, 64]
+    # SPARK_GRAFT_SCALE_QUERIES=q141_nb_confusion,q145_lm_holdout_ppl
+    # restricts the pack (for measuring late additions without replaying
+    # the whole grid); default is every QUERIES entry.
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    queries = tuple(only.split(",")) if only else QUERIES
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        raise SystemExit(f"not in the recorded pack: {unknown}")
     spark = get_spark("bench_scale")
     registry = load_registry()
 
@@ -128,13 +145,13 @@ def main() -> None:
             d = tempfile.mkdtemp(prefix=f"scale_{k}x_")
             build_replicated_dir(spark, sf_dir, d, k)
             dirs[k] = d
-        for name in QUERIES:  # plans + codegen warmup off the clock
+        for name in queries:  # plans + codegen warmup off the clock
             registry[name].fn(spark, WARMUP_SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
 
         results: dict[str, dict[str, float]] = {}
-        for name in QUERIES:
+        for name in queries:
             row: dict[str, float] = {}
             for k in ks:
                 print(f"# {name} @ {k}x ...", file=sys.stderr, flush=True)
