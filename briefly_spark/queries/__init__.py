@@ -74,6 +74,7 @@ def register(
 #: manifest, and by the over-age invariant in tools/window_plan.py.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r09 / code or oracle changed in r09
+    "q146_rollup_inventory",
     "q145_lm_holdout_ppl",
     "q144_dup_triangles",
     "q143_doc_entropy",
@@ -124,8 +125,9 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q122_shingle_containment",
     "q123_dup_cluster_histogram",
     "q104_frame_fingerprint_pairs",
-    # (c) stalest-r07 fill to 50
-    "q39_line_boilerplate_filter",
+    # (c) r07-fill slots all rotated out for the 17 queries new in r09;
+    # the remaining r07 evidence (q39 etc.) is within the ≤2-round age
+    # policy and rotates next round
 )
 
 

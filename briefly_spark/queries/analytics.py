@@ -960,3 +960,46 @@ def q137_zipf_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__pr", "__pc")
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — ROLLUP + grouping_id corpus inventory (the GROUPING SETS surface
+# q13's CUBE doesn't pin: hierarchical subtotals with machine-readable
+# aggregation level).
+# --------------------------------------------------------------------------
+@register(
+    "q146_rollup_inventory",
+    covers=("A2", "A3", "A8"),
+    oracle="""
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+""",
+)
+def q146_rollup_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inventory at every level of the source → lang hierarchy in
+    ONE pass: per-(source, lang) cells, per-source subtotals, and the
+    grand total, each row tagged by grouping_id (0 = leaf, 1 = source
+    subtotal, 3 = grand total) so downstream consumers never confuse a
+    subtotal NULL with a data NULL — the standard warehouse inventory
+    report (q13 pins CUBE; this pins ROLLUP + GROUPING).
+
+    Scale: rollup is ONE partial-aggregating shuffle (Spark expands the
+    grouping sets map-side before the exchange, so the shuffle carries
+    (#sets)× the leaf groups — here 3× a dimension-bounded frame), never
+    one pass per level."""
+    from briefly_spark.catalog import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "total_chars")
+    )
