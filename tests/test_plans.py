@@ -529,3 +529,61 @@ def test_q133_keepfirst_first_occurrence_is_partial_agg_not_window(spark, sf_dir
     # the only Window ops are the per-doc interval-merge ones (id-keyed)
     win_lines = [l for l in plan.splitlines() if "Window" in l and "windowspec" not in l]
     assert all("id#" in l for l in win_lines if re.search(r"partitionBy|Window \[", l)) or win_lines == [], win_lines
+
+
+# ---------------------------------------------------------------------------
+# r09 late additions: q140–q146 plan pins.
+# ---------------------------------------------------------------------------
+def test_q141_nb_model_broadcasts_into_scoring(spark, sf_dir):
+    """The (classes × buckets) weight table and the priors must BROADCAST
+    into the scoring join — NB scoring is a map-side expansion, never a
+    shuffle keyed on the model."""
+    plan = plan_of(spark, sf_dir, "q141_nb_confusion")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q142_phrase_table_broadcasts_and_adjacency_is_equijoin(spark, sf_dir):
+    """The query-phrase table broadcasts into leg A; the adjacency check
+    must plan as an EQUI-join on (doc, pos+1, term) — a nested-loop /
+    cartesian pairing would scan positions quadratically."""
+    plan = plan_of(spark, sf_dir, "q142_phrase_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q144_triangle_joins_are_all_equijoins(spark, sf_dir):
+    """Every stage of the triangle census (degree attach, orientation,
+    wedge self-join, closure) must be an equi-join — the quadratic form
+    lives only in the oracle's statement of semantics."""
+    plan = plan_of(spark, sf_dir, "q144_dup_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q145_vocab_broadcasts_unigrams(spark, sf_dir):
+    """The train-slice unigram table (vocab-sized) and the 1-row vocab
+    count broadcast onto the eval bigrams; the (w1, w2) model join may
+    shuffle (AQE-splittable) but never nested-loops."""
+    plan = plan_of(spark, sf_dir, "q145_lm_holdout_ppl")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q146_rollup_is_one_expand_one_shuffle(spark, sf_dir):
+    """ROLLUP must plan as ONE Expand (grouping sets materialized
+    map-side) feeding ONE aggregation shuffle — not one pass per level."""
+    plan = plan_of(spark, sf_dir, "q146_rollup_inventory")
+    assert plan.count("Expand") >= 1
+    assert len(shuffle_exchanges(plan)) <= 2  # expand agg (+AQE artifacts)
+    assert "CartesianProduct" not in plan
+
+
+def test_q140_cuts_broadcast_back(spark, sf_dir):
+    """The 5-row per-language cuts frame must broadcast onto the scored
+    frame; no global sort anywhere (the terciles come from the value
+    histogram, not a rank)."""
+    plan = plan_of(spark, sf_dir, "q140_ccnet_ppl_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
