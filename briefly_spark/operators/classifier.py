@@ -345,10 +345,29 @@ def nb_confusion(
         docs, id_col=id_col, text_col=text_col, label_col=label_col,
         n_buckets=n_buckets,
     )
-    labs = docs.select(F.col(label_col).alias("lab")).distinct()
+    cnt_raw = feats.groupBy("lab", "j").agg(F.sum("x").alias("cx"))
+    dl = docs.groupBy(F.col(label_col).alias("lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    return _nb_score_confusion(spark, feats, cnt_raw, dl, n_buckets=n_buckets)
+
+
+def _nb_score_confusion(
+    spark: SparkSession,
+    feats: DataFrame,
+    cnt_raw: DataFrame,
+    dl: DataFrame,
+    *,
+    n_buckets: int,
+) -> DataFrame:
+    """Shared model-build + scoring tail: ``feats`` = (id, lab, j, x) rows
+    of the docs to score (lab their TRUE label), ``cnt_raw`` = (lab, j,
+    cx) training token counts, ``dl`` = (lab, dl) training doc counts.
+    The class set and the prior denominator derive from ``dl`` — exactly
+    the additive state the incremental registry folds."""
+    labs = dl.select("lab")
     jr = spark.range(n_buckets).select(F.col("id").cast("long").alias("j"))
     grid = labs.crossJoin(F.broadcast(jr))
-    cnt_raw = feats.groupBy("lab", "j").agg(F.sum("x").alias("cx"))
     cnt = grid.join(cnt_raw, ["lab", "j"], "left").select(
         "lab", "j", F.coalesce(F.col("cx"), F.lit(0)).cast("long").alias("c")
     )
@@ -367,10 +386,7 @@ def nb_confusion(
         .drop("__ln_n", "__ln_d", *det_ln_helpers("__ln_n"), *det_ln_helpers("__ln_d"))
         .select("lab", "j", "w")
     )
-    dl = docs.groupBy(F.col(label_col).alias("lab")).agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
-    )
-    dt = docs.agg(F.count(F.lit(1)).cast("long").alias("dt"))
+    dt = dl.agg(F.sum("dl").cast("long").alias("dt"))
     pri = (
         dl.crossJoin(F.broadcast(dt))
         .selectExpr(
@@ -500,3 +516,83 @@ npred AS (
   FROM nscr n JOIN nbest b ON b.id = n.id AND n.s = b.smax
   GROUP BY n.id
 )"""
+
+
+def nb_batch_counts(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 32,
+    batch_id: int,
+) -> DataFrame:
+    """One train batch's NB state as ADDITIVE count partials, keyed by the
+    batch: (batch_id, lab, j, x) — j ≥ 0 rows carry hashed-bucket token
+    counts, the j = −1 row per class carries the batch's doc count (the
+    prior numerator).  NB's entire training state is these counts, and
+    counts are additive, so incremental model maintenance is a registry
+    of per-batch partials: model = Σ over the registry, and REPLAYING a
+    batch upserts byte-identical rows under the (batch_id, lab, j) key —
+    replay-idempotent by keying, not by arithmetic (the q120 heavy-hitter
+    discipline; contrast the set-union registries of q133/q135, which are
+    idempotent by construction)."""
+    feats = nb_label_features(
+        docs, id_col=id_col, text_col=text_col, label_col=label_col,
+        n_buckets=n_buckets,
+    )
+    tok = feats.groupBy("lab", "j").agg(F.sum("x").cast("long").alias("x"))
+    dc = docs.groupBy(F.col(label_col).alias("lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).withColumn("j", F.lit(-1).cast("long"))
+    return (
+        tok.unionByName(dc.select("lab", "j", "x"))
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .select("batch_id", "lab", "j", "x")
+    )
+
+
+def nb_registry_merge(registry: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Frame-level registry fold: rows of the incoming batch_id(s) are
+    REPLACED, everything else kept — merge(merge(R, d), d) ≡ merge(R, d)
+    (pytest-pinned), the property that makes crash-replay safe.  The
+    warehouse form is one keyed merge_upsert on (batch_id, lab, j)."""
+    if registry is None:
+        return delta
+    bids = delta.select("batch_id").distinct()
+    return registry.join(bids, "batch_id", "left_anti").unionByName(delta)
+
+
+def nb_confusion_from_registry(
+    spark: SparkSession,
+    registry: DataFrame,
+    score_docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Score ``score_docs`` under the model implied by a count registry
+    (folded :func:`nb_batch_counts` partials).  Equivalence contract
+    (pytest-pinned): with the registry built from any batching of a train
+    corpus, the confusion over any score frame equals the one-shot
+    :func:`nb_confusion` on the unioned corpus — integer count additivity,
+    no approximation.  Model build is a (classes × buckets)-bounded
+    aggregate over the registry (batches × classes × buckets rows —
+    compact it by re-summing into one batch when it grows)."""
+    cnt_raw = (
+        registry.filter(F.col("j") >= 0)
+        .groupBy("lab", "j")
+        .agg(F.sum("x").cast("long").alias("cx"))
+    )
+    dl = (
+        registry.filter(F.col("j") == -1)
+        .groupBy("lab")
+        .agg(F.sum("x").cast("long").alias("dl"))
+    )
+    feats = nb_label_features(
+        score_docs, id_col=id_col, text_col=text_col, label_col=label_col,
+        n_buckets=n_buckets,
+    )
+    return _nb_score_confusion(spark, feats, cnt_raw, dl, n_buckets=n_buckets)

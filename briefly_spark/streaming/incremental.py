@@ -335,3 +335,49 @@ def heavy_hitters_resolve(
         .filter(F.col("freq") * phi_den >= F.col("total"))
         .select("term", "freq")
     )
+
+
+def nb_counts_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    *,
+    registry_table: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 32,
+) -> None:
+    """Streaming Naive-Bayes model maintenance — the ingestion twin of the
+    q141 one-shot trainer: each micro-batch's ADDITIVE count partials
+    (operators/classifier.nb_batch_counts) merge into a registry table
+    keyed by (batch_id, lab, j), so the live model is always
+    ``nb_confusion_from_registry`` over the table — no retrain-from-
+    scratch as the corpus grows.
+
+    Crash-replay safety is BY KEYING (the q120 heavy-hitter discipline):
+    replaying micro-batch k upserts byte-identical rows under its own
+    batch_id — counts never double, unlike a naive additive sink.  The
+    batch ≡ fold ≡ stream equivalence is pytest-pinned against the
+    one-shot trainer."""
+    from briefly_spark.operators.classifier import nb_batch_counts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = nb_batch_counts(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            label_col=label_col,
+            n_buckets=n_buckets,
+            batch_id=batch_id,
+        )
+        if delta.take(1):
+            wh.merge_upsert(delta, registry_table, ["batch_id", "lab", "j"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -249,3 +249,40 @@ def test_nb_zero_token_docs_count_in_priors_only(spark):
     }
     assert got == want
     assert sum(got.values()) == 2  # doc 2 absent
+
+
+def test_nb_registry_fold_matches_one_shot(spark):
+    """Incremental NB: folding per-batch count partials through the
+    registry must reproduce the one-shot trainer exactly (integer count
+    additivity), and re-merging a batch must be a no-op (replay keyed by
+    batch_id)."""
+    from briefly_spark.operators.classifier import (
+        nb_batch_counts,
+        nb_confusion_from_registry,
+        nb_registry_merge,
+    )
+
+    docs = NB_CASES["three_class"]
+    all_df = spark.createDataFrame(docs, schema="id LONG, text STRING, lab STRING")
+    expect = {
+        (r.true_lab, r.pred_lab): r.n_docs
+        for r in nb_confusion(
+            spark, all_df, id_col="id", text_col="text", label_col="lab", n_buckets=8
+        ).collect()
+    }
+    b1 = spark.createDataFrame(docs[:3], schema="id LONG, text STRING, lab STRING")
+    b2 = spark.createDataFrame(docs[3:], schema="id LONG, text STRING, lab STRING")
+    kw = dict(id_col="id", text_col="text", label_col="lab", n_buckets=8)
+    d1 = nb_batch_counts(b1, batch_id=0, **kw)
+    d2 = nb_batch_counts(b2, batch_id=1, **kw)
+    reg = nb_registry_merge(nb_registry_merge(None, d1), d2)
+    got = {
+        (r.true_lab, r.pred_lab): r.n_docs
+        for r in nb_confusion_from_registry(spark, reg, all_df, **kw).collect()
+    }
+    assert got == expect
+    # replay: merging batch 1 again changes nothing
+    reg2 = nb_registry_merge(reg, d2)
+    a = sorted(map(tuple, reg.collect()))
+    b = sorted(map(tuple, reg2.collect()))
+    assert a == b

@@ -501,3 +501,77 @@ def test_heavy_hitter_stream_matches_batch_query(spark, sf_dir, tmp_path):
     wh.merge_upsert(replay, "hh_cand", ["batch_id"])
     after = wh.read("hh_cand").filter(F.col("batch_id") == some_batch)
     assert sorted(r.term for r in after.collect()) == ["", "zzz_only_term"]
+
+
+def test_nb_counts_stream_matches_one_shot_trainer(spark, tmp_path):
+    """Streaming NB model maintenance: micro-batched count partials folded
+    into a (batch_id, lab, j)-keyed registry must yield EXACTLY the
+    one-shot q141 trainer's confusion matrix, and a checkpoint re-run
+    must leave the registry unchanged (replay-idempotence by keying)."""
+    import random
+    import time
+
+    from briefly_spark.operators.classifier import (
+        nb_confusion,
+        nb_confusion_from_registry,
+    )
+    from briefly_spark.streaming.incremental import nb_counts_stream
+
+    rng = random.Random(141)
+    words = {"en": ["the", "cat", "dog", "ran"], "fr": ["le", "chat", "vite"],
+             "de": ["der", "hund", "wald"]}
+    rows = []
+    for i in range(30):
+        lab = ["en", "fr", "de"][i % 3]
+        rows.append(
+            (i, " ".join(rng.choice(words[lab]) for _ in range(rng.randint(1, 9))), lab)
+        )
+    all_docs = spark.createDataFrame(rows, "id long, text string, lab string")
+    expect = {
+        (r.true_lab, r.pred_lab): r.n_docs
+        for r in nb_confusion(
+            spark, all_docs, id_col="id", text_col="text", label_col="lab",
+            n_buckets=8,
+        ).collect()
+    }
+
+    src = tmp_path / "nb_batches"
+    src.mkdir()
+    for j, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 30))):
+        spark.createDataFrame(rows[lo:hi], "id long, text string, lab string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{j}"))
+        time.sleep(1.1)
+    wh = Warehouse(spark, str(tmp_path / "wh_nb"))
+    wh.overwrite(
+        spark.createDataFrame([], "batch_id long, lab string, j long, x long"),
+        "nb_registry",
+    )
+    ckpt = str(tmp_path / "nb_ckpt")
+    run = lambda: nb_counts_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh,
+        registry_table="nb_registry",
+        checkpoint=ckpt,
+        id_col="id",
+        text_col="text",
+        label_col="lab",
+        n_buckets=8,
+    )
+    run()
+    reg = wh.read("nb_registry")
+    n_reg = reg.count()
+    got = {
+        (r.true_lab, r.pred_lab): r.n_docs
+        for r in nb_confusion_from_registry(
+            spark, reg, all_docs, id_col="id", text_col="text", label_col="lab",
+            n_buckets=8,
+        ).collect()
+    }
+    assert got == expect
+    # doc-count rows (j = -1) must total the corpus
+    assert reg.filter("j = -1").groupBy().sum("x").collect()[0][0] == 30
+
+    # checkpoint re-run: nothing new -> registry byte-stable
+    run()
+    assert wh.read("nb_registry").count() == n_reg
