@@ -596,3 +596,20 @@ def nb_confusion_from_registry(
         n_buckets=n_buckets,
     )
     return _nb_score_confusion(spark, feats, cnt_raw, dl, n_buckets=n_buckets)
+
+
+def nb_registry_compact(registry: DataFrame, *, into_batch_id: int = 0) -> DataFrame:
+    """Re-sum a grown registry into ONE batch's worth of rows — the
+    bound-keeping step for long-lived incremental NB state (the registry
+    grows one (classes × buckets + classes)-row block per batch; model
+    sums are associative, so compaction is exact).  Model-equivalence
+    (compact(R) scores identically to R) is pytest-pinned.  NOTE the
+    compacted registry forgets per-batch provenance: only compact batches
+    whose replay window has passed (the checkpoint guarantees a committed
+    micro-batch never replays, so compacting committed state is safe)."""
+    return (
+        registry.groupBy("lab", "j")
+        .agg(F.sum("x").cast("long").alias("x"))
+        .withColumn("batch_id", F.lit(int(into_batch_id)).cast("long"))
+        .select("batch_id", "lab", "j", "x")
+    )

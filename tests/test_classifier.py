@@ -286,3 +286,32 @@ def test_nb_registry_fold_matches_one_shot(spark):
     a = sorted(map(tuple, reg.collect()))
     b = sorted(map(tuple, reg2.collect()))
     assert a == b
+
+
+def test_nb_registry_compact_is_model_equivalent(spark):
+    from briefly_spark.operators.classifier import (
+        nb_batch_counts,
+        nb_confusion_from_registry,
+        nb_registry_compact,
+        nb_registry_merge,
+    )
+
+    docs = NB_CASES["skewed_priors"]
+    all_df = spark.createDataFrame(docs, schema="id LONG, text STRING, lab STRING")
+    kw = dict(id_col="id", text_col="text", label_col="lab", n_buckets=4)
+    reg = None
+    for b, (lo, hi) in enumerate(((0, 3), (3, 6), (6, 9))):
+        df = spark.createDataFrame(docs[lo:hi], schema="id LONG, text STRING, lab STRING")
+        reg = nb_registry_merge(reg, nb_batch_counts(df, batch_id=b, **kw))
+    compact = nb_registry_compact(reg)
+    conf = lambda r: {  # noqa: E731
+        (x.true_lab, x.pred_lab): x.n_docs
+        for x in nb_confusion_from_registry(spark, r, all_df, **kw).collect()
+    }
+    assert conf(compact) == conf(reg)
+    # one block of rows, counts preserved exactly
+    assert compact.select("batch_id").distinct().count() == 1
+    assert (
+        compact.groupBy().sum("x").collect()[0][0]
+        == reg.groupBy().sum("x").collect()[0][0]
+    )
