@@ -364,7 +364,15 @@ def _nb_score_confusion(
     of the docs to score (lab their TRUE label), ``cnt_raw`` = (lab, j,
     cx) training token counts, ``dl`` = (lab, dl) training doc counts.
     The class set and the prior denominator derive from ``dl`` — exactly
-    the additive state the incremental registry folds."""
+    the additive state the incremental registry folds.
+
+    ``feats`` is persisted and the confusion matrix is materialized
+    EAGERLY before the unpersist (the q127 bounded-output discipline —
+    ≤ n_classes² rows is always driver-safe): Spark has no cross-branch
+    CSE, and feats feeds the train-count branch, the scoring join, and —
+    via scr — both argmax legs, so without the cache the corpus tokenize
+    would execute up to three times per run."""
+    feats = feats.persist()
     labs = dl.select("lab")
     jr = spark.range(n_buckets).select(F.col("id").cast("long").alias("j"))
     grid = labs.crossJoin(F.broadcast(jr))
@@ -412,8 +420,15 @@ def _nb_score_confusion(
         .groupBy("id")
         .agg(F.max("tru").alias("true_lab"), F.min("cls").alias("pred_lab"))
     )
-    return pred.groupBy("true_lab", "pred_lab").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    conf_rows = (
+        pred.groupBy("true_lab", "pred_lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .collect()
+    )
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(r["true_lab"], r["pred_lab"], r["n_docs"]) for r in conf_rows],
+        schema="true_lab STRING, pred_lab STRING, n_docs BIGINT",
     )
 
 
@@ -598,7 +613,7 @@ def nb_confusion_from_registry(
     return _nb_score_confusion(spark, feats, cnt_raw, dl, n_buckets=n_buckets)
 
 
-def nb_registry_compact(registry: DataFrame, *, into_batch_id: int = 0) -> DataFrame:
+def nb_registry_compact(registry: DataFrame, *, into_batch_id: int = -1) -> DataFrame:
     """Re-sum a grown registry into ONE batch's worth of rows — the
     bound-keeping step for long-lived incremental NB state (the registry
     grows one (classes × buckets + classes)-row block per batch; model
@@ -606,7 +621,10 @@ def nb_registry_compact(registry: DataFrame, *, into_batch_id: int = 0) -> DataF
     (compact(R) scores identically to R) is pytest-pinned.  NOTE the
     compacted registry forgets per-batch provenance: only compact batches
     whose replay window has passed (the checkpoint guarantees a committed
-    micro-batch never replays, so compacting committed state is safe)."""
+    micro-batch never replays, so compacting committed state is safe).
+    The default sentinel is NEGATIVE: foreachBatch ids are ≥ 0, so a
+    checkpoint reset that restarts batch ids at 0 can never collide with
+    (and partially group-replace) the compacted block."""
     return (
         registry.groupBy("lab", "j")
         .agg(F.sum("x").cast("long").alias("x"))

@@ -23,7 +23,11 @@ _PR_ITERS = 5
 # Edge build shared by the oracle: bigram shingles, blocked quadratic
 # pairs (the oracle states the SEMANTICS; the Spark side generates the
 # identical pair set via the inverted-index join — q33 discipline).
-_EDGES_SQL = """
+#: shared toks → shingles → blocked quadratic pairs prefix — ONE spelling
+#: for every near-dup-graph oracle in this file (q95/q115 edges, q144
+#: triangles): these CTEs are load-bearing for cross-engine equivalence,
+#: so a tokenizer or formula fix must hit all consumers at once.
+_PAIRS_SQL = """
 toks AS (
   SELECT doc_id AS id, source, lang,
          list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
@@ -42,7 +46,9 @@ pairs AS (
            / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
   FROM sh a JOIN sh b
     ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
-),
+)"""
+
+_EDGES_SQL = _PAIRS_SQL + """,
 edges AS (
   SELECT id_a AS src, id_b AS dst, CAST(floor(jac * 10000) AS BIGINT) AS w
   FROM pairs WHERE jac >= 0.05
@@ -210,26 +216,7 @@ def q115_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q144 — triangle census / transitivity of the near-dup graph.
 # --------------------------------------------------------------------------
-_TRI_EDGES_SQL = """
-toks AS (
-  SELECT doc_id AS id, source, lang,
-         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
-  FROM documents
-),
-sh AS (
-  SELECT id, source, lang,
-         list_distinct(
-           list_transform(range(1, greatest(len(t) - 1, 0) + 1),
-                          i -> t[i] || ' ' || t[i+1])) AS shingles
-  FROM toks
-),
-pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-  FROM sh a JOIN sh b
-    ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
-),
+_TRI_EDGES_SQL = _PAIRS_SQL + """,
 und AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jac >= 0.05),
 vdeg AS (
   SELECT v, CAST(count(*) AS BIGINT) AS d FROM (

@@ -356,10 +356,11 @@ def nb_counts_stream(
     scratch as the corpus grows.
 
     Crash-replay safety is BY KEYING (the q120 heavy-hitter discipline):
-    replaying micro-batch k upserts byte-identical rows under its own
-    batch_id — counts never double, unlike a naive additive sink.  The
-    batch ≡ fold ≡ stream equivalence is pytest-pinned against the
-    one-shot trainer."""
+    the merge keys on batch_id ALONE, so replaying micro-batch k REPLACES
+    its entire prior contribution (group-replace) — counts never double,
+    and rows a differently-composed replay no longer produces cannot
+    linger.  The batch ≡ fold ≡ stream equivalence is pytest-pinned
+    against the one-shot trainer."""
     from briefly_spark.operators.classifier import nb_batch_counts
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -372,7 +373,12 @@ def nb_counts_stream(
             batch_id=batch_id,
         )
         if delta.take(1):
-            wh.merge_upsert(delta, registry_table, ["batch_id", "lab", "j"])
+            # batch_id ALONE: the group-replace contract (storage.py) makes
+            # a replayed micro-batch replace its ENTIRE prior contribution —
+            # a (batch_id, lab, j) key would let stale rows whose keys the
+            # replay no longer produces survive and corrupt the count sums
+            # (the heavy_hitter_stream discipline)
+            wh.merge_upsert(delta, registry_table, ["batch_id"])
 
     q = (
         source.writeStream.foreachBatch(sink)

@@ -229,12 +229,12 @@ def test_phrase_topk_k_bound_and_order_sensitivity(spark):
 # ---------------------------------------------------------------------------
 # CCNet head/middle/tail buckets (q140) — discrete-tercile invariants.
 # ---------------------------------------------------------------------------
-def test_ccnet_buckets_tercile_invariants(spark):
+def test_ccnet_buckets_tercile_invariants(spark, sf_dir):
     from briefly_spark.queries import load_registry
 
     rows = (
         load_registry()["q140_ccnet_ppl_buckets"]
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, sf_dir)
         .collect()
     )
     by_lang: dict[str, list] = {}
