@@ -373,6 +373,25 @@ def _nb_score_confusion(
     via scr — both argmax legs, so without the cache the corpus tokenize
     would execute up to three times per run."""
     feats = feats.persist()
+    conf_rows = _nb_confusion_plan(spark, feats, cnt_raw, dl, n_buckets=n_buckets).collect()
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(r["true_lab"], r["pred_lab"], r["n_docs"]) for r in conf_rows],
+        schema="true_lab STRING, pred_lab STRING, n_docs BIGINT",
+    )
+
+
+def _nb_confusion_plan(
+    spark: SparkSession,
+    feats: DataFrame,
+    cnt_raw: DataFrame,
+    dl: DataFrame,
+    *,
+    n_buckets: int,
+) -> DataFrame:
+    """The LAZY model-build + scoring plan (tests pin its physical shape:
+    model/priors broadcast, equi-joins only); _nb_score_confusion wraps it
+    with the persist + eager-collect discipline."""
     labs = dl.select("lab")
     jr = spark.range(n_buckets).select(F.col("id").cast("long").alias("j"))
     grid = labs.crossJoin(F.broadcast(jr))
@@ -420,15 +439,8 @@ def _nb_score_confusion(
         .groupBy("id")
         .agg(F.max("tru").alias("true_lab"), F.min("cls").alias("pred_lab"))
     )
-    conf_rows = (
-        pred.groupBy("true_lab", "pred_lab")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .collect()
-    )
-    feats.unpersist()
-    return spark.createDataFrame(
-        [(r["true_lab"], r["pred_lab"], r["n_docs"]) for r in conf_rows],
-        schema="true_lab STRING, pred_lab STRING, n_docs BIGINT",
+    return pred.groupBy("true_lab", "pred_lab").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
 
 

@@ -537,10 +537,37 @@ def test_q133_keepfirst_first_occurrence_is_partial_agg_not_window(spark, sf_dir
 def test_q141_nb_model_broadcasts_into_scoring(spark, sf_dir):
     """The (classes × buckets) weight table and the priors must BROADCAST
     into the scoring join — NB scoring is a map-side expansion, never a
-    shuffle keyed on the model."""
-    plan = plan_of(spark, sf_dir, "q141_nb_confusion")
+    shuffle keyed on the model.  q141's RETURNED frame is the eagerly
+    materialized ≤ classes² confusion (a local relation — the q127
+    bounded-output discipline), so the pin targets the internal LAZY
+    plan the collect runs."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.catalog import load_table, spread
+    from briefly_spark.operators.classifier import (
+        _nb_confusion_plan,
+        nb_label_features,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    feats = nb_label_features(
+        docs, id_col="doc_id", text_col="text", label_col="lang", n_buckets=32
+    )
+    cnt_raw = feats.groupBy("lab", "j").agg(F.sum("x").alias("cx"))
+    dl = docs.groupBy(F.col("lang").alias("lab")).agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    plan = (
+        _nb_confusion_plan(spark, feats, cnt_raw, dl, n_buckets=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the returned registry query is the local confusion relation
+    ret = plan_of(spark, sf_dir, "q141_nb_confusion")
+    assert "LocalTableScan" in ret or "BroadcastHashJoin" not in ret
 
 
 def test_q142_phrase_table_broadcasts_and_adjacency_is_equijoin(spark, sf_dir):
