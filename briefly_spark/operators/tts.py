@@ -48,6 +48,8 @@ def gender_voice(url: Column, gender: str) -> Column:
     (text_to_speech.py:58-62's male/female configs; random.choice replaced
     by the url-hash pick per SURVEY §7.2 — same nibble as pick_voice, so
     one article's male and female voices share an index)."""
+    if gender not in ("male", "female"):
+        raise ValueError(f"gender must be 'male' or 'female', got {gender!r}")
     pool = MALE_VOICES if gender == "male" else FEMALE_VOICES
     nib = F.instr(F.lit(HEX), F.substring(F.md5(url), 1, 1)) - 1
     return F.element_at(

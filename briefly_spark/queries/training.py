@@ -1152,7 +1152,13 @@ def q130_classifier_margins_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH margin columns come from ONE exchange-free groupBy(id) over the
     cached frame (the two weight vectors enter as literal arrays).  The
     oracle replays training, the w1..w3 running sum, and dual scoring as
-    one static CTE chain."""
+    one static CTE chain.
+
+    The returned frame reads the persisted dual-margins cache
+    (corpus-sized — too big to materialize eagerly like q127's audit);
+    same ownership contract as q125: every repo harness clearCache()s
+    per query, and external repeat-callers own the release (ADVICE
+    r08 #3)."""
     from briefly_spark.operators.classifier import (
         hashed_features,
         perceptron_train_avg,

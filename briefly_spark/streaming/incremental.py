@@ -239,11 +239,21 @@ def substring_dedup_stream(
             min_tokens=min_tokens,
         )
         # clean holds EVERY batch doc (zero-coverage docs are full
-        # survivors), so the guard is on the batch, not the claims
-        if clean.take(1):
-            wh.merge_upsert(clean, clean_table, ["id"])
-            if delta.take(1):
-                wh.merge_upsert(delta, registry_table, ["h"])
+        # survivors), so the guard is on the batch, not the claims.
+        # Persist both frames: the emptiness probes and the two merges
+        # would otherwise re-run the shared shingle-explode + registry-
+        # join lineage up to four times per micro-batch (the
+        # heavy_hitter_stream one-pass discipline).
+        clean = clean.persist()
+        delta = delta.persist()
+        try:
+            if clean.take(1):
+                wh.merge_upsert(clean, clean_table, ["id"])
+                if delta.take(1):
+                    wh.merge_upsert(delta, registry_table, ["h"])
+        finally:
+            clean.unpersist()
+            delta.unpersist()
 
     q = (
         source.writeStream.foreachBatch(sink)
@@ -372,13 +382,19 @@ def nb_counts_stream(
             n_buckets=n_buckets,
             batch_id=batch_id,
         )
-        if delta.take(1):
-            # batch_id ALONE: the group-replace contract (storage.py) makes
-            # a replayed micro-batch replace its ENTIRE prior contribution —
-            # a (batch_id, lab, j) key would let stale rows whose keys the
-            # replay no longer produces survive and corrupt the count sums
-            # (the heavy_hitter_stream discipline)
-            wh.merge_upsert(delta, registry_table, ["batch_id"])
+        # persist: the emptiness probe and the merge share one
+        # tokenize/aggregate pass (the heavy_hitter_stream discipline)
+        delta = delta.persist()
+        try:
+            if delta.take(1):
+                # batch_id ALONE: the group-replace contract (storage.py)
+                # makes a replayed micro-batch replace its ENTIRE prior
+                # contribution — a (batch_id, lab, j) key would let stale
+                # rows whose keys the replay no longer produces survive
+                # and corrupt the count sums
+                wh.merge_upsert(delta, registry_table, ["batch_id"])
+        finally:
+            delta.unpersist()
 
     q = (
         source.writeStream.foreachBatch(sink)
