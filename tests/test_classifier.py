@@ -315,3 +315,22 @@ def test_nb_registry_compact_is_model_equivalent(spark):
         compact.groupBy().sum("x").collect()[0][0]
         == reg.groupBy().sum("x").collect()[0][0]
     )
+
+
+def test_nb_empty_and_single_class_corpora(spark):
+    """Degenerate inputs must not crash the eager confusion build: an
+    all-empty-text corpus (priors exist, zero feature evidence -> empty
+    confusion) and a single-class corpus (every prediction is that
+    class)."""
+    from briefly_spark.operators.classifier import nb_confusion
+
+    kw = dict(id_col="id", text_col="text", label_col="lab", n_buckets=4)
+    empty_texts = spark.createDataFrame(
+        [(1, "", "en"), (2, "   ", "fr")], schema="id LONG, text STRING, lab STRING"
+    )
+    assert nb_confusion(spark, empty_texts, **kw).collect() == []
+    one_class = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "b c", "en")], schema="id LONG, text STRING, lab STRING"
+    )
+    rows = nb_confusion(spark, one_class, **kw).collect()
+    assert [(r.true_lab, r.pred_lab, r.n_docs) for r in rows] == [("en", "en", 2)]
