@@ -334,3 +334,59 @@ def test_nb_empty_and_single_class_corpora(spark):
     )
     rows = nb_confusion(spark, one_class, **kw).collect()
     assert [(r.true_lab, r.pred_lab, r.n_docs) for r in rows] == [("en", "en", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Property test: Spark NB ≡ pure-Python reference on RANDOM corpora (few
+# examples — each is a Spark round-trip; the crafted NB_CASES cover the
+# known edges, this sweeps the space between them).
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _nb_corpus = st.lists(
+        st.tuples(
+            st.text(alphabet="ab xyz", min_size=0, max_size=18),
+            st.sampled_from(["en", "fr", "zz"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ).map(lambda rows: [(i, t, lab) for i, (t, lab) in enumerate(rows)])
+
+    @given(_nb_corpus)
+    @settings(max_examples=12, deadline=None)
+    def test_nb_spark_matches_reference_on_random_corpora(docs):
+        # getOrCreate returns the suite's live session (hypothesis rejects
+        # function-scoped fixtures under @given; the session is a singleton)
+        from briefly_spark.session import get_spark
+
+        spark = get_spark("nb-property")
+        doc_rows, feat_rows = _nb_rows(docs, 4)
+        want = nb_reference(doc_rows, feat_rows, n_buckets=4)
+        df = spark.createDataFrame(docs, schema="id LONG, text STRING, lab STRING")
+        got = {
+            (r["true_lab"], r["pred_lab"]): r["n_docs"]
+            for r in nb_confusion(
+                spark, df, id_col="id", text_col="text", label_col="lab", n_buckets=4
+            ).collect()
+        }
+        assert got == want
+
+    @given(_nb_corpus)
+    @settings(max_examples=10, deadline=None)
+    def test_perceptron_spark_matches_reference_on_random_corpora(docs):
+        from briefly_spark.session import get_spark
+
+        spark = get_spark("pct-property")
+        # reuse the NB corpus strategy; label = (lab == "en")
+        bdocs = [(i, t, lab == "en") for i, t, lab in docs]
+        rows = _reference_rows(bdocs, 4)
+        want_w, want_s = perceptron_reference_avg(rows, n_buckets=4, rounds=2)
+        got_w, got_s = perceptron_train_avg(
+            _feats_df(spark, bdocs, 4), n_buckets=4, rounds=2
+        )
+        assert (got_w, got_s) == (want_w, want_s)
+
+except ImportError:  # pragma: no cover - hypothesis always shipped here
+    pass
