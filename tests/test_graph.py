@@ -150,3 +150,49 @@ def test_triangle_stats_counts_each_triangle_once(spark):
     blocks = spark.createDataFrame([(i, "t") for i in (1, 2, 3)], ["id", "blk"])
     [r] = triangle_stats(und, blocks).collect()
     assert (r.n_edges, r.n_wedges, r.n_triangles, r.transitivity_fp) == (3, 3, 1, 10000)
+
+
+# ---------------------------------------------------------------------------
+# Property test: triangle census vs a brute-force itertools counter on
+# random graphs (few examples — each is a Spark round-trip; the hand-built
+# graphs pin the known shapes, this sweeps degree-tie/orientation space).
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _edge_sets = st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    ).map(lambda s: sorted({(min(a, b), max(a, b)) for a, b in s}))
+
+    @given(_edge_sets)
+    @settings(max_examples=10, deadline=None)
+    def test_triangle_stats_matches_bruteforce_on_random_graphs(edges):
+        from itertools import combinations
+
+        from briefly_spark.operators.graph import triangle_stats
+        from briefly_spark.session import get_spark
+
+        spark = get_spark("tri-property")
+        und = spark.createDataFrame(edges, ["a", "b"])
+        verts = sorted({v for e in edges for v in e})
+        blocks = spark.createDataFrame([(v, "g") for v in verts], ["id", "blk"])
+        eset = set(edges)
+        tri = sum(
+            1
+            for c in combinations(verts, 3)
+            if {(c[0], c[1]), (c[0], c[2]), (c[1], c[2])} <= eset
+        )
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        [r] = triangle_stats(und, blocks).collect()
+        assert (r.n_edges, r.n_wedges, r.n_triangles) == (len(edges), wedges, tri)
+        assert r.transitivity_fp == ((3 * tri * 10000) // wedges if wedges else 0)
+
+except ImportError:  # pragma: no cover - hypothesis always shipped here
+    pass
