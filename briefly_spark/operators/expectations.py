@@ -1,0 +1,179 @@
+"""Declarative data-quality expectations — the Deequ/Great-Expectations
+audit a 100 TB lake runs before trusting a table (public methods: Schelter
+et al., "Automating Large-Scale Data Quality Verification", VLDB 2018).
+
+A check is a declarative tuple; the report is one row per check with the
+violation count — never a row per violation (the report stays
+check-bounded at any corpus size).  Check kinds:
+
+- ``unique(cols)``        — key uniqueness: n_rows − n_distinct(keys)
+- ``not_null(col)``       — NULL count
+- ``in_range(col, lo, hi)`` — values outside [lo, hi] (NULLs not counted:
+  compose with not_null to assert both)
+- ``accepted(col, values)`` — values outside an allow-set (NULLs counted:
+  NULL is not an accepted value)
+- ``fk(col, parent, parent_col)`` — child keys missing from the parent
+  (referential containment; NULL FKs not counted — SQL FK semantics)
+
+Scale design: every per-table check family collapses into ONE aggregate
+pass over that table (conditional-count expressions evaluated together —
+no per-check scans); ``unique`` adds one count-distinct (partial-agg),
+``fk`` one left-anti join per (child, parent) pair with the PARENT side
+broadcast when dimension-sized.  The emitted report is all-BIGINT +
+VARCHAR (the oracle-surface type contract), so a future registry entry
+can hash it directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: str  # unique | not_null | in_range | accepted | fk
+    table: str
+    cols: tuple[str, ...]
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    parent: str | None = None
+    parent_cols: tuple[str, ...] = field(default_factory=tuple)
+
+
+def unique(table: str, *cols: str) -> Check:
+    return Check("unique", table, tuple(cols))
+
+
+def not_null(table: str, col: str) -> Check:
+    return Check("not_null", table, (col,))
+
+
+def in_range(table: str, col: str, lo: float, hi: float) -> Check:
+    return Check("in_range", table, (col,), lo=lo, hi=hi)
+
+
+def accepted(table: str, col: str, *values) -> Check:
+    return Check("accepted", table, (col,), values=tuple(values))
+
+
+def fk(table: str, col: str, parent: str, parent_col: str) -> Check:
+    return Check("fk", table, (col,), parent=parent, parent_cols=(parent_col,))
+
+
+def _check_name(c: Check) -> str:
+    base = f"{c.kind}({', '.join(c.cols)})"
+    if c.kind == "in_range":
+        base = f"in_range({c.cols[0]}, {c.lo!r}, {c.hi!r})"
+    elif c.kind == "accepted":
+        base = f"accepted({c.cols[0]}, {list(c.values)!r})"
+    elif c.kind == "fk":
+        base = f"fk({c.cols[0]} -> {c.parent}.{c.parent_cols[0]})"
+    return base
+
+
+def expectation_report(
+    spark: SparkSession, tables: dict[str, DataFrame], checks: list[Check]
+) -> DataFrame:
+    """Evaluate every check and return the audit report:
+    (table, check, n_rows, n_violations, passed) — one row per check,
+    deterministic order irrelevant (callers sort or hash).
+
+    All not_null / in_range / accepted checks against one table share a
+    SINGLE aggregate pass (conditional counts); unique adds one
+    count-distinct over its key columns; fk adds one anti-join per
+    relationship."""
+    frames: list[DataFrame] = []
+    by_table: dict[str, list[Check]] = {}
+    for c in checks:
+        by_table.setdefault(c.table, []).append(c)
+
+    for tname, tchecks in by_table.items():
+        df = tables[tname]
+        nrows = F.count(F.lit(1)).cast("long")
+        cond_aggs = []
+        cond_names = []
+        for c in tchecks:
+            if c.kind == "not_null":
+                expr = F.sum(
+                    F.when(F.col(c.cols[0]).isNull(), 1).otherwise(0)
+                )
+            elif c.kind == "in_range":
+                col = F.col(c.cols[0])
+                expr = F.sum(
+                    F.when(col.isNotNull() & ((col < c.lo) | (col > c.hi)), 1)
+                    .otherwise(0)
+                )
+            elif c.kind == "accepted":
+                col = F.col(c.cols[0])
+                expr = F.sum(
+                    F.when(col.isin(list(c.values)), 0).otherwise(1)
+                )
+            else:
+                continue
+            cond_names.append(_check_name(c))
+            cond_aggs.append(expr.cast("long").alias(f"v{len(cond_aggs)}"))
+        if cond_aggs:
+            row = df.agg(nrows.alias("n_rows"), *cond_aggs)
+            for i, name in enumerate(cond_names):
+                frames.append(
+                    row.select(
+                        F.lit(tname).alias("table"),
+                        F.lit(name).alias("check"),
+                        "n_rows",
+                        F.coalesce(F.col(f"v{i}"), F.lit(0)).cast("long").alias(
+                            "n_violations"
+                        ),
+                    )
+                )
+        for c in tchecks:
+            if c.kind == "unique":
+                # uniqueness is asserted over PRESENT keys (rows with a
+                # NULL key component are not counted here — compose with
+                # not_null to assert presence; count_distinct drops NULLs,
+                # so the subtraction must too)
+                keyed = df.na.drop(subset=list(c.cols))
+                row = keyed.agg(
+                    nrows.alias("n_rows"),
+                    (
+                        F.count(F.lit(1)) - F.count_distinct(*[F.col(x) for x in c.cols])
+                    ).cast("long").alias("n_violations"),
+                )
+                frames.append(
+                    row.select(
+                        F.lit(tname).alias("table"),
+                        F.lit(_check_name(c)).alias("check"),
+                        "n_rows", "n_violations",
+                    )
+                )
+            elif c.kind == "fk":
+                parent = tables[c.parent].select(
+                    F.col(c.parent_cols[0]).alias("__pk")
+                ).distinct()
+                child = df.filter(F.col(c.cols[0]).isNotNull())
+                miss = child.join(
+                    F.broadcast(parent),
+                    child[c.cols[0]] == parent["__pk"],
+                    "left_anti",
+                )
+                row = child.agg(nrows.alias("n_child")).crossJoin(
+                    miss.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                )
+                frames.append(
+                    row.select(
+                        F.lit(tname).alias("table"),
+                        F.lit(_check_name(c)).alias("check"),
+                        F.col("n_child").alias("n_rows"),
+                        "n_violations",
+                    )
+                )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select(
+        "table", "check", "n_rows", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
