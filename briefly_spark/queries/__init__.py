@@ -127,7 +127,13 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q104_frame_fingerprint_pairs",
     # (c) r07-fill slots all rotated out for the 17 queries new in r09;
     # the remaining r07 evidence (q39 etc.) is within the ≤2-round age
-    # policy and rotates next round
+    # policy and rotates next round.
+    #
+    # r10 round-open notes (for the rotation after gate_debt --update 9):
+    # window_plan.py will list the r07-stale pack exactly; also register
+    # the data-quality expectation suite (operators/expectations.py — its
+    # report surface already honors the oracle type contract) as a new
+    # gated query, which r09 could not do with the window at capacity.
 )
 
 
