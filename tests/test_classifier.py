@@ -390,3 +390,30 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis always shipped here
     pass
+
+
+def test_nb_registry_scores_docs_with_unseen_true_labels(spark):
+    """Scoring docs may carry TRUE labels the registry never trained on
+    (a new language arrives mid-stream): they must still score against
+    the known classes — the unseen label appears in true_lab, predictions
+    stay within the registry's class set."""
+    from briefly_spark.operators.classifier import (
+        nb_batch_counts,
+        nb_confusion_from_registry,
+    )
+
+    kw = dict(id_col="id", text_col="text", label_col="lab", n_buckets=8)
+    train = spark.createDataFrame(
+        [(1, "the cat sat", "en"), (2, "le chat assis", "fr")],
+        schema="id LONG, text STRING, lab STRING",
+    )
+    reg = nb_batch_counts(train, batch_id=0, **kw)
+    score = spark.createDataFrame(
+        [(10, "the cat ran", "en"), (11, "der hund lief", "de")],
+        schema="id LONG, text STRING, lab STRING",
+    )
+    rows = nb_confusion_from_registry(spark, reg, score, **kw).collect()
+    got = {(r.true_lab, r.pred_lab): r.n_docs for r in rows}
+    assert sum(got.values()) == 2
+    assert {t for t, _ in got} == {"en", "de"}   # unseen true label surfaces
+    assert {p for _, p in got} <= {"en", "fr"}   # predictions from the model only
