@@ -177,3 +177,69 @@ def expectation_report(
         "table", "check", "n_rows", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def sql_expectation_report(checks: list[Check]) -> str:
+    """DuckDB mirror of :func:`expectation_report` — one UNION ALL arm per
+    check, identical check-name strings, identical NULL semantics
+    (uniqueness over present keys; in_range ignores NULLs; accepted
+    counts NULLs; FK per SQL semantics).  Ready for a registry oracle;
+    until then tests/test_expectations.py runs it against DuckDB directly
+    and value-compares with the Spark report."""
+    arms = []
+    for c in checks:
+        name = _check_name(c).replace("'", "''")
+        if c.kind == "not_null":
+            arms.append(
+                f"SELECT '{c.table}' AS tbl, '{name}' AS chk,"
+                f" CAST(count(*) AS BIGINT) AS n_rows,"
+                f" CAST(sum(CASE WHEN {c.cols[0]} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_violations FROM {c.table}"
+            )
+        elif c.kind == "in_range":
+            col = c.cols[0]
+            arms.append(
+                f"SELECT '{c.table}', '{name}', CAST(count(*) AS BIGINT),"
+                f" CAST(sum(CASE WHEN {col} IS NOT NULL AND"
+                f" ({col} < {c.lo!r} OR {col} > {c.hi!r}) THEN 1 ELSE 0 END) AS BIGINT)"
+                f" FROM {c.table}"
+            )
+        elif c.kind == "accepted":
+            vals = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+                for v in c.values
+            )
+            arms.append(
+                f"SELECT '{c.table}', '{name}', CAST(count(*) AS BIGINT),"
+                f" CAST(sum(CASE WHEN {c.cols[0]} IN ({vals}) THEN 0 ELSE 1 END)"
+                f" AS BIGINT) FROM {c.table}"
+            )
+        elif c.kind == "unique":
+            present = " AND ".join(f"{x} IS NOT NULL" for x in c.cols)
+            cols = ", ".join(c.cols)
+            arms.append(
+                f"SELECT '{c.table}', '{name}',"
+                f" CAST((SELECT count(*) FROM {c.table} WHERE {present}) AS BIGINT),"
+                f" CAST((SELECT count(*) FROM {c.table} WHERE {present})"
+                f" - (SELECT count(*) FROM (SELECT DISTINCT {cols} FROM {c.table}"
+                f" WHERE {present})) AS BIGINT)"
+            )
+        elif c.kind == "fk":
+            col = c.cols[0]
+            pc = c.parent_cols[0]
+            arms.append(
+                f"SELECT '{c.table}', '{name}',"
+                f" CAST((SELECT count(*) FROM {c.table} WHERE {col} IS NOT NULL)"
+                f" AS BIGINT),"
+                f" CAST((SELECT count(*) FROM {c.table} WHERE {col} IS NOT NULL"
+                f" AND {col} NOT IN (SELECT {pc} FROM {c.parent}"
+                f" WHERE {pc} IS NOT NULL)) AS BIGINT)"
+            )
+        else:  # pragma: no cover - constructor-bounded
+            raise ValueError(f"unknown check kind {c.kind!r}")
+    union = "\nUNION ALL\n".join(arms)
+    return (
+        'SELECT tbl AS "table", chk AS "check", n_rows, n_violations,\n'
+        "       n_violations = 0 AS passed\n"
+        f"FROM (\n{union}\n) t(tbl, chk, n_rows, n_violations)"
+    )

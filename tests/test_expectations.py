@@ -126,3 +126,38 @@ def test_tpch_relationships_audited_on_testdata(spark, sf_dir):
     )
     n_rows, n_viol, passed = dup[("lineitem", "unique(l_orderkey, l_linenumber)")]
     assert not passed and n_viol > 0 and n_rows > n_viol
+
+
+def test_sql_mirror_matches_spark_report_on_testdata(spark, sf_dir):
+    """The DuckDB mirror (the r10 registry oracle) must value-match the
+    Spark report on the real tables — the self-hosted oracle gate, run
+    here without waiting for a driver window slot."""
+    import duckdb
+
+    from briefly_spark.catalog import load_table, table_path
+    from briefly_spark.operators.expectations import sql_expectation_report
+
+    names = ("region", "nation", "customer", "orders", "lineitem", "supplier")
+    tables = {n: load_table(spark, sf_dir, n) for n in names}
+    checks = [
+        unique("orders", "o_orderkey"),
+        unique("lineitem", "l_orderkey", "l_linenumber"),  # the true red
+        not_null("orders", "o_orderdate"),
+        in_range("lineitem", "l_discount", 0.0, 0.11),
+        accepted("orders", "o_orderstatus", "F", "O", "P"),
+        fk("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fk("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    got = {
+        (r.table, r.check): (r.n_rows, r.n_violations, r.passed)
+        for r in expectation_report(spark, tables, checks).collect()
+    }
+    con = duckdb.connect()
+    for n in names:
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{table_path(sf_dir, n)}'")
+    want = {
+        (t, c): (nr, nv, p)
+        for t, c, nr, nv, p in con.execute(sql_expectation_report(checks)).fetchall()
+    }
+    assert got == want
+    assert not want[("lineitem", "unique(l_orderkey, l_linenumber)")][2]
