@@ -63,77 +63,84 @@ def register(
     return deco
 
 
-#: r09 driver-window head (VERDICT r08 "Next round" #1).  r08 was 50/50
-#: green, so the rotation is: (a) queries NEW in r09 (gate debt by
-#: construction) plus queries whose code/oracle changed in r09 (q128
-#: oracle has_related derivation, q125/q127 unpersist — ADVICE r08);
-#: (b) the 30 queries whose newest green driver row is r06 — after this
-#: round no registry query's evidence predates r07; (c) stalest-r07 fill
-#: to 50.  Mechanically checked by tools/gate_debt.py +
-#: tests/test_gate_debt.py against the committed last-gated-hash
-#: manifest, and by the over-age invariant in tools/window_plan.py.
+#: r10 driver-window head (VERDICT r09 "Next round" #1).  r09 was 50/50
+#: green, so the rotation is the exhaustive r07-stale pack: all 50
+#: queries whose newest green driver row is r07 (tools/window_plan.py
+#: lists them exactly; after this round no registry query's evidence
+#: predates r08).  New/changed queries this round (gate debt by
+#: construction) lead the head.  Mechanically checked by
+#: tools/gate_debt.py + tests/test_gate_debt.py against the committed
+#: last-gated-hash manifest, and by the over-age invariant in
+#: tools/window_plan.py (now keyed off the manifest round — VERDICT r09
+#: next-round #2).
+#:
+#: Capacity note: the driver gates the FIRST 50 entries, the r07-stale
+#: pack is exactly 50, and this round also must gate the new
+#: expectation-suite query (VERDICT r09 next-round #3) and the trimmed
+#: q128 (next-round #5) — 52 candidates for 50 slots.  The two tail
+#: entries (q81_media_decode_arrow, q82_frame_sample) are the deliberate
+#: sacrifice: both are pytest-pinned decode/sample harnesses whose
+#: multimodal family keeps fresh driver evidence through q80 (gated this
+#: round) and q104 (green r09).  They keep their WINDOW_HEAD slots (so
+#: the over-age invariant records them as scheduled, positions 51–52)
+#: and are first in line for the r11 rotation.
 WINDOW_HEAD: tuple[str, ...] = (
-    # (a) new in r09 / code or oracle changed in r09
-    "q146_rollup_inventory",
-    "q145_lm_holdout_ppl",
-    "q144_dup_triangles",
-    "q143_doc_entropy",
-    "q142_phrase_search",
-    "q141_nb_confusion",
-    "q140_ccnet_ppl_buckets",
-    "q139_vocab_coverage",
-    "q138_lsh_calibration",
-    "q137_zipf_rank_curve",
-    "q136_heaps_vocab_growth",
-    "q135_eval_overlap_exact",
-    "q134_duplication_flow",
-    "q133_substring_dedup_keepfirst",
-    "q132_classifier_pr_curve",
-    "q131_exact_substring_dedup",
-    "q130_classifier_margins_avg",
-    "q128_jobs_dag_resolve",
-    "q125_classifier_margins",
-    "q127_classifier_funnel_audit",
-    # (b) stalest green evidence (r06 rows) — exhaustive per window_plan.py
-    "q113_random_projection",
-    "q116_mmr_rerank",
-    "q118_pq_ann",
-    "q84_dsir_weights",
-    "q86_dsir_select",
-    "q87_curation_funnel",
-    "q89_dsir_budget_fill",
-    "q96_kmeans_clusters",
-    "q95_dup_graph_pagerank",
-    "q100_waiting_suppliers",
-    "q107_term_pmi",
-    "q108_source_similarity",
-    "q110_balance_prospects",
-    "q111_nation_top_supplier",
-    "q117_source_drift_kl",
-    "q97_bloom_decontaminate",
-    "q98_zorder_layout",
-    "q99_group_sample",
-    "q101_winsorize_lengths",
-    "q103_grouped_median",
-    "q105_snapshot_diff",
-    "q106_weighted_sample",
-    "q119_rank_fusion",
-    "q64_retention_cohorts",
-    "q65_median_gap",
-    "q102_peak_concurrency",
-    "q112_event_transitions",
-    "q122_shingle_containment",
-    "q123_dup_cluster_histogram",
-    "q104_frame_fingerprint_pairs",
-    # (c) r07-fill slots all rotated out for the 17 queries new in r09;
-    # the remaining r07 evidence (q39 etc.) is within the ≤2-round age
-    # policy and rotates next round.
-    #
-    # r10 round-open notes (for the rotation after gate_debt --update 9):
-    # window_plan.py will list the r07-stale pack exactly; also register
-    # the data-quality expectation suite (operators/expectations.py — its
-    # report surface already honors the oracle type contract) as a new
-    # gated query, which r09 could not do with the window at capacity.
+    # (a) new / changed in r10 (uncommented as each lands)
+    # "q147_expectation_audit",
+    # "q128_jobs_dag_resolve",
+    # (b) the exhaustive r07-stale pack (window_plan.py order)
+    "q39_line_boilerplate_filter",
+    "q66_curriculum_buckets",
+    "q67_pack_exact",
+    "q40_ann_topk",
+    "q41_related_articles",
+    "q42_lsh_ann",
+    "q43_ivf_ann",
+    "q49_contrastive_pairs",
+    "q45_quantized_ann",
+    "q44_related_lsh",
+    "q60_chunk_embed_meanpool",
+    "q61_factcheck_scores",
+    "q62_summarize_worklist",
+    "q63_embed_arrow_harness",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_windows",
+    "q73_props_json_extract",
+    "q74_sketch_audit",
+    "q75_funnel",
+    "q78_rolling_features",
+    "q79_attribution",
+    "q76_asof_enrich",
+    "q77_range_join",
+    "q30_exact_dedup",
+    "q31_minhash_lsh_pairs",
+    "q32_simhash_fingerprints",
+    "q33_ngram_jaccard_pairs",
+    "q34_embedding_near_dup",
+    "q36_decontaminate",
+    "q29_dedup_survivors",
+    "q37_dup_clusters",
+    "q01_pricing_summary",
+    "q02_topk_orders_per_customer",
+    "q03_revenue_by_nation",
+    "q04_customers_without_orders",
+    "q05_orders_with_heavy_items",
+    "q06_distinct_segments",
+    "q07_order_status_tallies",
+    "q08_order_set_ops",
+    "q09_part_scalar_funcs",
+    "q10_latest_events_per_user",
+    "q11_events_worklist",
+    "q12_weighted_customer_score",
+    "q13_cube_revenue",
+    "q14_running_totals",
+    "q15_small_lot_revenue",
+    "q80_media_metadata",
+    # positions 51–52: scheduled but beyond the driver's 50-entry gate
+    # this round (see capacity note above) — r11 rotation leads with them
+    "q81_media_decode_arrow",
+    "q82_frame_sample",
 )
 
 

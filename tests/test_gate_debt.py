@@ -70,6 +70,35 @@ def test_no_overage_evidence_unscheduled():
     )
 
 
+def test_overage_round_boundary_semantics():
+    """VERDICT r09 next-round #2: the over-age invariant fires only on an
+    ACTUALLY-missed rotation, not in every inter-round gap.  When the
+    driver has written a newer CORRECTNESS file than the committed
+    manifest round (rotation pending), ``overage`` must be silent; once
+    the manifest catches up (``gate_debt.py --update N`` ran), it
+    enforces.  Exercised against synthetic manifests so the test holds at
+    every future round."""
+    from tools.window_plan import freshness, overage
+
+    latest_n, _newest_green, _seen = freshness()
+    pending = {"qxx": {"hash": "0" * 64, "round": latest_n - 1}}
+    assert overage(manifest=pending) == []  # rotation pending -> silent
+    opened = {"qxx": {"hash": "0" * 64, "round": latest_n}}
+    # round opened: enforcement active.  The committed WINDOW_HEAD must
+    # already schedule every stale query, so the real answer is empty —
+    # prove enforcement is LIVE (not short-circuited) with a tiny max_age
+    # that makes even fresh evidence over-age unless scheduled.
+    assert overage(manifest=opened) == []
+    from briefly_spark.queries import WINDOW_HEAD, load_registry
+
+    reg = load_registry()
+    unscheduled = [n for n in reg if n not in WINDOW_HEAD and not reg[n].expected_red]
+    if unscheduled:  # max_age=0: everything gated before next round is stale
+        assert overage(max_age=0, manifest=opened), (
+            "enforcement branch unreachable: overage(max_age=0) found nothing"
+        )
+
+
 def test_manifest_covers_registry():
     """manifest ∪ debt = registry (nothing silently unaccounted), and a
     doctored manifest flags a tampered query."""
