@@ -16,12 +16,18 @@ check-bounded at any corpus size).  Check kinds:
   (referential containment; NULL FKs not counted — SQL FK semantics)
 
 Scale design: every per-table check family collapses into ONE aggregate
-pass over that table (conditional-count expressions evaluated together —
-no per-check scans); ``unique`` adds one count-distinct (partial-agg),
-``fk`` one left-anti join per (child, parent) pair with the PARENT side
-broadcast when dimension-sized.  The emitted report is all-BIGINT +
-VARCHAR (the oracle-surface type contract), so a future registry entry
-can hash it directly.
+pass over that table — the conditional counts are evaluated together in
+a single ``agg`` and the per-check report rows are exploded OUT OF that
+one-row aggregate (Spark has no cross-branch subtree reuse, so a
+union-of-selects over the same agg would re-scan the table once per
+check — the q127/q130 lesson).  ``unique`` adds one count-distinct
+(partial-agg); ``fk`` is one left join + conditional count per (child,
+parent) pair, with the PARENT side broadcast ONLY when the caller marks
+it dimension-sized (``fk(..., dim=True)``) — an unconditional broadcast
+hint on a fact-sized parent would force a driver collect of the key set
+and OOM at 100 TB; un-hinted, AQE picks the strategy from runtime stats.
+The emitted report is all-BIGINT + VARCHAR (the oracle-surface type
+contract), so a registry entry can hash it directly.
 """
 
 from __future__ import annotations
@@ -42,6 +48,8 @@ class Check:
     values: tuple = ()
     parent: str | None = None
     parent_cols: tuple[str, ...] = field(default_factory=tuple)
+    #: parent is dimension-sized -> safe to broadcast its key set (fk only)
+    dim: bool = False
 
 
 def unique(table: str, *cols: str) -> Check:
@@ -60,8 +68,11 @@ def accepted(table: str, col: str, *values) -> Check:
     return Check("accepted", table, (col,), values=tuple(values))
 
 
-def fk(table: str, col: str, parent: str, parent_col: str) -> Check:
-    return Check("fk", table, (col,), parent=parent, parent_cols=(parent_col,))
+def fk(table: str, col: str, parent: str, parent_col: str, dim: bool = False) -> Check:
+    """``dim=True`` asserts the parent is dimension-sized (its distinct
+    key set fits a broadcast); leave False for fact-sized parents so the
+    join strategy is AQE's call."""
+    return Check("fk", table, (col,), parent=parent, parent_cols=(parent_col,), dim=dim)
 
 
 def _check_name(c: Check) -> str:
@@ -83,9 +94,28 @@ def expectation_report(
     deterministic order irrelevant (callers sort or hash).
 
     All not_null / in_range / accepted checks against one table share a
-    SINGLE aggregate pass (conditional counts); unique adds one
-    count-distinct over its key columns; fk adds one anti-join per
-    relationship."""
+    SINGLE aggregate pass (conditional counts, report rows exploded from
+    the one agg row — no per-check re-scan); unique adds one
+    count-distinct over its key columns; fk one left join + conditional
+    count per relationship.
+
+    An empty ``checks`` list yields an empty report (same schema); a
+    check naming a table or parent absent from ``tables`` raises
+    ``ValueError`` with the offending name."""
+    report_schema = (
+        "table STRING, check STRING, n_rows LONG, n_violations LONG"
+    )
+    for c in checks:
+        for t in (c.table, c.parent):
+            if t is not None and t not in tables:
+                raise ValueError(
+                    f"check {_check_name(c)!r} names unregistered table {t!r}"
+                )
+    if not checks:
+        return spark.createDataFrame([], schema=report_schema).select(
+            "table", "check", "n_rows", "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
     frames: list[DataFrame] = []
     by_table: dict[str, list[Check]] = {}
     for c in checks:
@@ -117,18 +147,31 @@ def expectation_report(
             cond_names.append(_check_name(c))
             cond_aggs.append(expr.cast("long").alias(f"v{len(cond_aggs)}"))
         if cond_aggs:
+            # ONE scan for every conditional check on this table: a single
+            # agg, then the per-check rows exploded out of its one row.  A
+            # union of per-check selects over the same agg frame would
+            # re-plan (and re-scan) the aggregate once per arm — Spark has
+            # no cross-branch common-subtree reuse (ADVICE r09).
             row = df.agg(nrows.alias("n_rows"), *cond_aggs)
-            for i, name in enumerate(cond_names):
-                frames.append(
-                    row.select(
-                        F.lit(tname).alias("table"),
+            kv = F.explode(
+                F.array(*[
+                    F.struct(
                         F.lit(name).alias("check"),
-                        "n_rows",
-                        F.coalesce(F.col(f"v{i}"), F.lit(0)).cast("long").alias(
-                            "n_violations"
-                        ),
+                        F.coalesce(F.col(f"v{i}"), F.lit(0))
+                        .cast("long")
+                        .alias("n_violations"),
                     )
+                    for i, name in enumerate(cond_names)
+                ])
+            ).alias("kv")
+            frames.append(
+                row.select("n_rows", kv).select(
+                    F.lit(tname).alias("table"),
+                    F.col("kv.check").alias("check"),
+                    "n_rows",
+                    F.col("kv.n_violations").alias("n_violations"),
                 )
+            )
         for c in tchecks:
             if c.kind == "unique":
                 # uniqueness is asserted over PRESENT keys (rows with a
@@ -150,24 +193,34 @@ def expectation_report(
                     )
                 )
             elif c.kind == "fk":
+                # one pass over the child: LEFT join against the distinct
+                # parent key set, count rows and unmatched keys together
+                # (the old anti-join + crossJoin-of-two-aggs scanned the
+                # child twice).  Broadcast only on the caller's dim=True
+                # assertion — a fact-sized parent key set must go through
+                # a shuffled join (AQE decides), never a driver collect.
                 parent = tables[c.parent].select(
                     F.col(c.parent_cols[0]).alias("__pk")
                 ).distinct()
+                if c.dim:
+                    parent = F.broadcast(parent)
                 child = df.filter(F.col(c.cols[0]).isNotNull())
-                miss = child.join(
-                    F.broadcast(parent),
-                    child[c.cols[0]] == parent["__pk"],
-                    "left_anti",
-                )
-                row = child.agg(nrows.alias("n_child")).crossJoin(
-                    miss.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                row = child.join(
+                    parent, child[c.cols[0]] == F.col("__pk"), "left"
+                ).agg(
+                    nrows.alias("n_rows"),
+                    F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_violations"),
                 )
                 frames.append(
                     row.select(
                         F.lit(tname).alias("table"),
                         F.lit(_check_name(c)).alias("check"),
-                        F.col("n_child").alias("n_rows"),
-                        "n_violations",
+                        "n_rows",
+                        F.coalesce(F.col("n_violations"), F.lit(0))
+                        .cast("long")
+                        .alias("n_violations"),
                     )
                 )
     out = frames[0]

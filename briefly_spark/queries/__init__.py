@@ -86,7 +86,7 @@ def register(
 #: and are first in line for the r11 rotation.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new / changed in r10 (uncommented as each lands)
-    # "q147_expectation_audit",
+    "q147_expectation_audit",
     # "q128_jobs_dag_resolve",
     # (b) the exhaustive r07-stale pack (window_plan.py order)
     "q39_line_boilerplate_filter",
@@ -175,6 +175,7 @@ def load_registry() -> dict[str, QuerySpec]:
         multimodal,
         streamgate,
         jobsgate,
+        expectgate,
     )
 
     missing = [n for n in WINDOW_HEAD if n not in REGISTRY]

@@ -361,9 +361,11 @@ def nb_counts_stream(
     """Streaming Naive-Bayes model maintenance — the ingestion twin of the
     q141 one-shot trainer: each micro-batch's ADDITIVE count partials
     (operators/classifier.nb_batch_counts) merge into a registry table
-    keyed by (batch_id, lab, j), so the live model is always
-    ``nb_confusion_from_registry`` over the table — no retrain-from-
-    scratch as the corpus grows.
+    whose rows are identified by (batch_id, lab, j), so the live model is
+    always ``nb_confusion_from_registry`` over the table — no retrain-
+    from-scratch as the corpus grows.  Note the merge itself deliberately
+    group-replaces on batch_id ALONE (not the full row identity) — see
+    the replay-safety paragraph below.
 
     Crash-replay safety is BY KEYING (the q120 heavy-hitter discipline):
     the merge keys on batch_id ALONE, so replaying micro-batch k REPLACES

@@ -86,6 +86,83 @@ def test_composite_key_uniqueness(spark):
     assert got[("t", "unique(a, b)")] == (3, 1, False)
 
 
+def test_empty_checks_yield_empty_report(spark):
+    # ADVICE r09: no IndexError — an empty, correctly-typed report
+    t = spark.createDataFrame([(1,)], schema="id LONG")
+    rep = expectation_report(spark, {"t": t}, [])
+    assert rep.columns == ["table", "check", "n_rows", "n_violations", "passed"]
+    assert rep.count() == 0
+
+
+def test_unregistered_table_raises_with_name(spark):
+    import pytest
+
+    t = spark.createDataFrame([(1,)], schema="id LONG")
+    with pytest.raises(ValueError, match="ghost"):
+        expectation_report(spark, {"t": t}, [unique("ghost", "id")])
+    with pytest.raises(ValueError, match="nowhere"):
+        expectation_report(spark, {"t": t}, [fk("t", "id", "nowhere", "id")])
+
+
+def test_fk_broadcast_is_caller_gated(spark):
+    """ADVICE r09: the broadcast hint follows the caller's dim=True
+    assertion only.  With the auto-broadcast thresholds disabled, a
+    dim=True parent still broadcasts (explicit hint) while the default
+    goes through a shuffled join (AQE's call at real scale)."""
+    child = spark.createDataFrame([(i, i % 7) for i in range(100)], "id LONG, k LONG")
+    parent = spark.createDataFrame([(i,) for i in range(7)], "k LONG")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        tabs = {"c": child, "p": parent}
+
+        def plan(check):
+            df = expectation_report(spark, tabs, [check])
+            df.collect()
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        assert "BroadcastHashJoin" in plan(fk("c", "k", "p", "k", dim=True))
+        assert "BroadcastHashJoin" not in plan(fk("c", "k", "p", "k"))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_conditional_checks_share_one_table_scan(spark, sf_dir):
+    """The docstring's 'ONE aggregate pass per table' claim, pinned
+    against the executed plan: three conditional checks on lineitem must
+    produce exactly one parquet scan of it (ADVICE r09 — the old
+    union-of-selects re-planned the agg once per check)."""
+    from briefly_spark.catalog import load_table
+
+    tables = {"lineitem": load_table(spark, sf_dir, "lineitem")}
+    rep = expectation_report(
+        spark,
+        tables,
+        [
+            not_null("lineitem", "l_orderkey"),
+            in_range("lineitem", "l_discount", 0.0, 0.11),
+            accepted("lineitem", "l_returnflag", "A", "N", "R"),
+        ],
+    )
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # AQE echoes the pre-adaptive plan after "== Initial Plan ==" — count
+    # scans in the final plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, plan
+
+
 def test_tpch_relationships_audited_on_testdata(spark, sf_dir):
     """The real audit a lake would run: dimension/fact keys and every FK
     hold on the generated testdata — AND the audit catches the one
