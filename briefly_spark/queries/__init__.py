@@ -87,7 +87,7 @@ def register(
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new / changed in r10 (uncommented as each lands)
     "q147_expectation_audit",
-    # "q128_jobs_dag_resolve",
+    "q128_jobs_dag_resolve",
     # (b) the exhaustive r07-stale pack (window_plan.py order)
     "q39_line_boilerplate_filter",
     "q66_curriculum_buckets",

@@ -152,7 +152,7 @@ LEFT JOIN curated c USING (doc_id)"""
 def q128_jobs_dag_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end jobs-layer DAG parity: a 20% document slice is ingested
     into a throwaway warehouse (anti-join dedup, partition-scoped merges),
-    the enrichment loop drains to quiescence in ~3 bounded batches per
+    the enrichment loop drains to quiescence in 2 bounded batches per
     stage, and the final articles table's lifecycle columns — summary
     status/points, fixed-point fact-check score, embedding status, curate
     status/trim-count/content-md5, related-filled flag — hash against the
@@ -172,7 +172,15 @@ def q128_jobs_dag_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _SLICE_MOD == 0
     )
     n = docs.filter(F.length("text") >= 20).count()
-    batch = max(1, -(-n // 3))  # ceil: drain in ~3 rounds at any SF
+    # ceil: drain in 2 batches per stage at any SF.  q128's wall time is
+    # stage-invocation-bounded, not corpus-bounded (measured r10: at sf0.1
+    # warm, 3-batch 40.2 s vs 2-batch 25.0 s at the SAME corpus, while
+    # shrinking the corpus 2.4x at 3 batches only saved 15%), so the bench
+    # trim (VERDICT r09 next-round #5) cuts drain rounds and KEEPS the full
+    # 20% corpus.  Two batches still prove batching-independence — the
+    # span-registry claims and every lifecycle merge cross a batch boundary
+    # — which is the property the fixed-point hash exists to pin.
+    batch = max(1, -(-n // 2))
     with tempfile.TemporaryDirectory(prefix="q128_dag_") as root:
         wh = Warehouse(spark, f"{root}/wh")
         ingest_documents(wh, docs)
