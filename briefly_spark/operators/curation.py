@@ -436,6 +436,40 @@ def substring_dedup_incremental(
     return _coverage_from_starts(toks, staged, ds, L), delta
 
 
+def claims_registry_compact(registry: DataFrame, *, key: str = "h") -> DataFrame:
+    """Exact compaction for a long-lived keep-first claims registry — the
+    bound-keeping step for continuous ingest (VERDICT r09 next-round #6),
+    mirroring :func:`~briefly_spark.operators.classifier.
+    nb_registry_compact`'s contract for the other long-lived registry.
+
+    Works for both claim-registry shapes: the shingle registry
+    ``(h, first_key)`` of :func:`substring_dedup_incremental` (default
+    ``key="h"``) and the span registry ``(span, first_key)`` of
+    :func:`span_dedup_incremental` (``key="span"``).
+
+    What it compacts: the registries are keyed-merged in the reference
+    deployment (one row per claimed key), but an append-only deployment —
+    a log-structured sink, a crash-replayed block that raced its merge, a
+    registry rebuilt by unioning per-batch delta files — accumulates
+    duplicate key rows.  Compaction re-derives the canonical registry:
+    ``groupBy(key).min(first_key)``.  MIN is the exact survivor because
+    keep-first semantics cut every occurrence at ``okey > first claim``;
+    any later duplicate claim row is by construction a larger okey and
+    has no effect once removed — trimming any future batch against the
+    compacted registry is byte-identical to trimming against the
+    uncompacted one (pytest-pinned, like NB's model-equivalence pin).
+
+    Safety caveat (same as NB): compaction forgets NON-MIN duplicate
+    claims, which own-claim replay recognition might still match on.
+    Only compact batches whose replay window has passed — the streaming
+    checkpoint guarantees a committed micro-batch never replays, so
+    compacting committed state is safe.  Pair with ``Warehouse.compact``
+    for the file-level bound (many small merge outputs → few files)."""
+    return registry.groupBy(key).agg(
+        F.min("first_key").cast("long").alias("first_key")
+    )
+
+
 def contamination_registry_delta(
     train_docs: DataFrame, *, id_col: str, text_col: str, min_tokens: int = 8
 ) -> DataFrame:

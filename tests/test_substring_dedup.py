@@ -226,6 +226,62 @@ def test_incremental_equals_oneshot_and_replays(spark):
     assert got == want
 
 
+def test_registry_compact_is_trim_equivalent(spark):
+    """claims_registry_compact (VERDICT r09 next-round #6): an inflated
+    append-only registry — per-batch delta blocks unioned WITHOUT the
+    keyed merge, including a replayed batch's duplicate block — compacts
+    to exactly the keyed-merged registry, and trimming the next batch
+    against the compacted registry is byte-identical to trimming against
+    the clean one (which itself equals the one-shot keep-first — the
+    existing incremental pin).  Compaction is also idempotent."""
+    from briefly_spark.operators.curation import (
+        claims_registry_compact,
+        substring_dedup_incremental,
+    )
+
+    corpus = {**CORPORA["merge_runs"], **{10 + k: v for k, v in CORPORA["within_doc"].items()}}
+    full = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()],
+        schema="doc_id LONG, text STRING",
+    )
+    clean_reg = spark.createDataFrame([], "h string, first_key long")
+    blocks = []  # append-only deployment: raw delta blocks, never merged
+    batches = [[1, 2], [3, 11]]
+    for ids in batches:
+        batch = full.filter(F.col("doc_id").isin(ids))
+        _, delta = substring_dedup_incremental(
+            batch, clean_reg, id_col="doc_id", text_col="text", min_tokens=8
+        )
+        delta = spark.createDataFrame(delta.collect(), schema=delta.schema)
+        blocks.append(delta)
+        merged = clean_reg.unionByName(delta).groupBy("h").agg(
+            F.min("first_key").alias("first_key")
+        )
+        clean_reg = spark.createDataFrame(merged.collect(), schema=merged.schema)
+    # inflate: all blocks appended, batch 2's block delivered twice (replay)
+    inflated = blocks[0]
+    for b in blocks[1:] + [blocks[1]]:
+        inflated = inflated.unionByName(b)
+    assert inflated.count() > clean_reg.count()  # duplicates really exist
+    compact = claims_registry_compact(inflated)
+    assert sorted(map(tuple, compact.collect())) == sorted(
+        map(tuple, clean_reg.collect())
+    )
+    # idempotent
+    assert sorted(map(tuple, claims_registry_compact(compact).collect())) == sorted(
+        map(tuple, compact.collect())
+    )
+    # trim equivalence on the NEXT batch
+    nxt = full.filter(F.col("doc_id").isin([12]))
+    want, _ = substring_dedup_incremental(
+        nxt, clean_reg, id_col="doc_id", text_col="text", min_tokens=8
+    )
+    got, _ = substring_dedup_incremental(
+        nxt, compact, id_col="doc_id", text_col="text", min_tokens=8
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_merge_runs_is_one_run(spark):
     """The merge_runs corpus's doc 1 shares its first 8 tokens with doc 2
     and its last 12 with doc 3; the two covered intervals overlap and must
