@@ -205,6 +205,72 @@ def test_tpch_relationships_audited_on_testdata(spark, sf_dir):
     assert not passed and n_viol > 0 and n_rows > n_viol
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _rows = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),      # id (dup/NULL-heavy)
+            st.one_of(st.none(), st.sampled_from("abcz")),  # cat
+            st.one_of(st.none(), st.integers(-10, 110)),  # val
+        ),
+        min_size=0,
+        max_size=25,
+    )
+    _parents = st.sets(st.sampled_from("abc"), min_size=0, max_size=3)
+
+    @given(_rows, _parents)
+    @settings(max_examples=10, deadline=None)
+    def test_report_matches_bruteforce_on_random_tables(rows, parents):
+        """Every check kind's NULL/violation semantics against an
+        independent pure-Python counter on random NULL- and
+        duplicate-heavy tables (the hand-built cases pin known shapes;
+        this sweeps the semantics space, empty tables included)."""
+        from briefly_spark.session import get_spark
+
+        spark = get_spark("exp-property")
+        t = spark.createDataFrame(rows, schema="id LONG, cat STRING, val LONG")
+        p = spark.createDataFrame([(x,) for x in sorted(parents)], "cat STRING")
+        got = _report(
+            spark,
+            {"t": t, "p": p},
+            [
+                unique("t", "id"),
+                unique("t", "id", "cat"),
+                not_null("t", "id"),
+                in_range("t", "val", 0, 100),
+                accepted("t", "cat", "a", "b"),
+                fk("t", "cat", "p", "cat"),
+                fk("t", "cat", "p", "cat", dim=True),
+            ],
+        )
+        n = len(rows)
+        keyed = [r for r in rows if r[0] is not None]
+        want_unique = (len(keyed), len(keyed) - len({r[0] for r in keyed}))
+        keyed2 = [r for r in rows if r[0] is not None and r[1] is not None]
+        want_unique2 = (len(keyed2), len(keyed2) - len({(r[0], r[1]) for r in keyed2}))
+        want_nn = (n, sum(1 for r in rows if r[0] is None))
+        want_ir = (n, sum(1 for r in rows if r[2] is not None and not 0 <= r[2] <= 100))
+        want_acc = (n, sum(1 for r in rows if r[1] not in ("a", "b")))
+        fkrows = [r for r in rows if r[1] is not None]
+        want_fk = (len(fkrows), sum(1 for r in fkrows if r[1] not in parents))
+        for key, want in {
+            ("t", "unique(id)"): want_unique,
+            ("t", "unique(id, cat)"): want_unique2,
+            ("t", "not_null(id)"): want_nn,
+            ("t", "in_range(val, 0, 100)"): want_ir,
+            ("t", "accepted(cat, ['a', 'b'])"): want_acc,
+            ("t", "fk(cat -> p.cat)"): want_fk,
+        }.items():
+            nr, nv, passed = got[key]
+            assert (nr, nv) == want, (key, got[key], want)
+            assert passed == (nv == 0)
+
+except ImportError:  # pragma: no cover - hypothesis always shipped here
+    pass
+
+
 def test_sql_mirror_matches_spark_report_on_testdata(spark, sf_dir):
     """The DuckDB mirror (the r10 registry oracle) must value-match the
     Spark report on the real tables — the self-hosted oracle gate, run

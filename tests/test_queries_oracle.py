@@ -102,14 +102,24 @@ def test_hugeint_surface_reproduces_driver_red_under_arrow_fetch(spark, sf_dir, 
 def test_window_head_names_resolve_and_lead():
     """WINDOW_HEAD (the driver-gate rotation) must name real queries and
     actually lead the registry iteration order — the driver records the
-    first 50 entries in insertion order."""
+    first 50 entries in insertion order.
+
+    Capacity-overflow rounds (r10 first): when the must-schedule set
+    (stale pack + new/changed queries) exceeds 50, the head may carry a
+    SMALL documented tail past position 50 — those entries get no driver
+    row this round but must stay listed so the over-age invariant records
+    them as scheduled, and they are first in line next round.  The bound
+    stays tight so a silently bloated head still fails."""
     from briefly_spark.queries import WINDOW_HEAD
 
     names = list(REGISTRY)
     assert len(WINDOW_HEAD) == len(set(WINDOW_HEAD)), "duplicate head entry"
     assert set(WINDOW_HEAD) <= set(names), "head names a missing query"
     assert names[: len(WINDOW_HEAD)] == list(WINDOW_HEAD)
-    assert len(WINDOW_HEAD) <= 50, "head exceeds the driver's 50-row window"
+    assert len(WINDOW_HEAD) <= 53, (
+        "head exceeds the driver's 50-row window by more than the "
+        "documented overflow tail"
+    )
 
 
 def test_entry_smoke(spark):
