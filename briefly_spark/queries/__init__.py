@@ -141,6 +141,16 @@ WINDOW_HEAD: tuple[str, ...] = (
     # this round (see capacity note above) — r11 rotation leads with them
     "q81_media_decode_arrow",
     "q82_frame_sample",
+    #
+    # r11 round-open notes: after gate_debt --update 10, the must-schedule
+    # set is q81 + q82 (above) + the 47 queries whose newest row is r08 =
+    # 49 — ONE spare slot.  Planned use: register the unigram tokenizer
+    # (operators/unigram.py, X118 — trainer + fertility encode already
+    # pytest-pinned) as q148 IF the r10 gate is fully green; a red eats
+    # the spare slot instead.  Registry capacity note: at 149 queries the
+    # 3-round rotation is within one of saturation (150) — from r11 on,
+    # new capabilities land pytest+mirror-pinned first and only take a
+    # registry slot when a rotation has room.
 )
 
 

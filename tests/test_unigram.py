@@ -1,0 +1,135 @@
+"""Unigram-LM tokenizer (operators/unigram.py) — Viterbi vs brute-force
+enumeration, training on a corpus with a known dominant piece, char
+never-pruned floor, Spark ≡ pure-Python count agreement, deterministic
+retrain, and the q126-shaped encode surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from briefly_spark.operators.unigram import (
+    piece_scores_fp,
+    seed_pieces,
+    unigram_encode,
+    unigram_train,
+    viterbi_counts,
+    viterbi_segment,
+)
+
+
+def _all_segmentations(word, vocab, max_len):
+    if not word:
+        yield []
+        return
+    for l in range(1, min(max_len, len(word)) + 1):
+        if word[:l] in vocab:
+            for rest in _all_segmentations(word[l:], vocab, max_len):
+                yield [word[:l]] + rest
+
+
+def test_viterbi_achieves_bruteforce_optimum():
+    scores = piece_scores_fp(
+        {"a": 5, "b": 4, "c": 3, "ab": 6, "bc": 2, "abc": 1, "cab": 7}
+    )
+    for word in ("abc", "abcabc", "cabab", "ccc", "a", "bcbc"):
+        got = viterbi_segment(word, scores, max_piece_len=3)
+        assert "".join(got) == word
+        best = max(
+            (sum(scores[p] for p in s), -len(s))
+            for s in _all_segmentations(word, scores, 3)
+        )
+        assert (sum(scores[p] for p in got), -len(got)) == best, (word, got)
+        # deterministic
+        assert viterbi_segment(word, scores, max_piece_len=3) == got
+
+
+def test_viterbi_raises_on_unsegmentable():
+    import pytest
+
+    with pytest.raises(KeyError):
+        viterbi_segment("xyz", {"x": -1, "y": -1}, max_piece_len=3)
+
+
+def test_seed_counts_and_char_floor(spark):
+    words = spark.createDataFrame(
+        [("abab", 3), ("ab", 2), ("zq", 1)], "word STRING, freq LONG"
+    )
+    got = {r["piece"]: r["count"] for r in seed_pieces(
+        words, max_piece_len=3, seed_size=4, min_count=2
+    ).collect()}
+    # 'ab' occurrences: 2 per "abab" (pos 1,3) * 3 + 1 * 2 = 8
+    assert got["ab"] == 8
+    # chars survive even below min_count / outside the budget
+    assert got["z"] == 1 and got["q"] == 1
+    # 'zq' (count 1) filtered by min_count
+    assert "zq" not in got
+    # budget respected for multi-char pieces: top-4 by (count desc, piece asc)
+    assert sum(1 for p in got if len(p) > 1) <= 4
+
+
+def test_viterbi_counts_matches_pure_python(spark):
+    rows = [("abab", 3), ("ababab", 1), ("ba", 2)]
+    words = spark.createDataFrame(rows, "word STRING, freq LONG")
+    seed = {r["piece"]: int(r["count"]) for r in seed_pieces(
+        words, max_piece_len=4, seed_size=10, min_count=2
+    ).collect()}
+    scores = piece_scores_fp(seed)
+    got = {r["piece"]: r["count"] for r in viterbi_counts(
+        words, scores, max_piece_len=4
+    ).collect()}
+    want: dict[str, int] = {}
+    for w, f in rows:
+        for p in viterbi_segment(w, scores, 4):
+            want[p] = want.get(p, 0) + f
+    assert got == want
+
+
+def test_train_keeps_dominant_piece_and_all_chars(spark):
+    # 'ing' rides every word; max_piece_len=3 keeps whole words out of the
+    # seed so the shared suffix is the best compression available
+    rows = [("sing", 50), ("ring", 40), ("king", 30), ("bring", 20), ("xv", 1)]
+    words = spark.createDataFrame(rows, "word STRING, freq LONG")
+    vocab = unigram_train(
+        spark, words, vocab_size=12, max_piece_len=3, seed_size=50, min_count=2
+    )
+    got = {r["piece"]: (r["count"], r["score_fp"], r["is_char"]) for r in vocab.collect()}
+    alphabet = {c for w, _ in rows for c in w}
+    assert alphabet <= set(got), "a character was pruned"
+    assert "ing" in got, "the corpus-wide suffix did not survive pruning"
+    assert got["ing"][0] == 140  # every word segments as prefix + 'ing'
+    # score_fp is exactly the micro-nat log-prob of the final counts
+    counts = {p: c for p, (c, _, _) in got.items()}
+    want_scores = piece_scores_fp(counts)
+    assert {p: s for p, (_, s, _) in got.items()} == want_scores
+    assert all((len(p) == 1) == ischar for p, (_, _, ischar) in got.items())
+
+
+def test_train_is_deterministic(spark):
+    rows = [("banana", 7), ("bandana", 5), ("nab", 3)]
+    words = spark.createDataFrame(rows, "word STRING, freq LONG")
+    kw = dict(vocab_size=10, max_piece_len=3, seed_size=20, min_count=2)
+    a = sorted(map(tuple, unigram_train(spark, words, **kw).collect()))
+    b = sorted(map(tuple, unigram_train(spark, words, **kw).collect()))
+    assert a == b
+
+
+def test_encode_fertility_surface(spark):
+    words = spark.createDataFrame(
+        [("sing", 5), ("ring", 5), ("so", 2)], "word STRING, freq LONG"
+    )
+    vocab = unigram_train(
+        spark, words, vocab_size=10, max_piece_len=4, seed_size=20, min_count=2
+    )
+    scores = {r["piece"]: int(r["score_fp"]) for r in vocab.collect()}
+    docs = spark.createDataFrame(
+        [(1, "sing ring sing"), (2, "so so")], "doc_id LONG, text STRING"
+    )
+    got = {r["id"]: r for r in unigram_encode(
+        docs, vocab, id_col="doc_id", text_col="text", max_piece_len=4
+    ).collect()}
+    for did, text in ((1, "sing ring sing"), (2, "so so")):
+        ws = text.split()
+        n_pieces = sum(len(viterbi_segment(w, scores, 4)) for w in ws)
+        assert got[did]["n_words"] == len(ws)
+        assert got[did]["n_pieces"] == n_pieces
+        assert got[did]["fertility_fp"] == (n_pieces * 10000) // len(ws)
