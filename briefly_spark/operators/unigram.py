@@ -239,6 +239,39 @@ def unigram_train(
         words.unpersist()
 
 
+def sql_seed_pieces(
+    table: str,
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 6,
+    seed_size: int = 1000,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of ``word_freqs → seed_pieces`` — the SQL-expressible
+    half of unigram training (the Viterbi-EM rounds are not SQL; their
+    pins are the brute-force/pure-Python tests).  Ready as a registry
+    oracle for the r11 q148 gating; until then
+    tests/test_unigram.py value-compares it with the Spark seed on the
+    real testdata — the X116 self-hosted-gate pattern."""
+    return rf"""WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\s+'),
+                            x -> x <> '')) AS word
+  FROM {table}
+), wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+subs AS (
+  SELECT substr(wf.word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece, wf.freq
+  FROM wf,
+       LATERAL (SELECT unnest(range(1, length(wf.word) + 1)) AS i) i,
+       LATERAL (SELECT unnest(range(1, least({max_piece_len},
+                       length(wf.word) - i.i + 1) + 1)) AS l) l
+), pc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS count FROM subs GROUP BY piece)
+SELECT piece, count FROM pc WHERE length(piece) = 1
+UNION ALL
+SELECT piece, count FROM (
+  SELECT piece, count FROM pc WHERE length(piece) > 1 AND count >= {min_count}
+  ORDER BY count DESC, piece ASC LIMIT {seed_size})"""
+
+
 def unigram_encode(
     docs: DataFrame,
     vocab: DataFrame,

@@ -113,6 +113,34 @@ def test_train_is_deterministic(spark):
     assert a == b
 
 
+def test_seed_sql_mirror_matches_spark_on_testdata(spark, sf_dir):
+    """The DuckDB mirror of the seed build (the SQL-expressible half of
+    the r11 q148 oracle) value-matches the Spark seed on the real
+    documents table — the X116 self-hosted-gate pattern."""
+    import duckdb
+
+    from briefly_spark.catalog import load_table, table_path
+    from briefly_spark.operators.bpe import word_freqs
+    from briefly_spark.operators.unigram import sql_seed_pieces
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["piece"], r["count"])
+        for r in seed_pieces(
+            word_freqs(docs), max_piece_len=6, seed_size=1000, min_count=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    want = set(
+        map(tuple, con.execute(sql_seed_pieces("documents")).fetchall())
+    )
+    assert got == want
+    assert len(got) > 50  # real seed, not a degenerate fixture
+
+
 def test_encode_fertility_surface(spark):
     words = spark.createDataFrame(
         [("sing", 5), ("ring", 5), ("so", 2)], "word STRING, freq LONG"
