@@ -28,6 +28,17 @@ hint on a fact-sized parent would force a driver collect of the key set
 and OOM at 100 TB; un-hinted, AQE picks the strategy from runtime stats.
 The emitted report is all-BIGINT + VARCHAR (the oracle-surface type
 contract), so a registry entry can hash it directly.
+
+Continuous-ingest half (Deequ's metrics repository + anomaly detection,
+Schelter et al. §3.3): :func:`expectation_history_merge` persists each
+audit run's report into a warehouse table keyed by run_id (group-replace
+— the q120/NB replay discipline), and :func:`expectation_anomalies`
+compares the newest run's violation RATE per (table, check) against the
+exact median of the prior runs — a point-in-time audit says "is the
+table valid", the history says "did quality MOVE", which is what pages
+an on-call when an upstream ships a bad batch into a lake whose checks
+all still individually pass (e.g. a null-rate drifting 0.1% → 3%).
+Everything is (checks × runs)-bounded — corpus size never appears.
 """
 
 from __future__ import annotations
@@ -295,4 +306,83 @@ def sql_expectation_report(checks: list[Check]) -> str:
         'SELECT tbl AS "table", chk AS "check", n_rows, n_violations,\n'
         "       n_violations = 0 AS passed\n"
         f"FROM (\n{union}\n) t(tbl, chk, n_rows, n_violations)"
+    )
+
+
+def expectation_history_merge(wh, report: DataFrame, table: str, run_id: int) -> None:
+    """Persist one audit run's report into the metrics-history table,
+    keyed by ``run_id`` ALONE (group-replace): re-running an audit for
+    the same run_id replaces its ENTIRE prior contribution, so a crashed
+    or replayed audit job never double-counts and rows from a
+    differently-configured earlier attempt cannot linger — the q120 /
+    NB-registry merge discipline.  History rows are
+    (run_id, table, check, n_rows, n_violations): (runs × checks)-bounded."""
+    wh.merge_upsert(
+        report.select(
+            F.lit(int(run_id)).cast("long").alias("run_id"),
+            "table",
+            "check",
+            "n_rows",
+            "n_violations",
+        ),
+        table,
+        ["run_id"],
+    )
+
+
+def expectation_anomalies(
+    history: DataFrame,
+    *,
+    min_history: int = 3,
+    threshold_fp: int = 100,
+) -> DataFrame:
+    """Per (table, check): the newest run's violation rate against the
+    exact median of ALL PRIOR runs' rates — Deequ-style anomaly detection
+    on the metrics history.
+
+    Rates are RATIO-scale fixed point (``floor(v·10⁴/n)``, 0 for an
+    empty table); the median is DuckDB-compatible exact percentile over
+    ≤ runs integer values per check, floored once.  ``anomaly`` fires
+    when the absolute rate move exceeds ``threshold_fp`` (default 100 =
+    one percentage point) AND the check has ``min_history`` prior runs —
+    younger checks report ``enough_history = false`` and never fire
+    (a new check's first runs are baseline-building, not anomalies).
+
+    Scale: one groupBy over the (runs × checks)-bounded history; the
+    corpus the audits measured never appears here."""
+    rate = F.when(
+        F.col("n_rows") > 0,
+        F.floor(F.col("n_violations") * 10000 / F.col("n_rows")),
+    ).otherwise(F.lit(0)).cast("long")
+    h = history.select("run_id", "table", "check", rate.alias("rate_fp"))
+    latest_run = h.groupBy("table", "check").agg(F.max("run_id").alias("run_id"))
+    latest = h.join(latest_run, ["table", "check", "run_id"]).select(
+        "table", "check", F.col("run_id").alias("latest_run"),
+        F.col("rate_fp").alias("latest_rate_fp"),
+    )
+    prior = h.join(latest_run.withColumnRenamed("run_id", "mx"), ["table", "check"]).filter(
+        F.col("run_id") < F.col("mx")
+    )
+    base = prior.groupBy("table", "check").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prior"),
+        F.floor(F.expr("percentile(rate_fp, 0.5)")).cast("long").alias("median_rate_fp"),
+    )
+    return (
+        latest.join(base, ["table", "check"], "left")
+        .select(
+            "table",
+            "check",
+            "latest_run",
+            F.coalesce("n_prior", F.lit(0)).cast("long").alias("n_prior"),
+            F.coalesce("median_rate_fp", F.lit(0)).cast("long").alias("median_rate_fp"),
+            "latest_rate_fp",
+            (F.col("latest_rate_fp") - F.coalesce("median_rate_fp", F.lit(0)))
+            .cast("long")
+            .alias("delta_fp"),
+            (F.coalesce("n_prior", F.lit(0)) >= min_history).alias("enough_history"),
+        )
+        .withColumn(
+            "anomaly",
+            F.col("enough_history") & (F.abs(F.col("delta_fp")) > threshold_fp),
+        )
     )

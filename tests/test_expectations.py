@@ -205,6 +205,84 @@ def test_tpch_relationships_audited_on_testdata(spark, sf_dir):
     assert not passed and n_viol > 0 and n_rows > n_viol
 
 
+def _hist_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "run_id LONG, table STRING, check STRING, n_rows LONG, n_violations LONG"
+    )
+
+
+def test_history_merge_is_replay_idempotent(spark, tmp_path):
+    """The metrics history keys on run_id alone (group-replace): replaying
+    a run's merge — even after the audit was re-configured to emit FEWER
+    checks — leaves exactly that run's latest rows, never stale ones."""
+    from briefly_spark.operators.expectations import expectation_history_merge
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = spark.createDataFrame([(1, "a"), (2, None)], "id LONG, cat STRING")
+    rep = expectation_report(
+        spark, {"t": t}, [unique("t", "id"), not_null("t", "cat")]
+    )
+    expectation_history_merge(wh, rep, "exp_history", run_id=1)
+    expectation_history_merge(wh, rep, "exp_history", run_id=2)
+    assert wh.read("exp_history").count() == 4
+    # replay run 2 with a SMALLER check set: its old rows must vanish
+    rep2 = expectation_report(spark, {"t": t}, [unique("t", "id")])
+    expectation_history_merge(wh, rep2, "exp_history", run_id=2)
+    got = wh.read("exp_history").collect()
+    assert len(got) == 3
+    assert sum(1 for r in got if r["run_id"] == 2) == 1
+
+
+def test_anomaly_fires_on_spike_and_respects_history_floor(spark):
+    from briefly_spark.operators.expectations import expectation_anomalies
+
+    # stable check: ~1% violation rate over runs 1-4, spike to 30% in run 5
+    rows = []
+    for run in (1, 2, 3, 4):
+        rows.append((run, "t", "not_null(x)", 1000, 10))
+        rows.append((run, "t", "unique(k)", 1000, 0))
+    rows.append((5, "t", "not_null(x)", 1000, 300))  # spike
+    rows.append((5, "t", "unique(k)", 1000, 0))      # still clean
+    rows.append((5, "t", "accepted(y, ['a'])", 1000, 500))  # first sighting
+    got = {
+        (r["table"], r["check"]): r
+        for r in expectation_anomalies(_hist_rows(spark, rows)).collect()
+    }
+    spike = got[("t", "not_null(x)")]
+    assert spike["anomaly"] and spike["enough_history"]
+    assert spike["median_rate_fp"] == 100 and spike["latest_rate_fp"] == 3000
+    assert spike["delta_fp"] == 2900 and spike["latest_run"] == 5
+    quiet = got[("t", "unique(k)")]
+    assert not quiet["anomaly"] and quiet["delta_fp"] == 0
+    # a brand-new check never fires, whatever its rate
+    fresh = got[("t", "accepted(y, ['a'])")]
+    assert not fresh["anomaly"] and not fresh["enough_history"]
+    assert fresh["n_prior"] == 0 and fresh["latest_rate_fp"] == 5000
+
+
+def test_anomaly_two_sided_and_threshold(spark):
+    from briefly_spark.operators.expectations import expectation_anomalies
+
+    # an IMPROVEMENT beyond threshold also flags (silent fix = schema
+    # change upstream — worth a look), and sub-threshold drift stays quiet
+    rows = [(r, "t", "c", 1000, 200) for r in (1, 2, 3)] + [(4, "t", "c", 1000, 5)]
+    rows += [(r, "t", "d", 1000, 100) for r in (1, 2, 3)] + [(4, "t", "d", 1000, 105)]
+    got = {
+        r["check"]: r for r in expectation_anomalies(_hist_rows(spark, rows)).collect()
+    }
+    assert got["c"]["anomaly"] and got["c"]["delta_fp"] == -1950
+    assert not got["d"]["anomaly"] and got["d"]["delta_fp"] == 50
+
+
+def test_anomaly_empty_table_rate_is_zero(spark):
+    from briefly_spark.operators.expectations import expectation_anomalies
+
+    rows = [(r, "t", "c", 0, 0) for r in (1, 2, 3, 4)]
+    [got] = expectation_anomalies(_hist_rows(spark, rows)).collect()
+    assert got["latest_rate_fp"] == 0 and not got["anomaly"]
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
