@@ -21,6 +21,7 @@ oracle-checked; streaming tests assert batch/stream agreement.
 """
 
 from briefly_spark.streaming.incremental import (  # noqa: F401
+    audited_merge_stream,
     available_now_to_memory,
     merge_stream,
     read_parquet_stream,

@@ -151,6 +151,94 @@ def merge_stream(
     q.awaitTermination()
 
 
+def audited_merge_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    table: str,
+    key: list[str],
+    *,
+    checks: list,
+    checkpoint: str,
+    quarantine_table: str,
+    history_table: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Admission-controlled stream ingest — :func:`merge_stream` with a
+    data-quality gate (operators/expectations.py) in front of the merge:
+    every micro-batch is audited against ``checks`` BEFORE it may touch
+    the live table.  A batch failing ANY check routes WHOLE to
+    ``quarantine_table`` (tagged with its batch_id) instead of merging —
+    the expectation-suite twin of the jobs layer's dead-letter rows (T9):
+    a poisoned upstream delivery never contaminates the lake, and the
+    quarantined batch stays queryable for repair + manual re-ingest.
+
+    ``checks`` name the batch as ``table``; fk checks may reference LIVE
+    warehouse tables as parents (read per batch — referential admission:
+    "don't accept events for customers we don't know").  When
+    ``history_table`` is set, every batch's report — admitted or
+    quarantined — also records into the metrics history keyed by
+    run_id = batch_id, so :func:`~briefly_spark.operators.expectations.
+    expectation_anomalies` watches the ingest stream's quality drift for
+    free.
+
+    Replay safety (foreachBatch is at-least-once): the audit is a
+    deterministic function of the batch, so a replayed batch takes the
+    SAME branch; the live merge is idempotent on ``key``, the quarantine
+    merge group-replaces on batch_id, and the history merge group-replaces
+    on run_id — every sink replays to the identical state.
+
+    Scale: the audit adds one aggregate pass (+ one join per fk) over the
+    MICRO-BATCH, not the table; the report is check-bounded; quarantine
+    writes are batch-sized."""
+    from briefly_spark.operators.expectations import (
+        expectation_history_merge,
+        expectation_report,
+    )
+
+    spark = source.sparkSession
+    parents = sorted({c.parent for c in checks if c.parent and c.parent != table})
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform else batch_df
+        df = df.persist()
+        try:
+            if not df.take(1):
+                return
+            tabs = {table: df, **{p: wh.read(p) for p in parents}}
+            report = expectation_report(spark, tabs, checks).persist()
+            try:
+                failed = report.filter(~F.col("passed")).take(1)
+                if history_table:
+                    expectation_history_merge(
+                        wh, report, history_table, run_id=batch_id
+                    )
+                if failed:
+                    wh.merge_upsert(
+                        df.withColumn(
+                            "batch_id", F.lit(int(batch_id)).cast("long")
+                        ),
+                        quarantine_table,
+                        ["batch_id"],
+                    )
+                else:
+                    wh.merge_upsert(
+                        df.dropDuplicates(key), table, key, partition_by=partition_by
+                    )
+            finally:
+                report.unpersist()
+        finally:
+            df.unpersist()
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def span_dedup_stream(
     source: DataFrame,
     wh: Warehouse,

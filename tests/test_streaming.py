@@ -575,3 +575,80 @@ def test_nb_counts_stream_matches_one_shot_trainer(spark, tmp_path):
     # checkpoint re-run: nothing new -> registry byte-stable
     run()
     assert wh.read("nb_registry").count() == n_reg
+
+
+def test_audited_merge_stream_quarantines_poisoned_batch(spark, tmp_path):
+    """Admission control (X116 → streaming): three micro-batches, the
+    middle one poisoned (NULL key + an unknown customer fk); good batches
+    merge into the live table, the poisoned batch lands WHOLE in
+    quarantine, the metrics history records every batch, and a checkpoint
+    re-run is a no-op."""
+    import time
+
+    from briefly_spark.operators.expectations import (
+        expectation_anomalies,
+        fk,
+        not_null,
+        unique,
+    )
+    from briefly_spark.streaming import audited_merge_stream
+
+    customers = spark.createDataFrame([(1,), (2,), (3,)], "cust_id long")
+    wh = Warehouse(spark, str(tmp_path / "wh_adm"))
+    wh.overwrite(customers, "customers")
+    wh.overwrite(
+        spark.createDataFrame([], "ev_id long, cust_id long, v long"), "events_live"
+    )
+
+    src = tmp_path / "adm_batches"
+    src.mkdir()
+    batches = [
+        [(1, 1, 10), (2, 2, 20)],                  # clean
+        [(3, None, 30), (4, 99, 40), (4, 1, 41)],  # NULL key, unknown fk, dup id
+        [(5, 3, 50)],                              # clean
+    ]
+    for j, rows in enumerate(batches):
+        spark.createDataFrame(rows, "ev_id long, cust_id long, v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{j}"))
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    checks = [
+        unique("events_live", "ev_id"),
+        not_null("events_live", "cust_id"),
+        fk("events_live", "cust_id", "customers", "cust_id", dim=True),
+    ]
+    ckpt = str(tmp_path / "adm_ckpt")
+    run = lambda: audited_merge_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh,
+        "events_live",
+        ["ev_id"],
+        checks=checks,
+        checkpoint=ckpt,
+        quarantine_table="events_quarantine",
+        history_table="events_audit_history",
+    )
+    run()
+    live = {r["ev_id"] for r in wh.read("events_live").collect()}
+    assert live == {1, 2, 5}  # poisoned batch kept out wholesale
+    quar = wh.read("events_quarantine").collect()
+    assert {r["ev_id"] for r in quar} == {3, 4}
+    assert len({r["batch_id"] for r in quar}) == 1
+    hist = wh.read("events_audit_history")
+    assert hist.select("run_id").distinct().count() == 3  # every batch recorded
+    # the history feeds anomaly detection directly
+    anom = expectation_anomalies(hist, min_history=1).collect()
+    assert {r["check"] for r in anom} == {c for (_, c) in
+        ((r["table"], r["check"]) for r in hist.collect())}
+    # checkpoint re-run: no new files -> byte-identical state everywhere
+    before = {
+        t: sorted(map(tuple, wh.read(t).collect()))
+        for t in ("events_live", "events_quarantine", "events_audit_history")
+    }
+    run()
+    after = {
+        t: sorted(map(tuple, wh.read(t).collect()))
+        for t in ("events_live", "events_quarantine", "events_audit_history")
+    }
+    assert after == before
