@@ -239,6 +239,63 @@ def audited_merge_stream(
     q.awaitTermination()
 
 
+def requeue_quarantine(
+    wh: Warehouse,
+    table: str,
+    key: list[str],
+    *,
+    checks: list,
+    quarantine_table: str,
+    repair: Callable[[DataFrame], DataFrame] | None = None,
+) -> dict[int, bool]:
+    """Repair-and-readmit pass over :func:`audited_merge_stream`'s
+    quarantine: each quarantined batch (optionally run through the
+    caller's ``repair`` transform) is re-audited against the SAME check
+    suite; batches that now pass merge into the live table and leave the
+    quarantine, batches that still fail stay put.  Returns
+    {batch_id: admitted}.
+
+    Crash safety: the live merge runs BEFORE the quarantine rewrite, so
+    a crash between the two leaves the batch in quarantine and a re-run
+    re-admits it idempotently (keyed merge) before removing it — never
+    lost, never double-applied.  Driver state is the batch-id list
+    (quarantine-bounded); the quarantine rewrite is quarantine-sized."""
+    from briefly_spark.operators.expectations import expectation_report
+
+    if not wh.exists(quarantine_table):
+        return {}
+    quar = wh.read(quarantine_table).persist()
+    try:
+        batch_ids = sorted(
+            r["batch_id"] for r in quar.select("batch_id").distinct().collect()
+        )
+        spark = quar.sparkSession
+        parents = sorted({c.parent for c in checks if c.parent and c.parent != table})
+        verdicts: dict[int, bool] = {}
+        admitted: list[int] = []
+        for bid in batch_ids:
+            batch = quar.filter(F.col("batch_id") == bid).drop("batch_id")
+            fixed = repair(batch) if repair else batch
+            tabs = {table: fixed, **{p: wh.read(p) for p in parents}}
+            report = expectation_report(spark, tabs, checks)
+            ok = not report.filter(~F.col("passed")).take(1)
+            verdicts[int(bid)] = ok
+            if ok:
+                wh.merge_upsert(fixed.dropDuplicates(key), table, key)
+                admitted.append(bid)
+        if admitted:
+            # self-derived overwrite is safe: Warehouse.overwrite is
+            # write-aside + swap (the side write reads the still-live
+            # table; the swap happens after it commits) — no driver
+            # collect of the quarantine needed.
+            wh.overwrite(
+                quar.filter(~F.col("batch_id").isin(admitted)), quarantine_table
+            )
+        return verdicts
+    finally:
+        quar.unpersist()
+
+
 def span_dedup_stream(
     source: DataFrame,
     wh: Warehouse,

@@ -652,3 +652,58 @@ def test_audited_merge_stream_quarantines_poisoned_batch(spark, tmp_path):
         for t in ("events_live", "events_quarantine", "events_audit_history")
     }
     assert after == before
+
+
+def test_requeue_quarantine_readmits_repaired_batches(spark, tmp_path):
+    """The repair loop on X120's quarantine: a caller repair that drops
+    unknown-fk rows makes one batch admissible (merged + removed from
+    quarantine); a batch the repair cannot fix (an in-batch duplicate
+    key, untouched by the fk row-drop) stays quarantined; a second
+    identical run is a no-op on the already-admitted batch."""
+    from briefly_spark.operators.expectations import fk, not_null, unique
+    from briefly_spark.streaming.incremental import requeue_quarantine
+
+    wh = Warehouse(spark, str(tmp_path / "wh_rq"))
+    wh.overwrite(spark.createDataFrame([(1,), (2,)], "cust_id long"), "customers")
+    wh.overwrite(
+        spark.createDataFrame([(1, 1, 10)], "ev_id long, cust_id long, v long"),
+        "events_live",
+    )
+    wh.overwrite(
+        spark.createDataFrame(
+            [
+                (7, 2, 70, 4),   # batch 4: fixable — row 8 has unknown fk
+                (8, 99, 80, 4),
+                (9, 1, 90, 5),   # batch 5: duplicate ev_id — the fk
+                (9, 2, 91, 5),   # row-drop repair cannot fix this
+            ],
+            "ev_id long, cust_id long, v long, batch_id long",
+        ),
+        "events_quarantine",
+    )
+    checks = [
+        unique("events_live", "ev_id"),
+        not_null("events_live", "cust_id"),
+        fk("events_live", "cust_id", "customers", "cust_id", dim=True),
+    ]
+    known = wh.read("customers")
+    repair = lambda df: df.join(  # noqa: E731 - drop unknown-customer rows
+        known, "cust_id", "left_semi"
+    )
+    verdicts = requeue_quarantine(
+        wh, "events_live", ["ev_id"], checks=checks,
+        quarantine_table="events_quarantine", repair=repair,
+    )
+    assert verdicts == {4: True, 5: False}
+    assert {r["ev_id"] for r in wh.read("events_live").collect()} == {1, 7}
+    left = wh.read("events_quarantine").collect()
+    assert sorted((r["ev_id"], r["v"], r["batch_id"]) for r in left) == [
+        (9, 90, 5), (9, 91, 5)
+    ]
+    # idempotent second pass: batch 5 still refused, nothing else changes
+    verdicts2 = requeue_quarantine(
+        wh, "events_live", ["ev_id"], checks=checks,
+        quarantine_table="events_quarantine", repair=repair,
+    )
+    assert verdicts2 == {5: False}
+    assert {r["ev_id"] for r in wh.read("events_live").collect()} == {1, 7}
