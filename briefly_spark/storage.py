@@ -433,6 +433,117 @@ class Warehouse:
             else:
                 self._overwrite_locked(updated, table, partition_by=partition_by)
 
+    # -- SCD2: versioned dimension history (X122) ---------------------------
+    def merge_scd2(
+        self,
+        updates: DataFrame,
+        table: str,
+        key: list[str],
+        *,
+        version: int,
+        change_cols: list[str] | None = None,
+    ) -> None:
+        """Slowly-changing-dimension type-2 merge: instead of overwriting a
+        matched row (merge_upsert) or patching fields in place
+        (merge_update), every change CLOSES the current row
+        (``valid_to = version``, ``is_current = false``) and inserts a new
+        current one (``valid_from = version``) — the table keeps its full
+        history and any past state reads back with :meth:`read_scd2_asof`.
+        The CDC complement to the q105 snapshot diff: q105 computes what
+        changed between two snapshots, this RETAINS what changed, forever.
+
+        Determinism: ``version`` is a caller-supplied integer epoch (a
+        batch/run id), never wall clock — replaying a merge with the same
+        (updates, version) is a byte-identical no-op: change detection
+        compares ``change_cols`` (default: every non-key, non-lineage
+        column) value-by-value with NULL-safe equality, so the re-run
+        finds nothing changed.  ``updates`` must be key-unique (raises
+        ``ValueError`` otherwise — an SCD2 batch with two versions of one
+        key has no defined order).
+
+        Plan shape: one NULL-safe-equality join of the CURRENT slice
+        against the batch (batch side broadcast — work batches are
+        bounded), one union of [closed ∪ untouched-current ∪ history ∪
+        inserts] written back via write-aside + swap.  History rows ride
+        through untouched; at 100 TB the history table partitions by
+        ``valid_from`` range so the rewrite is recent-partition-scoped
+        (the same upgrade path as the other merges — a transactional
+        format's MERGE is the drop-in)."""
+        n = updates.count()
+        if n != updates.select(*key).distinct().count():
+            raise ValueError(f"SCD2 updates batch is not key-unique on {key}")
+        lineage = ["valid_from", "valid_to", "is_current"]
+        stamped = updates.select(
+            "*",
+            F.lit(int(version)).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        with self._writer_lock(table):
+            self._recover(table)
+            if not self.exists(table):
+                self._overwrite_locked(stamped, table)
+                return
+            target = self.read(table)
+            cols = [c for c in target.columns if c not in lineage]
+            ccols = change_cols or [c for c in cols if c not in key]
+            cur = target.filter(F.col("is_current"))
+            hist = target.filter(~F.col("is_current"))
+            # __hit marks a key match regardless of update values (which
+            # may legitimately be all NULL); NULL-safe equality per change
+            # column decides changed-vs-unchanged.
+            probe = F.broadcast(
+                updates.select(
+                    *key, *[F.col(c).alias(f"__u_{c}") for c in ccols]
+                ).withColumn("__hit", F.lit(True))
+            )
+            unchanged_pred = F.lit(True)
+            for c in ccols:
+                unchanged_pred = unchanged_pred & F.col(c).eqNullSafe(
+                    F.col(f"__u_{c}")
+                )
+            j = cur.join(probe, key, "left")
+            closed = j.filter(
+                F.col("__hit").isNotNull() & ~unchanged_pred
+            ).select(
+                *[F.col(c) for c in cols],
+                F.col("valid_from"),
+                F.lit(int(version)).cast("long").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+            untouched = j.filter(
+                F.col("__hit").isNull() | unchanged_pred
+            ).select(*[F.col(c) for c in cols], *lineage)
+            # inserts: every update key EXCEPT those whose current row is
+            # unchanged (those merged to "untouched" above)
+            changed_or_new = stamped.join(
+                j.filter(F.col("__hit").isNotNull() & unchanged_pred).select(*key),
+                key,
+                "left_anti",
+            )
+            out = (
+                hist.select(*[F.col(c) for c in cols], *lineage)
+                .unionByName(closed)
+                .unionByName(untouched)
+                .unionByName(changed_or_new.select(*[F.col(c) for c in cols], *lineage))
+            )
+            self._overwrite_locked(out, table)
+
+    def read_scd2_asof(self, table: str, version: int) -> DataFrame:
+        """The dimension as it stood at ``version``: rows whose validity
+        interval covers it (``valid_from <= v < coalesce(valid_to, ∞)``).
+        A pure filter — partition pruning on valid_from does the work when
+        the table is range-partitioned."""
+        v = int(version)
+        return (
+            self.read(table)
+            .filter(
+                (F.col("valid_from") <= v)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+            )
+            .drop("valid_to", "is_current")
+        )
+
     # -- K6: bucketed layout (co-located joins, shuffle-free at read time) ----
     def write_bucketed(
         self,
