@@ -386,3 +386,49 @@ def expectation_anomalies(
             F.col("enough_history") & (F.abs(F.col("delta_fp")) > threshold_fp),
         )
     )
+
+
+def sql_expectation_anomalies(
+    history_table: str,
+    *,
+    min_history: int = 3,
+    threshold_fp: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`expectation_anomalies` — identical rate
+    fixed-pointing, exact interpolating median (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``; midpoints of integers are exactly
+    representable doubles, floored once), identical NULL handling.
+    Value-compared in tests; ready as a registry oracle if the anomaly
+    surface is ever gated."""
+    return f"""WITH h AS (
+  SELECT run_id, "table", "check",
+         CAST(CASE WHEN n_rows > 0
+              THEN floor(n_violations * 10000 / n_rows) ELSE 0 END AS BIGINT)
+           AS rate_fp
+  FROM {history_table}
+), mx AS (
+  SELECT "table", "check", max(run_id) AS latest_run FROM h GROUP BY 1, 2
+), latest AS (
+  SELECT h."table", h."check", mx.latest_run, h.rate_fp AS latest_rate_fp
+  FROM h JOIN mx ON h."table" = mx."table" AND h."check" = mx."check"
+             AND h.run_id = mx.latest_run
+), prior AS (
+  SELECT h."table", h."check", h.rate_fp
+  FROM h JOIN mx ON h."table" = mx."table" AND h."check" = mx."check"
+  WHERE h.run_id < mx.latest_run
+), base AS (
+  SELECT "table", "check", CAST(count(*) AS BIGINT) AS n_prior,
+         CAST(floor(quantile_cont(rate_fp, 0.5)) AS BIGINT) AS median_rate_fp
+  FROM prior GROUP BY 1, 2
+)
+SELECT l."table", l."check", l.latest_run,
+       CAST(coalesce(b.n_prior, 0) AS BIGINT) AS n_prior,
+       CAST(coalesce(b.median_rate_fp, 0) AS BIGINT) AS median_rate_fp,
+       l.latest_rate_fp,
+       CAST(l.latest_rate_fp - coalesce(b.median_rate_fp, 0) AS BIGINT) AS delta_fp,
+       coalesce(b.n_prior, 0) >= {min_history} AS enough_history,
+       (coalesce(b.n_prior, 0) >= {min_history})
+         AND abs(l.latest_rate_fp - coalesce(b.median_rate_fp, 0)) > {threshold_fp}
+         AS anomaly
+FROM latest l
+LEFT JOIN base b ON l."table" = b."table" AND l."check" = b."check" """

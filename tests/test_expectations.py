@@ -275,6 +275,36 @@ def test_anomaly_two_sided_and_threshold(spark):
     assert not got["d"]["anomaly"] and got["d"]["delta_fp"] == 50
 
 
+def test_anomaly_sql_mirror_matches_spark(spark):
+    """DuckDB mirror of the anomaly surface (exact interpolating median,
+    even- and odd-count baselines, fresh checks, empty tables) value-
+    matches the Spark operator row-for-row."""
+    import duckdb
+
+    from briefly_spark.operators.expectations import (
+        expectation_anomalies,
+        sql_expectation_anomalies,
+    )
+
+    rows = []
+    for run in (1, 2, 3, 4):                       # odd prior count (3)
+        rows.append((run, "t", "a", 1000, 10 * run))
+    for run in (1, 2, 3):                          # even prior count (2)
+        rows.append((run, "t", "b", 500, 7 * run))
+    rows.append((5, "t", "fresh", 100, 50))        # no history
+    rows.append((1, "e", "z", 0, 0))               # empty table
+    rows.append((2, "e", "z", 0, 0))
+    h = _hist_rows(spark, rows)
+    cols = ["table", "check", "latest_run", "n_prior", "median_rate_fp",
+            "latest_rate_fp", "delta_fp", "enough_history", "anomaly"]
+    got = {tuple(r[c] for c in cols) for r in expectation_anomalies(h).collect()}
+    con = duckdb.connect()
+    con.register("hist", h.toPandas())
+    want = set(map(tuple, con.execute(sql_expectation_anomalies("hist")).fetchall()))
+    assert got == want
+    assert len(got) == 4
+
+
 def test_anomaly_empty_table_rate_is_zero(spark):
     from briefly_spark.operators.expectations import expectation_anomalies
 
