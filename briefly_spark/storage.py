@@ -469,10 +469,16 @@ class Warehouse:
         ``valid_from`` range so the rewrite is recent-partition-scoped
         (the same upgrade path as the other merges — a transactional
         format's MERGE is the drop-in)."""
+        lineage = ["valid_from", "valid_to", "is_current"]
+        clash = [c for c in lineage if c in updates.columns]
+        if clash:
+            raise ValueError(
+                f"SCD2 updates batch must not carry lineage columns {clash} — "
+                "pass business columns only (did you feed a read() back in?)"
+            )
         n = updates.count()
         if n != updates.select(*key).distinct().count():
             raise ValueError(f"SCD2 updates batch is not key-unique on {key}")
-        lineage = ["valid_from", "valid_to", "is_current"]
         stamped = updates.select(
             "*",
             F.lit(int(version)).cast("long").alias("valid_from"),

@@ -95,3 +95,10 @@ def test_scd2_rejects_key_duplicate_batch(spark, tmp_path):
         wh.merge_scd2(
             _df(spark, [(1, "a", 1), (1, "b", 2)]), "dim", ["id"], version=1
         )
+
+
+def test_scd2_rejects_lineage_columns_in_batch(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    wh.merge_scd2(_df(spark, [(1, "a", 1)]), "dim", ["id"], version=1)
+    with pytest.raises(ValueError, match="lineage"):
+        wh.merge_scd2(wh.read("dim"), "dim", ["id"], version=2)
