@@ -102,3 +102,74 @@ def test_scd2_rejects_lineage_columns_in_batch(spark, tmp_path):
     wh.merge_scd2(_df(spark, [(1, "a", 1)]), "dim", ["id"], version=1)
     with pytest.raises(ValueError, match="lineage"):
         wh.merge_scd2(wh.read("dim"), "dim", ["id"], version=2)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _batches = st.lists(
+        st.dictionaries(
+            st.integers(1, 4),                       # keys
+            st.one_of(st.none(), st.sampled_from("abc")),  # city value
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(_batches)
+    @settings(max_examples=8, deadline=None)
+    def test_scd2_matches_pure_python_simulator(batches):
+        """Random update sequences through merge_scd2 equal a dict-based
+        SCD2 simulator: same current rows, same closed intervals, and
+        as-of reads reconstruct every historical version exactly."""
+        import tempfile
+
+        from briefly_spark.session import get_spark
+
+        spark = get_spark("scd2-property")
+        # simulator: key -> list of [value, valid_from, valid_to]
+        sim: dict[int, list] = {}
+        with tempfile.TemporaryDirectory(prefix="scd2prop_") as root:
+            wh = Warehouse(spark, f"{root}/wh")
+            for v, batch in enumerate(batches, start=1):
+                rows = [(k, val) for k, val in sorted(batch.items())]
+                wh.merge_scd2(
+                    spark.createDataFrame(rows, "id LONG, city STRING"),
+                    "dim",
+                    ["id"],
+                    version=v,
+                )
+                for k, val in batch.items():
+                    vers = sim.setdefault(k, [])
+                    if vers and vers[-1][2] is None:
+                        if vers[-1][0] == val:
+                            continue  # unchanged
+                        vers[-1][2] = v  # close current
+                    vers.append([val, v, None])
+            got = sorted(
+                ((r["id"], r["city"], r["valid_from"], r["valid_to"]) for r in
+                 wh.read("dim").collect()),
+                key=lambda t: (t[0], t[2]),
+            )
+            want = sorted(
+                ((k, val, vf, vt) for k, vers in sim.items() for val, vf, vt in vers),
+                key=lambda t: (t[0], t[2]),
+            )
+            assert got == want
+            for v in range(1, len(batches) + 1):
+                asof = {
+                    (r["id"], r["city"]) for r in wh.read_scd2_asof("dim", v).collect()
+                }
+                simof = {
+                    (k, val)
+                    for k, vers in sim.items()
+                    for val, vf, vt in vers
+                    if vf <= v and (vt is None or vt > v)
+                }
+                assert asof == simof, v
+
+except ImportError:  # pragma: no cover - hypothesis always shipped here
+    pass
