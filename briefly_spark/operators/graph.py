@@ -251,3 +251,84 @@ def triangle_stats(und: DataFrame, blocks: DataFrame) -> DataFrame:
         .cast("long")
         .alias("transitivity_fp"),
     )
+
+
+def kcore_decompose(
+    und: DataFrame, *, max_rounds: int = 64
+) -> DataFrame:
+    """Exact k-core decomposition of an undirected graph — per vertex,
+    the largest k such that the vertex survives in a subgraph of minimum
+    degree k (Batagelj–Zaveršnik peeling, distributed as synchronous
+    rounds; public method).  The density diagnostic between connected
+    components (too coarse: one bridge merges everything) and triangles
+    (local): a near-dup TEMPLATE cluster is a high-k core, a chain of
+    borderline pairs peels away at k=1 — core number is the survivor-
+    election safety signal at cluster granularity.
+
+    ``und``: one row per undirected edge (a, b) with a < b.  Returns
+    (id, core) for every vertex with ≥1 edge (isolated vertices have
+    core 0 by definition — callers union them in if needed).
+
+    Algorithm: peel k = 1, 2, 3, …; at each k, repeatedly drop vertices
+    with degree < k until the remainder has min degree ≥ k (vertices
+    dropped at level k have core k−1 … but recorded as core = k−1 only
+    when they fall BEFORE the k-level stabilizes; here every vertex's
+    core is the last k at which it survived stabilization).  Rounds are
+    bounded by the graph's degeneracy (the max core number) plus the
+    peel-cascade depth — for near-dup graphs degeneracy is small (a
+    clique of c duplicates has degeneracy c−1); ``max_rounds`` caps the
+    driver loop and raises if exceeded rather than returning a wrong
+    answer.
+
+    Scale shape per round: one symmetric-edge degree aggregation + one
+    semi/anti join — O(edges) equi-join work, AQE-splittable, no windows;
+    the evolving edge frame is localCheckpoint-materialized per peel
+    level so lineage stays flat (the CC discipline).  Driver state: the
+    current k and a survivor count (two scalars)."""
+    sym = und.select(F.col("a").alias("id"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+    )
+    live = sym.localCheckpoint(eager=True)
+    # the vertex set is tracked EXPLICITLY: a vertex whose last edges are
+    # peeled away would otherwise vanish from the edge frame without ever
+    # being assigned its core number (degree-0 is "< k" at every k).
+    verts = live.select("id").distinct().localCheckpoint(eager=True)
+    spark = und.sparkSession
+    out_parts: list[DataFrame] = []
+    k = 1
+    rounds = 0
+    while verts.take(1):
+        # stabilize level k: drop degree<k vertices until none remain
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"kcore_decompose exceeded max_rounds={max_rounds} "
+                    "(raise the cap for graphs of higher degeneracy)"
+                )
+            deg = live.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+            weak = (
+                verts.join(deg, "id", "left")
+                .filter(F.coalesce(F.col("d"), F.lit(0)) < k)
+                .select("id")
+            )
+            if not weak.take(1):
+                break
+            # vertices peeled at level k have core number k-1
+            out_parts.append(
+                weak.select("id", F.lit(k - 1).cast("long").alias("core"))
+                .localCheckpoint(eager=True)
+            )
+            verts = verts.join(weak, "id", "left_anti").localCheckpoint(eager=True)
+            live = (
+                live.join(weak, "id", "left_anti")
+                .join(weak.select(F.col("id").alias("nb")), "nb", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        k += 1
+    if not out_parts:
+        return spark.createDataFrame([], "id long, core long")
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -196,3 +196,69 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis always shipped here
     pass
+
+
+def _brute_cores(edges):
+    """Textbook Batagelj–Zaveršnik peeling in pure Python."""
+    adj = {v: set() for e in edges for v in e}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {}
+    k = 1
+    while adj:
+        while True:
+            weak = [v for v, nbs in adj.items() if len(nbs) < k]
+            if not weak:
+                break
+            for v in weak:
+                core[v] = k - 1
+                for nb in adj.pop(v):
+                    if nb in adj:
+                        adj[nb].discard(v)
+        k += 1
+    return core
+
+
+def test_kcore_known_shapes(spark):
+    from briefly_spark.operators.graph import kcore_decompose
+
+    cases = {
+        "path": ([(1, 2), (2, 3)], {1: 1, 2: 1, 3: 1}),
+        "star": ([(0, i) for i in range(1, 6)], {i: 1 for i in range(6)}),
+        "k4": ([(a, b) for a in range(4) for b in range(a + 1, 4)],
+               {i: 3 for i in range(4)}),
+        "k4_pendant": ([(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)],
+                       {0: 3, 1: 3, 2: 3, 3: 3, 9: 1}),
+        "two_triangles_shared": ([(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)],
+                                 {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}),
+    }
+    for name, (edges, want) in cases.items():
+        und = spark.createDataFrame(edges, "a long, b long")
+        got = {r["id"]: r["core"] for r in kcore_decompose(und).collect()}
+        assert got == want, name
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _kcore_edges = st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=22,
+    ).map(lambda s: sorted({(min(a, b), max(a, b)) for a, b in s}))
+
+    @given(_kcore_edges)
+    @settings(max_examples=8, deadline=None)
+    def test_kcore_matches_bruteforce_on_random_graphs(edges):
+        from briefly_spark.operators.graph import kcore_decompose
+        from briefly_spark.session import get_spark
+
+        spark = get_spark("kcore-property")
+        und = spark.createDataFrame(edges, "a long, b long")
+        got = {r["id"]: r["core"] for r in kcore_decompose(und).collect()}
+        assert got == _brute_cores(edges)
+
+except ImportError:  # pragma: no cover - hypothesis always shipped here
+    pass
