@@ -432,3 +432,74 @@ SELECT l."table", l."check", l.latest_run,
          AS anomaly
 FROM latest l
 LEFT JOIN base b ON l."table" = b."table" AND l."check" = b."check" """
+
+
+def column_profiles(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass numeric column profiling — the Analyzer layer next to
+    the check layer (Deequ's Profiles; Schelter et al. §3.1): per column
+    (column, n_rows, n_null, n_distinct, min_v, max_v, mean_fp).
+
+    ONE aggregate job over the table for every requested column, rows
+    exploded from the single agg row (the expectation_report discipline).
+    The exact ``n_distinct`` columns make Spark plan a single Expand —
+    input rows multiply by the number of profiled columns INSIDE one
+    shuffle (the standard cost of multi-column exact distinct profiling;
+    swap in approx_count_distinct when profiling wide tables at 100 TB
+    and exactness isn't contractual — the oracle mirror requires exact).
+
+    Determinism: min/max are order-independent; the mean is the
+    fixed-point discipline (``floor(x·10⁴)`` summed exactly, ONE integer
+    division at the end) so the surface hash never depends on
+    aggregation order; all-NULL and empty columns profile to NULL
+    min/max/mean, zero counts."""
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"n_{i}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"z_{i}"),
+            F.count_distinct(col).cast("long").alias(f"d_{i}"),
+            F.min(col).cast("double").alias(f"mn_{i}"),
+            F.max(col).cast("double").alias(f"mx_{i}"),
+            F.sum(F.floor(col * 10000)).cast("long").alias(f"s_{i}"),
+        ]
+    row = df.agg(*aggs)
+    kv = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(f"n_{i}"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.col(f"z_{i}"), F.lit(0)).alias("n_null"),
+                F.coalesce(F.col(f"d_{i}"), F.lit(0)).alias("n_distinct"),
+                F.col(f"mn_{i}").alias("min_v"),
+                F.col(f"mx_{i}").alias("max_v"),
+                F.when(
+                    (F.col(f"n_{i}") - F.col(f"z_{i}")) > 0,
+                    F.expr(f"s_{i} div (n_{i} - z_{i})"),
+                ).cast("long").alias("mean_fp"),
+            )
+            for i, c in enumerate(cols)
+        ])
+    ).alias("kv")
+    return row.select(kv).select("kv.*")
+
+
+def sql_column_profiles(table: str, cols: list[str]) -> str:
+    """DuckDB mirror of :func:`column_profiles` — identical NULL
+    semantics, identical fixed-point mean (exact integer division),
+    doubles via the same single cast."""
+    arms = []
+    for c in cols:
+        arms.append(
+            f"SELECT '{c}' AS \"column\","
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" CAST(min({c}) AS DOUBLE) AS min_v,"
+            f" CAST(max({c}) AS DOUBLE) AS max_v,"
+            f" CAST(CASE WHEN count({c}) > 0"
+            f" THEN CAST(sum(floor({c} * 10000)) AS BIGINT) // count({c})"
+            f" END AS BIGINT) AS mean_fp"
+            f" FROM {table}"
+        )
+    return "\nUNION ALL\n".join(arms)

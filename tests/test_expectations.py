@@ -313,6 +313,67 @@ def test_anomaly_empty_table_rate_is_zero(spark):
     assert got["latest_rate_fp"] == 0 and not got["anomaly"]
 
 
+def test_column_profiles_hand_computed(spark):
+    from briefly_spark.operators.expectations import column_profiles
+
+    t = spark.createDataFrame(
+        [(1.5, 10), (-2.25, 10), (None, 20), (0.0, None)],
+        schema="x DOUBLE, y LONG",
+    )
+    got = {r["column"]: r for r in column_profiles(t, ["x", "y"]).collect()}
+    x = got["x"]
+    # floor fixed-point: floor(1.5e4) + floor(-2.25e4) + floor(0) = -7500
+    # mean_fp = -7500 div 3 = -2500 (both engines truncate toward zero)
+    assert (x["n_rows"], x["n_null"], x["n_distinct"]) == (4, 1, 3)
+    assert (x["min_v"], x["max_v"], x["mean_fp"]) == (-2.25, 1.5, -2500)
+    y = got["y"]
+    assert (y["n_rows"], y["n_null"], y["n_distinct"]) == (4, 1, 2)
+    assert (y["min_v"], y["max_v"], y["mean_fp"]) == (10.0, 20.0, 133333)
+    # empty frame: counts zero, value stats NULL
+    e = spark.createDataFrame([], "x DOUBLE")
+    [p] = column_profiles(e, ["x"]).collect()
+    assert (p["n_rows"], p["n_null"], p["n_distinct"]) == (0, 0, 0)
+    assert p["min_v"] is None and p["max_v"] is None and p["mean_fp"] is None
+
+
+def test_column_profiles_single_scan_plan(spark, sf_dir):
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.expectations import column_profiles
+
+    prof = column_profiles(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    prof.collect()
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, plan
+    assert "Expand" in final  # the documented multi-distinct cost, one pass
+
+
+def test_column_profiles_sql_mirror_on_testdata(spark, sf_dir):
+    import duckdb
+
+    from briefly_spark.catalog import load_table, table_path
+    from briefly_spark.operators.expectations import (
+        column_profiles,
+        sql_column_profiles,
+    )
+
+    fields = ["l_quantity", "l_discount", "l_partkey"]
+    got = {
+        tuple(r) for r in column_profiles(
+            load_table(spark, sf_dir, "lineitem"), fields
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{table_path(sf_dir, 'lineitem')}'"
+    )
+    want = set(map(tuple, con.execute(sql_column_profiles("lineitem", fields)).fetchall()))
+    assert got == want
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
