@@ -748,3 +748,28 @@ def test_maintain_warehouse_compacts_only_fragmented(spark, tmp_path):
 
     # idempotent: the follow-up sweep finds nothing fragmented
     assert maintain_warehouse(wh, ["frag", "ok"], target_rows_per_file=10_000) == {}
+
+
+def test_merge_upsert_schema_evolution_both_directions(spark, tmp_path):
+    """The merge's unionByName(allowMissingColumns=True) contract, pinned:
+    a batch carrying a NEW column evolves the table (old rows NULL-fill);
+    a batch MISSING a column NULL-fills its own rows; existing rows'
+    values survive both."""
+    wh = Warehouse(spark, str(tmp_path / "wh_evo"))
+    wh.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, v STRING"), "t"
+    )
+    # batch adds a column
+    wh.merge_upsert(
+        spark.createDataFrame([(2, "b2", 99)], "id LONG, v STRING, extra LONG"),
+        "t",
+        ["id"],
+    )
+    got = {r["id"]: (r["v"], r["extra"]) for r in wh.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b2", 99)}
+    # batch misses a column
+    wh.merge_upsert(
+        spark.createDataFrame([(3,)], "id LONG"), "t", ["id"]
+    )
+    got = {r["id"]: (r["v"], r["extra"]) for r in wh.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b2", 99), 3: (None, None)}
