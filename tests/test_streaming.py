@@ -707,3 +707,48 @@ def test_requeue_quarantine_readmits_repaired_batches(spark, tmp_path):
     )
     assert verdicts2 == {5: False}
     assert {r["ev_id"] for r in wh.read("events_live").collect()} == {1, 7}
+
+
+def test_requeue_quarantine_crash_between_merge_and_rewrite(spark, tmp_path):
+    """Crash injection on X121's documented window: the process dies AFTER
+    the live merge of an admitted batch but BEFORE the quarantine rewrite.
+    The re-run must re-admit idempotently (keyed merge — no duplicate
+    rows) and then complete the removal."""
+    from briefly_spark.operators.expectations import not_null, unique
+    from briefly_spark.streaming.incremental import requeue_quarantine
+
+    class CrashingWarehouse(Warehouse):
+        def __init__(self, spark, root):
+            super().__init__(spark, root)
+            self.crash_armed = False
+
+        def overwrite(self, df, table, **kw):
+            if self.crash_armed and table == "q":
+                self.crash_armed = False
+                raise RuntimeError("injected crash before quarantine rewrite")
+            super().overwrite(df, table, **kw)
+
+    wh = CrashingWarehouse(spark, str(tmp_path / "wh_crash"))
+    wh.overwrite(
+        spark.createDataFrame([(1, 10)], "ev_id long, v long"), "events_live"
+    )
+    wh.overwrite(
+        spark.createDataFrame([(2, 20, 7)], "ev_id long, v long, batch_id long"), "q"
+    )
+    checks = [unique("events_live", "ev_id"), not_null("events_live", "v")]
+    wh.crash_armed = True
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        requeue_quarantine(wh, "events_live", ["ev_id"], checks=checks,
+                           quarantine_table="q")
+    # crash window state: batch admitted to live, still present in quarantine
+    assert {r["ev_id"] for r in wh.read("events_live").collect()} == {1, 2}
+    assert wh.read("q").count() == 1
+    # re-run completes: no duplicates in live, quarantine drained
+    verdicts = requeue_quarantine(wh, "events_live", ["ev_id"], checks=checks,
+                                  quarantine_table="q")
+    assert verdicts == {7: True}
+    rows = wh.read("events_live").collect()
+    assert sorted((r["ev_id"], r["v"]) for r in rows) == [(1, 10), (2, 20)]
+    assert wh.read("q").count() == 0
