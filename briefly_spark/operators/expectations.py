@@ -503,3 +503,134 @@ def sql_column_profiles(table: str, cols: list[str]) -> str:
             f" FROM {table}"
         )
     return "\nUNION ALL\n".join(arms)
+
+
+def histogram_drift(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    col: str,
+    *,
+    bucket_width: float,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift between two snapshots'
+    distributions of a numeric column — the DISTRIBUTION complement to
+    :func:`expectation_anomalies`' violation-RATE drift (classic
+    model-monitoring method; PSI > 0.2 is the conventional "investigate"
+    line, = 200_000 at the default micro-nat scale).
+
+    Per union bucket i (``bucket = floor(col / width)``, NULLs excluded,
+    add-one smoothing so empty buckets stay finite):
+
+        term_i = (a_i/A − b_i/B) · (ln(a_i·B) − ln(b_i·A))
+        PSI    = Σ term_i          (every term ≥ 0)
+
+    with a = count+1, A = total + n_buckets.  Engine-exact: the log is
+    the staged bit-reproducible det_ln on BIGINT products, the remaining
+    per-bucket float ops are written in one fixed order, and each term is
+    floored to ``scale`` BEFORE the sum — so the integer total is
+    aggregation-order-independent and the DuckDB mirror
+    (:func:`sql_histogram_drift`) hashes identically.
+
+    Returns (bucket, n_a, n_b, term_fp); ``PSI_fp = sum(term_fp)``.
+    Scale: two value-bounded histogram aggregations + one bucket-space
+    join — corpus rows are touched once per snapshot, everything after
+    is histogram-sized (the q140 discipline)."""
+    from briefly_spark.numerics import det_ln_items
+
+    def hist(df, alias):
+        c = F.col(col)
+        return (
+            df.filter(c.isNotNull())
+            .select(F.floor(c / F.lit(bucket_width)).cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    joined = hist(snap_a, "ca").join(hist(snap_b, "cb"), "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    totals = joined.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("cb").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    staged = joined.crossJoin(F.broadcast(totals)).selectExpr(
+        "bucket",
+        "ca AS n_a",
+        "cb AS n_b",
+        "CAST(ca + 1 AS BIGINT) AS a1",
+        "CAST(cb + 1 AS BIGINT) AS b1",
+        "CAST(ta + k AS BIGINT) AS ta1",
+        "CAST(tb + k AS BIGINT) AS tb1",
+    ).selectExpr(
+        "bucket",
+        "n_a",
+        "n_b",
+        "a1",
+        "b1",
+        "ta1",
+        "tb1",
+        *det_ln_items("a1 * tb1", "__ln_p", "spark"),
+        *det_ln_items("b1 * ta1", "__ln_q", "spark"),
+    )
+    return staged.selectExpr(
+        "bucket",
+        "n_a",
+        "n_b",
+        "CAST(floor(((CAST(a1 AS DOUBLE) / CAST(ta1 AS DOUBLE))"
+        " - (CAST(b1 AS DOUBLE) / CAST(tb1 AS DOUBLE)))"
+        f" * (__ln_p - __ln_q) * {scale}.0) AS BIGINT) AS term_fp",
+    )
+
+
+def sql_histogram_drift(
+    table_a: str,
+    table_b: str,
+    col: str,
+    *,
+    bucket_width: float,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`histogram_drift` — identical bucket maths,
+    identical smoothing, the det_ln staged in the duckdb dialect, and the
+    SAME textual float expression for the term, so every bit matches."""
+    from briefly_spark.numerics import det_ln_items
+
+    lnp = ",\n       ".join(det_ln_items("a1 * tb1", "__ln_p", "duckdb"))
+    lnq = ",\n       ".join(det_ln_items("b1 * ta1", "__ln_q", "duckdb"))
+    return f"""WITH ha AS (
+  SELECT CAST(floor({col} / {bucket_width!r}) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS ca
+  FROM {table_a} WHERE {col} IS NOT NULL GROUP BY 1
+), hb AS (
+  SELECT CAST(floor({col} / {bucket_width!r}) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cb
+  FROM {table_b} WHERE {col} IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+         CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+         CAST(coalesce(cb, 0) AS BIGINT) AS cb
+  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+), t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM j
+), s AS (
+  SELECT bucket, ca AS n_a, cb AS n_b,
+         CAST(ca + 1 AS BIGINT) AS a1, CAST(cb + 1 AS BIGINT) AS b1,
+         CAST(ta + k AS BIGINT) AS ta1, CAST(tb + k AS BIGINT) AS tb1
+  FROM j CROSS JOIN t
+), l AS (
+  SELECT bucket, n_a, n_b, a1, b1, ta1, tb1,
+       {lnp},
+       {lnq}
+  FROM s
+)
+SELECT bucket, n_a, n_b,
+       CAST(floor(((CAST(a1 AS DOUBLE) / CAST(ta1 AS DOUBLE))
+ - (CAST(b1 AS DOUBLE) / CAST(tb1 AS DOUBLE)))
+ * (__ln_p - __ln_q) * {scale}.0) AS BIGINT) AS term_fp
+FROM l"""

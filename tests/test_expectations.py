@@ -374,6 +374,87 @@ def test_column_profiles_sql_mirror_on_testdata(spark, sf_dir):
     assert got == want
 
 
+def test_histogram_drift_zero_on_identical_snapshots(spark):
+    from briefly_spark.operators.expectations import histogram_drift
+
+    t = spark.createDataFrame([(float(v),) for v in (1, 2, 2, 5, 9)], "x DOUBLE")
+    drift = histogram_drift(t, t, "x", bucket_width=2.0)
+    rows = drift.collect()
+    assert rows and all(r["term_fp"] == 0 for r in rows)
+
+
+def test_histogram_drift_matches_pure_python(spark):
+    """PSI terms against a det_ln_py replication of the exact op order —
+    the same three-engine pin the LM surfaces use."""
+    import math
+
+    from briefly_spark.numerics import det_ln_py
+    from briefly_spark.operators.expectations import histogram_drift
+
+    va = [1.0, 1.5, 2.0, 5.0, 5.5, 9.0, None]
+    vb = [1.0, 5.0, 5.2, 5.4, 5.6, 9.0, 9.5]
+    a = spark.createDataFrame([(v,) for v in va], "x DOUBLE")
+    b = spark.createDataFrame([(v,) for v in vb], "x DOUBLE")
+    got = {
+        r["bucket"]: (r["n_a"], r["n_b"], r["term_fp"])
+        for r in histogram_drift(a, b, "x", bucket_width=2.0).collect()
+    }
+    ha: dict[int, int] = {}
+    hb: dict[int, int] = {}
+    for v in va:
+        if v is not None:
+            ha[math.floor(v / 2.0)] = ha.get(math.floor(v / 2.0), 0) + 1
+    for v in vb:
+        if v is not None:
+            hb[math.floor(v / 2.0)] = hb.get(math.floor(v / 2.0), 0) + 1
+    buckets = set(ha) | set(hb)
+    ta, tb, k = sum(ha.values()), sum(hb.values()), len(buckets)
+    want = {}
+    for bu in buckets:
+        a1, b1 = ha.get(bu, 0) + 1, hb.get(bu, 0) + 1
+        ta1, tb1 = ta + k, tb + k
+        term = ((float(a1) / float(ta1)) - (float(b1) / float(tb1))) * (
+            det_ln_py(a1 * tb1) - det_ln_py(b1 * ta1)
+        ) * 1000000.0
+        want[bu] = (ha.get(bu, 0), hb.get(bu, 0), math.floor(term))
+    assert got == want
+    psi = sum(t for (_, _, t) in got.values())
+    assert psi > 0  # the distributions really differ
+
+
+def test_histogram_drift_sql_mirror_on_testdata(spark, sf_dir):
+    import duckdb
+
+    from briefly_spark.catalog import load_table, table_path
+    from briefly_spark.operators.expectations import (
+        histogram_drift,
+        sql_histogram_drift,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter("l_orderkey % 2 = 0")
+    b = li.filter("l_orderkey % 2 = 1")
+    got = {
+        tuple(r)
+        for r in histogram_drift(a, b, "l_extendedprice", bucket_width=5000.0).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM '{table_path(sf_dir, 'lineitem')}'"
+    )
+    con.execute("CREATE VIEW a AS SELECT * FROM li WHERE l_orderkey % 2 = 0")
+    con.execute("CREATE VIEW b AS SELECT * FROM li WHERE l_orderkey % 2 = 1")
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                sql_histogram_drift("a", "b", "l_extendedprice", bucket_width=5000.0)
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 3
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
