@@ -363,3 +363,65 @@ def test_decontaminate_incremental_equals_oneshot_and_monotone(spark):
     }
     assert got == want
     assert (prev_covered[100] > 0) and prev_covered[101] == 0 and prev_covered[102] == 0
+
+
+def test_bucketed_registry_probe_is_exchange_free_on_registry_side(spark, tmp_path):
+    """K6 applied to X101's continuous-ingest hot path: with the shingle
+    registry stored hash-bucketed on ``h`` (the claim key), the per-batch
+    probe join reads the registry WITHOUT an exchange — the registry,
+    which grows with the corpus, never re-shuffles; only the bounded
+    batch side does.  Functional parity with the plain-path registry is
+    asserted on the same probe."""
+    import pyspark.sql.functions as SF
+
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_breg"))
+    reg = spark.range(4000).select(
+        SF.md5(SF.col("id").cast("string")).alias("h"),
+        (SF.col("id") * 7).alias("first_key"),
+    )
+    wh.write_bucketed(reg, "sub_registry_b", ["h"], buckets=8)
+    bucketed = wh.read_catalog("sub_registry_b")
+    batch = spark.range(100, 220).select(
+        SF.md5(SF.col("id").cast("string")).alias("h"),
+        (SF.col("id") * 1000).alias("bkey"),
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force the SMJ path: at real scale neither side broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        probed = batch.join(
+            bucketed.select("h", SF.col("first_key").alias("reg_key")), "h", "left"
+        )
+        rows = probed.collect()
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        shuffles = [
+            l for l in final.splitlines()
+            if "Exchange" in l and "BroadcastExchange" not in l
+        ]
+        assert len(shuffles) == 1, final   # batch side only
+        assert "Bucketed: true" in final, final  # registry scan kept its layout
+        # parity with the plain (unbucketed) registry
+        want = {
+            tuple(r)
+            for r in batch.join(
+                reg.select("h", SF.col("first_key").alias("reg_key")), "h", "left"
+            ).collect()
+        }
+        assert {tuple(r) for r in rows} == want and len(want) == 120
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS sub_registry_b")
