@@ -452,6 +452,17 @@ def column_profiles(df: DataFrame, cols: list[str]) -> DataFrame:
     division at the end) so the surface hash never depends on
     aggregation order; all-NULL and empty columns profile to NULL
     min/max/mean, zero counts."""
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"column_profiles: unknown column {c!r}")
+        dt = dict(df.dtypes)[c]
+        if dt.split("(")[0] not in numeric:
+            raise ValueError(
+                f"column_profiles: {c!r} has non-numeric type {dt!r} — the "
+                "min/max/mean casts would silently NULL; profile numeric "
+                "columns only (string columns: profile length(col) instead)"
+            )
     aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)

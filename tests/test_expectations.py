@@ -554,3 +554,15 @@ def test_sql_mirror_matches_spark_report_on_testdata(spark, sf_dir):
     }
     assert got == want
     assert not want[("lineitem", "unique(l_orderkey, l_linenumber)")][2]
+
+
+def test_column_profiles_rejects_non_numeric_and_unknown(spark):
+    import pytest
+
+    from briefly_spark.operators.expectations import column_profiles
+
+    t = spark.createDataFrame([(1, "a")], "id LONG, name STRING")
+    with pytest.raises(ValueError, match="non-numeric"):
+        column_profiles(t, ["name"])
+    with pytest.raises(ValueError, match="unknown column"):
+        column_profiles(t, ["ghost"])
