@@ -161,3 +161,22 @@ def test_encode_fertility_surface(spark):
         assert got[did]["n_words"] == len(ws)
         assert got[did]["n_pieces"] == n_pieces
         assert got[did]["fertility_fp"] == (n_pieces * 10000) // len(ws)
+
+
+def test_seed_plan_uses_takeordered_not_global_sort(spark, sf_dir):
+    """The seed ranking (orderBy + limit over the piece-count frame) must
+    plan as TakeOrdered — bounded by seed_size, never a global sort of
+    the piece space (the q93 discipline; plan_lint will enforce this when
+    the seed surface gates as q148)."""
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.bpe import word_freqs
+
+    seed = seed_pieces(
+        word_freqs(load_table(spark, sf_dir, "documents")),
+        max_piece_len=6,
+        seed_size=1000,
+        min_count=2,
+    )
+    plan = seed._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
+    assert "Sort [" not in plan.split("TakeOrdered")[0], plan
