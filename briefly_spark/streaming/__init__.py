@@ -25,6 +25,7 @@ from briefly_spark.streaming.incremental import (  # noqa: F401
     available_now_to_memory,
     merge_stream,
     read_parquet_stream,
+    scd2_stream,
     session_counts,
     span_dedup_stream,
     substring_dedup_stream,

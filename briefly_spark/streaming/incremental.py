@@ -239,6 +239,47 @@ def audited_merge_stream(
     q.awaitTermination()
 
 
+def scd2_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    table: str,
+    key: list[str],
+    *,
+    checkpoint: str,
+    change_cols: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Streaming SCD2 maintenance — the ingestion twin of
+    :meth:`~briefly_spark.storage.Warehouse.merge_scd2`, completing the
+    batch/stream pair for versioned dimensions the way every other
+    operator family has one: each micro-batch closes changed current
+    rows and inserts new versions, with ``version = batch_id`` (the
+    monotone epoch foreachBatch already provides — never wall clock).
+
+    Replay safety comes from merge_scd2's own value-based change
+    detection: a replayed batch at the same batch_id finds its rows
+    already current and unchanged, so the merge is a byte-identical
+    no-op — no extra keying needed.  Batches must be key-unique after
+    ``transform`` (merge_scd2 raises otherwise — dedupe upstream or in
+    the transform; an SCD2 batch with two versions of one key has no
+    defined order)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform else batch_df
+        if df.take(1):
+            wh.merge_scd2(
+                df, table, key, version=int(batch_id), change_cols=change_cols
+            )
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def requeue_quarantine(
     wh: Warehouse,
     table: str,

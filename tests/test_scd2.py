@@ -173,3 +173,52 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis always shipped here
     pass
+
+
+def test_scd2_stream_matches_sequential_batches(spark, tmp_path):
+    """The streaming twin: micro-batches through scd2_stream produce the
+    same history as sequential merge_scd2 calls with version = batch id,
+    and a checkpoint re-run with no new files is a no-op."""
+    import time
+
+    from briefly_spark.streaming import read_parquet_stream, scd2_stream
+
+    batches = [
+        [(1, "hanoi", 1), (2, "hue", 2)],
+        [(1, "saigon", 1), (3, "danang", 3)],
+        [(1, "saigon", 9), (2, "hue", 2)],
+    ]
+    src = tmp_path / "scd2_batches"
+    src.mkdir()
+    for j, rows in enumerate(batches):
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{j}")
+        )
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    wh = _wh(spark, tmp_path)
+    ckpt = str(tmp_path / "scd2_ckpt")
+    run = lambda: scd2_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh,
+        "dim",
+        ["id"],
+        checkpoint=ckpt,
+    )
+    run()
+    got = _state(wh)
+    # reference: the batch merges with version = batch id (0, 1, 2)
+    ref = Warehouse(spark, str(tmp_path / "wh_ref"))
+    for v, rows in enumerate(batches):
+        ref.merge_scd2(_df(spark, rows), "dim", ["id"], version=v)
+    want = sorted(
+        ((r["id"], r["city"], r["tier"], r["valid_from"], r["valid_to"],
+          r["is_current"]) for r in ref.read("dim").collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    assert got == want
+    # id 1: two closed versions + one current
+    vers = [t for t in got if t[0] == 1]
+    assert len(vers) == 3 and sum(1 for t in vers if t[5]) == 1
+    run()  # checkpoint re-run: nothing new
+    assert _state(wh) == got
