@@ -329,3 +329,109 @@ def unigram_encode(
             .alias("fertility_fp"),
         )
     )
+
+
+def _hash_uniform(tag: str) -> float:
+    """Deterministic uniform in [0, 1) from md5 — noise without an RNG
+    stream, so any (word, seed, position) draws the same value on every
+    executor, every run, every platform."""
+    import hashlib
+
+    return int(hashlib.md5(tag.encode()).hexdigest()[:13], 16) / float(16**13)
+
+
+def sample_segmentation(
+    word: str,
+    scores: dict[str, int],
+    max_piece_len: int,
+    *,
+    seed: int,
+    alpha: float = 1.0,
+) -> list[str]:
+    """Subword-regularization sampling (Kudo 2018 §3): draw a segmentation
+    with probability ∝ exp(α · score(seg)) by forward-filtering /
+    backward-sampling over the word lattice.  α → ∞ degenerates to
+    :func:`viterbi_segment`'s argmax; α = 0 is uniform over valid
+    segmentations.  Deterministic: the only randomness is
+    md5(seed, word, position) uniforms, so the same (word, seed) always
+    samples the same segmentation — replayable data augmentation.
+
+    The forward pass is float log-sum-exp (CPython IEEE ops — this is a
+    training-data AUGMENTATION surface, pinned by distribution tests,
+    not an oracle-hashed one; the exact integer surfaces stay with
+    Viterbi).  Per-word cost O(len·L), same as Viterbi."""
+    import math
+
+    n = len(word)
+    a = [float("-inf")] * (n + 1)  # forward log-mass of word[:i]
+    a[0] = 0.0
+    sc = {p: alpha * (s / float(SCORE_SCALE)) for p, s in scores.items()}
+    for i in range(1, n + 1):
+        terms = []
+        for j in range(max(0, i - max_piece_len), i):
+            s = sc.get(word[j:i])
+            if s is None or a[j] == float("-inf"):
+                continue
+            terms.append(a[j] + s)
+        if terms:
+            m = max(terms)
+            a[i] = m + math.log(sum(math.exp(t - m) for t in terms))
+    if a[n] == float("-inf"):
+        raise KeyError(f"unsegmentable word {word!r} (pruned character?)")
+    out: list[str] = []
+    i = n
+    while i > 0:
+        cands = []
+        for j in range(max(0, i - max_piece_len), i):
+            s = sc.get(word[j:i])
+            if s is None or a[j] == float("-inf"):
+                continue
+            cands.append((j, math.exp(a[j] + s - a[i])))
+        total = sum(w for _, w in cands)
+        u = _hash_uniform(f"{seed}:{word}:{i}") * total
+        acc = 0.0
+        pick = cands[-1][0]
+        for j, w in cands:
+            acc += w
+            if u < acc:
+                pick = j
+                break
+        out.append(word[pick:i])
+        i = pick
+    return out[::-1]
+
+
+def sampled_counts(
+    words: DataFrame,
+    scores: dict[str, int],
+    max_piece_len: int,
+    *,
+    seed: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Frequency-weighted piece counts under SAMPLED segmentations — the
+    augmentation twin of :func:`viterbi_counts` (one epoch = one seed;
+    vary the seed per epoch to expose the model to alternative
+    tokenizations of the same text).  Same shape: Arrow-batched pass over
+    the Heaps-bounded word frame, vocab-bounded aggregation, and the
+    hash-seeded noise makes the pass deterministic per (word, seed)
+    regardless of partitioning."""
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            pieces: list[str] = []
+            freqs: list[int] = []
+            for word, freq in zip(b["word"], b["freq"]):
+                for p in sample_segmentation(
+                    word, scores, max_piece_len, seed=seed, alpha=alpha
+                ):
+                    pieces.append(p)
+                    freqs.append(freq)
+            yield pd.DataFrame({"piece": pieces, "freq": freqs})
+
+    return (
+        words.select("word", "freq")
+        .mapInPandas(seg, schema="piece string, freq long")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("count"))
+    )

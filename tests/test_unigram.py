@@ -180,3 +180,60 @@ def test_seed_plan_uses_takeordered_not_global_sort(spark, sf_dir):
     plan = seed._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan, plan
     assert "Sort [" not in plan.split("TakeOrdered")[0], plan
+
+
+def test_sample_segmentation_valid_deterministic_and_viterbi_limit():
+    from briefly_spark.operators.unigram import sample_segmentation
+
+    scores = piece_scores_fp({"a": 5, "b": 4, "ab": 9, "ba": 2, "aba": 1})
+    for word in ("ab", "aba", "abab", "bab"):
+        s1 = sample_segmentation(word, scores, 3, seed=7)
+        assert "".join(s1) == word
+        assert sample_segmentation(word, scores, 3, seed=7) == s1  # same seed
+        # α → ∞ collapses to the Viterbi argmax
+        hard = sample_segmentation(word, scores, 3, seed=7, alpha=1e6)
+        assert hard == viterbi_segment(word, scores, 3), word
+
+
+def test_sample_segmentation_matches_exact_distribution():
+    """Empirical sampling frequencies over hash seeds match the exact
+    P(seg) ∝ exp(α·score) on an enumerable lattice — deterministic (the
+    seeds are fixed integers, the noise is md5)."""
+    import math
+
+    from briefly_spark.operators.unigram import SCORE_SCALE, sample_segmentation
+
+    scores = piece_scores_fp({"a": 3, "b": 2, "ab": 4, "bb": 5})
+    word = "abb"
+    segs = list(_all_segmentations(word, scores, 2))
+    w = [math.exp(sum(scores[p] for p in s) / SCORE_SCALE) for s in segs]
+    z = sum(w)
+    exact = {tuple(s): wi / z for s, wi in zip(segs, w)}
+    n = 600
+    counts: dict[tuple, int] = {}
+    for seed in range(n):
+        got = tuple(sample_segmentation(word, scores, 2, seed=seed))
+        counts[got] = counts.get(got, 0) + 1
+    assert set(counts) <= set(exact)
+    for seg, p in exact.items():
+        emp = counts.get(seg, 0) / n
+        assert abs(emp - p) < 0.07, (seg, p, emp)
+
+
+def test_sampled_counts_matches_pure_python(spark):
+    from briefly_spark.operators.unigram import sample_segmentation, sampled_counts
+
+    rows = [("abab", 3), ("bab", 2), ("aa", 5)]
+    words = spark.createDataFrame(rows, "word STRING, freq LONG")
+    seed_counts = {r["piece"]: int(r["count"]) for r in seed_pieces(
+        words, max_piece_len=3, seed_size=10, min_count=2
+    ).collect()}
+    scores = piece_scores_fp(seed_counts)
+    got = {r["piece"]: r["count"] for r in sampled_counts(
+        words, scores, 3, seed=13
+    ).collect()}
+    want: dict[str, int] = {}
+    for w, f in rows:
+        for p in sample_segmentation(w, scores, 3, seed=13):
+            want[p] = want.get(p, 0) + f
+    assert got == want
