@@ -186,6 +186,7 @@ def unigram_train(
     min_count: int = 2,
     prune_frac: float = 0.75,
     max_rounds: int = 10,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Train the unigram vocabulary: seed → (Viterbi counts → prune the
     multi-char tail to ``prune_frac`` of its size) until the vocabulary
@@ -194,6 +195,11 @@ def unigram_train(
     decisions' ordering (they rank by count like everything else but are
     exempt from dropping).  Returns (piece, count, score_fp, is_char)
     where ``score_fp`` is the final integer micro-nat log-prob.
+
+    ``early_stop=False`` runs EXACTLY ``max_rounds`` EM rounds with no
+    data-dependent break — the mode the q148 oracle gates, so the
+    unrolled SQL mirror (:func:`sql_unigram_em`) replays a statically
+    known number of rounds.
 
     Driver state per round: the vocabulary dict (≤ seed_size + alphabet
     entries).  Corpus reads: zero — only the persisted word frame."""
@@ -226,7 +232,7 @@ def unigram_train(
                 keep = max(budget, int(len(multi) * prune_frac))
                 multi = multi[:keep]
             vocab = {**chars, **dict(multi)}
-            if len(vocab) <= vocab_size or not multi:
+            if early_stop and (len(vocab) <= vocab_size or not multi):
                 break
         scores = piece_scores_fp(vocab)
         return spark.createDataFrame(
@@ -272,6 +278,229 @@ SELECT piece, count FROM (
   ORDER BY count DESC, piece ASC LIMIT {seed_size})"""
 
 
+def _sql_viterbi_unroll(
+    tag: str,
+    words_cte: str,
+    scores_cte: str,
+    *,
+    max_word_len: int,
+    max_piece_len: int,
+    with_pieces: bool,
+) -> tuple[list[str], str]:
+    """Statically unrolled Viterbi DP as DuckDB CTEs — the SQL twin of
+    :func:`viterbi_segment`, one CTE per word position.
+
+    ``d{tag}_i`` holds, per word of length >= i, the best path over
+    word[:i] as a struct ``st`` (sc = integer micro-nat score, np = piece
+    count, ps = piece list when ``with_pieces``).  Candidates at position
+    i come from positions j in [i-L, i): one UNION ALL arm per j, joined
+    against ``scores_cte`` on the connecting substring.  The argmax key
+    replicates the Python tuple compare (score, -np, -j) exactly:
+    ``key = sc*1024 - np*32 - j`` — integer score deltas are >= 1, so the
+    *1024 separation dominates the np*32 + j tie terms (< 1024; requires
+    max_word_len < 32, asserted).  Ties are impossible: j is distinct
+    across arms and in the key's low bits.
+
+    Returns (cte_definitions, final_cte_name) where the final CTE
+    ``seg{tag}`` maps each word (length 1..max_word_len) to its best
+    st."""
+    assert max_word_len < 32, "key encoding packs np/j into 10 bits"
+    ctes: list[str] = []
+    zero_ps = ", 'ps': CAST([] AS VARCHAR[])" if with_pieces else ""
+    ctes.append(
+        f"d{tag}_0 AS MATERIALIZED (SELECT word, "
+        f"{{'sc': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT){zero_ps}}} AS st "
+        f"FROM {words_cte})"
+    )
+    for i in range(1, max_word_len + 1):
+        arms = []
+        for j in range(max(0, i - max_piece_len), i):
+            piece = f"substr(d.word, {j + 1}, {i - j})"
+            ps = (
+                f", 'ps': list_append(d.st.ps, {piece})" if with_pieces else ""
+            )
+            arms.append(
+                f"SELECT d.word, "
+                f"{{'sc': d.st.sc + p.s, 'np': d.st.np + 1{ps}}} AS cand, "
+                f"(d.st.sc + p.s) * 1024 - (d.st.np + 1) * 32 - {j} AS key "
+                f"FROM d{tag}_{j} d JOIN {scores_cte} p ON p.piece = {piece} "
+                f"WHERE length(d.word) >= {i}"
+            )
+        union = "\n    UNION ALL\n    ".join(arms)
+        ctes.append(
+            f"d{tag}_{i} AS MATERIALIZED (\n"
+            f"  SELECT word, max_by(cand, key) AS st FROM (\n    {union}\n"
+            f"  ) GROUP BY word)"
+        )
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT word, st FROM d{tag}_{i} WHERE length(word) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+    ctes.append(f"seg{tag} AS MATERIALIZED (\n    {finals})")
+    return ctes, f"seg{tag}"
+
+
+def _sql_scores(tag: str, vocab_cte: str) -> list[str]:
+    """CTEs computing integer micro-nat scores from a (piece, count)
+    vocabulary CTE — the SQL twin of :func:`piece_scores_fp`, on the
+    staged det_ln (numerics.det_ln_items, bit-identical across engines)."""
+    from briefly_spark.numerics import det_ln_items
+
+    ln_t = ", ".join(det_ln_items("t", "ln_t", "duckdb"))
+    ln_c = ", ".join(det_ln_items("count", "ln_c", "duckdb"))
+    return [
+        f"tot{tag} AS MATERIALIZED (SELECT {ln_t} FROM "
+        f"(SELECT CAST(sum(count) AS BIGINT) AS t FROM {vocab_cte}))",
+        f"sc{tag} AS MATERIALIZED (SELECT piece, "
+        f"CAST(floor((ln_c - (SELECT ln_t FROM tot{tag})) * 1000000.0) AS BIGINT)"
+        f" AS s FROM (SELECT piece, {ln_c} FROM {vocab_cte}))",
+    ]
+
+
+def sql_unigram_em(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_size: int = 300,
+    min_count: int = 2,
+    vocab_size: int = 40,
+    rounds: int = 3,
+) -> str:
+    """Full unrolled-EM DuckDB mirror of fixed-round unigram training +
+    fertility encode — the q148 oracle (VERDICT r10 next-round #3).
+
+    Replays, as ONE static SQL statement, exactly what the Spark side
+    computes with ``unigram_train(..., early_stop=False)`` followed by
+    ``unigram_encode(..., max_word_len=...)``:
+
+      word freqs (length-capped) → seed (sql_seed_pieces logic) →
+      rounds × (det_ln scores → unrolled-Viterbi counts → prune) →
+      final scores → unrolled-Viterbi fertility per distinct word →
+      per-document (n_words, n_pieces, fertility_fp)
+
+    and emits both surfaces as one frame:
+      part='piece': k=piece, v1=count, v2=score_fp, v3=is_char(0/1)
+      part='doc':   k=doc_id, v1=n_words, v2=n_pieces, v3=fertility_fp
+
+    Static-unroll requirements: a fixed round count (``early_stop=False``
+    on the Spark side) and a fixed position bound (both sides drop words
+    longer than ``max_word_len`` — the documented training cap).  Prune
+    arithmetic is integer-exact in both engines: Python
+    ``int(n * 0.75)`` == SQL ``(3*n)//4`` (0.75 is dyadic; the product is
+    exact).  ``prune_frac`` is therefore fixed at 3/4 here."""
+    w_cap = max_word_len
+    parts: list[str] = [
+        f"""WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM {table}
+),
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks
+  WHERE length(word) <= {w_cap} GROUP BY word
+),
+subs AS (
+  SELECT substr(wf.word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece, wf.freq
+  FROM wf,
+       LATERAL (SELECT unnest(range(1, length(wf.word) + 1)) AS i) i,
+       LATERAL (SELECT unnest(range(1, least({max_piece_len},
+                       length(wf.word) - i.i + 1) + 1)) AS l) l
+),
+pc AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS count FROM subs GROUP BY piece),
+v0 AS MATERIALIZED (
+  SELECT piece, count FROM pc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, count FROM (
+    SELECT piece, count FROM pc WHERE length(piece) > 1 AND count >= {min_count}
+    ORDER BY count DESC, piece ASC LIMIT {seed_size}))"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.extend(_sql_scores(str(k), f"v{k - 1}"))
+        dp, seg = _sql_viterbi_unroll(
+            f"r{k}",
+            "wf",
+            f"sc{k}",
+            max_word_len=w_cap,
+            max_piece_len=max_piece_len,
+            with_pieces=True,
+        )
+        parts.extend(dp)
+        parts.append(
+            f"""cnt{k} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS count
+  FROM (SELECT unnest(s.st.ps) AS piece, w.freq
+        FROM {seg} s JOIN wf w USING (word))
+  GROUP BY piece)"""
+        )
+        parts.append(
+            f"""ch{k} AS MATERIALIZED (
+  SELECT v.piece, coalesce(c.count, v.count) AS count
+  FROM v{k - 1} v LEFT JOIN cnt{k} c USING (piece)
+  WHERE length(v.piece) = 1)"""
+        )
+        parts.append(
+            f"mu{k} AS MATERIALIZED (SELECT piece, count FROM cnt{k} "
+            f"WHERE length(piece) > 1)"
+        )
+        parts.append(
+            f"""keep{k} AS MATERIALIZED (
+  SELECT CASE WHEN nm > budget THEN greatest(budget, (3 * nm) // 4)
+              ELSE nm END AS kp
+  FROM (SELECT (SELECT count(*) FROM mu{k}) AS nm,
+               greatest({vocab_size} - (SELECT count(*) FROM ch{k}), 0)
+                 AS budget))"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT piece, count FROM ch{k}
+  UNION ALL
+  SELECT piece, count FROM (
+    SELECT piece, count,
+           row_number() OVER (ORDER BY count DESC, piece ASC) AS rn
+    FROM mu{k})
+  WHERE rn <= (SELECT kp FROM keep{k}))"""
+        )
+    parts.extend(_sql_scores("F", f"v{rounds}"))
+    dp, seg = _sql_viterbi_unroll(
+        "F",
+        "wf",
+        "scF",
+        max_word_len=w_cap,
+        max_piece_len=max_piece_len,
+        with_pieces=False,
+    )
+    parts.extend(dp)
+    parts.append(
+        f"""npw AS MATERIALIZED (
+  SELECT word, st.np AS np FROM {seg})"""
+    )
+    parts.append(
+        f"""dtoks AS (
+  SELECT k, word FROM (
+    SELECT {id_col} AS k,
+           unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM {table})
+  WHERE length(word) <= {w_cap}),
+docagg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(np) AS BIGINT) AS n_pieces
+  FROM dtoks JOIN npw USING (word) GROUP BY k)"""
+    )
+    body = f"""SELECT 'piece' AS part, v.piece AS k, v.count AS v1, s.s AS v2,
+       CAST(CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS BIGINT) AS v3
+FROM v{rounds} v JOIN scF s USING (piece)
+UNION ALL
+SELECT 'doc' AS part, CAST(k AS VARCHAR) AS k, n_words AS v1, n_pieces AS v2,
+       CAST(floor(n_pieces * 10000 / n_words) AS BIGINT) AS v3
+FROM docagg"""
+    return ",\n".join(parts) + "\n" + body
+
+
 def unigram_encode(
     docs: DataFrame,
     vocab: DataFrame,
@@ -279,10 +508,16 @@ def unigram_encode(
     id_col: str,
     text_col: str,
     max_piece_len: int = 6,
+    max_word_len: int | None = None,
 ) -> DataFrame:
     """Per-document token statistics under a trained unigram vocabulary —
     (id, n_words, n_pieces, fertility_fp) with fertility = pieces/word at
     RATIO-scale fixed point, q126's surface for the other tokenizer.
+
+    ``max_word_len`` drops tokens longer than the cap from BOTH the word
+    frame and the per-doc counts — the same documented training cap the
+    q148 oracle applies (a static Viterbi unroll needs a static position
+    bound; SentencePiece applies the same kind of length cap).
 
     Shape: the corpus tokenizes and collapses to its distinct words; each
     distinct word segments ONCE (the q88/BPE discipline); per-doc stats
@@ -308,6 +543,8 @@ def unigram_encode(
     corpus_words = docs.select(
         F.col(id_col).alias("id"), F.explode(toks).alias("word")
     )
+    if max_word_len is not None:
+        corpus_words = corpus_words.filter(F.length("word") <= max_word_len)
     word_pieces = (
         corpus_words.select("word")
         .distinct()

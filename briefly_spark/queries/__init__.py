@@ -63,94 +63,83 @@ def register(
     return deco
 
 
-#: r10 driver-window head (VERDICT r09 "Next round" #1).  r09 was 50/50
-#: green, so the rotation is the exhaustive r07-stale pack: all 50
-#: queries whose newest green driver row is r07 (tools/window_plan.py
-#: lists them exactly; after this round no registry query's evidence
-#: predates r08).  New/changed queries this round (gate debt by
-#: construction) lead the head.  Mechanically checked by
-#: tools/gate_debt.py + tests/test_gate_debt.py against the committed
-#: last-gated-hash manifest, and by the over-age invariant in
-#: tools/window_plan.py (now keyed off the manifest round — VERDICT r09
-#: next-round #2).
+#: r11 driver-window head (VERDICT r10 "Next round" #1).  r10 was 50/50
+#: green, so the rotation is exactly tools/window_plan.py's emitted
+#: proposal: q81 + q82 first (the only r07 evidence left — the two tail
+#: seats deliberately deferred from r10's 52-for-50 capacity conflict),
+#: then the exhaustive r08-stale pack (47 queries).  That is 49
+#: must-schedule entries; the ONE spare slot goes to the staged unigram
+#: tokenizer (q148 — VERDICT r10 next-round #3), new-query debt by
+#: construction, so it leads the head per window_plan policy.
+#: Mechanically checked by tools/gate_debt.py + tests/test_gate_debt.py
+#: against the committed last-gated-hash manifest, and by the over-age
+#: invariant in tools/window_plan.py (manifest-round keyed; tail seats
+#: now bounded to one round — ADVICE r10 #3,
+#: tests/test_gate_debt.py:test_window_tail_entries_bounded_to_one_round).
 #:
-#: Capacity note: the driver gates the FIRST 50 entries, the r07-stale
-#: pack is exactly 50, and this round also must gate the new
-#: expectation-suite query (VERDICT r09 next-round #3) and the trimmed
-#: q128 (next-round #5) — 52 candidates for 50 slots.  The two tail
-#: entries (q81_media_decode_arrow, q82_frame_sample) are the deliberate
-#: sacrifice: both are pytest-pinned decode/sample harnesses whose
-#: multimodal family keeps fresh driver evidence through q80 (gated this
-#: round) and q104 (green r09).  They keep their WINDOW_HEAD slots (so
-#: the over-age invariant records them as scheduled, positions 51–52)
-#: and are first in line for the r11 rotation.
+#: Registry capacity note (standing policy, now mechanical): at 149
+#: queries the 3-round × 50-slot rotation is within one of saturation —
+#: new capabilities land pytest+DuckDB-mirror-pinned first and take a
+#: registry slot only when a rotation has room.  tools/window_plan.py
+#: enumerates the mirror-evidence class (MIRROR_PINNED) so a
+#: mirror-pinned op can't silently lose its mirror (VERDICT r10
+#: next-round #5).  Queued for r12 slots: X124 column profiles and X125
+#: PSI drift (single-query-shaped, SQL-mirrored at
+#: operators/expectations.py:437,519) — VERDICT r10 next-round #6.
 WINDOW_HEAD: tuple[str, ...] = (
-    # (a) new / changed in r10 (uncommented as each lands)
-    "q147_expectation_audit",
-    "q128_jobs_dag_resolve",
-    # (b) the exhaustive r07-stale pack (window_plan.py order)
-    "q39_line_boilerplate_filter",
-    "q66_curriculum_buckets",
-    "q67_pack_exact",
-    "q40_ann_topk",
-    "q41_related_articles",
-    "q42_lsh_ann",
-    "q43_ivf_ann",
-    "q49_contrastive_pairs",
-    "q45_quantized_ann",
-    "q44_related_lsh",
-    "q60_chunk_embed_meanpool",
-    "q61_factcheck_scores",
-    "q62_summarize_worklist",
-    "q63_embed_arrow_harness",
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_windows",
-    "q73_props_json_extract",
-    "q74_sketch_audit",
-    "q75_funnel",
-    "q78_rolling_features",
-    "q79_attribution",
-    "q76_asof_enrich",
-    "q77_range_join",
-    "q30_exact_dedup",
-    "q31_minhash_lsh_pairs",
-    "q32_simhash_fingerprints",
-    "q33_ngram_jaccard_pairs",
-    "q34_embedding_near_dup",
-    "q36_decontaminate",
-    "q29_dedup_survivors",
-    "q37_dup_clusters",
-    "q01_pricing_summary",
-    "q02_topk_orders_per_customer",
-    "q03_revenue_by_nation",
-    "q04_customers_without_orders",
-    "q05_orders_with_heavy_items",
-    "q06_distinct_segments",
-    "q07_order_status_tallies",
-    "q08_order_set_ops",
-    "q09_part_scalar_funcs",
-    "q10_latest_events_per_user",
-    "q11_events_worklist",
-    "q12_weighted_customer_score",
-    "q13_cube_revenue",
-    "q14_running_totals",
-    "q15_small_lot_revenue",
-    "q80_media_metadata",
-    # positions 51–52: scheduled but beyond the driver's 50-entry gate
-    # this round (see capacity note above) — r11 rotation leads with them
+    # (a) new in r11 (gate debt by construction)
+    "q148_unigram_tokenizer",
+    # (b) the only remaining r07 evidence (deferred tail seats from r10)
     "q81_media_decode_arrow",
     "q82_frame_sample",
-    #
-    # r11 round-open notes: after gate_debt --update 10, the must-schedule
-    # set is q81 + q82 (above) + the 47 queries whose newest row is r08 =
-    # 49 — ONE spare slot.  Planned use: register the unigram tokenizer
-    # (operators/unigram.py, X118 — trainer + fertility encode already
-    # pytest-pinned) as q148 IF the r10 gate is fully green; a red eats
-    # the spare slot instead.  Registry capacity note: at 149 queries the
-    # 3-round rotation is within one of saturation (150) — from r11 on,
-    # new capabilities land pytest+mirror-pinned first and only take a
-    # registry slot when a rotation has room.
+    # (c) the exhaustive r08-stale pack (window_plan.py order)
+    "q50_token_stats",
+    "q51_language_id",
+    "q52_quality_score",
+    "q53_winnow_fingerprints",
+    "q54_source_quality_rollup",
+    "q55_gopher_rules",
+    "q56_pii_scrub",
+    "q57_hash_split",
+    "q58_mixture_resample",
+    "q59_pack_sequences",
+    "q35_top_ngram_repetition",
+    "q38_stratified_quota_sample",
+    "q68_group_split",
+    "q69_pack_assemble",
+    "q114_temperature_mixture",
+    "q20_clean_documents",
+    "q21_chunk_fixed",
+    "q22_chunk_recursive",
+    "q23_doc_source_dims",
+    "q24_summary_bullets",
+    "q25_img_and_ids",
+    "q26_url_canonical",
+    "q27_paragraph_extract",
+    "q46_tfidf_topterms",
+    "q47_bm25_search",
+    "q48_lm_perplexity",
+    "q48a_lm_nll_int_surface",
+    "q121_token_surprisal",
+    "q129_hybrid_rrf",
+    "q90_ingest_normalize",
+    "q92_feeds_config",
+    "q93_two_tier_worklist",
+    "q94_worklist_hydration",
+    "q91_tts_synthesis",
+    "q83_span_dedup",
+    "q85_semantic_dedup",
+    "q88_vocab_encode",
+    "q109_bpe_merges",
+    "q126_bpe_encode",
+    "q124_classifier_train",
+    "q115_label_propagation",
+    "q16_volume_shipping",
+    "q17_large_volume_orders",
+    "q18_disjunctive_revenue",
+    "q19_revenue_concentration",
+    "q28_heavy_hitters",
+    "q120_hh_stream_resolve",
 )
 
 

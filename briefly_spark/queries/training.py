@@ -1028,6 +1028,86 @@ def q126_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q148 — unigram-LM tokenizer: fixed-round EM training + fertility encode.
+# ---------------------------------------------------------------------------
+#: q148 parameters — shared between the Spark side and the unrolled oracle.
+#: max_word_len bounds the static Viterbi unroll (both sides drop longer
+#: words — the documented SentencePiece-style training cap); rounds is
+#: fixed (early_stop=False) so the oracle replays a statically known EM.
+_UG = dict(max_piece_len=4, max_word_len=12, seed_size=300, min_count=2,
+           vocab_size=40, rounds=3)
+
+
+def _q148_oracle() -> str:
+    from briefly_spark.operators.unigram import sql_unigram_em
+
+    return sql_unigram_em("documents", **_UG)
+
+
+@register("q148_unigram_tokenizer", covers=("A1", "M1"), oracle=_q148_oracle())
+def q148_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (Kudo 2018), the second tokenizer-training leg
+    next to BPE (q109/q126): over-complete seed → 3 fixed hard-EM rounds
+    (integer micro-nat Viterbi + prune to 3/4) → final vocabulary +
+    per-document fertility under it.  One output frame, two surfaces:
+    part='piece' rows are the trained vocabulary (k=piece, v1=count,
+    v2=score_fp, v3=is_char) and part='doc' rows the encode surface
+    (k=doc_id, v1=n_words, v2=n_pieces, v3=fertility_fp) — so the driver
+    hash gates the ENTIRE training run and its application at once.
+
+    The oracle replays the identical data-dependent EM as one static SQL
+    statement (operators/unigram.py:sql_unigram_em): unrolled Viterbi DP
+    (one CTE per word position, argmax key replicating the Python
+    tie-break exactly), staged det_ln scores, integer-exact prune
+    arithmetic — the q109 unrolled-BPE discipline applied to EM.
+
+    Scale (operators/unigram.py module doc): the corpus is touched once
+    (word-freq shuffle + the per-doc encode join); every EM round rides
+    the Heaps-bounded word frame with the vocab as a closure broadcast —
+    measured flat across a 1024x word-frame ladder (BENCH_NOTES X118)."""
+    from briefly_spark.operators.bpe import word_freqs
+    from briefly_spark.operators.unigram import unigram_encode, unigram_train
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wf = word_freqs(docs).filter(F.length("word") <= _UG["max_word_len"])
+    vocab = unigram_train(
+        spark,
+        wf,
+        vocab_size=_UG["vocab_size"],
+        max_piece_len=_UG["max_piece_len"],
+        seed_size=_UG["seed_size"],
+        min_count=_UG["min_count"],
+        prune_frac=0.75,
+        max_rounds=_UG["rounds"],
+        early_stop=False,
+    )
+    enc = unigram_encode(
+        docs,
+        vocab,
+        id_col="doc_id",
+        text_col="text",
+        max_piece_len=_UG["max_piece_len"],
+        max_word_len=_UG["max_word_len"],
+    )
+    piece_part = vocab.select(
+        F.lit("piece").alias("part"),
+        F.col("piece").alias("k"),
+        F.col("count").alias("v1"),
+        F.col("score_fp").alias("v2"),
+        F.when(F.col("is_char"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("v3"),
+    )
+    doc_part = enc.select(
+        F.lit("doc").alias("part"),
+        F.col("id").cast("string").alias("k"),
+        F.col("n_words").alias("v1"),
+        F.col("n_pieces").alias("v2"),
+        F.col("fertility_fp").alias("v3"),
+    )
+    return piece_part.unionByName(doc_part)
+
+
+# ---------------------------------------------------------------------------
 # q124 / q125 — linear quality-classifier training + inference (integer
 # batch perceptron; see operators/classifier.py for the scale design).
 # ---------------------------------------------------------------------------

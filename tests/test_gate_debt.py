@@ -71,31 +71,109 @@ def test_no_overage_evidence_unscheduled():
 
 
 def test_overage_round_boundary_semantics():
-    """VERDICT r09 next-round #2: the over-age invariant fires only on an
-    ACTUALLY-missed rotation, not in every inter-round gap.  When the
-    driver has written a newer CORRECTNESS file than the committed
-    manifest round (rotation pending), ``overage`` must be silent; once
-    the manifest catches up (``gate_debt.py --update N`` ran), it
-    enforces.  Exercised against synthetic manifests so the test holds at
-    every future round."""
+    """VERDICT r10 what's-wrong #1 (the r09 next-round #2 item, properly
+    closed): the over-age invariant fires only on an ACTUALLY-missed
+    rotation, not in every inter-round gap.  When the driver has written
+    a newer CORRECTNESS file than the committed manifest round (rotation
+    pending), ``overage`` must be silent; once the manifest catches up
+    (``gate_debt.py --update N`` ran), it enforces.
+
+    Both halves run against FULLY synthetic inputs — a synthetic manifest
+    AND a synthetic schedule (``head``) — so the assertions never depend
+    on the committed WINDOW_HEAD's phase relative to the driver's newest
+    CORRECTNESS file.  The r10 form of this test asserted the LIVE
+    WINDOW_HEAD schedules every stale query under a simulated-opened
+    manifest, which is guaranteed false the moment the driver writes a
+    new CORRECTNESS file — red in every inter-round gap."""
+    from briefly_spark.queries import load_registry
     from tools.window_plan import freshness, overage
 
-    latest_n, _newest_green, _seen = freshness()
-    pending = {"qxx": {"hash": "0" * 64, "round": latest_n - 1}}
-    assert overage(manifest=pending) == []  # rotation pending -> silent
-    opened = {"qxx": {"hash": "0" * 64, "round": latest_n}}
-    # round opened: enforcement active.  The committed WINDOW_HEAD must
-    # already schedule every stale query, so the real answer is empty —
-    # prove enforcement is LIVE (not short-circuited) with a tiny max_age
-    # that makes even fresh evidence over-age unless scheduled.
-    assert overage(manifest=opened) == []
-    from briefly_spark.queries import WINDOW_HEAD, load_registry
-
     reg = load_registry()
-    unscheduled = [n for n in reg if n not in WINDOW_HEAD and not reg[n].expected_red]
-    if unscheduled:  # max_age=0: everything gated before next round is stale
-        assert overage(max_age=0, manifest=opened), (
-            "enforcement branch unreachable: overage(max_age=0) found nothing"
+    latest_n, _newest_green, _seen = freshness()
+    all_names = tuple(reg)
+    pending = {"qxx": {"hash": "0" * 64, "round": latest_n - 1}}
+    # rotation pending -> silent, even with an empty schedule
+    assert overage(manifest=pending, head=()) == []
+    opened = {"qxx": {"hash": "0" * 64, "round": latest_n}}
+    # round opened + everything scheduled -> nothing over-age, even at
+    # max_age=0 (every query gated before next round counts as stale)
+    assert overage(max_age=0, manifest=opened, head=all_names) == []
+    # round opened + NOTHING scheduled -> enforcement is live: max_age=0
+    # makes every green-gated query over-age
+    assert overage(max_age=0, manifest=opened, head=()), (
+        "enforcement branch unreachable: overage(max_age=0, head=()) empty"
+    )
+    # scheduling exactly the over-age set silences exactly it
+    stale = overage(max_age=0, manifest=opened, head=())
+    assert overage(max_age=0, manifest=opened, head=tuple(stale)) == []
+
+
+def test_window_tail_entries_bounded_to_one_round():
+    """ADVICE r10 #3: WINDOW_HEAD entries beyond the driver's 50-entry
+    gate satisfy the over-age invariant as 'scheduled' but earn no driver
+    row — a tail slot must therefore persist at most ONE round.  Each
+    tail entry must have been gated at the manifest round or the round
+    before it (i.e. its deferral is fresh); a tail entry whose last
+    green row is older means staleness enforcement is being silenced by
+    a perpetual tail seat."""
+    from briefly_spark.queries import WINDOW_HEAD, load_registry
+    from tools.window_plan import freshness
+
+    load_registry()
+    manifest = load_manifest()
+    manifest_round = max((rec.get("round", 0) for rec in manifest.values()), default=0)
+    latest_n, newest_green, _seen = freshness()
+    if manifest_round < latest_n:
+        return  # rotation pending — round-open rotation re-seats the tail
+    tail = WINDOW_HEAD[50:]
+    overstayed = [
+        q for q in tail if newest_green.get(q, -1) < manifest_round - 1
+    ]
+    assert not overstayed, (
+        f"WINDOW_HEAD tail entries (positions 51+) holding a no-evidence "
+        f"seat for more than one round: {overstayed} — rotate them into "
+        f"the gated head"
+    )
+
+
+def test_mirror_pinned_evidence_exists():
+    """VERDICT r10 next-round #5: the mirror-evidence class is enumerated
+    mechanically (tools/window_plan.py:MIRROR_PINNED) and each entry's
+    mirror symbol AND test site must exist — deleting a DuckDB mirror or
+    its value-compare test breaks this test, so a mirror-pinned operator
+    can't silently lose its evidence while it waits for a registry slot."""
+    import importlib
+    import re as _re
+
+    from tools.window_plan import MIRROR_PINNED
+
+    assert MIRROR_PINNED, "enumeration must not be empty while ops are queued"
+    for m in MIRROR_PINNED:
+        mod_name, attr = m["symbol"].split(":")
+        obj = importlib.import_module(mod_name)
+        for part in attr.split("."):  # supports Class.method symbols
+            obj = getattr(obj, part)
+        assert callable(obj), f"{m['op']}: missing {m['symbol']}"
+        test_path, test_name = m["test"].split("::")
+        with open(test_path) as f:
+            src = f.read()
+        assert _re.search(rf"^\s*def {_re.escape(test_name)}\(", src, _re.M), (
+            f"{m['op']}: test site {m['test']} missing — the mirror lost "
+            f"its value-compare pin"
+        )
+        # graduated ops must leave the list: no registry query may already
+        # cover the op (the X-id appears in the registry docstrings once a
+        # query lands — e.g. X118 graduated to q148 and was removed here)
+        from briefly_spark.queries import load_registry
+
+        xid = m["op"].split()[0]
+        covered = [
+            n for n, s in load_registry().items()
+            if xid in (s.doc or "")
+        ]
+        assert not covered, (
+            f"{m['op']} already covered by registry queries {covered} — "
+            f"remove its MIRROR_PINNED entry; gate_debt owns it now"
         )
 
 

@@ -141,6 +141,30 @@ def test_seed_sql_mirror_matches_spark_on_testdata(spark, sf_dir):
     assert len(got) > 50  # real seed, not a degenerate fixture
 
 
+def test_unrolled_em_mirror_matches_spark_on_testdata(spark, sf_dir):
+    """The full unrolled-EM DuckDB mirror (the q148 oracle: seed → 3
+    fixed hard-EM rounds → final vocab + per-doc fertility) value-matches
+    the Spark query end-to-end on the real documents table at sf0.001 —
+    the X116 self-hosted-gate pattern, here guarding the whole training
+    replay (Viterbi tie-break key, det_ln scores, prune arithmetic)."""
+    import duckdb
+
+    from briefly_spark.catalog import table_path
+    from briefly_spark.queries import load_registry
+
+    reg = load_registry()
+    spec = reg["q148_unigram_tokenizer"]
+    got = set(map(tuple, spec.fn(spark, sf_dir).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    want = set(map(tuple, con.execute(spec.oracle).fetchall()))
+    assert got == want
+    parts = {p for p, *_ in got}
+    assert parts == {"piece", "doc"}  # both surfaces present
+
+
 def test_encode_fertility_surface(spark):
     words = spark.createDataFrame(
         [("sing", 5), ("ring", 5), ("so", 2)], "word STRING, freq LONG"

