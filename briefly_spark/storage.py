@@ -442,6 +442,7 @@ class Warehouse:
         *,
         version: int,
         change_cols: list[str] | None = None,
+        small_batch: bool = False,
     ) -> None:
         """Slowly-changing-dimension type-2 merge: instead of overwriting a
         matched row (merge_upsert) or patching fields in place
@@ -462,10 +463,15 @@ class Warehouse:
         key has no defined order).
 
         Plan shape: one NULL-safe-equality join of the CURRENT slice
-        against the batch (batch side broadcast — work batches are
-        bounded), one union of [closed ∪ untouched-current ∪ history ∪
-        inserts] written back via write-aside + swap.  History rows ride
-        through untouched; at 100 TB the history table partitions by
+        against the batch, one union of [closed ∪ untouched-current ∪
+        history ∪ inserts] written back via write-aside + swap.  The
+        batch side of the join is AQE-planned by default; callers that
+        KNOW the batch is bounded (stream micro-batches, work lists)
+        assert it with ``small_batch=True`` to force a broadcast —
+        an unconditional broadcast would OOM on a large dimension
+        backfill batch (ADVICE r10 #2, the same hazard the fk dim=True
+        gate in expectations.py avoids).  History rows ride through
+        untouched; at 100 TB the history table partitions by
         ``valid_from`` range so the rewrite is recent-partition-scoped
         (the same upgrade path as the other merges — a transactional
         format's MERGE is the drop-in)."""
@@ -476,8 +482,9 @@ class Warehouse:
                 f"SCD2 updates batch must not carry lineage columns {clash} — "
                 "pass business columns only (did you feed a read() back in?)"
             )
-        n = updates.count()
-        if n != updates.select(*key).distinct().count():
+        # key-uniqueness guard in ONE aggregate (groupBy existence check),
+        # not count + distinct-count (two full scans — ADVICE r10 #2)
+        if updates.groupBy(*key).count().filter(F.col("count") > 1).take(1):
             raise ValueError(f"SCD2 updates batch is not key-unique on {key}")
         stamped = updates.select(
             "*",
@@ -498,11 +505,11 @@ class Warehouse:
             # __hit marks a key match regardless of update values (which
             # may legitimately be all NULL); NULL-safe equality per change
             # column decides changed-vs-unchanged.
-            probe = F.broadcast(
-                updates.select(
-                    *key, *[F.col(c).alias(f"__u_{c}") for c in ccols]
-                ).withColumn("__hit", F.lit(True))
-            )
+            probe = updates.select(
+                *key, *[F.col(c).alias(f"__u_{c}") for c in ccols]
+            ).withColumn("__hit", F.lit(True))
+            if small_batch:
+                probe = F.broadcast(probe)
             unchanged_pred = F.lit(True)
             for c in ccols:
                 unchanged_pred = unchanged_pred & F.col(c).eqNullSafe(

@@ -183,14 +183,32 @@ def audited_merge_stream(
     free.
 
     Replay safety (foreachBatch is at-least-once): the audit is a
-    deterministic function of the batch, so a replayed batch takes the
-    SAME branch; the live merge is idempotent on ``key``, the quarantine
-    merge group-replaces on batch_id, and the history merge group-replaces
-    on run_id — every sink replays to the identical state.
+    deterministic function of the batch for self-contained check suites —
+    but fk checks against LIVE warehouse parents can flip verdicts
+    between an original attempt and a crash-replay (ADVICE r10 #1: a
+    parent merge may land in between).  Two mechanisms keep replays
+    convergent anyway:
+
+    - **Verdict pinning**: with ``history_table`` set, the first audit's
+      per-check report is the verdict of record — a replayed batch whose
+      run_id already has history rows REUSES that verdict instead of
+      re-auditing, so the branch is deterministic across replays by
+      construction (the admission decision is made once).
+    - **Admit-side quarantine sweep**: the admit branch also clears any
+      quarantine rows carrying this batch_id, so a batch quarantined
+      under an earlier parent state cannot stay in BOTH the live table
+      and the quarantine after a flip to admission.
+
+    Without a history table, the admit→quarantine flip remains visible
+    by design: the original merge is not unwound (later batches may have
+    overwritten its rows), and the replayed batch lands in quarantine as
+    a conservative flag for operator review.
 
     Scale: the audit adds one aggregate pass (+ one join per fk) over the
-    MICRO-BATCH, not the table; the report is check-bounded; quarantine
-    writes are batch-sized."""
+    MICRO-BATCH, not the table; the report is check-bounded; the verdict
+    reuse reads only run_id-filtered history rows (check-bounded) and
+    the admit-side sweep only runs when the quarantine actually holds
+    the batch_id; quarantine writes are quarantine-sized."""
     from briefly_spark.operators.expectations import (
         expectation_history_merge,
         expectation_report,
@@ -199,34 +217,56 @@ def audited_merge_stream(
     spark = source.sparkSession
     parents = sorted({c.parent for c in checks if c.parent and c.parent != table})
 
+    def _pinned_verdict(batch_id: int) -> bool | None:
+        """Admission verdict recorded by a previous attempt at this
+        batch_id, or None on first sight (check-bounded collect)."""
+        if not history_table or not wh.exists(history_table):
+            return None
+        prior = (
+            wh.read(history_table)
+            .filter(F.col("run_id") == int(batch_id))
+            .select("n_violations")
+            .collect()
+        )
+        if not prior:
+            return None
+        return all(r["n_violations"] == 0 for r in prior)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         df = transform(batch_df) if transform else batch_df
         df = df.persist()
         try:
             if not df.take(1):
                 return
-            tabs = {table: df, **{p: wh.read(p) for p in parents}}
-            report = expectation_report(spark, tabs, checks).persist()
-            try:
-                failed = report.filter(~F.col("passed")).take(1)
-                if history_table:
-                    expectation_history_merge(
-                        wh, report, history_table, run_id=batch_id
-                    )
-                if failed:
-                    wh.merge_upsert(
-                        df.withColumn(
-                            "batch_id", F.lit(int(batch_id)).cast("long")
-                        ),
-                        quarantine_table,
-                        ["batch_id"],
-                    )
-                else:
-                    wh.merge_upsert(
-                        df.dropDuplicates(key), table, key, partition_by=partition_by
-                    )
-            finally:
-                report.unpersist()
+            admitted = _pinned_verdict(batch_id)
+            if admitted is None:
+                tabs = {table: df, **{p: wh.read(p) for p in parents}}
+                report = expectation_report(spark, tabs, checks).persist()
+                try:
+                    admitted = not report.filter(~F.col("passed")).take(1)
+                    if history_table:
+                        expectation_history_merge(
+                            wh, report, history_table, run_id=batch_id
+                        )
+                finally:
+                    report.unpersist()
+            if admitted:
+                wh.merge_upsert(
+                    df.dropDuplicates(key), table, key, partition_by=partition_by
+                )
+                if wh.exists(quarantine_table):
+                    quar = wh.read(quarantine_table)
+                    mine = F.col("batch_id") == int(batch_id)
+                    if quar.filter(mine).take(1):
+                        wh.overwrite(quar.filter(~mine), quarantine_table)
+            else:
+                wh.merge_upsert(
+                    df.withColumn(
+                        "batch_id", F.lit(int(batch_id)).cast("long")
+                    ),
+                    quarantine_table,
+                    ["batch_id"],
+                )
         finally:
             df.unpersist()
 
@@ -268,7 +308,8 @@ def scd2_stream(
         df = transform(batch_df) if transform else batch_df
         if df.take(1):
             wh.merge_scd2(
-                df, table, key, version=int(batch_id), change_cols=change_cols
+                df, table, key, version=int(batch_id), change_cols=change_cols,
+                small_batch=True,  # stream micro-batches are bounded
             )
 
     q = (
@@ -295,6 +336,18 @@ def requeue_quarantine(
     suite; batches that now pass merge into the live table and leave the
     quarantine, batches that still fail stay put.  Returns
     {batch_id: admitted}.
+
+    Readmission OVERWRITES on key (ADVICE r10 #4, explicit by design):
+    the live merge is the same keyed group-replace every admitted batch
+    gets, so a readmitted row replaces any live row sharing its key —
+    exactly as if the batch had passed admission late.  Each batch is
+    re-audited in ISOLATION: ``unique`` checks validate the batch
+    against itself, not against batch ∪ live, because key collision
+    with live rows is the merge's documented update path, not a
+    violation.  Consequence for ``repair`` authors: a transform that
+    REWRITES KEY COLUMNS can make a repaired row land on (and replace) an
+    unrelated live row — keep repairs key-stable, or run them through a
+    staging table when key surgery is intended.
 
     Crash safety: the live merge runs BEFORE the quarantine rewrite, so
     a crash between the two leaves the batch in quarantine and a re-run

@@ -654,6 +654,78 @@ def test_audited_merge_stream_quarantines_poisoned_batch(spark, tmp_path):
     assert after == before
 
 
+def test_audited_stream_replay_verdict_pinned_and_admit_sweep(spark, tmp_path):
+    """ADVICE r10 #1: fk checks against LIVE parents can flip a batch's
+    verdict between an attempt and its replay.  (a) Verdict pinning: with
+    a history table, the first audit is the verdict of record — a
+    checkpoint-wiped replay run AFTER the missing parent appeared must
+    NOT flip the quarantined batch to admission.  (b) Admit-side sweep:
+    a batch admitted on (re)play clears its batch_id from the quarantine,
+    so a flip the other way never leaves rows in BOTH tables."""
+    import time
+
+    from briefly_spark.operators.expectations import fk
+    from briefly_spark.streaming import audited_merge_stream
+
+    wh = Warehouse(spark, str(tmp_path / "wh_pin"))
+    wh.overwrite(spark.createDataFrame([(1,)], "cust_id long"), "customers")
+    wh.overwrite(
+        spark.createDataFrame([], "ev_id long, cust_id long"), "events_live"
+    )
+    src = tmp_path / "pin_batches"
+    src.mkdir()
+    for j, rows in enumerate([[(1, 1)], [(2, 99)]]):  # b1: unknown fk
+        spark.createDataFrame(rows, "ev_id long, cust_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{j}"))
+        time.sleep(1.1)
+    checks = [fk("events_live", "cust_id", "customers", "cust_id", dim=True)]
+    ckpt = tmp_path / "pin_ckpt"
+    run = lambda: audited_merge_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh, "events_live", ["ev_id"], checks=checks, checkpoint=str(ckpt),
+        quarantine_table="q", history_table="h",
+    )
+    run()
+    assert {r["ev_id"] for r in wh.read("events_live").collect()} == {1}
+    assert {r["ev_id"] for r in wh.read("q").collect()} == {2}
+    # the unknown parent appears, then the whole stream replays from
+    # scratch (checkpoint wiped — same files, same batch ids)
+    wh.overwrite(spark.createDataFrame([(1,), (99,)], "cust_id long"), "customers")
+    shutil.rmtree(ckpt)
+    run()
+    # pinned: batch 1 stays quarantined even though a fresh audit would
+    # now pass; live and quarantine are byte-identical to the first run
+    assert {r["ev_id"] for r in wh.read("events_live").collect()} == {1}
+    assert {r["ev_id"] for r in wh.read("q").collect()} == {2}
+    assert wh.read("h").select("run_id").distinct().count() == 2
+
+    # (b) admit-side sweep, no history (fresh audits every replay): a
+    # batch quarantined under an OLD parent state readmits on replay and
+    # must leave the quarantine
+    wh2 = Warehouse(spark, str(tmp_path / "wh_sweep"))
+    wh2.overwrite(spark.createDataFrame([(99,)], "cust_id long"), "customers")
+    wh2.overwrite(
+        spark.createDataFrame([], "ev_id long, cust_id long"), "events_live"
+    )
+    wh2.overwrite(  # as if batch 0 was quarantined before cust 99 existed
+        spark.createDataFrame([(2, 99, 0)], "ev_id long, cust_id long, batch_id long"),
+        "q",
+    )
+    src2 = tmp_path / "sweep_batches"
+    src2.mkdir()
+    spark.createDataFrame([(2, 99)], "ev_id long, cust_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src2 / "b0"))
+    audited_merge_stream(
+        read_parquet_stream(spark, str(src2) + "/*/", max_files_per_trigger=1),
+        wh2, "events_live", ["ev_id"], checks=checks,
+        checkpoint=str(tmp_path / "sweep_ckpt"), quarantine_table="q",
+    )
+    assert {r["ev_id"] for r in wh2.read("events_live").collect()} == {2}
+    assert wh2.read("q").count() == 0  # swept on admit — not in both tables
+
+
 def test_requeue_quarantine_readmits_repaired_batches(spark, tmp_path):
     """The repair loop on X120's quarantine: a caller repair that drops
     unknown-fk rows makes one batch admissible (merged + removed from
