@@ -75,6 +75,20 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "test": "tests/test_sketches.py::test_fold_equals_oneshot_and_replay_is_idempotent",
         "queued": "not SQL-expressible (register-level merge state) — standing pin",
     },
+    {
+        "op": "X129 per-group exact OLS trend regression",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.trends:sql_group_trend",
+        "test": "tests/test_trends.py::test_duckdb_mirror_on_testdata",
+        "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
+    },
+    {
+        "op": "X130 k-anonymity / l-diversity release-risk audit",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.privacy:sql_k_anonymity_summary",
+        "test": "tests/test_privacy.py::test_duckdb_mirrors_on_testdata",
+        "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
+    },
 )
 
 
