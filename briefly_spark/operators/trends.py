@@ -35,6 +35,16 @@ nÂ·Î£xx â‰ˆ nâ´/3 â€” DECIMAL(38,0) holds exact results up to roughly n â‰ˆ 10â
 rows PER GROUP; for hotter groups, bucket x (e.g. by day) so n counts
 buckets, not rows.  Pass x as a bounded ordinal (rank, epoch-day,
 bucket id), never an unbounded surrogate id.
+
+Rows with a NULL x or y are excluded on both sides (a point without
+both coordinates is not an observation).
+
+X131 â€” incremental form: the sufficient statistics are associative
+integer adds, so :func:`trend_batch_sums` / :func:`trend_registry_fit`
+/ :func:`trend_sums_stream` / :func:`trend_registry_compact` give the
+standing-registry shape (HLL X128's discipline: per-batch blocks,
+group-replace on batch_id for replay safety, group-bounded fold on
+read, bit-stable compaction) with EXACT batch â‰¡ fold â‰¡ stream pins.
 """
 
 from __future__ import annotations
@@ -61,6 +71,54 @@ def _require_int(df: DataFrame, col: str) -> None:
         )
 
 
+_DEC = "decimal(38,0)"
+
+#: the mergeable sufficient statistics a trend is derived from
+SUM_COLS = ("n", "x_sum", "y_sum", "xx_sum", "xy_sum", "yy_sum")
+
+
+def _group_sums(
+    df: DataFrame, *, group_cols: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """The sufficient statistics per group â€” rows with a NULL x or y are
+    dropped (a point without both coordinates is not an observation, and
+    sum/count must agree on n)."""
+    for c in (x_col, y_col):
+        _require_int(df, c)
+    x = F.col(x_col).cast(_DEC)
+    y = F.col(y_col).cast(_DEC)
+    return (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).cast(_DEC).alias("x_sum"),
+            F.sum(y).cast(_DEC).alias("y_sum"),
+            F.sum(x * x).cast(_DEC).alias("xx_sum"),
+            F.sum(x * y).cast(_DEC).alias("xy_sum"),
+            F.sum(y * y).cast(_DEC).alias("yy_sum"),
+        )
+    )
+
+
+def _fit_from_sums(sums: DataFrame, *, group_cols: list[str]) -> DataFrame:
+    n = F.col("n").cast(_DEC)
+    return sums.select(
+        *group_cols,
+        "n",
+        "x_sum",
+        "y_sum",
+        (n * F.col("xy_sum") - F.col("x_sum") * F.col("y_sum"))
+        .cast(_DEC).alias("slope_num"),
+        (n * F.col("xx_sum") - F.col("x_sum") * F.col("x_sum"))
+        .cast(_DEC).alias("slope_den"),
+        (F.col("y_sum") * F.col("xx_sum") - F.col("x_sum") * F.col("xy_sum"))
+        .cast(_DEC).alias("icept_num"),
+        (n * F.col("yy_sum") - F.col("y_sum") * F.col("y_sum"))
+        .cast(_DEC).alias("vary_num"),
+    )
+
+
 def group_trend(
     df: DataFrame, *, group_cols: list[str], x_col: str, y_col: str
 ) -> DataFrame:
@@ -68,34 +126,108 @@ def group_trend(
     aggregation pass, output = ``group_cols`` + :data:`TREND_COLS`
     (DECIMAL(38,0) fractions, see module doc).  The DuckDB mirror is
     :func:`sql_group_trend`."""
-    for c in (x_col, y_col):
-        _require_int(df, c)
-    dec = "decimal(38,0)"
-    x = F.col(x_col).cast(dec)
-    y = F.col(y_col).cast(dec)
-    agg = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(x).cast(dec).alias("x_sum"),
-        F.sum(y).cast(dec).alias("y_sum"),
-        F.sum(x * x).cast(dec).alias("xx_sum"),
-        F.sum(x * y).cast(dec).alias("xy_sum"),
-        F.sum(y * y).cast(dec).alias("yy_sum"),
+    return _fit_from_sums(
+        _group_sums(df, group_cols=group_cols, x_col=x_col, y_col=y_col),
+        group_cols=group_cols,
     )
-    n = F.col("n").cast(dec)
-    return agg.select(
+
+
+# -- X131: the INCREMENTAL form â€” a mergeable sufficient-statistics registry
+#
+# The sums (n, Î£x, Î£y, Î£xx, Î£xy, Î£yy) are associative + commutative
+# integer adds, so the registry shape the lake's other long-lived state
+# uses (HLL X128, heavy-hitter X69, NB X115) applies with EXACT â€” not
+# approximate â€” batch â‰¡ fold â‰¡ stream agreement: each ingest batch
+# contributes one sums block keyed by batch_id (group-replace on replay,
+# so a re-delivered batch never double-counts), the fit at any moment is
+# one group-bounded fold over the registry, and compaction re-sums
+# blocks into a sentinel block without changing a single output bit.
+
+
+def trend_batch_sums(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    batch_id: int,
+) -> DataFrame:
+    """One batch's contribution: (batch_id, *group_cols, *SUM_COLS)."""
+    return _group_sums(
+        df, group_cols=group_cols, x_col=x_col, y_col=y_col
+    ).select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
         *group_cols,
-        "n",
-        "x_sum",
-        "y_sum",
-        (n * F.col("xy_sum") - F.col("x_sum") * F.col("y_sum"))
-        .cast(dec).alias("slope_num"),
-        (n * F.col("xx_sum") - F.col("x_sum") * F.col("x_sum"))
-        .cast(dec).alias("slope_den"),
-        (F.col("y_sum") * F.col("xx_sum") - F.col("x_sum") * F.col("xy_sum"))
-        .cast(dec).alias("icept_num"),
-        (n * F.col("yy_sum") - F.col("y_sum") * F.col("y_sum"))
-        .cast(dec).alias("vary_num"),
+        *SUM_COLS,
     )
+
+
+def trend_registry_fit(registry: DataFrame, *, group_cols: list[str]) -> DataFrame:
+    """The exact OLS fit over everything the registry has absorbed â€” one
+    group-bounded fold of the sums blocks, then the same fraction
+    derivation as :func:`group_trend`: output is bit-identical to a
+    one-shot ``group_trend`` over the union of the ingested batches."""
+    folded = registry.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        *[F.sum(c).cast(_DEC).alias(c) for c in SUM_COLS if c != "n"],
+    )
+    return _fit_from_sums(folded, group_cols=group_cols)
+
+
+def trend_registry_compact(
+    registry: DataFrame, *, into_batch_id: int = -1
+) -> DataFrame:
+    """Re-sum a grown registry into ONE block per group â€” exact (integer
+    adds are associative), so fits before and after compaction are
+    bit-identical (pytest-pinned).  Same caveat as the other registry
+    compactors: only compact batches whose replay window has passed; the
+    NEGATIVE sentinel cannot collide with foreachBatch ids (â‰¥ 0)."""
+    group_cols = [
+        c for c in registry.columns if c != "batch_id" and c not in SUM_COLS
+    ]
+    return registry.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        *[F.sum(c).cast(_DEC).alias(c) for c in SUM_COLS if c != "n"],
+    ).select(
+        F.lit(int(into_batch_id)).cast("long").alias("batch_id"),
+        *group_cols,
+        *SUM_COLS,
+    )
+
+
+def trend_sums_stream(
+    source: DataFrame,
+    wh,
+    *,
+    registry_table: str,
+    checkpoint: str,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> None:
+    """Streaming maintenance: each micro-batch's sums block merges into
+    the registry keyed on batch_id alone (group-replace â€” the X69/X115/
+    X128 replay discipline: a re-delivered batch replaces its entire
+    block, so sums never absorb a batch twice)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        block = trend_batch_sums(
+            batch_df,
+            group_cols=group_cols,
+            x_col=x_col,
+            y_col=y_col,
+            batch_id=batch_id,
+        )
+        if block.take(1):
+            wh.merge_upsert(block, registry_table, ["batch_id"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def sql_group_trend(
@@ -112,7 +244,9 @@ def sql_group_trend(
          sum(CAST({x_col} AS HUGEINT) * CAST({x_col} AS HUGEINT)) AS xx_sum,
          sum(CAST({x_col} AS HUGEINT) * CAST({y_col} AS HUGEINT)) AS xy_sum,
          sum(CAST({y_col} AS HUGEINT) * CAST({y_col} AS HUGEINT)) AS yy_sum
-  FROM {table} GROUP BY {g}
+  FROM {table}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+  GROUP BY {g}
 )
 SELECT {g}, n, x_sum, y_sum,
        CAST(n AS HUGEINT) * xy_sum - x_sum * y_sum AS slope_num,

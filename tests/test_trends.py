@@ -101,3 +101,90 @@ def test_single_aggregation_plan(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, plan
+
+
+# -- X131: the mergeable sufficient-statistics registry ----------------------
+
+def _pts(spark, lo, hi):
+    # y = 3x + noise-ish deterministic wiggle, two interleaved groups
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+        F.col("id").alias("x"),
+        (F.col("id") * 3 + F.col("id") % 7).alias("y"),
+    )
+
+
+def _fit_rows(df, group_cols=("g",)):
+    from briefly_spark.operators.trends import TREND_COLS
+
+    return sorted(
+        tuple(r[c] for c in (*group_cols, *TREND_COLS)) for c in [0]
+        for r in df.collect()
+    )
+
+
+def test_registry_fold_equals_oneshot_exactly(spark):
+    from briefly_spark.operators.trends import (
+        trend_batch_sums,
+        trend_registry_compact,
+        trend_registry_fit,
+    )
+
+    whole = _pts(spark, 0, 600)
+    oneshot = _fit_rows(group_trend(whole, group_cols=["g"], x_col="x", y_col="y"))
+    reg = None
+    for b, (lo, hi) in enumerate(((0, 200), (200, 400), (400, 600))):
+        block = trend_batch_sums(
+            _pts(spark, lo, hi), group_cols=["g"], x_col="x", y_col="y", batch_id=b
+        )
+        reg = block if reg is None else reg.unionByName(block)
+    folded = _fit_rows(trend_registry_fit(reg, group_cols=["g"]))
+    assert folded == oneshot  # bit-exact, not approximate
+    # compaction: one sentinel block per group, fit unchanged
+    compact = trend_registry_compact(reg)
+    assert compact.count() == 2
+    assert {int(r["batch_id"]) for r in compact.collect()} == {-1}
+    assert _fit_rows(trend_registry_fit(compact, group_cols=["g"])) == oneshot
+
+
+def test_registry_stream_matches_batch_and_rerun_is_noop(spark, tmp_path):
+    import time
+
+    from briefly_spark.operators.trends import trend_registry_fit, trend_sums_stream
+    from briefly_spark.storage import Warehouse
+    from briefly_spark.streaming.incremental import read_parquet_stream
+
+    src = tmp_path / "trend_batches"
+    src.mkdir()
+    for j, (lo, hi) in enumerate(((0, 200), (200, 400), (400, 600))):
+        _pts(spark, lo, hi).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{j}")
+        )
+        time.sleep(1.1)
+    wh = Warehouse(spark, str(tmp_path / "wh_trend"))
+    ckpt = str(tmp_path / "trend_ckpt")
+    run = lambda: trend_sums_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh, registry_table="trend_reg", checkpoint=ckpt,
+        group_cols=["g"], x_col="x", y_col="y",
+    )
+    run()
+    got = _fit_rows(trend_registry_fit(wh.read("trend_reg"), group_cols=["g"]))
+    want = _fit_rows(
+        group_trend(_pts(spark, 0, 600), group_cols=["g"], x_col="x", y_col="y")
+    )
+    assert got == want  # stream == one-shot, bit-exact
+    state = sorted(map(tuple, wh.read("trend_reg").collect()))
+    run()  # nothing new
+    assert sorted(map(tuple, wh.read("trend_reg").collect())) == state
+
+
+def test_null_points_excluded_consistently(spark):
+    rows = [("a", 1, 2), ("a", None, 5), ("a", 2, None), ("a", 3, 6)]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y LONG")
+    r = group_trend(df, group_cols=["g"], x_col="x", y_col="y").collect()[0]
+    assert r["n"] == 2  # only the complete observations count
+    num, den, icept = _fit([(1, 2), (3, 6)])
+    assert (int(r["slope_num"]), int(r["slope_den"])) == (num, den)

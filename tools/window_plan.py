@@ -89,6 +89,14 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "test": "tests/test_privacy.py::test_duckdb_mirrors_on_testdata",
         "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
     },
+    {
+        "op": "X131 incremental trend registry (mergeable OLS sums)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.trends:trend_registry_fit",
+        "test": "tests/test_trends.py::test_registry_fold_equals_oneshot_exactly",
+        "queued": "registry form of X129 — batch≡fold≡stream EXACT pins; "
+                  "gates transitively when X129 takes its slot",
+    },
 )
 
 
