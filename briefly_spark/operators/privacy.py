@@ -100,6 +100,98 @@ def suppression_worklist(
     return df.join(small, quasi_cols, "left_semi")
 
 
+def generalize_to_k(
+    df: DataFrame,
+    *,
+    ladders: dict[str, list],
+    k: int,
+    suppress_remainder: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Greedy full-domain generalization until the table is k-anonymous
+    (Samarati 2001 / Sweeney 2002's generalization+suppression model,
+    greedy instead of lattice search): each QI column gets a caller-
+    supplied LADDER of coarsenings (e.g. age → decade → NULL, zip →
+    3-digit prefix → NULL), and each round promotes
+    the ONE column whose next level leaves the fewest rows in
+    sub-``k`` crowds, until the table is k-anonymous or every ladder is
+    exhausted.  Rows still in small crowds at the end are dropped when
+    ``suppress_remainder`` (the standard suppression step) — the
+    returned table is therefore ALWAYS k-anonymous on the generalized
+    QI columns.
+
+    ``ladders[col]`` lists the coarsenings for levels 1..L in order
+    (level 0 — the raw column — is implicit); each entry is a Column
+    expression over the BASE dataframe.  Returns (released_df, audit)
+    where audit records the chosen level per column, rounds taken, and
+    the suppressed-row count.
+
+    Determinism: candidate evaluation order is the caller's dict order;
+    ties break on that order (first wins) — no randomness, same inputs
+    → same levels, same release.
+
+    Scale: each round evaluates ≤ |QI| candidate aggregations (one
+    crowd-size pass each — the X130 report shape, one shuffle per
+    candidate, all group-bounded); driver state is the level vector +
+    one scalar per candidate.  Rounds ≤ Σ ladder depths (typically < 10).
+    The final release is one anti-join against the small-crowd frame."""
+    levels = {c: 0 for c in ladders}
+
+    def _qi_expr(col: str, level: int):
+        return F.col(col) if level == 0 else ladders[col][level - 1]
+
+    def _suppressed_rows(lv: dict[str, int]) -> int:
+        rep = (
+            df.select(*[_qi_expr(c, lv[c]).alias(f"__qi_{c}") for c in ladders])
+            .groupBy(*[f"__qi_{c}" for c in ladders])
+            .agg(F.count(F.lit(1)).alias("group_size"))
+        )
+        row = rep.agg(
+            F.sum(
+                F.when(F.col("group_size") < int(k), F.col("group_size"))
+                .otherwise(F.lit(0))
+            ).alias("s")
+        ).collect()[0]
+        return int(row["s"] or 0)
+
+    rounds = 0
+    bad = _suppressed_rows(levels)
+    while bad > 0:
+        candidates = [c for c, lad in ladders.items() if levels[c] < len(lad)]
+        if not candidates:
+            break
+        best_col, best_bad = None, None
+        for c in candidates:
+            trial = dict(levels)
+            trial[c] += 1
+            b = _suppressed_rows(trial)
+            if best_bad is None or b < best_bad:  # strict: ties keep first
+                best_col, best_bad = c, b
+        levels[best_col] += 1
+        bad = best_bad
+        rounds += 1
+    out_cols = [c for c in df.columns if c not in ladders]
+    released = df.select(
+        *[_qi_expr(c, levels[c]).alias(c) for c in ladders],
+        *out_cols,
+    )
+    suppressed = 0
+    if bad > 0 and suppress_remainder:
+        small = (
+            released.groupBy(*ladders)
+            .agg(F.count(F.lit(1)).alias("group_size"))
+            .filter(F.col("group_size") < int(k))
+            .select(*ladders)
+        )
+        released = released.join(small, list(ladders), "left_anti")
+        suppressed = bad
+    return released, {
+        "levels": dict(levels),
+        "rounds": rounds,
+        "suppressed_rows": suppressed,
+        "k": int(k),
+    }
+
+
 def sql_k_anonymity_report(
     table: str, *, quasi_cols: list[str], sensitive_col: str | None = None
 ) -> str:

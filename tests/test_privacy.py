@@ -114,3 +114,79 @@ def test_report_single_aggregation_plan(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, plan
+
+
+# -- X132: greedy generalization-to-k ----------------------------------------
+
+def _gen_df(spark):
+    rows = [("10001", 31), ("10002", 32), ("20001", 45), ("20002", 47)]
+    return spark.createDataFrame(rows, "zip STRING, age LONG")
+
+
+def _ladders():
+    from pyspark.sql import functions as F
+
+    return {
+        "zip": [F.substring("zip", 1, 3), F.lit(None).cast("string")],
+        "age": [(F.col("age") - F.col("age") % 10), F.lit(None).cast("long")],
+    }
+
+
+def test_generalize_greedy_hand_traced(spark):
+    """Raw table: every QI pair is a singleton.  Round 1: neither single
+    promotion fixes anything (tie) -> first ladder (zip) promotes to its
+    prefix.  Round 2: the decade promotion empties the violation set ->
+    k-anonymous with NO suppression, exactly two rounds."""
+    from briefly_spark.operators.privacy import generalize_to_k
+
+    released, audit = generalize_to_k(_gen_df(spark), ladders=_ladders(), k=2)
+    assert audit == {
+        "levels": {"zip": 1, "age": 1}, "rounds": 2,
+        "suppressed_rows": 0, "k": 2,
+    }
+    got = sorted(map(tuple, released.collect()))
+    assert got == [("100", 30), ("100", 30), ("200", 40), ("200", 40)]
+    # released table IS k-anonymous on the generalized QI columns
+    s = k_anonymity_summary(released, quasi_cols=["zip", "age"], k=2).collect()[0]
+    assert s["k_min"] >= 2 and s["n_violating_groups"] == 0
+
+
+def test_generalize_suppresses_when_ladders_exhausted(spark):
+    """A short ladder (prefix only, no NULL top) cannot crowd the outlier
+    — the remainder suppression step drops it and the release is still
+    k-anonymous."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.privacy import generalize_to_k
+
+    rows = [("10001", 1), ("10002", 1), ("99999", 1)]
+    df = spark.createDataFrame(rows, "zip STRING, v LONG")
+    released, audit = generalize_to_k(
+        df, ladders={"zip": [F.substring("zip", 1, 3)]}, k=2
+    )
+    assert audit["levels"] == {"zip": 1}
+    assert audit["suppressed_rows"] == 1
+    assert sorted(map(tuple, released.collect())) == [("100", 1), ("100", 1)]
+    # suppress_remainder=False keeps the outlier and reports it
+    kept, audit2 = generalize_to_k(
+        df, ladders={"zip": [F.substring("zip", 1, 3)]}, k=2,
+        suppress_remainder=False,
+    )
+    assert kept.count() == 3 and audit2["suppressed_rows"] == 0
+
+
+def test_generalize_is_deterministic_and_noop_when_already_anonymous(spark):
+    from briefly_spark.operators.privacy import generalize_to_k
+
+    a = generalize_to_k(_gen_df(spark), ladders=_ladders(), k=2)
+    b = generalize_to_k(_gen_df(spark), ladders=_ladders(), k=2)
+    assert a[1] == b[1]
+    assert sorted(map(tuple, a[0].collect())) == sorted(map(tuple, b[0].collect()))
+    # k=1 is already satisfied -> zero rounds, raw columns pass through
+    released, audit = generalize_to_k(_gen_df(spark), ladders=_ladders(), k=1)
+    assert audit == {
+        "levels": {"zip": 0, "age": 0}, "rounds": 0,
+        "suppressed_rows": 0, "k": 1,
+    }
+    assert sorted(map(tuple, released.collect())) \
+        == sorted(map(tuple, _gen_df(spark).collect()))

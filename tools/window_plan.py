@@ -90,6 +90,14 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
     },
     {
+        "op": "X132 greedy generalization-to-k (Samarati/Sweeney release)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.privacy:generalize_to_k",
+        "test": "tests/test_privacy.py::test_generalize_greedy_hand_traced",
+        "queued": "data-dependent promotion loop (the BPE/jobs-gate class) "
+                  "— pytest-pinned; gates transitively if X130 takes a slot",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
