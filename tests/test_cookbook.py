@@ -71,3 +71,53 @@ def test_cookbook_tokenizer_flow_runs(spark, sf_dir):
     stats = unigram_encode(docs, vocab, id_col="doc_id", text_col="text")
     row = stats.agg(F.min("fertility_fp").alias("m")).collect()[0]
     assert row["m"] >= 10000  # fertility >= 1 piece per word, by construction
+
+
+def test_cookbook_trend_flow_runs(spark, sf_dir, tmp_path):
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.trends import (
+        group_trend,
+        trend_batch_sums,
+        trend_registry_fit,
+    )
+    from briefly_spark.storage import Warehouse
+
+    docs = load_table(spark, sf_dir, "documents")
+    fit = group_trend(docs, group_cols=["source"], x_col="doc_id", y_col="n_chars")
+    assert {"slope_num", "slope_den", "icept_num"} <= set(fit.columns)
+    assert fit.count() > 1
+    # standing-registry path as the cookbook shows it (batch form of the
+    # stream: same block builder foreachBatch uses)
+    wh = Warehouse(spark, str(tmp_path / "wh_ck_trend"))
+    wh.merge_upsert(
+        trend_batch_sums(docs, group_cols=["source"], x_col="doc_id",
+                         y_col="n_chars", batch_id=0),
+        "len_trend_reg", ["batch_id"],
+    )
+    reg_fit = trend_registry_fit(wh.read("len_trend_reg"), group_cols=["source"])
+    assert sorted(map(tuple, reg_fit.collect())) == sorted(map(tuple, fit.collect()))
+
+
+def test_cookbook_privacy_flow_runs(spark, sf_dir):
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.privacy import (
+        generalize_to_k,
+        k_anonymity_summary,
+        suppression_worklist,
+    )
+
+    users = load_table(spark, sf_dir, "customer")
+    qi = ["c_nationkey", "c_mktsegment"]
+    risk = k_anonymity_summary(
+        users, quasi_cols=qi, k=5, sensitive_col="c_acctbal", l=2
+    ).collect()[0]
+    assert risk["n_groups"] > 1
+    todo = suppression_worklist(users, quasi_cols=qi, k=5)
+    assert todo.count() == risk["n_suppressed_rows"]
+    released, audit = generalize_to_k(users, k=5, ladders={
+        "c_nationkey": [F.lit(None).cast("int")],
+        "c_mktsegment": [F.substring("c_mktsegment", 1, 1),
+                         F.lit(None).cast("string")],
+    })
+    check = k_anonymity_summary(released, quasi_cols=qi, k=5).collect()[0]
+    assert check["n_violating_groups"] == 0  # the release contract
