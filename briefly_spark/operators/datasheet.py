@@ -1,0 +1,171 @@
+"""Dataset release datasheet (X133) — the one-frame summary a training
+run's data card is built from (Gebru et al. 2021, "Datasheets for
+Datasets", CACM 64(12); public concept): volume, composition (language /
+source mix), exact-duplication rate, and length distribution of a
+document collection, as ONE tidy (section, metric, k, value) frame.
+
+A 100 TB release ships with this frame computed ON the release: it is
+the number the mixture queries (q58/q114), the packing budget (q59),
+and the governance audits (X130) are reconciled against, and appending
+it to the metrics history (X119) watches composition drift across
+releases for free.
+
+Exactness: counts and integer sums only — no floats, no approximations
+(near-dup rates come from the dedup family q30–q37; this frame records
+the EXACT legs).  Fully SQL-expressible: :func:`sql_dataset_datasheet`
+is the DuckDB mirror, value-identical — the operator is an r12+
+registry-slot candidate in the same single-query shape as X124/X125.
+
+Scale: four aggregation passes over the collection (volume+dup in one,
+language mix, source mix, length histogram), each a single
+hash-aggregate shuffle with map-side partials; output is
+(languages + sources + histogram buckets + constants)-bounded.  Token
+counts use the corpus-wide whitespace tokenization (the q50/q88/BPE
+convention).  The length histogram buckets by floor(n_tokens / width)
+— value-bounded (the q101/q119 histogram discipline), never a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the datasheet frame
+SHEET_COLS = ("section", "metric", "k", "value")
+
+
+def dataset_datasheet(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    length_bucket: int = 100,
+) -> DataFrame:
+    """The release datasheet frame: (section, metric, k, value BIGINT).
+
+    Sections emitted:
+      volume      — n_docs, n_tokens, n_chars, n_distinct_texts,
+                    n_exact_dup_docs (docs minus distinct text bodies)
+      language    — per-language doc counts (when ``lang_col``)
+      source      — per-source doc counts (when ``source_col``)
+      length_hist — doc count per token-length bucket
+                    (k = bucket lower bound, width ``length_bucket``)
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.md5(F.col(text_col)).alias("text_h"),
+        *([F.col(lang_col).alias("lang")] if lang_col else []),
+        *([F.col(source_col).alias("source")] if source_col else []),
+    )
+    sheet = "section STRING, metric STRING, k STRING, value LONG"
+
+    vol = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("text_h").cast("long").alias("n_distinct_texts"),
+    )
+    parts = [
+        vol.selectExpr(
+            "stack(5, "
+            "'volume', 'n_docs', '', n_docs, "
+            "'volume', 'n_tokens', '', n_tokens, "
+            "'volume', 'n_chars', '', n_chars, "
+            "'volume', 'n_distinct_texts', '', n_distinct_texts, "
+            "'volume', 'n_exact_dup_docs', '', n_docs - n_distinct_texts"
+            ") AS (section, metric, k, value)"
+        )
+    ]
+    if lang_col:
+        parts.append(
+            base.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("v"))
+            .select(
+                F.lit("language").alias("section"),
+                F.lit("n_docs").alias("metric"),
+                F.col("lang").cast("string").alias("k"),
+                F.col("v").alias("value"),
+            )
+        )
+    if source_col:
+        parts.append(
+            base.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+            .select(
+                F.lit("source").alias("section"),
+                F.lit("n_docs").alias("metric"),
+                F.col("source").cast("string").alias("k"),
+                F.col("v").alias("value"),
+            )
+        )
+    parts.append(
+        base.select(
+            (F.floor(F.col("n_toks") / length_bucket) * length_bucket)
+            .cast("long").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select(
+            F.lit("length_hist").alias("section"),
+            F.lit("n_docs").alias("metric"),
+            F.col("b").cast("string").alias("k"),
+            F.col("v").alias("value"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*SHEET_COLS)
+
+
+def sql_dataset_datasheet(
+    table: str,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    length_bucket: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`dataset_datasheet` — identical tokenization
+    (the shared whitespace-split convention) and identical surfaces."""
+    ntoks = (
+        rf"CAST(len(list_filter(string_split_regex(lower({text_col}), "
+        rf"'\s+'), x -> x <> '')) AS BIGINT)"
+    )
+    legs = [
+        f"""SELECT 'volume' AS section, m AS metric, '' AS k, v AS value
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({ntoks}) AS BIGINT) AS n_tokens,
+         CAST(sum(length({text_col})) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT md5({text_col})) AS BIGINT) AS n_distinct_texts
+  FROM {table}
+), LATERAL (VALUES
+  ('n_docs', n_docs), ('n_tokens', n_tokens), ('n_chars', n_chars),
+  ('n_distinct_texts', n_distinct_texts),
+  ('n_exact_dup_docs', n_docs - n_distinct_texts)) AS t(m, v)"""
+    ]
+    if lang_col:
+        legs.append(
+            f"SELECT 'language', 'n_docs', CAST({lang_col} AS VARCHAR), "
+            f"CAST(count(*) AS BIGINT) FROM {table} GROUP BY {lang_col}"
+        )
+    if source_col:
+        legs.append(
+            f"SELECT 'source', 'n_docs', CAST({source_col} AS VARCHAR), "
+            f"CAST(count(*) AS BIGINT) FROM {table} GROUP BY {source_col}"
+        )
+    legs.append(
+        f"""SELECT 'length_hist', 'n_docs', CAST(b AS VARCHAR),
+       CAST(count(*) AS BIGINT)
+FROM (SELECT ({ntoks} // {length_bucket}) * {length_bucket} AS b FROM {table})
+GROUP BY b"""
+    )
+    return "\nUNION ALL\n".join(legs)

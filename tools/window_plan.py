@@ -98,6 +98,13 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "— pytest-pinned; gates transitively if X130 takes a slot",
     },
     {
+        "op": "X133 dataset release datasheet (Gebru et al. data card legs)",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.datasheet:sql_dataset_datasheet",
+        "test": "tests/test_datasheet.py::test_duckdb_mirror_on_testdata",
+        "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
