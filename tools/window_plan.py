@@ -105,6 +105,21 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
     },
     {
+        "op": "X134 quarantined JSONL/CSV sources (PERMISSIVE + provenance)",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.sources:read_jsonl",
+        "test": "tests/test_sources.py::test_jsonl_good_rows_match_duckdb",
+        "queued": "boundary op (two-frame output) — pytest+mirror is its "
+                  "standing evidence class",
+    },
+    {
+        "op": "X135 ingest schema contract (drift report + conform/refuse)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.sources:conform_batch",
+        "test": "tests/test_sources.py::test_schema_drift_report_and_conform",
+        "queued": "driver-side schema work, no data pass — standing pin",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
