@@ -120,6 +120,13 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "queued": "driver-side schema work, no data pass — standing pin",
     },
     {
+        "op": "X136 pivot/unpivot reshaping (explicit-values crosstab)",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.reshape:sql_pivot_counts",
+        "test": "tests/test_reshape.py::test_duckdb_mirror_on_testdata",
+        "queued": "r12+ registry slot candidate (single-query-shaped)",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
