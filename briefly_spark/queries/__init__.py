@@ -83,9 +83,11 @@ def register(
 #: registry slot only when a rotation has room.  tools/window_plan.py
 #: enumerates the mirror-evidence class (MIRROR_PINNED) so a
 #: mirror-pinned op can't silently lose its mirror (VERDICT r10
-#: next-round #5).  Queued for r12 slots: X124 column profiles and X125
-#: PSI drift (single-query-shaped, SQL-mirrored at
-#: operators/expectations.py:437,519) — VERDICT r10 next-round #6.
+#: next-round #5).  Queued for r12 slots, in order: X124 column profiles
+#: and X125 PSI drift (VERDICT r10 next-round #6 — the committed
+#: decision), then the r11 single-query-shaped additions behind them
+#: (X129 group trend, X130 k-anonymity summary, X133 release datasheet,
+#: X136 pivot) — all already SQL-mirrored, see MIRROR_PINNED.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r11 (gate debt by construction)
     "q148_unigram_tokenizer",
