@@ -124,6 +124,130 @@ def dataset_datasheet(
     return out.select(*SHEET_COLS)
 
 
+# -- X137: the INCREMENTAL datasheet — a standing registry across ingest -----
+#
+# Every leg of the release card is mergeable: the count/sum legs (volume,
+# language/source mix, length histogram) are associative integer adds
+# (the X131 discipline — EXACT fold ≡ one-shot), and the distinct-texts
+# leg rides an HLL sketch per batch (the X128 discipline — register-level
+# deterministic union, so fold ≡ one-shot holds exactly for the ESTIMATE
+# too).  Metric names carry the evidence class: the folded distinct leg
+# is `n_distinct_texts_est` / `n_exact_dup_docs_est` — the exact
+# one-shot :func:`dataset_datasheet` remains the release-of-record
+# surface; the registry is the always-on monitor between releases.
+
+_SKETCH_METRIC = "n_distinct_texts_sketch"
+
+
+def datasheet_batch_block(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    length_bucket: int = 100,
+    batch_id: int,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One ingest batch's datasheet contribution: the
+    :func:`dataset_datasheet` rows (minus the distinct/dup legs, which
+    don't sum) plus one HLL sketch row over md5(text) — keyed by
+    batch_id for the group-replace replay discipline."""
+    sheet = dataset_datasheet(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        source_col=source_col,
+        length_bucket=length_bucket,
+    ).filter(~F.col("metric").isin("n_distinct_texts", "n_exact_dup_docs"))
+    rows = sheet.select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        *SHEET_COLS,
+        F.lit(None).cast("binary").alias("sketch"),
+    )
+    sk = docs.agg(
+        F.hll_sketch_agg(F.md5(F.col(text_col)), F.lit(lg_k)).alias("sketch")
+    ).select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        F.lit("volume").alias("section"),
+        F.lit(_SKETCH_METRIC).alias("metric"),
+        F.lit("").alias("k"),
+        F.lit(None).cast("long").alias("value"),
+        "sketch",
+    )
+    return rows.unionByName(sk)
+
+
+def datasheet_registry_fold(registry: DataFrame) -> DataFrame:
+    """The datasheet over everything the registry has absorbed — exact
+    legs fold by SUM (bit-identical to a one-shot over the ingested
+    union, pinned), the distinct leg by sketch union (estimate identical
+    to a one-shot sketch, pinned; emitted as *_est metrics).  Output is
+    the :data:`SHEET_COLS` shape."""
+    exact = (
+        registry.filter(F.col("sketch").isNull())
+        .groupBy("section", "metric", "k")
+        .agg(F.sum("value").cast("long").alias("value"))
+        .select(*SHEET_COLS)
+    )
+    est = (
+        registry.filter(F.col("sketch").isNotNull())
+        .agg(F.hll_union_agg("sketch").alias("u"))
+        .select(F.hll_sketch_estimate("u").cast("long").alias("d"))
+    )
+    n_docs = exact.filter(
+        (F.col("section") == "volume") & (F.col("metric") == "n_docs")
+    ).select(F.col("value").alias("nd"))
+    est_rows = est.crossJoin(n_docs).selectExpr(
+        "stack(2, "
+        "'volume', 'n_distinct_texts_est', '', d, "
+        "'volume', 'n_exact_dup_docs_est', '', nd - d"
+        ") AS (section, metric, k, value)"
+    )
+    return exact.unionByName(est_rows)
+
+
+def datasheet_stream(
+    source: DataFrame,
+    wh,
+    *,
+    registry_table: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    length_bucket: int = 100,
+    lg_k: int = 12,
+) -> None:
+    """Streaming maintenance of the datasheet registry — per-batch block,
+    group-replace on batch_id alone (the X128/X131 replay discipline)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        block = datasheet_batch_block(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            lang_col=lang_col,
+            source_col=source_col,
+            length_bucket=length_bucket,
+            batch_id=batch_id,
+            lg_k=lg_k,
+        )
+        if block.take(1):
+            wh.merge_upsert(block, registry_table, ["batch_id"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def sql_dataset_datasheet(
     table: str,
     *,

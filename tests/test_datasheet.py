@@ -86,3 +86,96 @@ def test_output_is_bounded_not_row_scaled(spark, sf_dir):
     n_lang = docs.select("lang").distinct().count()
     n_src = docs.select("source").distinct().count()
     assert sheet.count() <= 5 + n_lang + n_src + 64  # 64 >> bucket count
+
+
+# -- X137: the incremental datasheet registry ---------------------------------
+
+def _docs(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    # deterministic text with cross-batch exact duplicates (id % 40)
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 40).cast("string"),
+                 F.lit(" body text")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("vi").alias("lang"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+
+
+def test_registry_fold_matches_oneshot(spark):
+    from briefly_spark.operators.datasheet import (
+        dataset_datasheet,
+        datasheet_batch_block,
+        datasheet_registry_fold,
+    )
+
+    kw = dict(id_col="doc_id", text_col="text", lang_col="lang",
+              source_col="source", length_bucket=2)
+    whole = _docs(spark, 0, 120)
+    oneshot = _sheet(dataset_datasheet(whole, **kw))
+    reg = None
+    for b, (lo, hi) in enumerate(((0, 40), (40, 80), (80, 120))):
+        blk = datasheet_batch_block(_docs(spark, lo, hi), batch_id=b, **kw)
+        reg = blk if reg is None else reg.unionByName(blk)
+    folded = _sheet(datasheet_registry_fold(reg))
+    # exact legs: bit-identical to the one-shot
+    for key, v in oneshot.items():
+        if key[1] not in ("n_distinct_texts", "n_exact_dup_docs"):
+            assert folded[key] == v, key
+    # distinct leg: the folded HLL estimate equals the true distinct count
+    # at this cardinality (40 distinct texts — sparse-mode exactness), so
+    # fold == one-shot == exact
+    assert folded[("volume", "n_distinct_texts_est", "")] \
+        == oneshot[("volume", "n_distinct_texts", "")] == 40
+    assert folded[("volume", "n_exact_dup_docs_est", "")] == 120 - 40
+    # replaying a block changes nothing: sums group-replace on batch_id
+    # upstream (warehouse merge); at the frame level union idempotence
+    # holds for the sketch leg by register determinism
+    refold = _sheet(datasheet_registry_fold(reg.unionByName(
+        datasheet_batch_block(_docs(spark, 40, 80), batch_id=99, **kw)
+    ).filter("batch_id != 99")))
+    assert refold == folded
+
+
+def test_datasheet_stream_matches_batch_and_rerun_noop(spark, tmp_path):
+    import time
+
+    from briefly_spark.operators.datasheet import (
+        dataset_datasheet,
+        datasheet_registry_fold,
+        datasheet_stream,
+    )
+    from briefly_spark.storage import Warehouse
+    from briefly_spark.streaming.incremental import read_parquet_stream
+
+    src = tmp_path / "ds_batches"
+    src.mkdir()
+    for j, (lo, hi) in enumerate(((0, 40), (40, 80), (80, 120))):
+        _docs(spark, lo, hi).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{j}")
+        )
+        time.sleep(1.1)
+    wh = Warehouse(spark, str(tmp_path / "wh_ds"))
+    kw = dict(id_col="doc_id", text_col="text", lang_col="lang",
+              source_col="source", length_bucket=2)
+    ckpt = str(tmp_path / "ds_ckpt")
+    run = lambda: datasheet_stream(  # noqa: E731
+        read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),
+        wh, registry_table="ds_reg", checkpoint=ckpt, **kw,
+    )
+    run()
+    folded = _sheet(datasheet_registry_fold(wh.read("ds_reg")))
+    oneshot = _sheet(dataset_datasheet(_docs(spark, 0, 120), **kw))
+    for key, v in oneshot.items():
+        if key[1] not in ("n_distinct_texts", "n_exact_dup_docs"):
+            assert folded[key] == v, key
+    assert folded[("volume", "n_distinct_texts_est", "")] \
+        == oneshot[("volume", "n_distinct_texts", "")]
+    state = sorted(
+        map(tuple, wh.read("ds_reg").drop("sketch").collect())
+    )
+    run()  # nothing new
+    assert sorted(
+        map(tuple, wh.read("ds_reg").drop("sketch").collect())
+    ) == state

@@ -127,6 +127,14 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "queued": "r12+ registry slot candidate (single-query-shaped)",
     },
     {
+        "op": "X137 incremental datasheet registry (sums + HLL distinct leg)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.datasheet:datasheet_registry_fold",
+        "test": "tests/test_datasheet.py::test_registry_fold_matches_oneshot",
+        "queued": "registry form of X133 — exact legs fold≡one-shot, distinct "
+                  "leg register-deterministic; gates transitively with X133",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
