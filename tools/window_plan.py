@@ -135,6 +135,14 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "leg register-deterministic; gates transitively with X133",
     },
     {
+        "op": "X138 capped waterfill mixture solver",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.mixture:waterfill_mixture",
+        "test": "tests/test_mixture.py::test_guarantees_hold",
+        "queued": "driver-side solve on the sources-bounded frame — "
+                  "standing pin; feeds q58's gated accept path",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
