@@ -95,6 +95,106 @@ def hll_registry_compact(registry: DataFrame, *, into_batch_id: int = -1) -> Dat
     )
 
 
+def topk_batch(
+    df: DataFrame,
+    *,
+    score_col: str,
+    id_col: str,
+    k: int,
+    batch_id: int,
+) -> DataFrame:
+    """One batch's top-k block (X139) — unlike the HLL rows this is an
+    EXACT mergeable summary: top-k of IDS under a TOTAL order is a
+    semilattice (top-k of a union = top-k of the per-part top-ks), so
+    the registry fold loses nothing.  Two requirements make the argument
+    rigorous, both enforced here:
+
+    - the order is total — (score DESC, id ASC); a score-only order
+      would make block boundaries visible through tie selection;
+    - the block holds the best appearance PER ID, deduplicated BEFORE
+      the head: with raw rows, duplicates of one id could crowd the
+      k slots and drop an id that belongs in the global top-k by ids
+      (k rows better than x need not be k IDS better than x).
+
+    If an id is in the global top-k, fewer than k ids beat it in its own
+    batch, so it survives the per-id per-batch head — exactness follows.
+    Plans as TakeOrdered over the deduped frame — k-bounded, never a
+    global sort."""
+    payload = [x for x in df.columns if x not in (id_col, score_col)]
+    best = df.groupBy(id_col).agg(
+        F.max(F.struct(score_col, *payload)).alias("__best")
+    )
+    flat = best.select(
+        id_col,
+        F.col(f"__best.{score_col}").alias(score_col),
+        *[F.col(f"__best.{x}").alias(x) for x in payload],
+    )
+    return (
+        flat.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            "*",
+        )
+    )
+
+
+def topk_registry_resolve(
+    registry: DataFrame, *, score_col: str, id_col: str, k: int
+) -> DataFrame:
+    """The exact global top-k over everything the registry has absorbed:
+    TakeOrdered over the (batches × k)-bounded block union — bit-equal
+    to a one-shot top-k over the ingested union (pinned).  Duplicate ids
+    across blocks (a replayed row in two blocks, or an entity re-scored
+    in a later batch) resolve to their best-scoring appearance via a
+    keyed max before the final head, so re-delivery never double-fills
+    the list."""
+    payload = [
+        x for x in registry.columns if x not in ("batch_id", id_col, score_col)
+    ]
+    best = registry.groupBy(id_col).agg(
+        F.max(F.struct(score_col, *payload)).alias("__best")
+    )
+    flat = best.select(
+        id_col,
+        F.col(f"__best.{score_col}").alias(score_col),
+        *[F.col(f"__best.{x}").alias(x) for x in payload],
+    )
+    return flat.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(int(k))
+
+
+def topk_stream(
+    source: DataFrame,
+    wh,
+    *,
+    registry_table: str,
+    checkpoint: str,
+    score_col: str,
+    id_col: str,
+    k: int,
+) -> None:
+    """Streaming maintenance of the top-k registry — per-batch block,
+    group-replace on batch_id alone (the X69/X115/X128 replay
+    discipline).  Registry size is (batches × k) rows; compact by
+    resolving into a sentinel block when batches pile up (resolve IS the
+    compactor — exactness is the semilattice property)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        block = topk_batch(
+            batch_df, score_col=score_col, id_col=id_col, k=k, batch_id=batch_id
+        )
+        if block.take(1):
+            wh.merge_upsert(block, registry_table, ["batch_id"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def hll_counts_stream(
     source: DataFrame,
     wh,

@@ -143,6 +143,13 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "standing pin; feeds q58's gated accept path",
     },
     {
+        "op": "X139 exact mergeable top-k registry (per-id semilattice)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.sketches:topk_registry_resolve",
+        "test": "tests/test_sketches.py::test_topk_fold_is_exact_and_replay_safe",
+        "queued": "registry family (X128 discipline) — standing pin",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
