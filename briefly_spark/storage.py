@@ -81,6 +81,14 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
+    def tables(self) -> list[str]:
+        """Live table names — every non-hidden directory under the root
+        (lock files and in-flight .tmp side-writes are dot-prefixed)."""
+        return sorted(
+            d for d in os.listdir(self.root)
+            if not d.startswith(".") and os.path.isdir(os.path.join(self.root, d))
+        )
+
     def read(self, table: str) -> DataFrame:
         self._recover(table)
         return self.spark.read.parquet(self.path(table))
@@ -704,6 +712,66 @@ class Warehouse:
             )
             self._swap_full(tmp, table)
         return n_files
+
+    def table_files(self, table: str) -> list[tuple[str, int]]:
+        """(relative path, bytes) of every data file in a table —
+        metadata-sized driver work (a directory listing; the same
+        information a transactional format's manifest carries)."""
+        root = self.path(table)
+        out: list[tuple[str, int]] = []
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out.append((os.path.relpath(p, root), os.path.getsize(p)))
+        return sorted(out)
+
+    def layout_report(self, *, small_file_bytes: int = 8 << 20) -> DataFrame:
+        """Per-table file-layout audit (X140) — the LAYOUT complement to
+        the data-quality audits (X124 profiles the values, this profiles
+        the files): n_files, total/min/max bytes, and the small-file
+        count under ``small_file_bytes``.  A thousand incremental merges
+        leave tables whose scan pays per-file open/footer cost far above
+        their data cost — this report is what decides when
+        :meth:`compact` runs.  Driver work is metadata-sized (one
+        listing per table); the report frame is tables-bounded."""
+        rows = []
+        for t in sorted(self.tables()):
+            files = self.table_files(t)
+            if not files:
+                continue
+            sizes = [b for _, b in files]
+            rows.append((
+                t,
+                len(sizes),
+                int(sum(sizes)),
+                int(min(sizes)),
+                int(max(sizes)),
+                sum(1 for b in sizes if b < small_file_bytes),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            schema="table STRING, n_files BIGINT, total_bytes BIGINT, "
+                   "min_bytes BIGINT, max_bytes BIGINT, n_small BIGINT",
+        )
+
+    def compaction_worklist(
+        self,
+        *,
+        small_file_bytes: int = 8 << 20,
+        min_small_frac: float = 0.5,
+        min_files: int = 4,
+    ) -> list[str]:
+        """Tables that need :meth:`compact`: at least ``min_files`` data
+        files AND more than ``min_small_frac`` of them under the
+        small-file threshold.  The maintenance loop runs this after its
+        merge phase and compacts the returned tables — the registry
+        compactors' table-level sibling."""
+        out = []
+        for r in self.layout_report(small_file_bytes=small_file_bytes).collect():
+            if r["n_files"] >= min_files and r["n_small"] > min_small_frac * r["n_files"]:
+                out.append(r["table"])
+        return sorted(out)
 
     # -- K4: bronze snapshot (partitioned append-style JSON/parquet) ----------
     def write_bronze(self, df: DataFrame, table: str, run_id: str) -> str:

@@ -150,6 +150,13 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "queued": "registry family (X128 discipline) — standing pin",
     },
     {
+        "op": "X140 warehouse layout audit + compaction work-list",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.storage:Warehouse.layout_report",
+        "test": "tests/test_layout_audit.py::test_layout_report_and_compaction_worklist",
+        "queued": "metadata-sized table-management surface — standing pin",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
