@@ -1,0 +1,176 @@
+"""Single-pass deterministic Poisson bootstrap (X141) — uncertainty for
+any grouped mean WITHOUT resampling passes: every row gets, per
+bootstrap replica, a hash-seeded Poisson(1) weight (the online/Poisson
+bootstrap of Owen & Eckles 2012, "Bootstrapping data arrays of
+arbitrary order"; public method), so B replicas of a per-group mean are
+B weighted aggregations folded into ONE scan + ONE shuffle — the only
+way to put error bars on a 100 TB aggregate without re-reading it B
+times.
+
+Determinism — no RNG stream anywhere:
+
+- the weight is a pure function of (seed, replica, row id): u =
+  hash16(seed:rep:id) ∈ [0, 65536), w = #{k : u ≥ POISSON16[k]} — the
+  inverse-CDF thresholds are PRECOMPUTED INTEGER LITERALS (floor of the
+  Poisson(1) CDF at 16-bit scale, tail capped at w = 8, mass 1e-5), so
+  both engines compare integers against the same constants; the same
+  (seed, rep, id) draws the same weight on every executor, run, and
+  partitioning.
+- replica means are exact integer fixed-point: mean_fp =
+  (Σ w·v · scale) DIV Σ w — integer division, identical in the DuckDB
+  mirror (``//``).  ``value_col`` must be integer-typed and
+  non-negative (the two divisions' rounding modes agree there).
+
+The discretized weight's mean is 0.99994 of a true Poisson(1) — a
+0.006 % multiplicative bias on replica SIZES, irrelevant to interval
+width and fully deterministic.
+
+Scale: the replica dimension rides an ``explode(sequence(0, B-1))`` —
+B× map-side rows into the SAME single hash-aggregate shuffle, never a
+second scan; output is (groups × B)-bounded.  Interval extraction is an
+order statistic over the B-bounded replica frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: floor(CDF_Poisson(1)(k) * 65536) for k = 0..7; u >= all -> weight 8
+POISSON16 = (24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535)
+
+HEX = "0123456789abcdef"
+
+
+def _hash16(expr: Column) -> Column:
+    h = F.md5(expr)
+
+    def nib(j: int) -> Column:
+        return F.instr(F.lit(HEX), F.substring(h, j, 1)) - 1
+
+    return nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+
+
+def poisson_weight(id_col: Column, rep_col: Column, seed: int) -> Column:
+    """Deterministic Poisson(1) weight for (row, replica) — see module
+    doc.  Integer comparisons against the POISSON16 literals only."""
+    u = _hash16(
+        F.concat_ws(":", F.lit(int(seed)), rep_col.cast("string"),
+                    id_col.cast("string"))
+    )
+    w = F.lit(0)
+    for t in POISSON16:
+        w = w + (u >= F.lit(t)).cast("int")
+    return w
+
+
+def bootstrap_means(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    b: int = 32,
+    seed: int = 0,
+    scale: int = 10_000,
+) -> DataFrame:
+    """B bootstrap replicas of the per-group mean of ``value_col`` in one
+    scan: (group_cols, rep, n_eff, mean_fp) with mean_fp the exact
+    integer fixed-point weighted mean.  Replicas whose weights all
+    landed 0 for a group are dropped on BOTH sides (division guard) —
+    at realistic group sizes that never happens.  DuckDB mirror:
+    :func:`sql_bootstrap_means`."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("rep")
+    w = poisson_weight(F.col(id_col), F.col("rep"), seed)
+    expanded = df.select(*group_cols, id_col, value_col).select(
+        *group_cols,
+        rep,
+        F.col(id_col),
+        F.col(value_col),
+    ).select(
+        *group_cols,
+        "rep",
+        w.alias("w"),
+        F.col(value_col),
+    )
+    agg = expanded.groupBy(*group_cols, "rep").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col(value_col)).cast("long").alias("wv"),
+    )
+    return (
+        agg.filter(F.col("n_eff") > 0)
+        .select(
+            *group_cols,
+            F.col("rep").cast("long").alias("rep"),
+            "n_eff",
+            F.expr(f"(wv * {int(scale)}) DIV n_eff").alias("mean_fp"),
+        )
+    )
+
+
+def bootstrap_interval(
+    reps: DataFrame,
+    *,
+    group_cols: list[str],
+    lo_rank: int,
+    hi_rank: int,
+) -> DataFrame:
+    """Percentile-style interval from the replica frame: the lo_rank-th
+    and hi_rank-th smallest replica means per group (1-indexed exact
+    order statistics — e.g. ranks 2 and 31 of 32 replicas ≈ a central
+    ~90 % interval).  The window runs on the (groups × B)-bounded
+    replica frame."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(F.col("mean_fp").asc(), F.col("rep").asc())
+    )
+    ranked = reps.withColumn("__rn", rn)
+    return (
+        ranked.filter(F.col("__rn").isin(int(lo_rank), int(hi_rank)))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.when(F.col("__rn") == int(lo_rank), F.col("mean_fp"))).alias("lo_fp"),
+            F.max(F.when(F.col("__rn") == int(hi_rank), F.col("mean_fp"))).alias("hi_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_marks"),
+        )
+    )
+
+
+def _sql_hash16(expr: str) -> str:
+    nib = lambda j: f"(strpos('0123456789abcdef', substr(md5({expr}), {j}, 1)) - 1)"
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+def sql_bootstrap_means(
+    table: str,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    b: int = 32,
+    seed: int = 0,
+    scale: int = 10_000,
+) -> str:
+    """DuckDB mirror of :func:`bootstrap_means` — same hash, same
+    integer thresholds, same integer division."""
+    g = ", ".join(group_cols)
+    u = _sql_hash16(
+        f"({int(seed)} || ':' || r.rep || ':' || CAST({id_col} AS VARCHAR))"
+    )
+    w_terms = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in POISSON16
+    )
+    return f"""WITH e AS (
+  SELECT {g}, r.rep, {u} AS u, {value_col} AS v
+  FROM {table}, (SELECT unnest(range(0, {int(b)})) AS rep) r
+),
+wtd AS (SELECT {g}, rep, ({w_terms}) AS w, v FROM e),
+agg AS (
+  SELECT {g}, CAST(rep AS BIGINT) AS rep,
+         CAST(sum(w) AS BIGINT) AS n_eff,
+         CAST(sum(w * v) AS BIGINT) AS wv
+  FROM wtd GROUP BY {g}, rep
+)
+SELECT {g}, rep, n_eff, CAST((wv * {int(scale)}) // n_eff AS BIGINT) AS mean_fp
+FROM agg WHERE n_eff > 0"""

@@ -157,6 +157,13 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "queued": "metadata-sized table-management surface — standing pin",
     },
     {
+        "op": "X141 single-pass deterministic Poisson bootstrap",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.bootstrap:sql_bootstrap_means",
+        "test": "tests/test_bootstrap.py::test_means_match_duckdb_mirror_on_testdata",
+        "queued": "r12+ registry slot candidate (single-query-shaped)",
+    },
+    {
         "op": "X131 incremental trend registry (mergeable OLS sums)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.trends:trend_registry_fit",
