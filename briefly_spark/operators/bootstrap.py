@@ -18,8 +18,13 @@ Determinism — no RNG stream anywhere:
   partitioning.
 - replica means are exact integer fixed-point: mean_fp =
   (Σ w·v · scale) DIV Σ w — integer division, identical in the DuckDB
-  mirror (``//``).  ``value_col`` must be integer-typed and
-  non-negative (the two divisions' rounding modes agree there).
+  mirror (``//``).  ``value_col`` must be integer-typed (validated) and
+  non-negative (the two divisions' rounding modes agree there).  The
+  ``wv·scale`` intermediate is computed in DECIMAL(38,0) on Spark and
+  HUGEINT on DuckDB (ADVICE r11 #3: a BIGINT intermediate silently
+  wraps on Spark at Σ w·v > 2⁶³/scale while DuckDB raises — the two
+  engines diverged exactly at scale); only the QUOTIENT must fit
+  BIGINT, i.e. mean·scale < 2⁶³ — inherent to the fixed-point surface.
 
 The discretized weight's mean is 0.99994 of a true Poisson(1) — a
 0.006 % multiplicative bias on replica SIZES, irrelevant to interval
@@ -80,6 +85,16 @@ def bootstrap_means(
     landed 0 for a group are dropped on BOTH sides (division guard) —
     at realistic group sizes that never happens.  DuckDB mirror:
     :func:`sql_bootstrap_means`."""
+    _INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+    vt = dict(df.dtypes).get(value_col)
+    if vt is None:
+        raise ValueError(f"bootstrap_means: unknown column {value_col!r}")
+    if vt not in _INT_TYPES:
+        raise ValueError(
+            f"bootstrap_means: {value_col!r} is {vt} — the exact fixed-point "
+            f"mean needs an integer column (count, bytes, fixed-point "
+            f"score); cast or quantize first (module doc)"
+        )
     rep = F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("rep")
     w = poisson_weight(F.col(id_col), F.col("rep"), seed)
     expanded = df.select(*group_cols, id_col, value_col).select(
@@ -95,7 +110,10 @@ def bootstrap_means(
     )
     agg = expanded.groupBy(*group_cols, "rep").agg(
         F.sum("w").cast("long").alias("n_eff"),
-        F.sum(F.col("w") * F.col(value_col)).cast("long").alias("wv"),
+        # the weighted sum itself stays exact in DECIMAL(38,0) — a long
+        # surface here is where the wv*scale wrap began (ADVICE r11 #3)
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col(value_col))
+        .cast("decimal(38,0)").alias("wv"),
     )
     return (
         agg.filter(F.col("n_eff") > 0)
@@ -103,7 +121,9 @@ def bootstrap_means(
             *group_cols,
             F.col("rep").cast("long").alias("rep"),
             "n_eff",
-            F.expr(f"(wv * {int(scale)}) DIV n_eff").alias("mean_fp"),
+            F.expr(
+                f"CAST((wv * {int(scale)}) DIV n_eff AS BIGINT)"
+            ).alias("mean_fp"),
         )
     )
 
@@ -169,7 +189,7 @@ wtd AS (SELECT {g}, rep, ({w_terms}) AS w, v FROM e),
 agg AS (
   SELECT {g}, CAST(rep AS BIGINT) AS rep,
          CAST(sum(w) AS BIGINT) AS n_eff,
-         CAST(sum(w * v) AS BIGINT) AS wv
+         CAST(sum(CAST(w AS HUGEINT) * v) AS HUGEINT) AS wv
   FROM wtd GROUP BY {g}, rep
 )
 SELECT {g}, rep, n_eff, CAST((wv * {int(scale)}) // n_eff AS BIGINT) AS mean_fp

@@ -28,12 +28,33 @@ join side (the violating frame is usually small but CAN be huge when k
 is aggressive; never force a broadcast — the merge_scd2/fk dim=True
 lesson).  NULL QI values group together (SQL GROUP BY semantics) —
 "unknown" is itself a linkable crowd, so this is the conservative
-reading."""
+reading; the work-list and release joins therefore use NULL-SAFE
+equality (``<=>``) so a NULL-keyed sub-k crowd is flagged and suppressed
+exactly like any other (plain ``=`` would silently drop it — ADVICE r11
+#1).  Spark plans ``EqualNullSafe`` as a hash-join key, so the null-safe
+condition costs nothing over the equi-join."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _nullsafe_key_join(
+    left: DataFrame, keys: DataFrame, cols: list[str], how: str
+) -> DataFrame:
+    """Semi/anti join on QI columns with NULL-SAFE equality — the crowd
+    semantics of GROUP BY (NULLs form a group) carried into the join
+    (ADVICE r11 #1: plain column-equality semi/anti joins drop NULL
+    keys, so NULL-keyed sub-k rows escaped both the work-list and the
+    release suppression).  ``how`` ∈ {left_semi, left_anti}; output
+    columns are the left frame's, so no aliasing leaks."""
+    l, r = left.alias("__l"), keys.alias("__r")
+    cond = None
+    for c in cols:
+        e = F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        cond = e if cond is None else cond & e
+    return l.join(r, cond, how)
 
 
 def k_anonymity_report(
@@ -97,7 +118,7 @@ def suppression_worklist(
         .filter(F.col("group_size") < int(k))
         .select(*quasi_cols)
     )
-    return df.join(small, quasi_cols, "left_semi")
+    return _nullsafe_key_join(df, small, quasi_cols, "left_semi")
 
 
 def generalize_to_k(
@@ -182,7 +203,7 @@ def generalize_to_k(
             .filter(F.col("group_size") < int(k))
             .select(*ladders)
         )
-        released = released.join(small, list(ladders), "left_anti")
+        released = _nullsafe_key_join(released, small, list(ladders), "left_anti")
         suppressed = bad
     return released, {
         "levels": dict(levels),

@@ -29,6 +29,31 @@ def _safe(v: str) -> str:
     return "".join(ch if ch.isalnum() else "_" for ch in str(v))
 
 
+def _safe_names(values: list[str]) -> dict[str, str]:
+    """value -> sanitized column name, REFUSING collisions: 'a-b' and
+    'a.b' both sanitize to a_b, which would silently emit duplicate
+    output columns here, duplicate SELECT aliases in the mirror, and a
+    duplicate-key create_map in unpivot (ADVICE r11 #4)."""
+    names = {str(v): f"n_{_safe(v)}" for v in values}
+    if len(values) != len(names):
+        raise ValueError("pivot values repeat after string coercion")
+    seen: dict[str, str] = {}
+    for v, n in names.items():
+        if n in seen:
+            raise ValueError(
+                f"pivot values {seen[n]!r} and {v!r} sanitize to the same "
+                f"column name {n!r} — rename or pre-map the values"
+            )
+        seen[n] = v
+    return names
+
+
+def _sql_str(v: str) -> str:
+    """single-quote SQL literal (quotes doubled — the mirror previously
+    interpolated raw, so a value containing ' broke the oracle)."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def pivot_counts(
     df: DataFrame,
     *,
@@ -43,10 +68,11 @@ def pivot_counts(
     hash-aggregate pass — conditional aggregation, no distinct scan, no
     Spark ``pivot()`` (see module doc).  Absent combinations are 0."""
     what = F.col(agg_col) if agg_col else F.lit(1)
+    names = _safe_names(values)
     aggs = [
         F.sum(F.when(F.col(pivot_col) == v, what).otherwise(F.lit(0)))
         .cast("long")
-        .alias(f"n_{_safe(v)}")
+        .alias(names[str(v)])
         for v in values
     ]
     return df.groupBy(*row_keys).agg(*aggs)
@@ -64,10 +90,11 @@ def unpivot_counts(
     one row per (row, value) pair — Spark's built-in melt (an Expand,
     map-only, zero shuffles).  ``k`` carries the ORIGINAL pivot value,
     not the sanitized column name."""
-    cols = [f"n_{_safe(v)}" for v in values]
+    names = _safe_names(values)
+    cols = [names[str(v)] for v in values]
     out = wide.unpivot(row_keys, cols, var_name, value_name)
     mapping = F.create_map(
-        *[x for v in values for x in (F.lit(f"n_{_safe(v)}"), F.lit(str(v)))]
+        *[x for v in values for x in (F.lit(names[str(v)]), F.lit(str(v)))]
     )
     return out.withColumn(var_name, mapping[F.col(var_name)])
 
@@ -84,9 +111,10 @@ def sql_pivot_counts(
     aggregation, the same static schema."""
     g = ", ".join(row_keys)
     what = agg_col if agg_col else "1"
+    names = _safe_names(values)
     items = ",\n       ".join(
-        f"CAST(sum(CASE WHEN {pivot_col} = '{v}' THEN {what} ELSE 0 END)"
-        f" AS BIGINT) AS n_{_safe(v)}"
+        f"CAST(sum(CASE WHEN {pivot_col} = {_sql_str(v)} THEN {what} ELSE 0 END)"
+        f" AS BIGINT) AS {names[str(v)]}"
         for v in values
     )
     return f"SELECT {g},\n       {items}\nFROM {table} GROUP BY {g}"

@@ -23,12 +23,30 @@ schema-sized driver work — no data pass at all.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: name reserved for Spark's corrupt-record capture
 CORRUPT_COL = "_corrupt_record"
+
+
+class QuarantinedRead(NamedTuple):
+    """(good, bad, raw) — ``raw`` is the cached scan both routed frames
+    share (the cache is REQUIRED for corrupt-record semantics, see
+    ``_split``).  Callers MUST ``unpersist()`` after materializing good
+    and bad, or the cached scan lives for the session (ADVICE r11 #5 —
+    a continuous-ingest loop leaked one cached frame per delivery)."""
+
+    good: DataFrame
+    bad: DataFrame
+    raw: DataFrame
+
+    def unpersist(self) -> "QuarantinedRead":
+        self.raw.unpersist()
+        return self
 
 
 def _with_corrupt(schema: T.StructType) -> T.StructType:
@@ -41,7 +59,7 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
     )
 
 
-def _split(raw: DataFrame, data_cols: list[str]) -> tuple[DataFrame, DataFrame]:
+def _split(raw: DataFrame, data_cols: list[str]) -> QuarantinedRead:
     # provenance must be stamped AT the scan (input_file_name() is empty
     # once a cached frame re-serves rows); the cache itself is REQUIRED
     # for correct corrupt-record semantics on the JSON/CSV readers
@@ -56,17 +74,18 @@ def _split(raw: DataFrame, data_cols: list[str]) -> tuple[DataFrame, DataFrame]:
             F.col("__source_file").alias("source_file"),
         )
     )
-    return good, bad
+    return QuarantinedRead(good, bad, raw)
 
 
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
-    """Schema-enforced JSON-lines scan → (good, bad): records that fail
-    to parse OR fail the declared schema land in ``bad`` as
+) -> QuarantinedRead:
+    """Schema-enforced JSON-lines scan → (good, bad, raw): records that
+    fail to parse OR fail the declared schema land in ``bad`` as
     (raw_record, source_file); well-formed records project to exactly
     the declared columns.  PERMISSIVE + corrupt-column — one JVM scan,
-    no Python in the loop."""
+    no Python in the loop.  ``raw`` is the shared cached scan — call
+    ``.unpersist()`` once good/bad are materialized (QuarantinedRead)."""
     raw = (
         spark.read.schema(_with_corrupt(schema))
         .option("mode", "PERMISSIVE")
@@ -83,8 +102,8 @@ def read_csv(
     *,
     header: bool = True,
     sep: str = ",",
-) -> tuple[DataFrame, DataFrame]:
-    """Schema-enforced CSV scan → (good, bad) with the same routing
+) -> QuarantinedRead:
+    """Schema-enforced CSV scan → (good, bad, raw) with the same routing
     contract as :func:`read_jsonl` (malformed lines, wrong column
     counts, and uncastable fields quarantine with provenance)."""
     raw = (

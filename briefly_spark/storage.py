@@ -81,12 +81,21 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
+    #: namespace write_bronze snapshots live under — NOT a table: the
+    #: bronze/{table}/run_id=... tree is heterogeneous raw provenance, and
+    #: auditing/compacting it as a table would rewrite it flat (ADVICE r11
+    #: #2 — destroying snapshot provenance, or failing on mixed schemas)
+    BRONZE_DIR = "bronze"
+
     def tables(self) -> list[str]:
         """Live table names — every non-hidden directory under the root
-        (lock files and in-flight .tmp side-writes are dot-prefixed)."""
+        (lock files and in-flight .tmp side-writes are dot-prefixed; the
+        bronze snapshot namespace is excluded, see BRONZE_DIR)."""
         return sorted(
             d for d in os.listdir(self.root)
-            if not d.startswith(".") and os.path.isdir(os.path.join(self.root, d))
+            if not d.startswith(".")
+            and d != self.BRONZE_DIR
+            and os.path.isdir(os.path.join(self.root, d))
         )
 
     def read(self, table: str) -> DataFrame:
@@ -696,22 +705,57 @@ class Warehouse:
         write_training_shards uses), and the rewrite goes through the
         side-write + rename-swap protocol under the writer lock, so a
         crashed compaction never harms the live table and readers never
-        see a half-compacted state.  Returns the new file count."""
+        see a half-compacted state.  A hive-partitioned table keeps its
+        ``key=value`` layout: rows are co-located per partition key and
+        rewritten through ``partitionBy`` (ADVICE r11 #2 — a flat rewrite
+        silently broke the layout contract `_assert_partitioned_layout`
+        guards, so the next partition-scoped merge refused the table).
+        Returns the new file count (flat) or the task count
+        (partitioned)."""
         import math
 
+        parts = self.partition_layout(table)
         df = self.read(table)
         n = df.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
         with self._writer_lock(table):
             tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
-            (
-                df.repartition(n_files)
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", target_rows_per_file)
-                .parquet(tmp)
+            staged = (
+                df.repartition(n_files, *parts) if parts
+                else df.repartition(n_files)
             )
+            writer = (
+                staged.write.mode("overwrite")
+                .option("maxRecordsPerFile", target_rows_per_file)
+            )
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(tmp)
             self._swap_full(tmp, table)
         return n_files
+
+    def partition_layout(self, table: str) -> list[str]:
+        """The hive ``key=value`` partition-column chain of a table's
+        on-disk layout, outermost first; ``[]`` for flat tables.
+        Metadata-sized (directory listing), no data pass."""
+        cols: list[str] = []
+        cur = self.path(table)
+        while True:
+            subs = [
+                d for d in os.listdir(cur)
+                if "=" in d and not d.startswith(".")
+                and os.path.isdir(os.path.join(cur, d))
+            ]
+            if not subs:
+                return cols
+            keys = {d.split("=", 1)[0] for d in subs}
+            if len(keys) != 1:
+                raise ValueError(
+                    f"table {table!r}: mixed partition keys {sorted(keys)} "
+                    f"at one level — not a hive layout"
+                )
+            cols.append(keys.pop())
+            cur = os.path.join(cur, subs[0])
 
     def table_files(self, table: str) -> list[tuple[str, int]]:
         """(relative path, bytes) of every data file in a table —

@@ -97,3 +97,35 @@ def test_interval_extraction_exact_order_statistics(spark):
     iv = bootstrap_interval(reps, group_cols=["g"], lo_rank=2, hi_rank=9
                             ).collect()[0]
     assert (iv["lo_fp"], iv["hi_fp"], iv["n_marks"]) == (200, 900, 2)
+
+
+def test_value_col_dtype_is_validated_and_wide_sums_stay_exact(spark):
+    """ADVICE r11 #3: non-integer value columns are refused (the two
+    engines' rounding only agrees on integers), and a weighted sum big
+    enough that wv*scale would wrap a BIGINT stays exact — the Spark
+    side computes the intermediate in DECIMAL(38,0), the mirror in
+    HUGEINT, so both return the true quotient instead of Spark silently
+    wrapping while DuckDB raises."""
+    import pytest
+
+    from briefly_spark.operators.bootstrap import bootstrap_means
+
+    bad = spark.createDataFrame([("a", 1.5, 1)], "g STRING, v DOUBLE, id LONG")
+    with pytest.raises(ValueError, match="integer column"):
+        bootstrap_means(bad, group_cols=["g"], value_col="v", id_col="id")
+
+    # 40 rows of 9.2e14 — sum(w*v)*10000 ~ 3.7e20 overflows 2^63 ~ 9.2e18,
+    # while the quotient v*scale = 9.2e18 still fits the BIGINT surface
+    big = spark.createDataFrame(
+        [("a", 920_000_000_000_000, i) for i in range(40)],
+        "g STRING, v LONG, id LONG",
+    )
+    reps = bootstrap_means(
+        big, group_cols=["g"], value_col="v", id_col="id", b=4, seed=7
+    ).collect()
+    assert reps  # non-degenerate
+    for r in reps:
+        # the mean of a constant column is exactly the constant:
+        # (n_eff·v·scale) DIV n_eff = v·scale — any other value means the
+        # intermediate wrapped
+        assert r["mean_fp"] == 920_000_000_000_000 * 10_000

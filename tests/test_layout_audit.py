@@ -34,3 +34,44 @@ def test_layout_report_and_compaction_worklist(spark, tmp_path):
     assert wh.read("fragmented").count() == 2000
     rep2 = {r["table"]: r for r in wh.layout_report().collect()}
     assert rep2["fragmented"]["n_files"] == 1
+
+
+def test_bronze_namespace_is_not_a_table(spark, tmp_path):
+    """ADVICE r11 #2: the bronze/{table}/run_id=... snapshot tree must
+    never surface as a table — a maintenance loop that compacted it
+    would rewrite raw provenance flat (or fail on mixed schemas)."""
+    wh = Warehouse(spark, str(tmp_path / "wh_bronze"))
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    wh.overwrite(df.repartition(8), "live")
+    wh.write_bronze(df, "live", run_id="r1")
+    wh.write_bronze(df.selectExpr("id"), "other", run_id="r2")  # mixed schema
+    assert wh.tables() == ["live"]
+    rep = {r["table"] for r in wh.layout_report().collect()}
+    assert rep == {"live"}
+    assert "bronze" not in wh.compaction_worklist(
+        small_file_bytes=1 << 20, min_files=1, min_small_frac=0.0
+    )
+
+
+def test_compact_preserves_hive_partition_layout(spark, tmp_path):
+    """ADVICE r11 #2 (second half): compacting a partitioned table must
+    keep the key=value layout — a flat rewrite broke the layout contract
+    and the next partition-scoped merge refused the table."""
+    wh = Warehouse(spark, str(tmp_path / "wh_part"))
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS part", "id * 2 AS v"
+    )
+    wh.overwrite(df.repartition(12), "t", partition_by=["part"])
+    assert wh.partition_layout("t") == ["part"]
+    wh.compact("t", target_rows_per_file=1000)
+    # layout survived: the contract check the merges rely on still passes
+    assert wh.partition_layout("t") == ["part"]
+    wh._assert_partitioned_layout("t", ["part"])
+    assert wh.read("t").count() == 1000
+    # and a partition-scoped merge still works end-to-end
+    upd = spark.createDataFrame([(5, "2", 999)], "id LONG, part STRING, v LONG")
+    wh.merge_upsert(upd, "t", key=["id"], partition_by=["part"])
+    assert wh.read("t").filter("id = 5").collect()[0]["v"] == 999
+    # flat tables report an empty layout
+    wh.overwrite(df.drop("part"), "flat")
+    assert wh.partition_layout("flat") == []

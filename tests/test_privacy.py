@@ -190,3 +190,50 @@ def test_generalize_is_deterministic_and_noop_when_already_anonymous(spark):
     }
     assert sorted(map(tuple, released.collect())) \
         == sorted(map(tuple, _gen_df(spark).collect()))
+
+
+def test_null_qi_rows_are_flagged_and_suppressed(spark):
+    """ADVICE r11 #1: the audit groups NULL QIs together (a linkable
+    "unknown" crowd), so the work-list and the release joins must treat
+    them the same — plain-equality semi/anti joins silently dropped
+    NULL-keyed rows from the work-list and KEPT them in the release,
+    breaking the 'ALWAYS k-anonymous' guarantee exactly where the
+    suppressed_rows audit claimed they were dropped."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.privacy import generalize_to_k
+
+    rows = [
+        (None, None, "x"),               # NULL-QI singleton: sub-k crowd
+        ("100", 30, "a"), ("100", 30, "b"),
+    ]
+    df = spark.createDataFrame(rows, "zip STRING, age LONG, disease STRING")
+    # the work-list must flag the NULL-keyed row
+    wl = sorted(
+        (r["zip"], r["age"]) for r in
+        suppression_worklist(df, quasi_cols=["zip", "age"], k=2).collect()
+    )
+    assert wl == [(None, None)]
+    # a ladder whose top level IS NULL: rows coarsened to NULL must still
+    # crowd (or suppress) like any other group
+    sing = [("10001", "s1"), ("20002", "s2"), ("30003", "s3")]
+    sdf = spark.createDataFrame(sing, "zip STRING, v STRING")
+    released, audit = generalize_to_k(
+        sdf,
+        ladders={"zip": [F.substring("zip", 1, 1), F.lit(None).cast("string")]},
+        k=3,
+    )
+    # all three distinct prefixes -> promote to NULL: one crowd of 3
+    assert audit["levels"] == {"zip": 2} and audit["suppressed_rows"] == 0
+    assert released.count() == 3
+    # and when suppression must fire on a NULL group, it actually drops it
+    two = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("1", "c"), ("1", "d"), ("1", "e")],
+        "zip STRING, v STRING",
+    )
+    rel2, audit2 = generalize_to_k(two, ladders={"zip": []}, k=3)
+    assert audit2["suppressed_rows"] == 2
+    got = sorted(map(tuple, rel2.collect()))
+    assert got == [("1", "c"), ("1", "d"), ("1", "e")]
+    s = k_anonymity_summary(rel2, quasi_cols=["zip"], k=3).collect()[0]
+    assert s["n_violating_groups"] == 0

@@ -93,3 +93,49 @@ def test_plan_shapes(spark, sf_dir):
     lplan = long._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in lplan, lplan
     assert "Exchange" not in lplan, lplan
+
+
+def test_colliding_pivot_values_are_refused(spark):
+    """ADVICE r11 #4: 'a-b' and 'a.b' sanitize to the same column name —
+    silently duplicate output columns / SELECT aliases / map keys before
+    the fix; now a loud ValueError on every surface."""
+    import pytest
+
+    from briefly_spark.operators.reshape import (
+        pivot_counts,
+        sql_pivot_counts,
+        unpivot_counts,
+    )
+
+    df = spark.createDataFrame([("k", "a-b", 1)], "g STRING, p STRING, v LONG")
+    with pytest.raises(ValueError, match="sanitize to the same"):
+        pivot_counts(df, row_keys=["g"], pivot_col="p", values=["a-b", "a.b"])
+    with pytest.raises(ValueError, match="sanitize to the same"):
+        sql_pivot_counts("t", row_keys=["g"], pivot_col="p", values=["a-b", "a.b"])
+    wide = pivot_counts(df, row_keys=["g"], pivot_col="p", values=["a-b"])
+    with pytest.raises(ValueError, match="sanitize to the same"):
+        unpivot_counts(wide, row_keys=["g"], values=["a-b", "a.b"])
+
+
+def test_quoted_pivot_value_survives_the_mirror(spark):
+    """A value containing a single quote must not break the oracle SQL."""
+    import duckdb
+
+    from briefly_spark.operators.reshape import pivot_counts, sql_pivot_counts
+
+    rows = [("g1", "o'brien", 2), ("g1", "plain", 3), ("g2", "o'brien", 5)]
+    df = spark.createDataFrame(rows, "g STRING, p STRING, v LONG")
+    got = sorted(
+        map(tuple, pivot_counts(
+            df, row_keys=["g"], pivot_col="p", values=["o'brien", "plain"],
+            agg_col="v",
+        ).collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, p VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(sql_pivot_counts(
+        "t", row_keys=["g"], pivot_col="p", values=["o'brien", "plain"],
+        agg_col="v",
+    )).fetchall()))
+    assert got == want == [("g1", 2, 3), ("g2", 5, 0)]

@@ -36,7 +36,7 @@ def test_jsonl_routes_malformed_and_type_violations(spark, tmp_path):
         '{"id": 3, "name": "c", "score": "NOT A NUMBER"}',  # schema violation
         '{broken json line',                                  # malformed
     ])
-    good, bad = read_jsonl(spark, p, _SCHEMA)
+    good, bad, raw = read_jsonl(spark, p, _SCHEMA)
     assert sorted(map(tuple, good.collect())) == [(1, "a", 10), (2, "b", 20)]
     bad_rows = bad.collect()
     assert len(bad_rows) == 2
@@ -52,7 +52,7 @@ def test_jsonl_good_rows_match_duckdb(spark, tmp_path):
         f'{{"id": {i}, "name": "n{i}", "score": {i * 7}}}' for i in range(50)
     ]
     p = _write(tmp_path / "clean.jsonl", lines)
-    good, bad = read_jsonl(spark, p, _SCHEMA)
+    good, bad, raw = read_jsonl(spark, p, _SCHEMA)
     assert bad.count() == 0
     got = sorted(map(tuple, good.collect()))
     con = duckdb.connect()
@@ -71,7 +71,7 @@ def test_csv_routes_bad_lines(spark, tmp_path):
         "2,b,twenty",   # uncastable score
         "3,c,30",
     ])
-    good, bad = read_csv(spark, p, _SCHEMA)
+    good, bad, raw = read_csv(spark, p, _SCHEMA)
     assert sorted(map(tuple, good.collect())) == [(1, "a", 10), (3, "c", 30)]
     assert bad.count() == 1
     assert "twenty" in bad.collect()[0]["raw_record"]
@@ -79,7 +79,7 @@ def test_csv_routes_bad_lines(spark, tmp_path):
 
 def test_readers_stay_jvm_side(spark, tmp_path):
     p = _write(tmp_path / "plan.jsonl", ['{"id": 1, "name": "a", "score": 2}'])
-    good, _bad = read_jsonl(spark, p, _SCHEMA)
+    good, _bad, _raw = read_jsonl(spark, p, _SCHEMA)
     plan = good._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "FileScan json" in plan
@@ -108,3 +108,15 @@ def test_schema_drift_report_and_conform(spark):
     assert schema_drift_report(retyped, table)["retyped"] == [("id", "string", "bigint")]
     with pytest.raises(ValueError, match="retyped"):
         conform_batch(retyped, table, allow_additive=True)
+
+
+def test_cached_scan_is_released_on_unpersist(spark, tmp_path):
+    """ADVICE r11 #5: the shared cached scan must be releasable — a
+    continuous-ingest loop unpersists per delivery instead of leaking
+    one cached frame per read for the session lifetime."""
+    p = _write(tmp_path / "rel.jsonl", ['{"id": 1, "name": "a", "score": 2}'])
+    res = read_jsonl(spark, p, _SCHEMA)
+    assert res.good.count() == 1 and res.bad.count() == 0
+    assert res.raw.storageLevel.useMemory  # cached while in use
+    res.unpersist()
+    assert not res.raw.storageLevel.useMemory  # released
