@@ -63,85 +63,94 @@ def register(
     return deco
 
 
-#: r11 driver-window head (VERDICT r10 "Next round" #1).  r10 was 50/50
-#: green, so the rotation is exactly tools/window_plan.py's emitted
-#: proposal: q81 + q82 first (the only r07 evidence left — the two tail
-#: seats deliberately deferred from r10's 52-for-50 capacity conflict),
-#: then the exhaustive r08-stale pack (47 queries).  That is 49
-#: must-schedule entries; the ONE spare slot goes to the staged unigram
-#: tokenizer (q148 — VERDICT r10 next-round #3), new-query debt by
-#: construction, so it leads the head per window_plan policy.
+#: r12 driver-window head (VERDICT r11 "Next round" #1).  r11 was 50/50
+#: green, so the rotation is tools/window_plan.py's emitted proposal with
+#: the ONE discretionary seat (the r10-fresh q39 fill) replaced by the
+#: round's new query: q149_governance_pack leads (gate debt by
+#: construction — it is ALSO the consolidation vehicle of VERDICT r11
+#: next-round #2: one driver hash over twelve previously mirror-pinned
+#: governance ops), then the exhaustive r09-stale pack (49 queries).
 #: Mechanically checked by tools/gate_debt.py + tests/test_gate_debt.py
 #: against the committed last-gated-hash manifest, and by the over-age
-#: invariant in tools/window_plan.py (manifest-round keyed; tail seats
-#: now bounded to one round — ADVICE r10 #3,
-#: tests/test_gate_debt.py:test_window_tail_entries_bounded_to_one_round).
+#: invariant in tools/window_plan.py.
 #:
-#: Registry capacity note (standing policy, now mechanical): at 149
-#: queries the 3-round × 50-slot rotation is within one of saturation —
-#: new capabilities land pytest+DuckDB-mirror-pinned first and take a
-#: registry slot only when a rotation has room.  tools/window_plan.py
-#: enumerates the mirror-evidence class (MIRROR_PINNED) so a
-#: mirror-pinned op can't silently lose its mirror (VERDICT r10
-#: next-round #5).  Queued for r12 slots, in order: X124 column profiles
-#: and X125 PSI drift (VERDICT r10 next-round #6 — the committed
-#: decision), then the r11 single-query-shaped additions behind them
-#: (X129 group trend, X130 k-anonymity summary, X133 release datasheet,
-#: X136 pivot) — all already SQL-mirrored, see MIRROR_PINNED.
+#: REGISTRY CAPACITY POLICY (VERDICT r11 next-round #3 — the committed
+#: written policy; window_plan/gate_debt enforce the mechanics):
+#:   1. Hard bound: ≤ 150 registered queries — at a 50-slot gate and the
+#:      3-round freshness bound, 150 is the saturation point; beyond it
+#:      every registration permanently ages another query past the bound.
+#:   2. Composite-first registration: a new capability lands
+#:      pytest+DuckDB-mirror-pinned (window_plan.py:MIRROR_PINNED) and
+#:      graduates by joining a COMPOSITE gated query (the q147/q128/q149
+#:      pattern — one hash, many ops) rather than taking a fresh slot;
+#:      a dedicated slot is the exception and needs a freed seat.
+#:   3. Retirement rule: a mechanism-control row whose point is proven
+#:      AND enforced mechanically elsewhere is retired (unregistered,
+#:      with a dated record at its definition site) to free its seat —
+#:      applied to q48c (r06) and now q48a (r12, see queries/search.py:
+#:      the HUGEINT-surface mechanism it proved is enforced on every
+#:      query by check_oracle's output-surface type audit).
 WINDOW_HEAD: tuple[str, ...] = (
-    # (a) new in r11 (gate debt by construction)
-    "q148_unigram_tokenizer",
-    # (b) the only remaining r07 evidence (deferred tail seats from r10)
-    "q81_media_decode_arrow",
-    "q82_frame_sample",
-    # (c) the exhaustive r08-stale pack (window_plan.py order)
-    "q50_token_stats",
-    "q51_language_id",
-    "q52_quality_score",
-    "q53_winnow_fingerprints",
-    "q54_source_quality_rollup",
-    "q55_gopher_rules",
-    "q56_pii_scrub",
-    "q57_hash_split",
-    "q58_mixture_resample",
-    "q59_pack_sequences",
-    "q35_top_ngram_repetition",
-    "q38_stratified_quota_sample",
-    "q68_group_split",
-    "q69_pack_assemble",
-    "q114_temperature_mixture",
-    "q20_clean_documents",
-    "q21_chunk_fixed",
-    "q22_chunk_recursive",
-    "q23_doc_source_dims",
-    "q24_summary_bullets",
-    "q25_img_and_ids",
-    "q26_url_canonical",
-    "q27_paragraph_extract",
-    "q46_tfidf_topterms",
-    "q47_bm25_search",
-    "q48_lm_perplexity",
-    "q48a_lm_nll_int_surface",
-    "q121_token_surprisal",
-    "q129_hybrid_rrf",
-    "q90_ingest_normalize",
-    "q92_feeds_config",
-    "q93_two_tier_worklist",
-    "q94_worklist_hydration",
-    "q91_tts_synthesis",
-    "q83_span_dedup",
-    "q85_semantic_dedup",
-    "q88_vocab_encode",
-    "q109_bpe_merges",
-    "q126_bpe_encode",
-    "q124_classifier_train",
-    "q115_label_propagation",
-    "q16_volume_shipping",
-    "q17_large_volume_orders",
-    "q18_disjunctive_revenue",
-    "q19_revenue_concentration",
-    "q28_heavy_hitters",
-    "q120_hh_stream_resolve",
+    # (a) new in r12 (gate debt by construction; the consolidation pack)
+    "q149_governance_pack",
+    # (b) the exhaustive r09-stale pack (window_plan.py order)
+    "q113_random_projection",
+    "q116_mmr_rerank",
+    "q118_pq_ann",
+    "q140_ccnet_ppl_buckets",
+    "q142_phrase_search",
+    "q143_doc_entropy",
+    "q145_lm_holdout_ppl",
+    "q131_exact_substring_dedup",
+    "q133_substring_dedup_keepfirst",
+    "q134_duplication_flow",
+    "q135_eval_overlap_exact",
+    "q84_dsir_weights",
+    "q86_dsir_select",
+    "q87_curation_funnel",
+    "q89_dsir_budget_fill",
+    "q96_kmeans_clusters",
+    "q125_classifier_margins",
+    "q130_classifier_margins_avg",
+    "q127_classifier_funnel_audit",
+    "q132_classifier_pr_curve",
+    "q139_vocab_coverage",
+    "q141_nb_confusion",
+    "q95_dup_graph_pagerank",
+    "q144_dup_triangles",
+    "q100_waiting_suppliers",
+    "q107_term_pmi",
+    "q108_source_similarity",
+    "q110_balance_prospects",
+    "q111_nation_top_supplier",
+    "q117_source_drift_kl",
+    "q136_heaps_vocab_growth",
+    "q137_zipf_rank_curve",
+    "q146_rollup_inventory",
+    "q97_bloom_decontaminate",
+    "q98_zorder_layout",
+    "q99_group_sample",
+    "q101_winsorize_lengths",
+    "q103_grouped_median",
+    "q105_snapshot_diff",
+    "q106_weighted_sample",
+    "q119_rank_fusion",
+    "q64_retention_cohorts",
+    "q65_median_gap",
+    "q102_peak_concurrency",
+    "q112_event_transitions",
+    "q122_shingle_containment",
+    "q123_dup_cluster_histogram",
+    "q138_lsh_calibration",
+    "q104_frame_fingerprint_pairs",
+    # (c) TAIL SEAT (position 51 — beyond the 50-entry gate, bounded to
+    # one round by tests/test_gate_debt.py): q128's materialization was
+    # de-collected this round (VERDICT r11 next-round #6), so its current
+    # form is gate debt, but the 49-stale pack + q149 fill the gated head;
+    # q128 is r10-green (fresh deferral) and re-verified locally this
+    # round (check_oracle + determinism); its driver row lands at r13 —
+    # the q81/q82 r10→r11 precedent.
+    "q128_jobs_dag_resolve",
 )
 
 
@@ -177,6 +186,7 @@ def load_registry() -> dict[str, QuerySpec]:
         streamgate,
         jobsgate,
         expectgate,
+        governance,
     )
 
     missing = [n for n in WINDOW_HEAD if n not in REGISTRY]

@@ -206,22 +206,20 @@ def q48_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HUGEINT_CONTROL_ORACLE so the local Arrow-fetch reproduction test
 # (tests/test_queries_oracle.py) keeps pinning the mechanism without a
 # permanently-red registry entry.
+#
+# RETIRED (r12, per the registry capacity policy in queries/__init__.py and
+# VERDICT r11 next-round #3): q48a_lm_nll_int_surface — the green half of
+# the same r05/r06 mechanism experiment (last green row: CORRECTNESS_r11).
+# The mechanism it proved (hashed surfaces must be engine-primitive) is now
+# enforced by check_oracle's output-surface type audit on EVERY query, so a
+# standing green control re-gates nothing; its operator (lm_doc_nll_sums)
+# stays covered by q48's gated NLL surface and the suite.  The function
+# survives unregistered below for the type-audit reproduction tests.
 # --------------------------------------------------------------------------
-@register(
-    "q48a_lm_nll_int_surface",
-    covers=("A3", "A4"),
-    oracle=f"""
-WITH {_LM_CTES}
-SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-       CAST(sum(n * nll_fp) AS BIGINT) AS nll_sum_fp
-FROM scored GROUP BY doc_id
-""",
-)
 def q48a_lm_nll_int_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q48 with an all-BIGINT hashed surface: the undivided fixed-point nll
-    mass per document (avg_nll = (nll_sum_fp div n_bigrams)/10⁴).  Driver
-    diagnostic — see the block comment above; also the defensive-convention
-    form (engine-primitive integers only) for gated score surfaces."""
+    mass per document (avg_nll = (nll_sum_fp div n_bigrams)/10⁴).  Retired
+    registry diagnostic — see the block comment above."""
     from briefly_spark.operators.lm import lm_doc_nll_sums
 
     docs = spread(load_table(spark, sf_dir, "documents"))

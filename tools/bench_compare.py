@@ -28,6 +28,11 @@ import sys
 BAND = 1.5      # min-of-pair ratio above which a mover is a finding
 MIN_ABS = 2.0   # seconds — below this, host flap dominates
 
+#: pipeline gates (multi-stage warehouse drains — bench.py:PIPELINE_GATES,
+#: short keys): totalled separately so the comparable PLAN headline isn't
+#: dominated by drain host-sensitivity (VERDICT r11 next-round #5)
+GATES = {"q120", "q128"}
+
 
 def _queries(path: str) -> dict[str, float]:
     d = json.load(open(path))
@@ -55,6 +60,15 @@ def main() -> int:
     print(f"runs: {len(pair)}  queries: {len(minp)}  shared with baseline: {len(shared)}")
     print(f"shared total  min-of-pair {tot_new:.1f} s  vs baseline {tot_old:.1f} s"
           f"  = {tot_new / tot_old:.2f}x")
+    plan = [k for k in shared if k not in GATES]
+    gate = [k for k in shared if k in GATES]
+    pn, po = sum(minp[k] for k in plan), sum(base[k] for k in plan)
+    print(f"  plan queries ({len(plan)}): {pn:.1f} s vs {po:.1f} s"
+          f" = {pn / po:.2f}x" if po else "  plan queries: n/a")
+    if gate:
+        gn, go = sum(minp[k] for k in gate), sum(base[k] for k in gate)
+        print(f"  pipeline gates ({sorted(gate)}): {gn:.1f} s vs {go:.1f} s"
+              f" = {gn / go:.2f}x (host-sensitive drains — informational)")
     movers = sorted(
         ((k, minp[k] / base[k]) for k in shared if base[k] > 0.05),
         key=lambda kv: -kv[1],

@@ -41,135 +41,56 @@ from briefly_spark.queries import load_registry
 #: the committed rotation decision (VERDICT r10 next-round #6).
 MIRROR_PINNED: tuple[dict, ...] = (
     {
-        "op": "X119 expectation-metrics anomaly detection",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.expectations:sql_expectation_anomalies",
-        "test": "tests/test_expectations.py::test_anomaly_sql_mirror_matches_spark",
-        "queued": "fold into q147's audit surface if the window stays saturated",
-    },
-    {
         "op": "X122 SCD2 versioned dimensions (batch + streaming)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.merge_scd2",
         "test": "tests/test_scd2.py::test_scd2_matches_pure_python_simulator",
-        "queued": "not SQL-expressible (keyed temporal merge) — standing pin",
-    },
-    {
-        "op": "X124 single-pass column profiling",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.expectations:sql_column_profiles",
-        "test": "tests/test_expectations.py::test_column_profiles_sql_mirror_on_testdata",
-        "queued": "r12 registry slot (single-query-shaped, SQL-mirrored)",
-    },
-    {
-        "op": "X125 PSI histogram drift",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.expectations:sql_histogram_drift",
-        "test": "tests/test_expectations.py::test_histogram_drift_sql_mirror_on_testdata",
-        "queued": "r12 registry slot (single-query-shaped, SQL-mirrored)",
+        "queued": "STANDING PIN (not SQL-expressible: keyed temporal merge "
+                  "with versioned rewrite) — final disposition per the r12 "
+                  "capacity policy",
     },
     {
         "op": "X128 mergeable HLL distinct-count sketch registry",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.sketches:hll_batch_sketches",
         "test": "tests/test_sketches.py::test_fold_equals_oneshot_and_replay_is_idempotent",
-        "queued": "not SQL-expressible (register-level merge state) — standing pin",
-    },
-    {
-        "op": "X129 per-group exact OLS trend regression",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.trends:sql_group_trend",
-        "test": "tests/test_trends.py::test_duckdb_mirror_on_testdata",
-        "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
-    },
-    {
-        "op": "X130 k-anonymity / l-diversity release-risk audit",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.privacy:sql_k_anonymity_summary",
-        "test": "tests/test_privacy.py::test_duckdb_mirrors_on_testdata",
-        "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
-    },
-    {
-        "op": "X132 greedy generalization-to-k (Samarati/Sweeney release)",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.privacy:generalize_to_k",
-        "test": "tests/test_privacy.py::test_generalize_greedy_hand_traced",
-        "queued": "data-dependent promotion loop (the BPE/jobs-gate class) "
-                  "— pytest-pinned; gates transitively if X130 takes a slot",
-    },
-    {
-        "op": "X133 dataset release datasheet (Gebru et al. data card legs)",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.datasheet:sql_dataset_datasheet",
-        "test": "tests/test_datasheet.py::test_duckdb_mirror_on_testdata",
-        "queued": "r12+ registry slot behind X124/X125 (single-query-shaped)",
+        "queued": "STANDING PIN (register-level merge state is not "
+                  "SQL-expressible; the EXACT registry families graduated "
+                  "with q149) — final disposition",
     },
     {
         "op": "X134 quarantined JSONL/CSV sources (PERMISSIVE + provenance)",
         "kind": "duckdb-mirror",
         "symbol": "briefly_spark.sources:read_jsonl",
         "test": "tests/test_sources.py::test_jsonl_good_rows_match_duckdb",
-        "queued": "boundary op (two-frame output) — pytest+mirror is its "
-                  "standing evidence class",
+        "queued": "STANDING PIN (boundary op with a two-frame output; the "
+                  "gate hashes one frame) — final disposition",
     },
     {
         "op": "X135 ingest schema contract (drift report + conform/refuse)",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.sources:conform_batch",
         "test": "tests/test_sources.py::test_schema_drift_report_and_conform",
-        "queued": "driver-side schema work, no data pass — standing pin",
-    },
-    {
-        "op": "X136 pivot/unpivot reshaping (explicit-values crosstab)",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.reshape:sql_pivot_counts",
-        "test": "tests/test_reshape.py::test_duckdb_mirror_on_testdata",
-        "queued": "r12+ registry slot candidate (single-query-shaped)",
-    },
-    {
-        "op": "X137 incremental datasheet registry (sums + HLL distinct leg)",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.datasheet:datasheet_registry_fold",
-        "test": "tests/test_datasheet.py::test_registry_fold_matches_oneshot",
-        "queued": "registry form of X133 — exact legs fold≡one-shot, distinct "
-                  "leg register-deterministic; gates transitively with X133",
+        "queued": "STANDING PIN (driver-side schema work, no data pass) — "
+                  "final disposition",
     },
     {
         "op": "X138 capped waterfill mixture solver",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.operators.mixture:waterfill_mixture",
         "test": "tests/test_mixture.py::test_guarantees_hold",
-        "queued": "driver-side solve on the sources-bounded frame — "
-                  "standing pin; feeds q58's gated accept path",
-    },
-    {
-        "op": "X139 exact mergeable top-k registry (per-id semilattice)",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.sketches:topk_registry_resolve",
-        "test": "tests/test_sketches.py::test_topk_fold_is_exact_and_replay_safe",
-        "queued": "registry family (X128 discipline) — standing pin",
+        "queued": "STANDING PIN (driver-side solve on the sources-bounded "
+                  "frame; its accept path is gated through q58) — final "
+                  "disposition",
     },
     {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
         "test": "tests/test_layout_audit.py::test_layout_report_and_compaction_worklist",
-        "queued": "metadata-sized table-management surface — standing pin",
-    },
-    {
-        "op": "X141 single-pass deterministic Poisson bootstrap",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.bootstrap:sql_bootstrap_means",
-        "test": "tests/test_bootstrap.py::test_means_match_duckdb_mirror_on_testdata",
-        "queued": "r12+ registry slot candidate (single-query-shaped)",
-    },
-    {
-        "op": "X131 incremental trend registry (mergeable OLS sums)",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.trends:trend_registry_fit",
-        "test": "tests/test_trends.py::test_registry_fold_equals_oneshot_exactly",
-        "queued": "registry form of X129 — batch≡fold≡stream EXACT pins; "
-                  "gates transitively when X129 takes its slot",
+        "queued": "STANDING PIN (metadata-sized table management over live "
+                  "file listings — not reproducible from the parquet views "
+                  "a gate sees) — final disposition",
     },
 )
 
