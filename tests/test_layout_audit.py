@@ -75,3 +75,21 @@ def test_compact_preserves_hive_partition_layout(spark, tmp_path):
     # flat tables report an empty layout
     wh.overwrite(df.drop("part"), "flat")
     assert wh.partition_layout("flat") == []
+
+
+def test_compact_preserves_two_level_partition_layout(spark, tmp_path):
+    """partition_layout walks the full key= chain (outermost first) and
+    compact() rewrites through BOTH levels."""
+    wh = Warehouse(spark, str(tmp_path / "wh_part2"))
+    df = spark.range(600).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS a", "CAST(id % 3 AS STRING) AS b",
+        "id * 7 AS v",
+    )
+    wh.overwrite(df.repartition(10), "t2", partition_by=["a", "b"])
+    assert wh.partition_layout("t2") == ["a", "b"]
+    wh.compact("t2", target_rows_per_file=600)
+    assert wh.partition_layout("t2") == ["a", "b"]
+    got = wh.read("t2")
+    assert got.count() == 600
+    # hive partition values read back type-inferred (ints here)
+    assert {str(r["a"]) for r in got.select("a").distinct().collect()} == {"0", "1"}
