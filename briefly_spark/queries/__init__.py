@@ -90,6 +90,14 @@ def register(
 #:      applied to q48c (r06) and now q48a (r12, see queries/search.py:
 #:      the HUGEINT-surface mechanism it proved is enforced on every
 #:      query by check_oracle's output-surface type audit).
+#:
+#: r13 forecast (written at r12 close so the rotation is no surprise):
+#: the r10-green pack is exactly 50 queries INCLUDING q128 (whose
+#: de-collected form holds this round's tail seat and earns no r12 row),
+#: so the r13 head is fully determined — all 50 r10-green queries, zero
+#: spare seats.  r13 therefore registers nothing new; new work lands
+#: mirror-pinned, or grafts into an r10-pack query (whose head seat is
+#: already paid for) in the composite style.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r12 (gate debt by construction; the consolidation pack)
     "q149_governance_pack",

@@ -79,6 +79,11 @@ QUERIES = (
     # held-out LM: train-slice model joined onto the val slice — both
     # sides grow with K, the vocab broadcast with Heaps(K)
     "q145_lm_holdout_ppl",
+    # r12 governance composite: only its DOCUMENT legs grow with K
+    # (datasheet, trend, pivot, top-k, bootstrap); the lineitem/customer
+    # legs are fixed — growth must therefore be strongly sublinear, and
+    # the output stays (sections × groups)-bounded at every K
+    "q149_governance_pack",
 )
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
