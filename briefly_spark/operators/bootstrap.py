@@ -85,16 +85,9 @@ def bootstrap_means(
     landed 0 for a group are dropped on BOTH sides (division guard) —
     at realistic group sizes that never happens.  DuckDB mirror:
     :func:`sql_bootstrap_means`."""
-    _INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
-    vt = dict(df.dtypes).get(value_col)
-    if vt is None:
-        raise ValueError(f"bootstrap_means: unknown column {value_col!r}")
-    if vt not in _INT_TYPES:
-        raise ValueError(
-            f"bootstrap_means: {value_col!r} is {vt} — the exact fixed-point "
-            f"mean needs an integer column (count, bytes, fixed-point "
-            f"score); cast or quantize first (module doc)"
-        )
+    from briefly_spark.operators.trends import require_int_column
+
+    require_int_column(df, value_col, ctx="bootstrap_means")
     rep = F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("rep")
     w = poisson_weight(F.col(id_col), F.col("rep"), seed)
     expanded = df.select(*group_cols, id_col, value_col).select(

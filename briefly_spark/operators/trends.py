@@ -59,16 +59,24 @@ TREND_COLS = ("n", "x_sum", "y_sum", "slope_num", "slope_den", "icept_num",
               "vary_num")
 
 
-def _require_int(df: DataFrame, col: str) -> None:
+def require_int_column(df: DataFrame, col: str, *, ctx: str = "group_trend") -> None:
+    """Shared integer-input contract of the exact fixed-point operators
+    (OLS trends here, Poisson bootstrap in operators/bootstrap.py): the
+    two engines' division/rounding semantics only provably agree on
+    integer inputs, so non-integer columns are refused loudly."""
     t = dict(df.dtypes).get(col)
     if t is None:
-        raise ValueError(f"group_trend: unknown column {col!r}")
+        raise ValueError(f"{ctx}: unknown column {col!r}")
     if t not in _INT_TYPES:
         raise ValueError(
-            f"group_trend: {col!r} is {t} — exact OLS needs an integer "
-            f"column (rank, bucket, count, fixed-point score); cast or "
-            f"quantize first"
+            f"{ctx}: {col!r} is {t} — exact integer arithmetic needs an "
+            f"integer column (rank, bucket, count, fixed-point score); "
+            f"cast or quantize first"
         )
+
+
+def _require_int(df: DataFrame, col: str) -> None:
+    require_int_column(df, col, ctx="group_trend")
 
 
 _DEC = "decimal(38,0)"

@@ -710,52 +710,80 @@ class Warehouse:
         rewritten through ``partitionBy`` (ADVICE r11 #2 — a flat rewrite
         silently broke the layout contract `_assert_partitioned_layout`
         guards, so the next partition-scoped merge refused the table).
-        Returns the new file count (flat) or the task count
-        (partitioned)."""
+        The partitioned rewrite reads with partition-value TYPE INFERENCE
+        OFF: inference round-trips dir names through parsed values, so
+        non-canonical strings ('00' and '0', '01' vs '1') would silently
+        collapse/rename partitions on rewrite — values must come back as
+        the exact on-disk strings for ``partitionBy`` to reproduce the
+        dirs byte-for-byte.  Returns the new file count (flat) or the
+        task count (partitioned)."""
         import math
 
         parts = self.partition_layout(table)
-        df = self.read(table)
-        n = df.count()
-        n_files = max(1, math.ceil(n / target_rows_per_file))
-        with self._writer_lock(table):
-            tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
-            staged = (
-                df.repartition(n_files, *parts) if parts
-                else df.repartition(n_files)
-            )
-            writer = (
-                staged.write.mode("overwrite")
-                .option("maxRecordsPerFile", target_rows_per_file)
-            )
+        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old = self.spark.conf.get(conf, "true")
+        if parts:
+            self.spark.conf.set(conf, "false")
+        try:
+            df = self.read(table)
+            n = df.count()
+            n_files = max(1, math.ceil(n / target_rows_per_file))
+            with self._writer_lock(table):
+                tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
+                staged = (
+                    df.repartition(n_files, *parts) if parts
+                    else df.repartition(n_files)
+                )
+                writer = (
+                    staged.write.mode("overwrite")
+                    .option("maxRecordsPerFile", target_rows_per_file)
+                )
+                if parts:
+                    writer = writer.partitionBy(*parts)
+                writer.parquet(tmp)
+                self._swap_full(tmp, table)
+        finally:
             if parts:
-                writer = writer.partitionBy(*parts)
-            writer.parquet(tmp)
-            self._swap_full(tmp, table)
+                self.spark.conf.set(conf, old)
         return n_files
 
     def partition_layout(self, table: str) -> list[str]:
         """The hive ``key=value`` partition-column chain of a table's
         on-disk layout, outermost first; ``[]`` for flat tables.
-        Metadata-sized (directory listing), no data pass."""
+        Metadata-sized (directory listing), no data pass.  Walks EVERY
+        branch per level (not one sample child — a single empty or
+        shallow subtree must not truncate the detected chain and flatten
+        deeper levels on the next compact) and refuses mixed layouts:
+        data files sitting next to ``key=`` dirs at the same level."""
         cols: list[str] = []
-        cur = self.path(table)
-        while True:
-            subs = [
-                d for d in os.listdir(cur)
-                if "=" in d and not d.startswith(".")
-                and os.path.isdir(os.path.join(cur, d))
-            ]
+        frontier = [self.path(table)]
+        while frontier:
+            subs: list[str] = []
+            keys: set[str] = set()
+            for cur in frontier:
+                entries = os.listdir(cur)
+                here = [
+                    d for d in entries
+                    if "=" in d and not d.startswith(".")
+                    and os.path.isdir(os.path.join(cur, d))
+                ]
+                if here and any(f.endswith(".parquet") for f in entries):
+                    raise ValueError(
+                        f"table {table!r}: data files next to partition "
+                        f"dirs under {cur!r} — mixed layout"
+                    )
+                subs += [os.path.join(cur, d) for d in here]
+                keys |= {d.split("=", 1)[0] for d in here}
             if not subs:
                 return cols
-            keys = {d.split("=", 1)[0] for d in subs}
             if len(keys) != 1:
                 raise ValueError(
                     f"table {table!r}: mixed partition keys {sorted(keys)} "
                     f"at one level — not a hive layout"
                 )
             cols.append(keys.pop())
-            cur = os.path.join(cur, subs[0])
+            frontier = subs
+        return cols
 
     def table_files(self, table: str) -> list[tuple[str, int]]:
         """(relative path, bytes) of every data file in a table —
@@ -822,6 +850,6 @@ class Warehouse:
         """Raw snapshot under ``bronze/{table}/run_id={run_id}/`` — the S3
         ``raw_data/{source}/{run_id}/...`` layout (s3_io_manager.py:24-47)
         with partition directories instead of pickled objects."""
-        path = os.path.join(self.root, "bronze", table, f"run_id={run_id}")
+        path = os.path.join(self.root, self.BRONZE_DIR, table, f"run_id={run_id}")
         df.write.mode("overwrite").parquet(path)
         return path

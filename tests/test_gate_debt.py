@@ -193,3 +193,32 @@ def test_manifest_covers_registry():
     doctored = dict(hashes)
     doctored[victim] = "0" * 64
     assert victim in gate_debt(doctored, manifest)
+
+
+def test_update_prunes_retired_queries(tmp_path, monkeypatch):
+    """A retired query's manifest row must not survive --update: a stale
+    hash would let the query, re-registered in exactly its last-gated
+    form, dodge the WINDOW_HEAD scheduling invariant (r12 review)."""
+    import json
+
+    import tools.gate_debt as gd
+
+    manifest_path = tmp_path / "gated_hashes.json"
+    live = dict(list(gd.current_hashes().items())[:2])
+    stale = {"q_retired_ghost": {"hash": "f" * 64, "round": 3}}
+    json.dump(
+        {**{n: {"hash": h, "round": 9} for n, h in live.items()}, **stale},
+        open(manifest_path, "w"),
+    )
+    monkeypatch.setattr(gd, "MANIFEST", str(manifest_path))
+    correctness = tmp_path / "CORRECTNESS_r99.json"
+    json.dump(
+        {n: {"rows_match": True, "schema_match": True, "hash_match": True}
+         for n in live},
+        open(correctness, "w"),
+    )
+    monkeypatch.chdir(tmp_path)
+    gd.update(99)
+    out = json.load(open(manifest_path))
+    assert "q_retired_ghost" not in out
+    assert all(out[n]["round"] == 99 for n in live)

@@ -93,3 +93,54 @@ def test_compact_preserves_two_level_partition_layout(spark, tmp_path):
     assert got.count() == 600
     # hive partition values read back type-inferred (ints here)
     assert {str(r["a"]) for r in got.select("a").distinct().collect()} == {"0", "1"}
+
+
+def test_compact_preserves_noncanonical_partition_strings(spark, tmp_path):
+    """Partition values that type inference would collapse ('00' and '0'
+    both parse to int 0) must survive compact() byte-for-byte — the
+    rewrite reads with partition-value inference OFF."""
+    wh = Warehouse(spark, str(tmp_path / "wh_noncanon"))
+    rows = [("00", 1), ("00", 2), ("0", 3), ("01", 4)]
+    df = spark.createDataFrame(rows, "part STRING, v LONG")
+    wh.overwrite(df.repartition(4), "t3", partition_by=["part"])
+    import os
+    dirs = lambda: sorted(
+        d for d in os.listdir(wh.path("t3")) if d.startswith("part=")
+    )
+    assert dirs() == ["part=0", "part=00", "part=01"]
+    wh.compact("t3", target_rows_per_file=10)
+    assert dirs() == ["part=0", "part=00", "part=01"]  # no collapse/rename
+    # read back with inference off to see the exact on-disk strings
+    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    assert spark.conf.get(conf) in ("true", "True")  # conf was restored
+    spark.conf.set(conf, "false")
+    try:
+        got = sorted((r["part"], r["v"]) for r in wh.read("t3").collect())
+    finally:
+        spark.conf.set(conf, "true")
+    assert got == [("0", 3), ("00", 1), ("00", 2), ("01", 4)]
+
+
+def test_partition_layout_survives_empty_branch_and_refuses_mixed(spark, tmp_path):
+    """One empty/shallow subtree must not truncate the detected chain
+    (every branch is walked), and data files next to key= dirs raise."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh_branchy"))
+    df = spark.range(200).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS a", "CAST(id % 3 AS STRING) AS b",
+        "id AS v",
+    )
+    wh.overwrite(df, "t4", partition_by=["a", "b"])
+    # hollow out one branch: a=0 loses all its b= children
+    victim = os.path.join(wh.path("t4"), "a=0")
+    for d in list(os.listdir(victim)):
+        if d.startswith("b="):
+            import shutil
+            shutil.rmtree(os.path.join(victim, d))
+    assert wh.partition_layout("t4") == ["a", "b"]  # not truncated to [a]
+    # mixed layout: a data file directly beside the a= dirs
+    open(os.path.join(wh.path("t4"), "stray.parquet"), "wb").close()
+    import pytest
+    with pytest.raises(ValueError, match="mixed layout"):
+        wh.partition_layout("t4")

@@ -39,7 +39,13 @@ def _queries(path: str) -> dict[str, float]:
     q = d.get("queries") or d.get("parsed", {}).get("queries")
     if not q:
         raise SystemExit(f"{path}: no queries dict found")
-    return {k.split("_")[0]: float(v) for k, v in q.items()}
+    # bench.py records -1.0 for an errored query — surface it, never fold
+    # it into totals/min-of-pair (a negative would silently deflate the
+    # headline ratios and top the improvements table)
+    bad = sorted(k for k, v in q.items() if float(v) < 0)
+    if bad:
+        print(f"{path}: errored queries excluded: {bad}")
+    return {k.split("_")[0]: float(v) for k, v in q.items() if float(v) >= 0}
 
 
 def main() -> int:

@@ -101,6 +101,14 @@ def update(round_n: int) -> int:
         results = json.load(f)
     hashes = current_hashes()
     manifest = load_manifest()
+    # prune retired queries: a stale manifest row would let a re-registered
+    # query in exactly its last-gated form skip the WINDOW_HEAD scheduling
+    # invariant despite having no recent driver row
+    retired = [n for n in manifest if n not in hashes]
+    for n in retired:
+        del manifest[n]
+    if retired:
+        print(f"pruned retired queries from manifest: {retired}")
     recorded = 0
     for name, rec in results.items():
         if name not in hashes:
