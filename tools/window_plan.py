@@ -84,6 +84,15 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "disposition",
     },
     {
+        "op": "X142 mergeable log-bin histogram quantile registry",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.histq:group_quantiles",
+        "test": "tests/test_histq.py::test_duckdb_mirror_on_testdata",
+        "queued": "graft: joins the q149 registry-fold section when q149 "
+                  "next rotates through the head (r14 forecast) — the r12 "
+                  "composite-first policy; no dedicated slot",
+    },
+    {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
