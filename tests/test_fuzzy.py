@@ -1,0 +1,119 @@
+"""X143 edit-distance similarity join — candidate COMPLETENESS pinned by
+brute force (pure-Python Levenshtein over all pairs) on adversarial
+repeated-gram data, the brute-force DuckDB mirror on real testdata, the
+R×S form, parameter contracts, and the no-corpus-cartesian plan."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from briefly_spark.operators.fuzzy import (
+    fuzzy_dedup_pairs,
+    fuzzy_pairs,
+    sql_fuzzy_dedup_pairs,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _adversarial_rows():
+    """Tiny alphabet → massive gram collisions; short and empty strings →
+    the fringe leg; runs of one char → multiset-vs-set gram hazards."""
+    random.seed(11)
+    strings = ["", "a", "aa", "aaa", "aaaa", "abab", "baba"] + [
+        "".join(random.choice("ab") for _ in range(random.randint(0, 8)))
+        for _ in range(120)
+    ]
+    return [(i, s) for i, s in enumerate(strings)]
+
+
+@pytest.mark.parametrize("max_dist,q", [(0, 2), (1, 2), (2, 2), (2, 3)])
+def test_complete_vs_bruteforce_on_adversarial_data(spark, max_dist, q):
+    rows = _adversarial_rows()
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    got = sorted(
+        (r.left_id, r.right_id, r.dist)
+        for r in fuzzy_dedup_pairs(
+            df, id_col="id", text_col="name", max_dist=max_dist, q=q
+        ).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= max_dist
+    )
+    assert got == want  # no missed pair, no extra pair, exact distances
+
+
+def test_duckdb_bruteforce_mirror_on_testdata(spark, sf_dir):
+    """The mirror is deliberately the ALL-PAIRS plan — agreement pins that
+    prefix filtering dropped no candidate on the real part names."""
+    import duckdb
+
+    from briefly_spark.catalog import load_table, table_path
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_dedup_pairs(
+            part, id_col="p_partkey", text_col="p_name", max_dist=3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{table_path(sf_dir, 'part')}'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_fuzzy_dedup_pairs("part", id_col="p_partkey", text_col="p_name", max_dist=3)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 100  # a real matching surface, not a trivial pass
+
+
+def test_rxs_form_nulls_and_contracts(spark):
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zzz"), (3, None)], "id LONG, name STRING"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (11, "acme c0rp"), (12, "unrelated")],
+        "id LONG, name STRING",
+    )
+    got = sorted(
+        (r.left_id, r.right_id, r.dist)
+        for r in fuzzy_pairs(
+            left, right, id_col="id", text_col="name", max_dist=1
+        ).collect()
+    )
+    assert got == [(1, 10, 1), (1, 11, 1)]  # NULL text excluded, no cross hits
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(left, right, id_col="id", text_col="name", max_dist=-1)
+    with pytest.raises(ValueError, match="q >= 2"):
+        fuzzy_pairs(left, right, id_col="id", text_col="name", q=1)
+
+
+def test_no_corpus_cartesian_plan(spark, sf_dir):
+    """The candidate stage is a gram equi-join; the only nested-loop legs
+    are the length-filtered fringe (broadcast, len ≤ q·d-q+1 slivers) —
+    never an unfiltered corpus cross."""
+    from briefly_spark.catalog import load_table
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = fuzzy_dedup_pairs(part, id_col="p_partkey", text_col="p_name", max_dist=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan  # the exact verify is in-plan, JVM-side
+    assert "BatchEvalPython" not in plan  # no Python in the hot path

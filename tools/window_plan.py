@@ -88,9 +88,18 @@ MIRROR_PINNED: tuple[dict, ...] = (
         "kind": "duckdb-mirror",
         "symbol": "briefly_spark.operators.histq:group_quantiles",
         "test": "tests/test_histq.py::test_duckdb_mirror_on_testdata",
-        "queued": "graft: joins the q149 registry-fold section when q149 "
-                  "next rotates through the head (r14 forecast) — the r12 "
-                  "composite-first policy; no dedicated slot",
+        "queued": "graft: joins q74_sketch_audit (r10-green, r13 head — "
+                  "seat already paid) as its quantile-bracket leg at r13 "
+                  "open — the r12 composite-first policy; no dedicated slot",
+    },
+    {
+        "op": "X143 edit-distance similarity join (fuzzy entity resolution)",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.fuzzy:fuzzy_dedup_pairs",
+        "test": "tests/test_fuzzy.py::test_duckdb_bruteforce_mirror_on_testdata",
+        "queued": "graft: joins q37_dup_clusters (r10-green, r13 head — "
+                  "seat already paid) as a fuzzy-tier pair source at r13 "
+                  "open — the r12 composite-first policy; no dedicated slot",
     },
     {
         "op": "X140 warehouse layout audit + compaction work-list",
