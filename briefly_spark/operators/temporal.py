@@ -133,3 +133,151 @@ def range_join(
     return pb.join(rb, "__bin").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     ).drop("__bin")
+
+
+# ---------------------------------------------------------------------------
+# X144 — regular-grid resample with LOCF gap-fill
+# ---------------------------------------------------------------------------
+def resample_locf(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step: int,
+    origin: int = 0,
+    max_fill: int | None = None,
+) -> DataFrame:
+    """Irregular observations → a regular per-key time grid with
+    last-observation-carried-forward fill (the feature-store /
+    time-series resample Spark lacks as a builtin; DuckDB mirrors it
+    with generate_series + IGNORE NULLS windows, which keeps it
+    oracle-checkable).
+
+    Semantics: buckets are ``(ts - origin) div step`` (integer floor
+    division — ts and value follow the exact-integer contract of
+    trends.require_int_column; convert timestamps with unix_micros
+    first).  Within a bucket the LAST observation wins under the total
+    order (ts, value) — deterministic through ties.  The grid spans each
+    key's own observed [first, last] bucket; every grid row carries
+    ``observed`` (did this bucket have a real observation) and the
+    filled ``value`` — NULL again once a gap exceeds ``max_fill`` steps
+    (None = fill forever).  Rows with NULL ts or value are excluded.
+
+    Scale shape: one hash shuffle to bucket-aggregate the observations
+    (map-side combinable), one per-key window over the GRID frame —
+    partitioned by key, never global; grid size is span/step rows per
+    key, the explode is per-key-bounded.  No corpus sort, no driver
+    state.
+    """
+    from briefly_spark.operators.trends import require_int_column
+
+    require_int_column(df, ts_col, ctx="resample_locf")
+    require_int_column(df, value_col, ctx="resample_locf")
+    if step <= 0:
+        raise ValueError(f"resample_locf: step must be positive, got {step}")
+    if max_fill is not None and max_fill < 0:
+        raise ValueError(f"resample_locf: max_fill must be >= 0, got {max_fill}")
+    obs = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *key_cols,
+            F.expr(f"(({ts_col} - {int(origin)}) div {int(step)})").alias("__b"),
+            F.col(ts_col).alias("__ts"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(*key_cols, "__b")
+        .agg(F.max(F.struct("__ts", "__v")).alias("__last"))
+        .select(*key_cols, "__b", F.col("__last.__v").alias("__obs_v"))
+    )
+    span = obs.groupBy(*key_cols).agg(
+        F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+    )
+    grid = span.select(
+        *key_cols, F.explode(F.sequence("__b0", "__b1")).alias("bucket")
+    )
+    joined = grid.join(
+        obs.withColumnRenamed("__b", "bucket"), [*key_cols, "bucket"], "left"
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        *key_cols,
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.lit(int(origin)) + F.col("bucket") * step)
+        .cast("long")
+        .alias("bucket_start"),
+        F.col("__obs_v").isNotNull().alias("observed"),
+        F.last("__obs_v", ignorenulls=True).over(w).alias("__fill"),
+        F.last(
+            F.when(F.col("__obs_v").isNotNull(), F.col("bucket")), ignorenulls=True
+        ).over(w).alias("__src_b"),
+    )
+    age_ok = (
+        F.lit(True)
+        if max_fill is None
+        else (F.col("bucket") - F.col("__src_b")) <= max_fill
+    )
+    return filled.select(
+        *key_cols,
+        "bucket",
+        "bucket_start",
+        "observed",
+        F.when(age_ok, F.col("__fill")).alias("value"),
+    )
+
+
+def sql_resample_locf(
+    table: str,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step: int,
+    origin: int = 0,
+    max_fill: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`resample_locf` — identical integer bucket,
+    tie, and fill-age arithmetic (generate_series grid, IGNORE NULLS
+    last_value windows)."""
+    g = ", ".join(key_cols)
+    age_ok = (
+        "TRUE"
+        if max_fill is None
+        else f"bucket - src_b <= {int(max_fill)}"
+    )
+    return f"""WITH obs AS (
+  SELECT {g}, ({ts_col} - {int(origin)}) // {int(step)} AS b,
+         max(struct_pack(ts := {ts_col}, v := {value_col})) AS last_row
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+  GROUP BY {g}, b
+),
+grid AS (
+  SELECT {g}, unnest(generate_series(min(b), max(b))) AS bucket
+  FROM obs GROUP BY {g}
+),
+joined AS (
+  SELECT grid.*, obs.last_row
+  FROM grid LEFT JOIN obs
+    ON {' AND '.join(f'grid.{k} = obs.{k}' for k in key_cols)}
+   AND grid.bucket = obs.b
+),
+filled AS (
+  SELECT {g}, CAST(bucket AS BIGINT) AS bucket,
+         CAST({int(origin)} + bucket * {int(step)} AS BIGINT) AS bucket_start,
+         last_row IS NOT NULL AS observed,
+         last_value(last_row IGNORE NULLS)
+           OVER (PARTITION BY {g} ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS fill_row,
+         last_value(CASE WHEN last_row IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER (PARTITION BY {g} ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS src_b
+  FROM joined
+)
+SELECT {g}, bucket, bucket_start, observed,
+       CASE WHEN {age_ok} THEN fill_row.v END AS value
+FROM filled"""

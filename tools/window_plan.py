@@ -102,6 +102,15 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "open — the r12 composite-first policy; no dedicated slot",
     },
     {
+        "op": "X144 regular-grid resample with LOCF gap-fill",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.temporal:resample_locf",
+        "test": "tests/test_resample.py::test_on_real_events_hourly_grid",
+        "queued": "graft: joins q70_tumbling_window (r10-green, r13 head — "
+                  "seat already paid) as its gap-filled grid leg at r13 "
+                  "open — the r12 composite-first policy; no dedicated slot",
+    },
+    {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
