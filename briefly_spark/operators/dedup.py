@@ -589,3 +589,147 @@ def _propagate_min(sym: DataFrame, labels: DataFrame, max_iters: int) -> DataFra
         "the graph has a longer-than-expected chain — raise max_iters or "
         "use the large-star/small-star variant"
     )
+
+
+# ---------------------------------------------------------------------------
+# X145 — incremental near-dup admission against a MinHash band registry
+# ---------------------------------------------------------------------------
+def neardup_incremental(
+    batch: DataFrame,
+    band_registry: DataFrame,
+    sig_registry: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    batch_id: int,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    min_agree: int = 6,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Admit a micro-batch against the near-dup HISTORY without ever
+    reprocessing it — the MinHash twin of the exact-substring claims
+    registry (curation.py X101): the registry holds only the banded
+    inverted index (batch_id, band, key, id) plus one signature row per
+    admitted doc, so checking a new batch against 100 TB of absorbed
+    corpus is a band-key equi-join + a candidate-bounded signature
+    verify, never a scan of history.
+
+    Semantics (deterministic, order-explicit):
+
+    - a doc is rejected as ``history`` when it shares a band bucket with
+      an ADMITTED doc from an earlier batch and their signatures agree on
+      ≥ ``min_agree`` of ``k`` components (the MinHash Jaccard estimate,
+      kept integer-exact as a component count);
+    - a doc is rejected as ``batch`` when a SMALLER-id doc in the same
+      batch verifies against it — min-dominates, regardless of the
+      smaller doc's own fate (no transitive chains: this is the
+      arrival-order contract, pinned against a pure-Python simulator);
+    - ``dup_of`` is the minimum verified partner across both sources;
+    - docs that produce no shingles (< n words) are admitted but NOT
+      indexed — nothing shingles ⇒ nothing to compare (the documented
+      empty-shingle semantics of minhash_signatures_exploded);
+    - only ADMITTED docs' bands/signatures enter the registry.  That
+      closes the crash-replay window: admitted docs never verify against
+      each other (any verified pair would have rejected its larger id),
+      so replaying a batch whose registry merge already landed reproduces
+      byte-identical verdicts (the ``old_id != id`` self-guard plus
+      group-replace on batch_id).
+
+    Returns (admitted, band_delta, sig_delta, rejects): admitted keeps the
+    batch's full schema; deltas carry ``batch_id`` for group-replace;
+    rejects is (id, dup_of, source).
+    """
+    if not (0 < min_agree <= k) or k % bands:
+        raise ValueError(
+            f"neardup_incremental: need 0 < min_agree <= k and bands | k, "
+            f"got k={k}, bands={bands}, min_agree={min_agree}"
+        )
+    rows = k // bands
+    shingled = with_shingles(
+        batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        "__t",
+        n,
+    )
+    signed = minhash_signatures_exploded(shingled, "id", "shingles", k)
+    banded = signed.select(
+        "id", F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
+    )
+
+    def _agree(a, b):
+        return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+
+    hist_cand = (
+        banded.join(
+            band_registry.select(
+                "band", "key", F.col("id").alias("old_id")
+            ),
+            ["band", "key"],
+        )
+        .filter(F.col("old_id") != F.col("id"))
+        .select("id", "old_id")
+        .distinct()
+    )
+    hist_ver = (
+        hist_cand.join(signed, "id")
+        .join(
+            sig_registry.select(F.col("id").alias("old_id"), F.col("sig").alias("__os")),
+            "old_id",
+        )
+        .filter(_agree(F.col("sig"), F.col("__os")) >= min_agree)
+        .select("id", F.col("old_id").alias("dup_of"), F.lit("history").alias("source"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    batch_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("small_id"), F.col("b.id").alias("id"))
+        .distinct()
+    )
+    batch_ver = (
+        batch_cand.join(signed, "id")
+        .join(
+            signed.select(F.col("id").alias("small_id"), F.col("sig").alias("__ss")),
+            "small_id",
+        )
+        .filter(_agree(F.col("sig"), F.col("__ss")) >= min_agree)
+        .select("id", F.col("small_id").alias("dup_of"), F.lit("batch").alias("source"))
+    )
+    rejects = (
+        hist_ver.unionByName(batch_ver)
+        .groupBy("id")
+        .agg(F.min(F.struct("dup_of", "source")).alias("__r"))
+        .select("id", F.col("__r.dup_of").alias("dup_of"), F.col("__r.source").alias("source"))
+    )
+    admitted = batch.join(
+        rejects.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    keep_ids = signed.join(rejects, "id", "left_anti").select("id")
+    band_delta = banded.join(keep_ids, "id").select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"), "band", "key", "id"
+    )
+    sig_delta = signed.join(keep_ids, "id").select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"), "id", "sig"
+    )
+    return admitted, band_delta, sig_delta, rejects
+
+
+def neardup_registry_compact(
+    band_registry: DataFrame, sig_registry: DataFrame, *, into_batch_id: int = -1
+) -> tuple[DataFrame, DataFrame]:
+    """Fold grown registries into ONE sentinel block — exact (each
+    admitted id owns its rows in exactly one batch block, so the fold is
+    a batch-dimension drop, not a merge).  Same caveat as the other
+    registry compactors: only compact batches whose replay window has
+    passed; the negative sentinel cannot collide with foreachBatch ids."""
+    bands = band_registry.select("band", "key", "id").distinct().select(
+        F.lit(int(into_batch_id)).cast("long").alias("batch_id"), "band", "key", "id"
+    )
+    sigs = sig_registry.select("id", "sig").distinct().select(
+        F.lit(int(into_batch_id)).cast("long").alias("batch_id"), "id", "sig"
+    )
+    return bands, sigs

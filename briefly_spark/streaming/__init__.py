@@ -24,6 +24,7 @@ from briefly_spark.streaming.incremental import (  # noqa: F401
     audited_merge_stream,
     available_now_to_memory,
     merge_stream,
+    neardup_stream,
     read_parquet_stream,
     scd2_stream,
     session_counts,

@@ -644,3 +644,73 @@ def nb_counts_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def neardup_stream(
+    source: DataFrame,
+    wh: Warehouse,
+    *,
+    clean_table: str,
+    band_table: str,
+    sig_table: str,
+    rejects_table: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    min_agree: int = 6,
+) -> None:
+    """Streaming near-dup admission (X145) — the MinHash twin of
+    span_dedup_stream: each micro-batch is admitted against the persisted
+    band/signature registries via
+    :func:`~briefly_spark.operators.dedup.neardup_incremental`; admitted
+    docs MERGE into ``clean_table``, verdicts into ``rejects_table``, and
+    the batch's bands/signatures into the registries keyed on batch_id
+    (group-replace).
+
+    Crash-replay safety (the foreachBatch at-least-once window): admitted
+    docs never verify against each other, so a replay that sees its own
+    already-merged registry block reproduces byte-identical verdicts (the
+    operator's ``old_id != id`` self-guard); every sink is an idempotent
+    keyed merge.  Arrival order is SEMANTIC (earlier batches claim
+    content) — the contract of any online dedup; the pure-Python
+    simulator equivalence is pinned in tests."""
+    from briefly_spark.operators.dedup import neardup_incremental
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admitted, band_delta, sig_delta, rejects = neardup_incremental(
+            batch_df,
+            wh.read(band_table),
+            wh.read(sig_table),
+            id_col=id_col,
+            text_col=text_col,
+            batch_id=batch_id,
+            n=n,
+            k=k,
+            bands=bands,
+            min_agree=min_agree,
+        )
+        # Materialize ALL four frames before the first registry merge: the
+        # deltas' lineage reads the registry files a prior merge in this
+        # very sink replaces (FILE_NOT_EXIST otherwise); every frame is
+        # micro-batch-sized by construction.
+        admitted = admitted.localCheckpoint(eager=True)
+        band_delta = band_delta.localCheckpoint(eager=True)
+        sig_delta = sig_delta.localCheckpoint(eager=True)
+        rejects = rejects.localCheckpoint(eager=True)
+        if admitted.take(1):
+            wh.merge_upsert(admitted, clean_table, [id_col])
+            wh.merge_upsert(band_delta, band_table, ["batch_id"])
+            wh.merge_upsert(sig_delta, sig_table, ["batch_id"])
+        if rejects.take(1):
+            wh.merge_upsert(rejects, rejects_table, ["id"])
+
+    q = (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

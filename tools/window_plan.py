@@ -111,6 +111,15 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "open — the r12 composite-first policy; no dedicated slot",
     },
     {
+        "op": "X145 incremental near-dup admission registry (MinHash bands)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.dedup:neardup_incremental",
+        "test": "tests/test_neardup_registry.py::test_matches_pure_python_simulator",
+        "queued": "graft: joins q31_minhash_lsh_pairs (r10-green, r13 head — "
+                  "seat already paid) as a registry-admission leg at r13 "
+                  "open — the r12 composite-first policy; no dedicated slot",
+    },
+    {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
