@@ -120,6 +120,15 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "open — the r12 composite-first policy; no dedicated slot",
     },
     {
+        "op": "X146 exact pairwise covariance/correlation registry",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.covmat:pairwise_moments",
+        "test": "tests/test_covmat.py::test_duckdb_mirror_on_real_lineitem",
+        "queued": "graft: joins q147_expectation_audit (r10-green, r13 head — "
+                  "seat already paid) as a correlation-screen leg at r13 "
+                  "open — the r12 composite-first policy; no dedicated slot",
+    },
+    {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
