@@ -493,3 +493,62 @@ def word_ngrams(words: Column, n: int = 2) -> Column:
     )
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
     return F.transform(idx, gram)
+
+
+# ---------------------------------------------------------------------------
+# X147 — leakage-safe cluster split + cross-split leakage audit
+# ---------------------------------------------------------------------------
+def cluster_split(
+    assignments: DataFrame,
+    *,
+    id_col: str,
+    cluster_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment at CLUSTER granularity: hash the cluster
+    representative, not the document, so every member of a near-dup
+    cluster lands in the same split — per-doc :func:`hash_split` lets a
+    near-duplicate of a test document train the model (eval
+    contamination the decontamination ops (q36/q97/q135) detect AFTER
+    the fact; this prevents it at assignment time).
+
+    ``assignments`` is (id_col, cluster_col) — the survivor-election /
+    connected-components output (queries/dedup.py, operators/graph.py),
+    with singleton docs carrying their own id as cluster.  Returns
+    (id, cluster, split).  Same stability contract as hash_split: the
+    split is a pure function of the cluster id, so re-partitioning,
+    re-runs and incremental appends never migrate members — and a NEW
+    member joining an old cluster inherits the cluster's split, which
+    is exactly the leakage guarantee extended in time."""
+    return assignments.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        hash_split(F.col(cluster_col), val_pct, test_pct).alias("split"),
+    )
+
+
+def split_leakage_report(
+    splits: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Audit a split against a near-dup pair set: one row per ordered
+    split pair (split_a ≤ split_b) with the count of near-dup pairs
+    straddling it.  Leakage = any off-diagonal row; a cluster_split over
+    the pair set's own components is leakage-free by construction
+    (pytest-pinned), a per-doc hash_split measurably is not.
+
+    ``splits`` is (id, split); ``pairs`` is (id_a, id_b).  Cost: two
+    id equi-joins + one (splits²)-bounded aggregation."""
+    s_a = splits.select(F.col("id").alias("id_a"), F.col("split").alias("sa"))
+    s_b = splits.select(F.col("id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaks", F.col("split_a") != F.col("split_b"))
+    )

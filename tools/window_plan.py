@@ -129,6 +129,15 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "open — the r12 composite-first policy; no dedicated slot",
     },
     {
+        "op": "X147 leakage-safe cluster split + cross-split leakage audit",
+        "kind": "duckdb-mirror",
+        "symbol": "briefly_spark.operators.textstats:cluster_split",
+        "test": "tests/test_cluster_split.py::test_split_arithmetic_matches_duckdb",
+        "queued": "graft: joins q30_exact_dedup's family (r10-green, r13 "
+                  "head — seat already paid) as the split-assignment leg "
+                  "at r13 open — the r12 composite-first policy",
+    },
+    {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
