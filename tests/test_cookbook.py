@@ -121,3 +121,74 @@ def test_cookbook_privacy_flow_runs(spark, sf_dir):
     })
     check = k_anonymity_summary(released, quasi_cols=qi, k=5).collect()[0]
     assert check["n_violating_groups"] == 0  # the release contract
+
+
+def test_cookbook_new_r12_flows_run(spark, sf_dir, tmp_path):
+    """The X142-X147 cookbook sections as written: fuzzy tier, admission
+    registry, cluster split, standing quantiles, correlation screen,
+    time-series densify."""
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.covmat import pairwise_moments, pairwise_sums
+    from briefly_spark.operators.dedup import exact_dedup, neardup_incremental
+    from briefly_spark.operators.fuzzy import fuzzy_dedup_pairs
+    from briefly_spark.operators.histq import (
+        group_quantiles,
+        histq_batch_blocks,
+        histq_registry_quantiles,
+    )
+    from briefly_spark.operators.temporal import resample_locf
+    from briefly_spark.operators.textstats import cluster_split, split_leakage_report
+
+    part = load_table(spark, sf_dir, "part")
+    near = fuzzy_dedup_pairs(part, id_col="p_partkey", text_col="p_name", max_dist=2)
+    assert set(near.columns) == {"left_id", "right_id", "dist"}
+
+    docs = load_table(spark, sf_dir, "documents")
+    band_reg = spark.createDataFrame([], "batch_id long, band int, key string, id long")
+    sig_reg = spark.createDataFrame([], "batch_id long, id long, sig array<string>")
+    admitted, band_delta, sig_delta, rejects = neardup_incremental(
+        docs.select("doc_id", "text"), band_reg, sig_reg,
+        id_col="doc_id", text_col="text", batch_id=7,
+    )
+    assert admitted.count() + rejects.count() == docs.count()
+
+    clusters = exact_dedup(docs, text_col="text", id_col="doc_id")
+    assign = (
+        docs.select(F.md5("text").alias("content_md5"), F.col("doc_id").alias("id"))
+        .join(clusters.select("content_md5", F.col("keep_id").alias("cluster")),
+              "content_md5")
+        .select("id", "cluster")
+    )
+    split = cluster_split(assign, id_col="id", cluster_col="cluster")
+    pairs = split.limit(0).select(
+        F.col("id").alias("id_a"), F.col("id").alias("id_b")
+    )
+    assert split_leakage_report(split.select("id", "split"), pairs).count() == 0
+
+    q = group_quantiles(docs, group_cols=["source"], value_col="n_chars")
+    assert set(q.columns) == {"source", "p", "n", "rank", "bin_idx", "lo", "hi"}
+    block = histq_batch_blocks(
+        docs, group_cols=["source"], value_col="n_chars", batch_id=7
+    )
+    standing = histq_registry_quantiles(block, group_cols=["source"])
+    assert sorted(map(tuple, standing.collect())) == sorted(map(tuple, q.collect()))
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    m = pairwise_moments(
+        pairwise_sums(li, group_cols=["l_returnflag"],
+                      metric_cols=["qty", "cents", "disc"]),
+        group_cols=["l_returnflag"],
+    )
+    assert m.count() == 3 * 3  # 3 flags x 3 pairs
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    )
+    grid = resample_locf(ev, key_cols=["user_id"], ts_col="tsu",
+                         value_col="event_id", step=3_600_000_000, max_fill=24)
+    assert {"bucket", "bucket_start", "observed", "value"} <= set(grid.columns)
