@@ -185,7 +185,14 @@ def sql_fuzzy_dedup_pairs(
     """DuckDB mirror of :func:`fuzzy_dedup_pairs` — deliberately the
     BRUTE-FORCE all-pairs plan (length filter + levenshtein), so a
     value-compare against the prefix-filtered Spark plan pins candidate
-    COMPLETENESS, not just agreement on a shared shortcut."""
+    COMPLETENESS, not just agreement on a shared shortcut.
+
+    Scope: ASCII text.  Spark's levenshtein/length/substring are
+    CHARACTER-level; DuckDB's levenshtein is byte-level (measured:
+    levenshtein('é','e') = 2 there, 1 in Spark), so the mirror
+    value-matches only where characters are single bytes.  The Spark
+    surface's unicode behavior is the intended character semantics and
+    is pinned against a pure-Python character-level reference instead."""
     return f"""SELECT l.{id_col} AS left_id, r.{id_col} AS right_id,
        CAST(levenshtein(l.{text_col}, r.{text_col}) AS INT) AS dist
 FROM {table} l JOIN {table} r

@@ -117,3 +117,28 @@ def test_no_corpus_cartesian_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan  # the exact verify is in-plan, JVM-side
     assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+def test_unicode_is_character_level_vs_pure_python(spark):
+    """Spark's surface is CHARACTER-level Levenshtein (the intended
+    semantics); the DuckDB mirror is byte-level and therefore ASCII-scoped
+    (documented).  Pin the unicode behavior against the pure-Python
+    character reference, brute-force complete."""
+    rows = [
+        (1, "café au lait"), (2, "cafe au lait"), (3, "caffè au lait"),
+        (4, "unrelated xyz"), (5, "日本語 テスト 文字"), (6, "日本語 テスト 文字列"),
+    ]
+    got = sorted(
+        (r.left_id, r.right_id, r.dist)
+        for r in fuzzy_dedup_pairs(
+            spark.createDataFrame(rows, "id LONG, s STRING"),
+            id_col="id", text_col="s", max_dist=2,
+        ).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if _lev(a, b) <= 2
+    )
+    assert got == want
+    assert (5, 6, 1) in got  # multi-byte chars count as single edits
