@@ -177,6 +177,29 @@ def test_mirror_pinned_evidence_exists():
         )
 
 
+def test_graft_dispositions_name_real_queries():
+    """Every graft-queued MIRROR_PINNED entry names its target composite
+    by query id; a typo'd or retired target would silently orphan the
+    graft plan (it happened in review: q147_expectations vs
+    q147_expectation_audit), so the named qNN must resolve."""
+    import re as _re
+
+    from briefly_spark.queries import load_registry
+
+    from tools.window_plan import MIRROR_PINNED
+
+    reg = load_registry()
+    grafts = [m for m in MIRROR_PINNED if m["queued"].startswith("graft")]
+    assert grafts, "r12+ graft lane must stay enumerated"
+    for m in grafts:
+        named = _re.findall(r"q\d+[a-z_]*", m["queued"])
+        assert named, f"{m['op']}: graft disposition names no target query"
+        for q in named:
+            assert q in reg, (
+                f"{m['op']}: graft target {q!r} is not a registered query"
+            )
+
+
 def test_manifest_covers_registry():
     """manifest ∪ debt = registry (nothing silently unaccounted), and a
     doctored manifest flags a tampered query."""
