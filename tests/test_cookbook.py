@@ -192,3 +192,36 @@ def test_cookbook_new_r12_flows_run(spark, sf_dir, tmp_path):
     grid = resample_locf(ev, key_cols=["user_id"], ts_col="tsu",
                          value_col="event_id", step=3_600_000_000, max_fill=24)
     assert {"bucket", "bucket_start", "observed", "value"} <= set(grid.columns)
+
+
+def test_cookbook_standing_weighted_sample_runs(spark, sf_dir):
+    """The standing-sample recipe: topk_batch over the q106 E-S priority
+    folds to exactly the one-shot weighted sample — the semilattice
+    argument with a sampling score."""
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.sketches import topk_batch, topk_registry_resolve
+    from briefly_spark.operators.textstats import _hash16
+    from briefly_spark.queries.scale import _WS_KEY_SPARK
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        _hash16(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("skey", F.expr(_WS_KEY_SPARK)).drop("h")
+    oneshot = [
+        r["doc_id"]
+        for r in docs.orderBy(F.col("skey").desc(), "doc_id").limit(20).collect()
+    ]
+    reg = None
+    for b in range(3):
+        block = topk_batch(
+            docs.filter(F.col("doc_id") % 3 == b),
+            score_col="skey", id_col="doc_id", k=20, batch_id=b,
+        )
+        reg = block if reg is None else reg.unionByName(block)
+    folded = [
+        r["doc_id"]
+        for r in topk_registry_resolve(reg, score_col="skey", id_col="doc_id", k=20)
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .collect()
+    ]
+    assert folded == oneshot
