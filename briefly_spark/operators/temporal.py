@@ -154,10 +154,11 @@ def resample_locf(
     with generate_series + IGNORE NULLS windows, which keeps it
     oracle-checkable).
 
-    Semantics: buckets are ``(ts - origin) div step`` (integer floor
-    division — ts and value follow the exact-integer contract of
-    trends.require_int_column; convert timestamps with unix_micros
-    first).  Within a bucket the LAST observation wins under the total
+    Semantics: buckets are ``(ts - origin) div step`` (integer division
+    truncating toward zero — measured identical in Spark ``div`` and
+    DuckDB ``//`` including negatives; ts and value follow the
+    exact-integer contract of trends.require_int_column; convert
+    timestamps with unix_micros first).  Within a bucket the LAST observation wins under the total
     order (ts, value) — deterministic through ties.  The grid spans each
     key's own observed [first, last] bucket; every grid row carries
     ``observed`` (did this bucket have a real observation) and the
