@@ -142,3 +142,61 @@ def test_unicode_is_character_level_vs_pure_python(spark):
     )
     assert got == want
     assert (5, 6, 1) in got  # multi-byte chars count as single edits
+
+
+# -- hypothesis sweep of the prefix-filter theorem itself --------------------
+# Per-example Spark jobs would make hypothesis unusable, so the candidate
+# generation (grams → global rarity order → q·d+1 prefix → shared-gram
+# pairs ∪ fringe) is replicated EXACTLY in pure Python and fuzzed against
+# brute force; the Spark implementation's agreement with this algorithm is
+# what the fixed-seed tests above pin.
+def _py_candidates(strings: list[str], q: int, d: int) -> set[tuple[int, int]]:
+    pad = "\x01" * (q - 1)
+    grams = {}
+    for i, s in enumerate(strings):
+        p = pad + s + pad
+        grams[i] = [(p[j : j + q], j) for j in range(len(p) - q + 1)]
+    freq: dict[str, int] = {}
+    for occ in grams.values():
+        for g, _ in occ:
+            freq[g] = freq.get(g, 0) + 1
+    keep = q * d + 1
+    prefix = {
+        i: {g for g, _ in sorted(occ, key=lambda t: (freq[t[0]], t[0], t[1]))[:keep]}
+        for i, occ in grams.items()
+    }
+    cand = {
+        (i, j)
+        for i in prefix
+        for j in prefix
+        if i < j and prefix[i] & prefix[j]
+    }
+    short = q * d - q + 1
+    for i, si in enumerate(strings):
+        for j, sj in enumerate(strings):
+            if i < j and (
+                (len(si) <= short and len(sj) <= short + d)
+                or (len(sj) <= short and len(si) <= short + d)
+            ):
+                cand.add((i, j))
+    return cand
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    strings=st.lists(st.text(alphabet="ab", max_size=10), min_size=2, max_size=25),
+    d=st.integers(min_value=0, max_value=3),
+    q=st.integers(min_value=2, max_value=4),
+)
+def test_prefix_filter_candidate_completeness_hypothesis(strings, d, q):
+    """Every pair within edit distance d is a candidate — the theorem the
+    whole operator stands on, fuzzed over repeated-gram-heavy corpora."""
+    cand = _py_candidates(strings, q, d)
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            if _lev(strings[i], strings[j]) <= d:
+                assert (i, j) in cand, (strings[i], strings[j], d, q)
