@@ -282,3 +282,102 @@ filled AS (
 SELECT {g}, bucket, bucket_start, observed,
        CASE WHEN {age_ok} THEN fill_row.v END AS value
 FROM filled"""
+
+
+# ---------------------------------------------------------------------------
+# X148 — as-of join with direction and tolerance (pandas merge_asof parity)
+# ---------------------------------------------------------------------------
+def asof_join_near(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """:func:`asof_join` generalized to pandas ``merge_asof`` semantics:
+    ``direction`` backward (greatest right_ts ≤ left_ts — asof_join's
+    contract), forward (smallest right_ts ≥ left_ts), or nearest
+    (smaller |Δ|, ties to the backward match); ``tolerance`` bounds |Δ|
+    inclusively (an out-of-tolerance match becomes NULL / drops under
+    ``how="inner"``).
+
+    Same machinery as asof_join — union both sides, ONE window per key,
+    no inequality join — with the matched ``right_ts`` carried inside
+    the struct so the tolerance/nearest arithmetic is a projection.
+    ``nearest`` costs one extra window FUNCTION over the same ordering
+    (current → following), not a second shuffle; ``forward`` reverses
+    the equal-ts tiebreak so exact-timestamp matches are included, as in
+    pandas.  Timestamps follow the exact-integer contract (convert with
+    unix_micros first); the right side must be unique per (key,
+    right_ts) — enforce upstream.  Left rows with NULL ts never match.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join_near: unknown direction {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"asof_join_near: tolerance must be >= 0, got {tolerance}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join_near: unsupported how {how!r}")
+    lcols = list(left.columns)
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}")
+            for v in value_cols
+        ],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    ).select(*lcols, "__ts", "__src", *[f"__v_{v}" for v in value_cols])
+    u = l.unionByName(r)
+    # equal-ts tiebreak: rights sort BEFORE lefts for backward/nearest
+    # (equal ts is a backward match, distance 0), AFTER them for forward
+    src_order = F.col("__src") if direction != "forward" else (-F.col("__src"))
+    base = Window.partitionBy(key).orderBy("__ts", src_order)
+    right_row = F.when(
+        F.col("__src") == 0,
+        F.struct(
+            F.col("__ts").alias("__rts"),
+            *[F.col(f"__v_{v}").alias(v) for v in value_cols],
+        ),
+    )
+    back = F.last(right_row, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first(right_row, ignorenulls=True).over(
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        picked = back
+    elif direction == "forward":
+        picked = fwd
+    else:  # nearest: smaller |delta| wins, tie -> backward
+        picked = F.when(back.isNull(), fwd).when(fwd.isNull(), back).otherwise(
+            F.when(
+                (F.col("__ts") - back["__rts"]) <= (fwd["__rts"] - F.col("__ts")),
+                back,
+            ).otherwise(fwd)
+        )
+    carried = u.select(
+        *lcols, "__ts", "__src", picked.alias("__m")
+    ).filter(F.col("__src") == 1)
+    if tolerance is not None:
+        in_tol = F.abs(F.col("__ts") - F.col("__m")["__rts"]) <= tolerance
+        carried = carried.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & in_tol, F.col("__m"))
+        )
+    if how == "inner":
+        carried = carried.filter(F.col("__m").isNotNull())
+    return carried.select(
+        *lcols, *[F.col("__m")[v].alias(v) for v in value_cols]
+    )

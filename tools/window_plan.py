@@ -138,6 +138,15 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "at r13 open — the r12 composite-first policy",
     },
     {
+        "op": "X148 as-of join with direction + tolerance (merge_asof parity)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.temporal:asof_join_near",
+        "test": "tests/test_asof_near.py::test_randomized_vs_bruteforce",
+        "queued": "graft: joins q76_asof_enrich (r10-green, r13 head — "
+                  "seat already paid) as a nearest/tolerance leg at r13 "
+                  "open — the r12 composite-first policy; no dedicated slot",
+    },
+    {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
