@@ -30,7 +30,7 @@ batch ≡ fold ≡ stream pins hold exactly, not approximately.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default log2(registers) — ~1.6% relative error, ≤ 1.5 KB per sketch
@@ -229,3 +229,87 @@ def hll_counts_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# X149 — grouped standing top-k (the per-group form of X139)
+# ---------------------------------------------------------------------------
+def topk_batch_grouped(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    score_col: str,
+    id_col: str,
+    k: int,
+    batch_id: int,
+) -> DataFrame:
+    """Per-GROUP top-k block — X139's semilattice argument holds within
+    each group independently (top-k of a union = top-k of the per-part
+    top-ks, under the total order (score DESC, id ASC), on blocks
+    deduplicated to the best appearance per id), so "best k docs PER
+    SOURCE over everything ever ingested" folds exactly.  Separate from
+    :func:`topk_batch` so the gated global path stays byte-identical;
+    the head is a per-group window over the deduped frame (group-bounded
+    rank, never a global sort) instead of TakeOrdered."""
+    if not group_cols:
+        raise ValueError("topk_batch_grouped: use topk_batch for the global form")
+    payload = [
+        x for x in df.columns if x not in (id_col, score_col, *group_cols)
+    ]
+    best = df.groupBy(*group_cols, id_col).agg(
+        F.max(F.struct(score_col, *payload)).alias("__best")
+    )
+    flat = best.select(
+        *group_cols,
+        id_col,
+        F.col(f"__best.{score_col}").alias(score_col),
+        *[F.col(f"__best.{x}").alias(x) for x in payload],
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        flat.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+        .select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            "*",
+        )
+    )
+
+
+def topk_registry_resolve_grouped(
+    registry: DataFrame,
+    *,
+    group_cols: list[str],
+    score_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The exact per-group top-k over everything the grouped registry has
+    absorbed — dedup to the best appearance per (group, id), then the
+    per-group head.  Resolve IS the compactor (re-block the result with
+    a sentinel batch_id), bit-stable under re-resolution."""
+    payload = [
+        x
+        for x in registry.columns
+        if x not in ("batch_id", id_col, score_col, *group_cols)
+    ]
+    best = registry.groupBy(*group_cols, id_col).agg(
+        F.max(F.struct(score_col, *payload)).alias("__best")
+    )
+    flat = best.select(
+        *group_cols,
+        id_col,
+        F.col(f"__best.{score_col}").alias(score_col),
+        *[F.col(f"__best.{x}").alias(x) for x in payload],
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        flat.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

@@ -147,6 +147,16 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "open — the r12 composite-first policy; no dedicated slot",
     },
     {
+        "op": "X149 grouped standing top-k (per-group registry form of X139)",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.sketches:topk_batch_grouped",
+        "test": "tests/test_topk_grouped.py::test_fold_equals_oneshot_and_reference",
+        "queued": "graft: joins q02_topk_orders_per_customer's family "
+                  "(r10-green, r13 head — seat already paid) as the "
+                  "standing per-group head leg at r13 open — the r12 "
+                  "composite-first policy; no dedicated slot",
+    },
+    {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
         "symbol": "briefly_spark.storage:Warehouse.layout_report",
