@@ -98,6 +98,18 @@ def register(
 #: spare seats.  r13 therefore registers nothing new; new work lands
 #: mirror-pinned, or grafts into an r10-pack query (whose head seat is
 #: already paid for) in the composite style.
+#:
+#: r13 graft queue (authoritative list + per-op test sites:
+#: tools/window_plan.py:MIRROR_PINNED, mechanically checked by
+#: tests/test_gate_debt.py::test_graft_dispositions_name_real_queries):
+#: the r12 continuation landed eight ops whose graft targets are all in
+#: the r13 head, so each graft changes a query that is about to earn a
+#: fresh row anyway — X142→q74 (quantile brackets), X143→q37 (fuzzy
+#: tier), X144→q70 (gap-filled grid), X145→q31 (admission registry),
+#: X146→q147 (correlation screen), X147→q30 family (split assignment),
+#: X148→q76 (nearest/tolerance), X149→q02 family (standing per-group
+#: head).  Graft = extend the query's frame with the op's leg and its
+#: oracle with the already-pinned mirror SQL, then plan_shape --update.
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r12 (gate debt by construction; the consolidation pack)
     "q149_governance_pack",
