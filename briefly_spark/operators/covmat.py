@@ -48,6 +48,15 @@ def _pairs(metric_cols: list[str]) -> list[tuple[str, str]]:
         raise ValueError(
             f"pairwise_stats: need >= 2 distinct metric columns, got {metric_cols!r}"
         )
+    # '__' is the internal pair-tag separator: a name containing it could
+    # collide two different pairs onto one aggregate alias (a,b__c vs
+    # a__b,c both tag a__b__c) — refuse instead of silently corrupting
+    bad = [c for c in metric_cols if "__" in c]
+    if bad:
+        raise ValueError(
+            f"pairwise_stats: metric names must not contain '__' "
+            f"(internal pair separator): {bad!r}"
+        )
     return list(combinations(metric_cols, 2))
 
 
@@ -88,8 +97,10 @@ def _to_long(wide: DataFrame, group_cols: list[str], pairs) -> DataFrame:
     return (
         wide.select(*group_cols, F.explode(F.array(*rows)).alias("__p"))
         .select(*group_cols, "__p.*")
-        # a (group, pair) with zero complete rows has no moments — and the
-        # mirror's WHERE-before-GROUP BY never emits such a row
+        # a (group, pair) with zero complete rows has no moments — the
+        # mirror matches via HAVING count(*) > 0 (needed explicitly on
+        # the ungrouped branch, where an aggregate with no GROUP BY would
+        # otherwise emit one zero-filled row)
         .filter(F.col("n") > 0)
     )
 
@@ -197,7 +208,8 @@ def sql_pairwise_moments(
        coalesce(sum(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT)), 0) AS sab
 FROM {table}
 WHERE {a} IS NOT NULL AND {b} IS NOT NULL
-GROUP BY {g}""" if group_cols else f"""SELECT '{a}' AS m_a, '{b}' AS m_b,
+GROUP BY {g}
+HAVING count(*) > 0""" if group_cols else f"""SELECT '{a}' AS m_a, '{b}' AS m_b,
        CAST(count(*) AS BIGINT) AS n,
        coalesce(sum(CAST({a} AS HUGEINT)), 0) AS sa,
        coalesce(sum(CAST({b} AS HUGEINT)), 0) AS sb,
@@ -205,7 +217,8 @@ GROUP BY {g}""" if group_cols else f"""SELECT '{a}' AS m_a, '{b}' AS m_b,
        coalesce(sum(CAST({b} AS HUGEINT) * CAST({b} AS HUGEINT)), 0) AS sbb,
        coalesce(sum(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT)), 0) AS sab
 FROM {table}
-WHERE {a} IS NOT NULL AND {b} IS NOT NULL""")
+WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+HAVING count(*) > 0""")
     union = "\nUNION ALL\n".join(legs)
     return f"""WITH sums AS (
 {union}

@@ -640,9 +640,12 @@ def neardup_incremental(
     batch's full schema; deltas carry ``batch_id`` for group-replace;
     rejects is (id, dup_of, source).
     """
-    if not (0 < min_agree <= k) or k % bands:
+    if not (0 < min_agree <= k) or k % bands or not (0 < k <= 8):
+        # k ≤ 8: each signature component is 4 hex chars of ONE md5 digest
+        # (k·4 ≤ 32) — beyond that the tail components are empty strings
+        # for every doc, inflating agreement and collapsing band keys
         raise ValueError(
-            f"neardup_incremental: need 0 < min_agree <= k and bands | k, "
+            f"neardup_incremental: need 0 < min_agree <= k <= 8 and bands | k, "
             f"got k={k}, bands={bands}, min_agree={min_agree}"
         )
     rows = k // bands

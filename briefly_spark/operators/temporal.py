@@ -154,11 +154,14 @@ def resample_locf(
     with generate_series + IGNORE NULLS windows, which keeps it
     oracle-checkable).
 
-    Semantics: buckets are ``(ts - origin) div step`` (integer division
-    truncating toward zero — measured identical in Spark ``div`` and
-    DuckDB ``//`` including negatives; ts and value follow the
+    Semantics: buckets are ``floor((ts - origin) / step)`` — FLOOR
+    division, built from truncating ``div``/``//`` plus a negative-
+    remainder correction that is identical in both engines (raw
+    truncation would make bucket 0 span TWO steps around the origin and
+    mis-assign pre-origin observations), so every bucket is exactly
+    ``[bucket_start, bucket_start + step)``; ts and value follow the
     exact-integer contract of trends.require_int_column; convert
-    timestamps with unix_micros first).  Within a bucket the LAST observation wins under the total
+    timestamps with unix_micros first.  Within a bucket the LAST observation wins under the total
     order (ts, value) — deterministic through ties.  The grid spans each
     key's own observed [first, last] bucket; every grid row carries
     ``observed`` (did this bucket have a real observation) and the
@@ -183,7 +186,11 @@ def resample_locf(
         df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             *key_cols,
-            F.expr(f"(({ts_col} - {int(origin)}) div {int(step)})").alias("__b"),
+            F.expr(
+                f"(({ts_col} - {int(origin)}) div {int(step)})"
+                f" - (CASE WHEN ({ts_col} - {int(origin)}) % {int(step)} < 0"
+                f" THEN 1 ELSE 0 END)"
+            ).alias("__b"),
             F.col(ts_col).alias("__ts"),
             F.col(value_col).alias("__v"),
         )
@@ -251,7 +258,10 @@ def sql_resample_locf(
         else f"bucket - src_b <= {int(max_fill)}"
     )
     return f"""WITH obs AS (
-  SELECT {g}, ({ts_col} - {int(origin)}) // {int(step)} AS b,
+  SELECT {g},
+         (({ts_col} - {int(origin)}) // {int(step)})
+           - (CASE WHEN ({ts_col} - {int(origin)}) % {int(step)} < 0
+                   THEN 1 ELSE 0 END) AS b,
          max(struct_pack(ts := {ts_col}, v := {value_col})) AS last_row
   FROM {table}
   WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
@@ -314,7 +324,11 @@ def asof_join_near(
     the equal-ts tiebreak so exact-timestamp matches are included, as in
     pandas.  Timestamps follow the exact-integer contract (convert with
     unix_micros first); the right side must be unique per (key,
-    right_ts) — enforce upstream.  Left rows with NULL ts never match.
+    right_ts) — enforce upstream.  NULL timestamps never participate:
+    NULL-ts right rows are dropped before the union (NULLs sort FIRST in
+    the window ordering, so one timestamp-less right row would otherwise
+    become a universal backward match), and a NULL-ts left row's match
+    is forced NULL (kept under how="left", dropped under "inner").
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join_near: unknown direction {direction!r}")
@@ -332,7 +346,7 @@ def asof_join_near(
             for v in value_cols
         ],
     )
-    r = right.select(
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
         F.col(key),
         F.col(right_ts).alias("__ts"),
@@ -368,6 +382,9 @@ def asof_join_near(
                 back,
             ).otherwise(fwd)
         )
+    # a NULL-ts left row never matches (it would otherwise sort to the
+    # partition head and see the forward frame as a universal match)
+    picked = F.when(F.col("__ts").isNotNull(), picked)
     carried = u.select(
         *lcols, "__ts", "__src", picked.alias("__m")
     ).filter(F.col("__src") == 1)

@@ -138,3 +138,21 @@ def test_contracts_and_one_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_null_timestamps_never_participate(spark):
+    """NULL-ts left rows never match (kept NULL under how='left', dropped
+    under 'inner'); a NULL-ts right row is not a universal match."""
+    l = spark.createDataFrame([("a", 10), ("a", None)], "key STRING, lt LONG")
+    r = spark.createDataFrame(
+        [("a", 5, 500), ("a", None, 999)], "key STRING, rt LONG, v LONG"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            row["lt"]: row["v"]
+            for row in _near(l, r, direction=direction, how="left").collect()
+        }
+        assert got[None] is None, direction  # NULL-ts left never matches
+        assert got[10] != 999, direction  # NULL-ts right is not a match
+        inner = _near(l, r, direction=direction, how="inner")
+        assert [row["lt"] for row in inner.collect()] == ([10] if direction != "forward" else [])

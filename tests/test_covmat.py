@@ -196,3 +196,37 @@ def test_single_pass_plan(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_ungrouped_mirror_and_separator_contract(spark):
+    """group_cols=[]: the mirror's ungrouped aggregate must not emit a
+    zero-filled row for a never-complete pair (HAVING pins it), and
+    metric names containing the internal '__' separator are refused."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(None, 5, 1), (4, None, 2)]  # pair (x, y) never complete
+    df = spark.createDataFrame(rows, "x LONG, y LONG, z LONG")
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in pairwise_moments(
+            pairwise_sums(df, group_cols=[], metric_cols=["x", "y", "z"]),
+            group_cols=[],
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame(rows, columns=["x", "y", "z"]).astype(
+            {c: "Int64" for c in "xyz"})
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.execute(
+            sql_pairwise_moments("t", group_cols=[], metric_cols=["x", "y", "z"])
+        ).fetchall()
+    )
+    assert got == want
+    assert all(r[0:2] != ("x", "y") for r in got)  # the empty pair vanished
+    with pytest.raises(ValueError, match="__"):
+        pairwise_sums(df.withColumnRenamed("x", "a__b"),
+                      group_cols=[], metric_cols=["a__b", "y"])

@@ -238,3 +238,18 @@ def test_stream_matches_fold_and_rerun_is_noop(spark, tmp_path):
         t: sorted(map(str, wh.read(t).collect()))
         for t in ("clean", "bands", "sigs", "rejects")
     } == state
+
+
+def test_rejects_k_beyond_md5_slice_budget(spark):
+    """k > 8 would slice past the 32-hex md5 digest (empty-string tail
+    components inflate agreement and collapse band keys) — refused."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    empty_b = spark.createDataFrame([], "batch_id long, band int, key string, id long")
+    empty_s = spark.createDataFrame([], "batch_id long, id long, sig array<string>")
+    with pytest.raises(ValueError, match="k <= 8"):
+        neardup_incremental(
+            df, empty_b, empty_s, id_col="id", text_col="text",
+            batch_id=0, k=16, bands=4, min_agree=12,
+        )

@@ -152,3 +152,29 @@ def test_per_key_window_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     # every window is keyed: no empty partitionBy (global) window spec
     assert "windowspecdefinition(bucket" not in plan.lower().replace(" ", ""), plan
+
+
+def test_pre_origin_buckets_are_uniform_floor_division(spark):
+    """Floor division: bucket 0 is exactly [origin, origin+step); an
+    observation 30 'minutes' before the origin lands in bucket -1 with a
+    bucket_start that lower-bounds it — truncating division would have
+    put it in a double-width bucket 0 (the reviewed hazard)."""
+    origin, step = 1_000_000, 100
+    rows = [("k", origin - 30, 7), ("k", origin + 30, 9)]
+    got = {
+        r["bucket"]: (r["bucket_start"], r["observed"], r["value"])
+        for r in resample_locf(
+            spark.createDataFrame(rows, "k STRING, ts LONG, v LONG"),
+            key_cols=["k"], ts_col="ts", value_col="v",
+            step=step, origin=origin,
+        ).collect()
+    }
+    assert got == {
+        -1: (origin - step, True, 7),
+        0: (origin, True, 9),
+    }
+    # and every observation satisfies bucket_start <= ts < bucket_start+step
+    for b, (start, _obs, _v) in got.items():
+        for _k, ts, _val in rows:
+            if (ts - origin) // step == b:
+                assert start <= ts < start + step
