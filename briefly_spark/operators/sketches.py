@@ -234,6 +234,40 @@ def hll_counts_stream(
 # ---------------------------------------------------------------------------
 # X149 — grouped standing top-k (the per-group form of X139)
 # ---------------------------------------------------------------------------
+def _grouped_head(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    score_col: str,
+    id_col: str,
+    k: int,
+    drop_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared X149 core: dedup to the best appearance per (group, id)
+    under the total order (score DESC, id ASC), then the per-group
+    k-head as a window rank (group-bounded, never a global sort)."""
+    payload = [
+        x
+        for x in df.columns
+        if x not in (id_col, score_col, *group_cols, *drop_cols)
+    ]
+    best = df.groupBy(*group_cols, id_col).agg(
+        F.max(F.struct(score_col, *payload)).alias("__best")
+    )
+    flat = best.select(
+        *group_cols,
+        id_col,
+        F.col(f"__best.{score_col}").alias(score_col),
+        *[F.col(f"__best.{x}").alias(x) for x in payload],
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        flat.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
 def topk_batch_grouped(
     df: DataFrame,
     *,
@@ -253,29 +287,12 @@ def topk_batch_grouped(
     rank, never a global sort) instead of TakeOrdered."""
     if not group_cols:
         raise ValueError("topk_batch_grouped: use topk_batch for the global form")
-    payload = [
-        x for x in df.columns if x not in (id_col, score_col, *group_cols)
-    ]
-    best = df.groupBy(*group_cols, id_col).agg(
-        F.max(F.struct(score_col, *payload)).alias("__best")
+    head = _grouped_head(
+        df, group_cols=group_cols, score_col=score_col, id_col=id_col, k=k
     )
-    flat = best.select(
-        *group_cols,
-        id_col,
-        F.col(f"__best.{score_col}").alias(score_col),
-        *[F.col(f"__best.{x}").alias(x) for x in payload],
-    )
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.desc(score_col), F.asc(id_col)
-    )
-    return (
-        flat.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(k))
-        .drop("__rn")
-        .select(
-            F.lit(int(batch_id)).cast("long").alias("batch_id"),
-            "*",
-        )
+    return head.select(
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        "*",
     )
 
 
@@ -291,25 +308,11 @@ def topk_registry_resolve_grouped(
     absorbed — dedup to the best appearance per (group, id), then the
     per-group head.  Resolve IS the compactor (re-block the result with
     a sentinel batch_id), bit-stable under re-resolution."""
-    payload = [
-        x
-        for x in registry.columns
-        if x not in ("batch_id", id_col, score_col, *group_cols)
-    ]
-    best = registry.groupBy(*group_cols, id_col).agg(
-        F.max(F.struct(score_col, *payload)).alias("__best")
-    )
-    flat = best.select(
-        *group_cols,
-        id_col,
-        F.col(f"__best.{score_col}").alias(score_col),
-        *[F.col(f"__best.{x}").alias(x) for x in payload],
-    )
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.desc(score_col), F.asc(id_col)
-    )
-    return (
-        flat.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(k))
-        .drop("__rn")
+    return _grouped_head(
+        registry,
+        group_cols=group_cols,
+        score_col=score_col,
+        id_col=id_col,
+        k=k,
+        drop_cols=("batch_id",),
     )
