@@ -108,36 +108,57 @@ class Warehouse:
         """Pid-stamped exclusive writer lock.  Raises TableLockedError when a
         LIVE process holds it; a dead holder's lock is stolen (crashed
         writer — its interrupted swap is completed by recovery, not by the
-        lock)."""
+        lock).
+
+        Two race windows are closed by construction (review r12): the pid
+        is stamped into a private file BEFORE the atomic ``os.link`` that
+        creates the lock, so no observer ever reads an empty/partial lock
+        and mistakes a live writer for a stale one; and a stale lock is
+        stolen by atomic RENAME — exactly one stealer wins, losers loop
+        and re-examine whatever lock now exists instead of unlinking a
+        fresh rival."""
         lock = self.path(f".{table}.lock")
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    with open(lock) as fh:
-                        holder = int(fh.read().strip() or "-1")
-                except (OSError, ValueError):
-                    holder = -1
-                if holder != -1 and holder != os.getpid() and _pid_alive(holder):
-                    raise TableLockedError(
-                        f"table {table!r} is locked by live pid {holder}; "
-                        "one writer per table (see module docstring)"
-                    ) from None
-                if holder == os.getpid():
-                    raise TableLockedError(
-                        f"re-entrant write on table {table!r} from the same "
-                        "process (nested mutation?)"
-                    ) from None
-                os.unlink(lock)  # stale: holder is dead
+        mine = f"{lock}.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+        with open(mine, "w") as fh:
+            fh.write(str(os.getpid()))
+        acquired = False
         try:
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
+            while True:
+                try:
+                    os.link(mine, lock)
+                    acquired = True
+                    break
+                except FileExistsError:
+                    try:
+                        with open(lock) as fh:
+                            holder = int(fh.read().strip() or "-1")
+                    except (OSError, ValueError):
+                        holder = -1
+                    if holder == os.getpid():
+                        raise TableLockedError(
+                            f"re-entrant write on table {table!r} from the same "
+                            "process (nested mutation?)"
+                        ) from None
+                    if holder != -1 and _pid_alive(holder):
+                        raise TableLockedError(
+                            f"table {table!r} is locked by live pid {holder}; "
+                            "one writer per table (see module docstring)"
+                        ) from None
+                    # stale (dead pid) or unreadable: steal by atomic rename
+                    wreck = f"{lock}.stale.{uuid.uuid4().hex[:6]}"
+                    try:
+                        os.rename(lock, wreck)
+                    except FileNotFoundError:
+                        continue  # another stealer won; re-examine
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(wreck)
             yield
         finally:
             with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock)
+                os.unlink(mine)
+            if acquired:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock)
 
     # -- K2: truncate-and-load ------------------------------------------------
     def overwrite(self, df: DataFrame, table: str, *, partition_by: list[str] | None = None) -> None:
@@ -214,7 +235,14 @@ class Warehouse:
                     p = os.path.join(self.root, d)
                     if os.path.isdir(p):
                         shutil.rmtree(p, ignore_errors=True)
-        if os.path.isdir(final):
+        # The swap completion is ALSO gated on "no live writer": a reader
+        # must not commit a rival's half-staged swap out from under it
+        # (review r12 — the staged set is only complete once the writer
+        # finishes renaming; premature completion destroys the partitions
+        # still being staged).  Our own lock (holder == getpid) does not
+        # count as live, so a mutator's in-lock read still finishes its
+        # crashed predecessor's swap.
+        if not live and os.path.isdir(final):
             for d in os.listdir(final):
                 if d.startswith(".swap-"):
                     self._complete_swap(final, os.path.join(final, d))
@@ -227,12 +255,18 @@ class Warehouse:
         key: list[str],
         *,
         partition_by: list[str] | None = None,
+        small_batch: bool = True,
     ) -> None:
         """``MERGE``: rows matching on ``key`` are replaced wholesale by the
         update row, new keys are inserted (mongo upsert semantics,
         mongo_io_manager.py:85-89).  Idempotent: re-merging the same batch
-        is a no-op.  Plan: target ⟕(left_anti) updates ∪ updates — one join,
-        with the batch side broadcast when small.
+        is a no-op.  Plan: target ⟕(left_anti) updates ∪ updates — one join.
+
+        ``small_batch=True`` (the default — every job/stream batch here is
+        work-list-sized) broadcasts the update KEY set into the anti-join;
+        pass ``False`` for a bulk backfill whose key set would not fit an
+        executor (the merge_scd2 ``small_batch`` hazard, review r12) and
+        the join planner (AQE) picks the strategy instead.
 
         GROUP-REPLACE CONTRACT (load-bearing, test-pinned): the key need
         not be unique on either side — EVERY target row whose key appears
@@ -261,15 +295,21 @@ class Warehouse:
                 self._overwrite_locked(updates, table, partition_by=partition_by)
                 return
             if partition_by:
-                self._merge_upsert_partitioned(updates, table, key, partition_by)
+                self._merge_upsert_partitioned(
+                    updates, table, key, partition_by, small_batch
+                )
                 return
             target = self.read(table)
-            kept = target.join(F.broadcast(updates.select(*key)), key, "left_anti")
+            ukeys = updates.select(*key)
+            kept = target.join(
+                F.broadcast(ukeys) if small_batch else ukeys, key, "left_anti"
+            )
             merged = kept.unionByName(updates, allowMissingColumns=True)
             self._overwrite_locked(merged, table, partition_by=partition_by)
 
     def _merge_upsert_partitioned(
-        self, updates: DataFrame, table: str, key: list[str], partition_by: list[str]
+        self, updates: DataFrame, table: str, key: list[str],
+        partition_by: list[str], small_batch: bool = True
     ) -> None:
         """Partition-scoped merge: build the merged slice for the affected
         partitions aside (no read-while-overwrite on the live table), then
@@ -285,8 +325,9 @@ class Warehouse:
         cond = self._partition_filter(updates, partition_by)
         if cond is None:
             return
+        ukeys = updates.select(*key)
         kept = target.filter(cond).join(
-            F.broadcast(updates.select(*key)), key, "left_anti"
+            F.broadcast(ukeys) if small_batch else ukeys, key, "left_anti"
         )
         merged = kept.unionByName(updates, allowMissingColumns=True)
         self._swap_partitions(merged, table, partition_by)
@@ -307,26 +348,25 @@ class Warehouse:
         return cond
 
     def _assert_partitioned_layout(self, table: str, partition_by: list[str]) -> None:
-        """A partition-scoped merge against a FLAT-layout table (e.g. written
-        by earlier unpartitioned code) would drop ``col=...`` dirs next to
-        the old flat files, leaving stale duplicate rows and a mixed layout
-        that reads incorrectly — so probe the target first: the root must
-        hold only ``<partition_by[0]>=...`` dirs (plus markers), no data
-        files.  An empty table passes (nothing to corrupt)."""
-        root = self.path(table)
-        want = f"{partition_by[0]}="
-        for d in os.listdir(root):
-            if d.startswith((".", "_")):
-                continue
-            p = os.path.join(root, d)
-            if os.path.isdir(p) and d.startswith(want):
-                continue
-            raise ValueError(
-                f"table {table!r} is not hive-partitioned by {partition_by}: "
-                f"found {d!r} at the root — rewrite it with "
-                f"overwrite(..., partition_by={partition_by}) before "
-                "partition-scoped merges"
-            )
+        """A partition-scoped merge whose ``partition_by`` mismatches the
+        table's on-disk layout at ANY depth would swap dirs of one shape
+        into a tree of another — stale duplicates next to flat files, or
+        mixed partition depths Spark refuses to read — so probe the FULL
+        chain (review r12: a depth-1 probe let ['date','hour'] merge into
+        a ['date'] table).  :meth:`partition_layout` walks every branch
+        and already refuses mixed layouts; an empty table passes (nothing
+        to corrupt)."""
+        actual = self.partition_layout(table)
+        if actual == list(partition_by):
+            return
+        if not actual and not self.table_files(table):
+            return  # empty table: the swap establishes the layout
+        raise ValueError(
+            f"table {table!r} is not hive-partitioned by {partition_by}: "
+            f"on-disk layout is {actual or 'flat'} — rewrite it with "
+            f"overwrite(..., partition_by={partition_by}) before "
+            "partition-scoped merges"
+        )
 
     def _swap_partitions(
         self, slice_df: DataFrame, table: str, partition_by: list[str]
@@ -409,6 +449,7 @@ class Warehouse:
         set_cols: list[str],
         *,
         partition_by: list[str] | None = None,
+        small_batch: bool = True,
     ) -> None:
         """``WHEN MATCHED UPDATE SET c = delta.c``: only ``set_cols`` change,
         all other columns ride along; unmatched target rows are untouched;
@@ -420,7 +461,9 @@ class Warehouse:
         With ``partition_by`` the update is PARTITION-SCOPED like
         :meth:`merge_upsert`: the delta must carry the partition columns
         (a work batch read from the same table always does), and only the
-        partitions its rows live in are read, rewritten and swapped."""
+        partitions its rows live in are read, rewritten and swapped.
+        ``small_batch`` gates the delta broadcast exactly as in
+        :meth:`merge_upsert`."""
         if partition_by:
             missing = [c for c in partition_by if c not in delta.columns]
             if missing:
@@ -437,7 +480,22 @@ class Warehouse:
                     return
                 target = target.filter(cond)
             d = delta.select(*key, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
-            joined = target.join(F.broadcast(d), key, "left")
+            # the left join fans out on duplicate delta keys, silently
+            # duplicating target rows (review r12) — refuse, like
+            # merge_scd2's uniqueness guard (one aggregate on the delta)
+            dup = (
+                d.groupBy(*key).count().filter(F.col("count") > 1).take(1)
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_update: delta keys must be unique on {key} "
+                    f"(e.g. {tuple(dup[0][k] for k in key)!r} repeats) — "
+                    "a duplicate would fan out the join and duplicate "
+                    "target rows; dedupe the delta first"
+                )
+            joined = target.join(
+                F.broadcast(d) if small_batch else d, key, "left"
+            )
             out_cols = []
             for c in target.columns:
                 if c in set_cols:
@@ -600,15 +658,24 @@ class Warehouse:
         Requires a catalog table (bucket metadata lives in the metastore),
         so this writes through ``saveAsTable`` with an explicit path under
         the warehouse root; read it back with :meth:`read_catalog`.
+
+        Protocol caveat (review r12): ``saveAsTable(mode=overwrite)`` is
+        Spark-managed — it does NOT go through this layer's write-aside +
+        swap, so a crash mid-write can leave the previous version deleted
+        (the committer's guarantee, not ours).  The writer lock is still
+        taken so a concurrent mutator cannot interleave, and
+        :meth:`compact`/:meth:`compaction_worklist` refuse/exclude
+        bucketed layouts rather than silently un-bucketing them.
         """
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(buckets, *key)
-            .sortBy(*key)
-            .option("path", self.path(table))
-            .saveAsTable(table)
-        )
+        with self._writer_lock(table):
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(buckets, *key)
+                .sortBy(*key)
+                .option("path", self.path(table))
+                .saveAsTable(table)
+            )
 
     def read_catalog(self, table: str) -> DataFrame:
         """Read a catalog-registered (e.g. bucketed) table — bucket layout
@@ -719,16 +786,28 @@ class Warehouse:
         task count (partitioned)."""
         import math
 
-        parts = self.partition_layout(table)
-        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        old = self.spark.conf.get(conf, "true")
-        if parts:
-            self.spark.conf.set(conf, "false")
-        try:
-            df = self.read(table)
-            n = df.count()
-            n_files = max(1, math.ceil(n / target_rows_per_file))
-            with self._writer_lock(table):
+        if self._is_bucketed(table):
+            raise ValueError(
+                f"table {table!r} is hash-bucketed (catalog bucket spec): "
+                "a plain compaction would rewrite un-bucketed files under "
+                "a catalog that still claims bucketed layout — silently "
+                "wrong shuffle-free joins; re-write it with write_bucketed "
+                "instead"
+            )
+        # the ENTIRE read→count→rewrite runs under the writer lock: a merge
+        # landing between an unlocked read and the locked swap would either
+        # fail the rewrite (files retired mid-scan) or be silently undone
+        # by the stale swap (review r12 lost-update hazard)
+        with self._writer_lock(table):
+            parts = self.partition_layout(table)
+            conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            old = self.spark.conf.get(conf, "true")
+            if parts:
+                self.spark.conf.set(conf, "false")
+            try:
+                df = self.read(table)
+                n = df.count()
+                n_files = max(1, math.ceil(n / target_rows_per_file))
                 tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
                 staged = (
                     df.repartition(n_files, *parts) if parts
@@ -742,10 +821,20 @@ class Warehouse:
                     writer = writer.partitionBy(*parts)
                 writer.parquet(tmp)
                 self._swap_full(tmp, table)
-        finally:
-            if parts:
-                self.spark.conf.set(conf, old)
+            finally:
+                if parts:
+                    self.spark.conf.set(conf, old)
         return n_files
+
+    def _is_bucketed(self, table: str) -> bool:
+        """Heuristic, session-independent bucket detection: Spark's
+        bucketed writers name data files ``part-NNNNN-<uuid>_<bucket>.c000
+        ...`` — the ``_NNNNN.cNNN`` suffix never appears on plain writes,
+        so its presence marks a table whose layout the catalog owns."""
+        import re as _re
+
+        pat = _re.compile(r"_\d{5}\.c\d{3}")
+        return any(pat.search(os.path.basename(f)) for f, _ in self.table_files(table))
 
     def partition_layout(self, table: str) -> list[str]:
         """The hive ``key=value`` partition-column chain of a table's
@@ -791,7 +880,11 @@ class Warehouse:
         information a transactional format's manifest carries)."""
         root = self.path(table)
         out: list[tuple[str, int]] = []
-        for dirpath, _dirs, files in os.walk(root):
+        for dirpath, dirs, files in os.walk(root):
+            # in-flight/crashed .swap-* staging dirs hold duplicate copies
+            # of live partitions — counting them would double-book bytes
+            # and spuriously schedule compactions (review r12)
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
             for f in files:
                 if f.endswith(".parquet"):
                     p = os.path.join(dirpath, f)
@@ -842,7 +935,10 @@ class Warehouse:
         out = []
         for r in self.layout_report(small_file_bytes=small_file_bytes).collect():
             if r["n_files"] >= min_files and r["n_small"] > min_small_frac * r["n_files"]:
-                out.append(r["table"])
+                # bucketed tables are catalog-owned layouts compact() would
+                # silently un-bucket — excluded here AND refused there
+                if not self._is_bucketed(r["table"]):
+                    out.append(r["table"])
         return sorted(out)
 
     # -- K4: bronze snapshot (partitioned append-style JSON/parquet) ----------

@@ -137,10 +137,16 @@ def merge_stream(
     micro-batch rewrites only the partitions it touches."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        df = transform(batch_df) if transform else batch_df
-        df = df.dropDuplicates(key)
-        if df.take(1):
-            wh.merge_upsert(df, table, key, partition_by=partition_by)
+        # persist: the probe take(1) and the merge would otherwise run the
+        # transform lineage twice per micro-batch (the heavy_hitter_stream
+        # one-pass discipline; review r12)
+        df = (transform(batch_df) if transform else batch_df).dropDuplicates(key)
+        df = df.persist()
+        try:
+            if df.take(1):
+                wh.merge_upsert(df, table, key, partition_by=partition_by)
+        finally:
+            df.unpersist()
 
     q = (
         source.writeStream.foreachBatch(sink)
@@ -219,16 +225,32 @@ def audited_merge_stream(
 
     def _pinned_verdict(batch_id: int) -> bool | None:
         """Admission verdict recorded by a previous attempt at this
-        batch_id, or None on first sight (check-bounded collect)."""
+        batch_id, or None on first sight (check-bounded collect).
+
+        The verdict is only borrowed when the prior rows' (table, check)
+        identity set EQUALS this stream's configured checks — run_id alone
+        is not a safe key (review r12: batch ids restart at 0 per
+        checkpoint, so a shared history table would hand one stream
+        another's verdict and admit an unaudited batch).  A mismatched
+        block means a foreign or differently-configured writer: re-audit
+        (fail-safe) rather than reuse.  The history table should still be
+        EXCLUSIVE to one audited stream — group-replace on run_id makes
+        sharing lossy regardless."""
         if not history_table or not wh.exists(history_table):
             return None
         prior = (
             wh.read(history_table)
             .filter(F.col("run_id") == int(batch_id))
-            .select("n_violations")
+            .select("table", "check", "n_violations")
             .collect()
         )
         if not prior:
+            return None
+        from briefly_spark.operators.expectations import _check_name
+
+        want = {(c.table, _check_name(c)) for c in checks}
+        got = {(r["table"], r["check"]) for r in prior}
+        if got != want:
             return None
         return all(r["n_violations"] == 0 for r in prior)
 
