@@ -480,19 +480,33 @@ class Warehouse:
                     return
                 target = target.filter(cond)
             d = delta.select(*key, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
-            # the left join fans out on duplicate delta keys, silently
-            # duplicating target rows (review r12) — refuse, like
-            # merge_scd2's uniqueness guard (one aggregate on the delta)
-            dup = (
-                d.groupBy(*key).count().filter(F.col("count") > 1).take(1)
-            )
-            if dup:
-                raise ValueError(
-                    f"merge_update: delta keys must be unique on {key} "
-                    f"(e.g. {tuple(dup[0][k] for k in key)!r} repeats) — "
-                    "a duplicate would fan out the join and duplicate "
-                    "target rows; dedupe the delta first"
-                )
+            # The left join fans out on duplicate delta keys, silently
+            # duplicating target rows (review r12) — refuse.  The guard is
+            # IN-LINEAGE (the range_join raise_error discipline): a keyed
+            # count window over the batch-sized delta, checked inside the
+            # first projected column, so no extra Spark action runs per
+            # merge (an eager aggregate here cost q128's drain ~2 jobs per
+            # stage write-back).
+            from pyspark.sql import Window as _W
+
+            dup_n = F.count(F.lit(1)).over(_W.partitionBy(*key))
+            guard = F.when(
+                dup_n > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"merge_update: delta keys must be unique on {key} "
+                            "(key "
+                        ),
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in key]),
+                        F.lit(
+                            " repeats) — a duplicate would fan out the join "
+                            "and duplicate target rows; dedupe the delta first"
+                        ),
+                    )
+                ).cast(delta.schema[set_cols[0]].dataType),
+            ).otherwise(F.col(f"__new_{set_cols[0]}"))
+            d = d.withColumn(f"__new_{set_cols[0]}", guard)
             joined = target.join(
                 F.broadcast(d) if small_batch else d, key, "left"
             )

@@ -71,12 +71,15 @@ def test_layout_assert_checks_full_depth(spark, tmp_path):
 
 
 def test_merge_update_refuses_duplicate_delta_keys(spark, tmp_path):
+    """The guard is IN-LINEAGE (raise_error — no extra action per merge),
+    so it surfaces as Spark's runtime error during the write; the failed
+    side-write never swaps in and recovery leaves the table untouched."""
     wh = _wh(spark, tmp_path)
     wh.overwrite(spark.createDataFrame([(1, "x")], "id LONG, v STRING"), "t")
     dup = spark.createDataFrame([(1, "a"), (1, "b")], "id LONG, v STRING")
-    with pytest.raises(ValueError, match="delta keys must be unique"):
+    with pytest.raises(Exception, match="delta keys must be unique"):
         wh.merge_update(dup, "t", ["id"], ["v"])
-    assert wh.read("t").count() == 1  # untouched
+    assert [(r["id"], r["v"]) for r in wh.read("t").collect()] == [(1, "x")]
 
 
 def test_small_batch_false_merges_without_broadcast(spark, tmp_path):
