@@ -54,9 +54,12 @@ def dataset_datasheet(
       length_hist — doc count per token-length bucket
                     (k = bucket lower bound, width ``length_bucket``)
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
+    from briefly_spark.operators.textstats import tokens
+
+    # the shared whitespace tokenizer (q50/q88 convention) — the earlier
+    # inline copy also lower()ed first, pure wasted per-row compute for a
+    # token COUNT (review r12); the mirror dropped its lower() in step
+    toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("id"),
         F.size(toks).cast("long").alias("n_toks"),
@@ -65,8 +68,6 @@ def dataset_datasheet(
         *([F.col(lang_col).alias("lang")] if lang_col else []),
         *([F.col(source_col).alias("source")] if source_col else []),
     )
-    sheet = "section STRING, metric STRING, k STRING, value LONG"
-
     vol = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
@@ -236,8 +237,11 @@ def datasheet_stream(
             batch_id=batch_id,
             lg_k=lg_k,
         )
-        if block.take(1):
-            wh.merge_upsert(block, registry_table, ["batch_id"])
+        # no emptiness probe: the block ALWAYS carries the volume +
+        # sketch rows (even for an empty batch), and an uncached take(1)
+        # re-ran the whole multi-leg aggregation before the merge re-ran
+        # it again (review r12)
+        wh.merge_upsert(block, registry_table, ["batch_id"])
 
     q = (
         source.writeStream.foreachBatch(sink)
@@ -260,7 +264,7 @@ def sql_dataset_datasheet(
     """DuckDB mirror of :func:`dataset_datasheet` — identical tokenization
     (the shared whitespace-split convention) and identical surfaces."""
     ntoks = (
-        rf"CAST(len(list_filter(string_split_regex(lower({text_col}), "
+        rf"CAST(len(list_filter(string_split_regex({text_col}, "
         rf"'\s+'), x -> x <> '')) AS BIGINT)"
     )
     legs = [

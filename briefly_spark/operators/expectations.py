@@ -116,7 +116,17 @@ def expectation_report(
     report_schema = (
         "table STRING, check STRING, n_rows LONG, n_violations LONG"
     )
+    known_kinds = ("not_null", "in_range", "accepted", "unique", "fk")
     for c in checks:
+        # an unknown kind must refuse loudly here (review r12): the arm
+        # loops below would silently skip it — an audit reading absence
+        # as "passed" — and the SQL mirror already raises for the same
+        # input, so the two surfaces disagreed
+        if c.kind not in known_kinds:
+            raise ValueError(
+                f"check {_check_name(c)!r}: unknown kind {c.kind!r} "
+                f"(known: {known_kinds})"
+            )
         for t in (c.table, c.parent):
             if t is not None and t not in tables:
                 raise ValueError(
@@ -509,7 +519,7 @@ def sql_column_profiles(table: str, cols: list[str]) -> str:
             f" CAST(min({c}) AS DOUBLE) AS min_v,"
             f" CAST(max({c}) AS DOUBLE) AS max_v,"
             f" CAST(CASE WHEN count({c}) > 0"
-            f" THEN CAST(sum(floor({c} * 10000)) AS BIGINT) // count({c})"
+            f" THEN sum(CAST(floor({c} * 10000) AS BIGINT)) // count({c})"
             f" END AS BIGINT) AS mean_fp"
             f" FROM {table}"
         )
@@ -584,8 +594,15 @@ def histogram_drift(
         "b1",
         "ta1",
         "tb1",
-        *det_ln_items("a1 * tb1", "__ln_p", "spark"),
-        *det_ln_items("b1 * ta1", "__ln_q", "spark"),
+        # ln is taken PER OPERAND (review r12): ln(a1·tb1) − ln(b1·ta1)
+        # needs the BIGINT products a1·tb1, which overflow int64 once the
+        # snapshots reach ~1e10 rows — ln(a1)+ln(tb1)−ln(b1)−ln(ta1) is the
+        # same quantity with every operand count-sized, staged identically
+        # in both dialects so the rounding sequence still matches bit-wise
+        *det_ln_items("a1", "__ln_a1", "spark"),
+        *det_ln_items("tb1", "__ln_tb1", "spark"),
+        *det_ln_items("b1", "__ln_b1", "spark"),
+        *det_ln_items("ta1", "__ln_ta1", "spark"),
     )
     return staged.selectExpr(
         "bucket",
@@ -593,7 +610,8 @@ def histogram_drift(
         "n_b",
         "CAST(floor(((CAST(a1 AS DOUBLE) / CAST(ta1 AS DOUBLE))"
         " - (CAST(b1 AS DOUBLE) / CAST(tb1 AS DOUBLE)))"
-        f" * (__ln_p - __ln_q) * {scale}.0) AS BIGINT) AS term_fp",
+        " * ((__ln_a1 + __ln_tb1) - (__ln_b1 + __ln_ta1))"
+        f" * {scale}.0) AS BIGINT) AS term_fp",
     )
 
 
@@ -610,8 +628,14 @@ def sql_histogram_drift(
     SAME textual float expression for the term, so every bit matches."""
     from briefly_spark.numerics import det_ln_items
 
-    lnp = ",\n       ".join(det_ln_items("a1 * tb1", "__ln_p", "duckdb"))
-    lnq = ",\n       ".join(det_ln_items("b1 * ta1", "__ln_q", "duckdb"))
+    lns = ",\n       ".join(
+        item
+        for operand, out in (
+            ("a1", "__ln_a1"), ("tb1", "__ln_tb1"),
+            ("b1", "__ln_b1"), ("ta1", "__ln_ta1"),
+        )
+        for item in det_ln_items(operand, out, "duckdb")
+    )
     return f"""WITH ha AS (
   SELECT CAST(floor({col} / {bucket_width!r}) AS BIGINT) AS bucket,
          CAST(count(*) AS BIGINT) AS ca
@@ -636,12 +660,11 @@ def sql_histogram_drift(
   FROM j CROSS JOIN t
 ), l AS (
   SELECT bucket, n_a, n_b, a1, b1, ta1, tb1,
-       {lnp},
-       {lnq}
+       {lns}
   FROM s
 )
 SELECT bucket, n_a, n_b,
        CAST(floor(((CAST(a1 AS DOUBLE) / CAST(ta1 AS DOUBLE))
  - (CAST(b1 AS DOUBLE) / CAST(tb1 AS DOUBLE)))
- * (__ln_p - __ln_q) * {scale}.0) AS BIGINT) AS term_fp
+ * ((__ln_a1 + __ln_tb1) - (__ln_b1 + __ln_ta1)) * {scale}.0) AS BIGINT) AS term_fp
 FROM l"""

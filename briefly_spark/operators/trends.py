@@ -226,8 +226,14 @@ def trend_sums_stream(
             y_col=y_col,
             batch_id=batch_id,
         )
-        if block.take(1):
-            wh.merge_upsert(block, registry_table, ["batch_id"])
+        # persist: the emptiness probe and the merge would otherwise run
+        # the per-batch sums aggregation twice (review r12)
+        block = block.persist()
+        try:
+            if block.take(1):
+                wh.merge_upsert(block, registry_table, ["batch_id"])
+        finally:
+            block.unpersist()
 
     q = (
         source.writeStream.foreachBatch(sink)

@@ -110,6 +110,11 @@ def register(
 #: X148→q76 (nearest/tolerance), X149→q02 family (standing per-group
 #: head).  Graft = extend the query's frame with the op's leg and its
 #: oracle with the already-pinned mirror SQL, then plan_shape --update.
+#: Bundle with the q147 graft: the deferred sql_expectation_report
+#: empty-table fix (review r12 — the not_null/in_range/accepted arms
+#: need coalesce(sum(...), 0) to match Spark's 0/true on empty tables;
+#: changing the builder now would move q147's oracle hash outside its
+#: window, so it lands WITH q147's fresh r13 row).
 WINDOW_HEAD: tuple[str, ...] = (
     # (a) new in r12 (gate debt by construction; the consolidation pack)
     "q149_governance_pack",

@@ -566,3 +566,58 @@ def test_column_profiles_rejects_non_numeric_and_unknown(spark):
         column_profiles(t, ["name"])
     with pytest.raises(ValueError, match="unknown column"):
         column_profiles(t, ["ghost"])
+
+
+# -- review r12 closures ------------------------------------------------------
+def test_unknown_check_kind_refused_on_both_surfaces(spark):
+    """An unrecognized kind must refuse loudly — the arm loops would
+    silently skip it (an audit reading absence as 'passed'), and the SQL
+    mirror already raised for the same input, so the surfaces disagreed."""
+    import pytest
+
+    from briefly_spark.operators.expectations import (
+        Check,
+        expectation_report,
+        sql_expectation_report,
+    )
+
+    bad = Check("notnull", "t", ("id",))
+    df = spark.createDataFrame([(1,)], "id LONG")
+    with pytest.raises(ValueError, match="unknown kind"):
+        expectation_report(spark, {"t": df}, [bad])
+    with pytest.raises(ValueError, match="unknown"):
+        sql_expectation_report([bad])
+
+
+def test_drift_ln_is_per_operand_no_bigint_product(spark):
+    """ln(a1·tb1) needed the BIGINT product, which overflows int64 once
+    snapshots reach ~1e10 rows — the staged form must take ln per operand
+    on BOTH surfaces (structural pin on the generated SQL; value parity
+    is covered by the mirror tests)."""
+    from briefly_spark.operators.expectations import sql_histogram_drift
+
+    sql = sql_histogram_drift("a", "b", "v", bucket_width=10.0)
+    assert "a1 * tb1" not in sql and "b1 * ta1" not in sql
+    for out in ("__ln_a1", "__ln_tb1", "__ln_b1", "__ln_ta1"):
+        assert out in sql
+
+
+def test_profiles_mirror_sums_fixed_point_exactly(spark):
+    """The mirror must sum floor(c·10000) as BIGINT, not DOUBLE — float
+    partial sums past 2^53 rounded, so mean_fp disagreed with Spark's
+    exact LONG sum (review r12, reproduced with ~9e11-valued doubles)."""
+    import duckdb
+    import pandas as pd
+
+    from briefly_spark.operators.expectations import (
+        column_profiles,
+        sql_column_profiles,
+    )
+
+    rows = [(9.007199258696e11 + i,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "c DOUBLE")
+    got = sorted(map(tuple, column_profiles(df, ["c"]).collect()))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["c"]))
+    want = sorted(map(tuple, con.execute(sql_column_profiles("t", ["c"])).fetchall()))
+    assert got == want  # bit-exact incl. mean_fp
