@@ -87,7 +87,14 @@ def normalize_documents(docs: DataFrame) -> DataFrame:
             F.col("text").alias("content"),
             F.col("n_chars"),
         )
-        .dropDuplicates(["url"])
+        # deterministic survivor per url (review r12): dropDuplicates keeps
+        # a partition-order-dependent row, so a replayed batch carrying a
+        # re-delivered edited item could persist different bytes per run —
+        # breaking the byte-identical replay contract; max-struct is the
+        # codebase-wide deterministic election
+        .groupBy("url")
+        .agg(F.max(F.struct("article_id", "source", "content", "n_chars")).alias("__r"))
+        .select("url", "__r.article_id", "__r.source", "__r.content", "__r.n_chars")
         .withColumn("summary", F.lit(None).cast("array<string>"))
         .withColumn("summary_status", F.lit(None).cast("string"))
         .withColumn("validation_score", F.lit(None).cast("double"))
@@ -182,7 +189,7 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
     merge swaps the very table the work-list lineage reads, which would
     re-evaluate the claims delta against an already-curated (empty)
     work-list."""
-    from briefly_spark.operators.curation import span_array, span_dedup_incremental
+    from briefly_spark.operators.curation import span_dedup_incremental
 
     articles = wh.read(ARTICLES)
     work = _work_barrier(
@@ -221,7 +228,11 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
             .otherwise(F.lit("curated"))
             .alias("curated_status"),
             (
-                F.size(span_array(F.split(F.col("content"), " ")))
+                # ceil(tokens/8) == size(span_array(...)) for non-empty
+                # content, without materializing every span string through
+                # the O(tokens²) raw-split lambda span_array's own
+                # docstring forbids (review r12)
+                F.ceil(F.size(F.split(F.col("content"), " ")) / F.lit(8))
                 - F.coalesce(F.col("n_kept"), F.lit(0))
             )
             .cast("long")
@@ -295,6 +306,7 @@ def relate_batch(
     k: int = 5,
     ttl_days: int = 1,
     min_eligible: int = 0,
+    dims: int = 16,
 ) -> JobResult:
     """Work-list P4 (embedded ∧ (no related_ids ∨ stale)) with the T5 gate,
     then the whole related-articles pipeline (J4/J5/J6/A7/W1) for the batch
@@ -309,7 +321,12 @@ def relate_batch(
         (F.col("embedding_status") == "completed")
         & (
             F.col("related_ids").isNull()
-            | (F.size("related_ids") == 0)
+            # an empty result is a TERMINAL state until its TTL passes
+            # (review r12: unconditioned size==0 kept a zero-neighbor
+            # article permanently at the head of the bounded work-list
+            # with no path to completion; the corpus must grow before a
+            # retry can help, and the TTL is exactly that clock)
+            | ((F.size("related_ids") == 0) & stale)
             | stale
         )
     )
@@ -331,7 +348,13 @@ def relate_batch(
     scores = articles.select(
         F.col("url").alias("neighbor_id"), F.col("validation_score")
     )
-    ranked = related_topk(queries, corpus, scores, k_candidates=k + 1, k_final=k)
+    # tier='auto': exact below the documented corpus bound, LSH above —
+    # the production default the operator ships (review r12: hard-coded
+    # 'exact' was quadratic at the module's own 100 TB design point)
+    ranked = related_topk(
+        queries, corpus, scores, k_candidates=k + 1, k_final=k,
+        tier="auto", dims=dims,
+    )
     # collect_list order is not preserved across the groupBy shuffle —
     # sort (rank, id) structs inside the aggregate instead.
     related = (
@@ -342,14 +365,21 @@ def relate_batch(
                 lambda p: p.neighbor_id,
             ).alias("related_ids")
         )
+        .select(F.col("query_id").alias("url"), "related_ids")
+        # EVERY work item gets a row (review r12): a zero-neighbor article
+        # previously got nothing written and re-occupied a head slot each
+        # cycle — an empty array is its terminal state until the TTL; the
+        # right join from the work-list also carries the partition column
+        # so the K3 merge stays partition-scoped
+        .join(work.select("url", "source"), "url", "right")
         .select(
-            F.col("query_id").alias("url"),
-            "related_ids",
+            "url",
+            "source",
+            F.coalesce(
+                F.col("related_ids"), F.array().cast("array<string>")
+            ).alias("related_ids"),
             F.current_timestamp().alias("related_ids_updated_at"),
         )
-        # partition column rides in from the work-list so the K3 merge stays
-        # partition-scoped
-        .join(work.select("url", "source"), "url")
     )
     n = _merge_batch(
         related,
@@ -534,15 +564,21 @@ def maintain_warehouse(
     for table in tables:
         if not wh.exists(table):
             continue
-        root = wh.path(table)
-        n_files = sum(
-            1
-            for dirpath, _dirs, files in os.walk(root)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        # bucketed layouts are catalog-owned; compact() refuses them
+        # (review r12) — skip instead of failing the sweep
+        if wh._is_bucketed(table):
+            continue
+        # table_files prunes .swap-* staging wreckage — a raw walk
+        # double-counted staged partition copies and scheduled spurious
+        # compactions (review r12)
+        files = wh.table_files(table)
+        n_files = len(files)
         n_rows = wh.read(table).count()
-        ideal = max(1, math.ceil(n_rows / target_rows_per_file))
+        # a hive-partitioned table keeps >= one file per leaf partition
+        # after any compaction, so the ideal must floor at the leaf count
+        # or every sweep re-compacts forever (review r12 idempotence bug)
+        n_leaves = len({os.path.dirname(f) for f, _ in files})
+        ideal = max(1, n_leaves, math.ceil(n_rows / target_rows_per_file))
         if n_files > fragmentation_ratio * ideal:
             compacted[table] = wh.compact(
                 table, target_rows_per_file=target_rows_per_file

@@ -717,14 +717,17 @@ def semantic_dedup(
         (F.col("n") > 0) & (F.col("cvn") > 0),
         dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cvn")),
     ).otherwise(F.lit(0.0))
-    # Nearest-centroid assignment as a partial-aggregable max(struct):
-    # greatest ccos, ties to the SMALLEST cell_id (hence the negated key).
-    # Same winner as a row_number window ordered (ccos DESC, cell_id ASC),
-    # but it combines map-side — at corpus scale the shuffle carries one
-    # row per id, not n_cells rows per id into a per-id sort.
-    best = F.max(
+    # Nearest-centroid assignment as a partial-aggregable min(struct):
+    # greatest ccos (negated first key), ties to the SMALLEST cell_id —
+    # the cell_id rides RAW as the second key, so the rule holds for any
+    # orderable id type (review r12: the old max(struct) negated cell_id,
+    # which casts a STRING id to double → NULL → ties silently resolved
+    # to the LARGEST id).  Same winner as a row_number window ordered
+    # (ccos DESC, cell_id ASC), but it combines map-side — at corpus
+    # scale the shuffle carries one row per id, not n_cells rows per id.
+    best = F.min(
         F.struct(
-            F.col("ccos"), (-F.col("cell_id")).alias("negcell"),
+            (-F.col("ccos")).alias("negccos"),
             F.col("cell_id"), F.col("v"), F.col("n"),
         )
     ).alias("b")

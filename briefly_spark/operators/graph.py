@@ -136,7 +136,15 @@ def label_propagation(
     for _ in range(iters):
         # the evolving frame is consumed twice per round (votes + the
         # keep-current carry): persist it so lineage stays linear in
-        # rounds, not exponential (the dedup.py CC discipline).
+        # rounds, not exponential (the dedup.py CC discipline).  The
+        # persists are deliberately LAZY and never force-materialized
+        # here: an eager count() per round was tried (review r12) and
+        # reverted — populating the cache at CONSTRUCTION time leaks
+        # InMemoryRelation substitutions into every later plan sharing
+        # this lineage (measured: q95's plan signature shifted from
+        # q115's caches).  The frames live until the session clears its
+        # cache — the sweep harnesses clearCache per query; long-lived
+        # callers should clearCache between invocations.
         cur = cur.persist()
         votes = (
             e.join(
@@ -254,7 +262,7 @@ def triangle_stats(und: DataFrame, blocks: DataFrame) -> DataFrame:
 
 
 def kcore_decompose(
-    und: DataFrame, *, max_rounds: int = 64
+    und: DataFrame, *, max_rounds: int | None = None
 ) -> DataFrame:
     """Exact k-core decomposition of an undirected graph — per vertex,
     the largest k such that the vertex survives in a subgraph of minimum
@@ -273,12 +281,13 @@ def kcore_decompose(
     with degree < k until the remainder has min degree ≥ k (vertices
     dropped at level k have core k−1 … but recorded as core = k−1 only
     when they fall BEFORE the k-level stabilizes; here every vertex's
-    core is the last k at which it survived stabilization).  Rounds are
-    bounded by the graph's degeneracy (the max core number) plus the
-    peel-cascade depth — for near-dup graphs degeneracy is small (a
-    clique of c duplicates has degeneracy c−1); ``max_rounds`` caps the
-    driver loop and raises if exceeded rather than returning a wrong
-    answer.
+    core is the last k at which it survived stabilization).  Termination
+    is structural, not capped: every stabilization round removes at
+    least one vertex, so rounds ≤ |V| + max core (review r12 — the old
+    degeneracy-sized default cap of 64 FAILED legitimate chain-shaped
+    graphs, where peeling removes only the two frontier vertices per
+    round and cascade depth is O(n)).  ``max_rounds`` is now purely an
+    optional runaway backstop (None = unbounded).
 
     Scale shape per round: one symmetric-edge degree aggregation + one
     semi/anti join — O(edges) equi-join work, AQE-splittable, no windows;
@@ -301,23 +310,28 @@ def kcore_decompose(
         # stabilize level k: drop degree<k vertices until none remain
         while True:
             rounds += 1
-            if rounds > max_rounds:
+            if max_rounds is not None and rounds > max_rounds:
                 raise RuntimeError(
                     f"kcore_decompose exceeded max_rounds={max_rounds} "
-                    "(raise the cap for graphs of higher degeneracy)"
+                    "(the cap is an optional runaway backstop; rounds are "
+                    "structurally bounded by |V| + max core)"
                 )
             deg = live.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+            # weak is consumed ~5× per round (emptiness probe, the core
+            # record, the verts anti-join, both sides of the live anti-
+            # join): checkpoint it ONCE so the degree aggregation runs
+            # once per round, not five times (review r12)
             weak = (
                 verts.join(deg, "id", "left")
                 .filter(F.coalesce(F.col("d"), F.lit(0)) < k)
                 .select("id")
+                .localCheckpoint(eager=True)
             )
             if not weak.take(1):
                 break
             # vertices peeled at level k have core number k-1
             out_parts.append(
                 weak.select("id", F.lit(k - 1).cast("long").alias("core"))
-                .localCheckpoint(eager=True)
             )
             verts = verts.join(weak, "id", "left_anti").localCheckpoint(eager=True)
             live = (

@@ -590,7 +590,12 @@ def related_topk(
         )
     )
     # hydration + weighted score + final top-k
-    hydrated = candidates.join(F.broadcast(scores), "neighbor_id", "left").withColumn(
+    # no forced broadcast (review r12): scores is corpus-sized here (one
+    # row per scorable article), so the hint meant a full-corpus driver
+    # broadcast at scale; AQE broadcasts small sides at runtime anyway,
+    # and the candidate side must not be consumed twice for a semi-join
+    # bound (its lineage is the expensive scored pairs)
+    hydrated = candidates.join(scores, "neighbor_id", "left").withColumn(
         "vscore", F.coalesce(F.col("validation_score"), F.lit(default_score))
     )
     combined = F.lit(sim_weight) * (F.col("cos") * 10) + F.lit(score_weight) * F.col("vscore")
