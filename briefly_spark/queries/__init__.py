@@ -116,66 +116,63 @@ def register(
 #: changing the builder now would move q147's oracle hash outside its
 #: window, so it lands WITH q147's fresh r13 row).
 WINDOW_HEAD: tuple[str, ...] = (
-    # (a) new in r12 (gate debt by construction; the consolidation pack)
-    "q149_governance_pack",
-    # (b) the exhaustive r09-stale pack (window_plan.py order)
-    "q113_random_projection",
-    "q116_mmr_rerank",
-    "q118_pq_ann",
-    "q140_ccnet_ppl_buckets",
-    "q142_phrase_search",
-    "q143_doc_entropy",
-    "q145_lm_holdout_ppl",
-    "q131_exact_substring_dedup",
-    "q133_substring_dedup_keepfirst",
-    "q134_duplication_flow",
-    "q135_eval_overlap_exact",
-    "q84_dsir_weights",
-    "q86_dsir_select",
-    "q87_curation_funnel",
-    "q89_dsir_budget_fill",
-    "q96_kmeans_clusters",
-    "q125_classifier_margins",
-    "q130_classifier_margins_avg",
-    "q127_classifier_funnel_audit",
-    "q132_classifier_pr_curve",
-    "q139_vocab_coverage",
-    "q141_nb_confusion",
-    "q95_dup_graph_pagerank",
-    "q144_dup_triangles",
-    "q100_waiting_suppliers",
-    "q107_term_pmi",
-    "q108_source_similarity",
-    "q110_balance_prospects",
-    "q111_nation_top_supplier",
-    "q117_source_drift_kl",
-    "q136_heaps_vocab_growth",
-    "q137_zipf_rank_curve",
-    "q146_rollup_inventory",
-    "q97_bloom_decontaminate",
-    "q98_zorder_layout",
-    "q99_group_sample",
-    "q101_winsorize_lengths",
-    "q103_grouped_median",
-    "q105_snapshot_diff",
-    "q106_weighted_sample",
-    "q119_rank_fusion",
-    "q64_retention_cohorts",
-    "q65_median_gap",
-    "q102_peak_concurrency",
-    "q112_event_transitions",
-    "q122_shingle_containment",
-    "q123_dup_cluster_histogram",
-    "q138_lsh_calibration",
-    "q104_frame_fingerprint_pairs",
-    # (c) TAIL SEAT (position 51 — beyond the 50-entry gate, bounded to
-    # one round by tests/test_gate_debt.py): q128's materialization was
-    # de-collected this round (VERDICT r11 next-round #6), so its current
-    # form is gate debt, but the 49-stale pack + q149 fill the gated head;
-    # q128 is r10-green (fresh deferral) and re-verified locally this
-    # round (check_oracle + determinism); its driver row lands at r13 —
-    # the q81/q82 r10→r11 precedent.
+    # r13 head — exactly the 50 r10-green queries (window_plan.py
+    # proposal, taken verbatim; zero spare seats as the r12 forecast
+    # said).  q128 leads: its de-collected r12 form held the one-round
+    # tail seat and its driver row is due now.  The eight r13 grafts
+    # (X142–X149) all land on queries in this head — q74, q37, q70,
+    # q31, q147, q30 family, q76, q02 family — so every grafted surface
+    # earns a fresh driver row this round.
     "q128_jobs_dag_resolve",
+    "q39_line_boilerplate_filter",
+    "q66_curriculum_buckets",
+    "q67_pack_exact",
+    "q40_ann_topk",
+    "q41_related_articles",
+    "q42_lsh_ann",
+    "q43_ivf_ann",
+    "q49_contrastive_pairs",
+    "q45_quantized_ann",
+    "q44_related_lsh",
+    "q60_chunk_embed_meanpool",
+    "q61_factcheck_scores",
+    "q62_summarize_worklist",
+    "q63_embed_arrow_harness",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_windows",
+    "q73_props_json_extract",
+    "q74_sketch_audit",
+    "q75_funnel",
+    "q78_rolling_features",
+    "q79_attribution",
+    "q76_asof_enrich",
+    "q77_range_join",
+    "q30_exact_dedup",
+    "q31_minhash_lsh_pairs",
+    "q32_simhash_fingerprints",
+    "q33_ngram_jaccard_pairs",
+    "q34_embedding_near_dup",
+    "q36_decontaminate",
+    "q29_dedup_survivors",
+    "q37_dup_clusters",
+    "q01_pricing_summary",
+    "q02_topk_orders_per_customer",
+    "q03_revenue_by_nation",
+    "q04_customers_without_orders",
+    "q05_orders_with_heavy_items",
+    "q06_distinct_segments",
+    "q07_order_status_tallies",
+    "q08_order_set_ops",
+    "q09_part_scalar_funcs",
+    "q10_latest_events_per_user",
+    "q11_events_worklist",
+    "q12_weighted_customer_score",
+    "q13_cube_revenue",
+    "q14_running_totals",
+    "q15_small_lot_revenue",
+    "q80_media_metadata",
+    "q147_expectation_audit",
 )
 
 

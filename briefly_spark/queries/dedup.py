@@ -92,14 +92,14 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q31 — MinHash + LSH near-dup pairs.
+# q31 — MinHash + LSH near-dup pairs; since r13 also the host of X145's
+# incremental admission-registry leg, grafted per the r12 composite-first
+# policy.
 # --------------------------------------------------------------------------
-@register(
-    "q31_minhash_lsh_pairs",
-    covers=("P5",),
-    oracle=f"""
+_Q31_SIG_SQL = f"""
 WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
-hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hh FROM sh),
+hs AS (SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hh
+       FROM sh WHERE len(shingles) > 0),
 sig AS (
   SELECT id, shingles,
          list_transform(range(0, 8),
@@ -109,25 +109,155 @@ sig AS (
 banded AS (
   SELECT id, shingles, b, md5(sg[2*b + 1] || '|' || sg[2*b + 2]) AS key
   FROM sig, (SELECT unnest(range(0, 4)) AS b)
-),
+)"""
+
+#: agreement count between two signatures (i ranges 1..8, 1-based lists)
+_Q31_AGREE = "len(list_filter(range(1, 9), i -> s1.sg[i] = s2.sg[i]))"
+
+_Q31_ORACLE = f"""
+{_Q31_SIG_SQL},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.shingles AS sa, b.shingles AS sb
   FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa, sb))) * 10000) AS BIGINT) AS jac_fp
+  FROM cand
+),
+-- X145 admission replay: batch 0 = originals (id < 100000), batch 1 =
+-- mutants, identical signature/band algebra, min_agree = 6 of 8
+b0ver AS (
+  SELECT c.id_b AS id, c.id_a AS dup_of, 'batch' AS source
+  FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.key = b.key AND a.id < b.id
+        WHERE a.id < 100000 AND b.id < 100000) c
+  JOIN sig s1 ON s1.id = c.id_b JOIN sig s2 ON s2.id = c.id_a
+  WHERE {_Q31_AGREE} >= 6
+),
+b0rej AS (
+  SELECT id, min(struct_pack(dup_of := dup_of, source := source)) AS r
+  FROM b0ver GROUP BY id
+),
+adm0 AS (SELECT id FROM corpus WHERE id < 100000
+         AND id NOT IN (SELECT id FROM b0rej)),
+h1ver AS (
+  SELECT c.id, c.old_id AS dup_of, 'history' AS source
+  FROM (SELECT DISTINCT nb.id AS id, ob.id AS old_id
+        FROM banded nb JOIN banded ob ON nb.b = ob.b AND nb.key = ob.key
+        WHERE nb.id >= 100000 AND ob.id < 100000
+          AND ob.id IN (SELECT id FROM adm0)) c
+  JOIN sig s1 ON s1.id = c.id JOIN sig s2 ON s2.id = c.old_id
+  WHERE {_Q31_AGREE} >= 6
+),
+b1ver AS (
+  SELECT c.id_b AS id, c.id_a AS dup_of, 'batch' AS source
+  FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.key = b.key AND a.id < b.id
+        WHERE a.id >= 100000 AND b.id >= 100000) c
+  JOIN sig s1 ON s1.id = c.id_b JOIN sig s2 ON s2.id = c.id_a
+  WHERE {_Q31_AGREE} >= 6
+),
+rej1 AS (
+  SELECT id, min(struct_pack(dup_of := dup_of, source := source)) AS r
+  FROM (SELECT * FROM h1ver UNION ALL SELECT * FROM b1ver) GROUP BY id
+),
+adm1 AS (SELECT id FROM corpus WHERE id >= 100000
+         AND id NOT IN (SELECT id FROM rej1)),
+allrej AS (
+  SELECT id, struct_extract(r, 'dup_of') AS dup_of,
+         struct_extract(r, 'source') AS source FROM b0rej
+  UNION ALL
+  SELECT id, struct_extract(r, 'dup_of') AS dup_of,
+         struct_extract(r, 'source') AS source FROM rej1
 )
-SELECT id_a, id_b,
-       floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa, sb))) * 10000) / 10000.0 AS jac
-FROM cand
-WHERE floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-            / len(list_distinct(list_concat(sa, sb))) * 10000) / 10000.0 >= 0.4
-""",
+SELECT 'pairs' AS section,
+       CAST(id_a AS VARCHAR) || '/' || CAST(id_b AS VARCHAR) AS k,
+       CAST(jac_fp AS VARCHAR) AS value
+FROM pairs WHERE jac_fp >= 4000
+UNION ALL
+SELECT 'admission' AS section, CAST(id AS VARCHAR) AS k,
+       CAST(dup_of AS VARCHAR) || '/' || source AS value
+FROM allrej
+UNION ALL
+SELECT 'summary' AS section, 'batch0' AS k,
+       CAST((SELECT count(*) FROM adm0) AS VARCHAR) AS value
+UNION ALL
+SELECT 'summary' AS section, 'batch1' AS k,
+       CAST((SELECT count(*) FROM adm1) AS VARCHAR) AS value
+"""
+
+
+@register(
+    "q31_minhash_lsh_pairs",
+    covers=("P5",),
+    oracle=_Q31_ORACLE,
 )
 def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection (shingle → 8 min-hashes → 4 bands →
     bucket self-join → exact-Jaccard verify ≥ 0.4).  Candidate generation is
     a band-key equi-join — no quadratic stage; identical md5-string hashing
-    on both engines makes even the LSH bucketing hash-comparable."""
-    return minhash_dedup_pairs(_corpus(spark, sf_dir), "id", "text", n=3, k=8, bands=4, threshold=0.4)
+    on both engines makes even the LSH bucketing hash-comparable.
+
+    r13 graft (X145): the incremental near-dup ADMISSION registry
+    (operators/dedup.py:neardup_incremental; crash-replay byte-identical
+    per tests/test_neardup_registry.py) replayed over the same corpus as
+    two arrival batches — originals first, mutants second.  Batch 1 docs
+    are rejected against the absorbed batch-0 history through the banded
+    inverted index (never a history scan); the oracle re-derives every
+    verdict and both admitted counts declaratively.  Output is a tidy
+    (section, k, value) long frame: 'pairs' (the one-shot LSH surface,
+    fp4 Jaccard), 'admission' (id → dup_of/source verdicts), 'summary'
+    (admitted per batch)."""
+    from briefly_spark.operators.dedup import neardup_incremental
+
+    corpus = _corpus(spark, sf_dir)
+    pairs_long = minhash_dedup_pairs(
+        corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4
+    ).select(
+        F.lit("pairs").alias("section"),
+        F.concat_ws(
+            "/", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("k"),
+        F.round(F.col("jac") * 10000).cast("long").cast("string").alias("value"),
+    )
+
+    b0 = corpus.filter(F.col("id") < 100000)
+    b1 = corpus.filter(F.col("id") >= 100000)
+    empty_band = spark.createDataFrame([], "band INT, key STRING, id BIGINT")
+    empty_sig = spark.createDataFrame([], "id BIGINT, sig ARRAY<STRING>")
+    adm0, bd0, sd0, rej0 = neardup_incremental(
+        b0, empty_band, empty_sig, id_col="id", text_col="text", batch_id=0
+    )
+    adm1, _bd1, _sd1, rej1 = neardup_incremental(
+        b1, bd0, sd0, id_col="id", text_col="text", batch_id=1
+    )
+    adm_long = rej0.unionByName(rej1).select(
+        F.lit("admission").alias("section"),
+        F.col("id").cast("string").alias("k"),
+        F.concat_ws("/", F.col("dup_of").cast("string"), F.col("source")).alias(
+            "value"
+        ),
+    )
+    sum_long = (
+        adm0.agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.lit("summary").alias("section"),
+            F.lit("batch0").alias("k"),
+            F.col("c").cast("string").alias("value"),
+        )
+        .unionByName(
+            adm1.agg(F.count(F.lit(1)).alias("c")).select(
+                F.lit("summary").alias("section"),
+                F.lit("batch1").alias("k"),
+                F.col("c").cast("string").alias("value"),
+            )
+        )
+    )
+    return pairs_long.unionByName(adm_long).unionByName(sum_long)
 
 
 # --------------------------------------------------------------------------
@@ -508,13 +638,35 @@ def q29_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q37_oracle() -> str:
+    from briefly_spark.operators.fuzzy import sql_fuzzy_dedup_pairs
+
+    fuzzy = sql_fuzzy_dedup_pairs(
+        "(SELECT id, substr(text, 1, 40) AS head FROM corpus)",
+        id_col="id",
+        text_col="head",
+        max_dist=1,
+    )
+    return (
+        _q37_oracle_prefix()
+        + f"""
+SELECT 'cluster' AS section, CAST(id AS VARCHAR) AS k,
+       CAST(component AS VARCHAR) || '/' ||
+       CAST(component = id AS VARCHAR) AS value
+FROM comp
+UNION ALL
+SELECT 'fuzzy' AS section,
+       CAST(left_id AS VARCHAR) || '/' || CAST(right_id AS VARCHAR) AS k,
+       CAST(dist AS VARCHAR) AS value
+FROM ({fuzzy})
+"""
+    )
+
+
 @register(
     "q37_dup_clusters",
     covers=("P5",),
-    oracle=_q37_oracle_prefix()
-    + """
-SELECT id, component, (component = id) AS is_survivor FROM comp
-""",
+    oracle=_q37_oracle(),
 )
 def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step AFTER near-dup pair generation: resolve the q31 MinHash-LSH
@@ -526,17 +678,44 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same fixpoint with a recursive CTE (min reachable
     id per node), certifying the distributed iteration against a
     declarative ground truth — singletons label themselves, survivors are
-    component minima."""
+    component minima.
+
+    r13 graft (X143): a second section carries the edit-distance
+    similarity join as a fuzzy-tier pair source — every unordered pair of
+    corpus docs whose 40-char head keys are within 1 edit (q-gram prefix
+    filtering, operators/fuzzy.py; the planted mutants share their
+    original's head, so the fuzzy tier re-finds them at dist 0).  The
+    oracle side is deliberately the BRUTE-FORCE all-pairs plan, so the
+    driver hash pins candidate completeness of the prefix filter on real
+    data, not just agreement on a shared shortcut."""
     from briefly_spark.operators.dedup import connected_components
+    from briefly_spark.operators.fuzzy import fuzzy_dedup_pairs
 
     corpus = _corpus(spark, sf_dir)
     pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
     comp = connected_components(
         corpus.select("id"), pairs.select("id_a", "id_b")
     )
-    return comp.select(
-        "id", "component", (F.col("component") == F.col("id")).alias("is_survivor")
+    cluster_long = comp.select(
+        F.lit("cluster").alias("section"),
+        F.col("id").cast("string").alias("k"),
+        F.concat_ws(
+            "/",
+            F.col("component").cast("string"),
+            (F.col("component") == F.col("id")).cast("string"),
+        ).alias("value"),
     )
+    heads = corpus.select("id", F.substring("text", 1, 40).alias("head"))
+    fuzzy_long = fuzzy_dedup_pairs(
+        heads, id_col="id", text_col="head", max_dist=1, q=3
+    ).select(
+        F.lit("fuzzy").alias("section"),
+        F.concat_ws(
+            "/", F.col("left_id").cast("string"), F.col("right_id").cast("string")
+        ).alias("k"),
+        F.col("dist").cast("string").alias("value"),
+    )
+    return cluster_long.unionByName(fuzzy_long)
 
 
 # --------------------------------------------------------------------------

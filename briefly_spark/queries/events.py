@@ -27,38 +27,106 @@ def _fixed_sum(col: str):
 
 
 # --------------------------------------------------------------------------
-# q70 — tumbling window aggregation.
+# q70 — tumbling window aggregation; since r13 also the host of X144's
+# gap-filled regular-grid leg (LOCF resample), grafted per the r12
+# composite-first policy.
 # --------------------------------------------------------------------------
+_Q70_STEP = 3_600_000_000  # 1 hour in unix micros — same grid as the windows
+
+
+def _q70_oracle() -> str:
+    from briefly_spark.operators.temporal import sql_resample_locf
+
+    rs = sql_resample_locf(
+        "(SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events)",
+        key_cols=["user_id"],
+        ts_col="tsu",
+        value_col="event_id",
+        step=_Q70_STEP,
+        max_fill=2,
+    )
+    return f"""
+WITH t AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(floor(value * 100)) AS BIGINT) AS tv_fp
+  FROM events GROUP BY 1, 2
+)
+SELECT 'tumbling' AS section,
+       CAST(epoch_us(ws) AS VARCHAR) || '|' || event_type AS k,
+       CAST(n_events AS VARCHAR) || '/' || CAST(tv_fp AS VARCHAR) AS value
+FROM t
+UNION ALL
+SELECT 'resample' AS section,
+       CAST(user_id AS VARCHAR) || '|' || CAST(bucket AS VARCHAR) AS k,
+       concat_ws('/', CAST(bucket_start AS VARCHAR), CAST(observed AS VARCHAR),
+                 CAST(value AS VARCHAR)) AS value
+FROM ({rs})
+"""
+
+
 @register(
     "q70_tumbling_window",
     covers=("A3", "A4"),
-    oracle=f"""
-SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
-       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS win_end,
-       event_type,
-       count(*) AS n_events,
-       {sql_fixed_sum('value', 100, 'total_value')}
-FROM events
-GROUP BY 1, 2, 3
-""",
+    oracle=_q70_oracle(),
 )
 def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows × event_type: the canonical streaming
     aggregate in batch form (same `window()` expression Structured
     Streaming uses, so the plan is identical modulo the state store).
-    One partial-agg shuffle; window assignment is pure codegen."""
+    One partial-agg shuffle; window assignment is pure codegen.
+
+    r13 graft (X144): a second section carries the regular-grid LOCF
+    resample on the SAME hourly grid — each user's event stream densified
+    to hour buckets with last-observation-carried-forward fill, capped at
+    max_fill=2 stale buckets (operators/temporal.py:resample_locf;
+    mirror-matched on randomized gappy series in tests/test_resample.py).
+    Output is a tidy (section, k, value) long frame so both legs ride one
+    driver hash; the fixed-point tumbling sum stays integer (tv_fp) so
+    the string surface is engine-exact."""
+    from briefly_spark.operators.temporal import resample_locf
+
     events = load_table(spark, sf_dir, "events")
     w = F.window("ts", "1 hour")
-    return events.groupBy(w, "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        _fixed_sum("value").alias("total_value"),
-    ).select(
-        F.col("window.start").alias("win_start"),
-        F.col("window.end").alias("win_end"),
-        "event_type",
-        "n_events",
-        "total_value",
+    tumb_long = (
+        events.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("tv_fp"),
+        )
+        .select(
+            F.lit("tumbling").alias("section"),
+            F.concat_ws(
+                "|",
+                F.unix_micros(F.col("window.start")).cast("string"),
+                F.col("event_type"),
+            ).alias("k"),
+            F.concat_ws(
+                "/", F.col("n_events").cast("string"), F.col("tv_fp").cast("string")
+            ).alias("value"),
+        )
     )
+    ev = events.select("user_id", F.unix_micros("ts").alias("tsu"), "event_id")
+    rs_long = resample_locf(
+        ev,
+        key_cols=["user_id"],
+        ts_col="tsu",
+        value_col="event_id",
+        step=_Q70_STEP,
+        max_fill=2,
+    ).select(
+        F.lit("resample").alias("section"),
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"), F.col("bucket").cast("string")
+        ).alias("k"),
+        F.concat_ws(
+            "/",
+            F.col("bucket_start").cast("string"),
+            F.col("observed").cast("string"),
+            F.col("value").cast("string"),
+        ).alias("value"),
+    )
+    return tumb_long.unionByName(rs_long)
 
 
 # --------------------------------------------------------------------------
@@ -178,15 +246,42 @@ def q73_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q74 — sketch audit: approximate distinct (HLL++) and approximate median
-# (GK) against their exact counterparts, under an expected-outcome oracle.
+# (GK) against their exact counterparts, under an expected-outcome oracle;
+# since r13 also the host of X142's quantile-bracket leg (the mergeable
+# log-bin histogram registry), grafted per the r12 composite-first policy.
 # --------------------------------------------------------------------------
+def _q74_oracle() -> str:
+    from briefly_spark.operators.histq import sql_group_quantiles
+
+    fixed = (
+        "(SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS value_fp "
+        "FROM events) fx"
+    )
+    histq = sql_group_quantiles(
+        fixed, group_cols=["event_type"], value_col="value_fp"
+    )
+    return f"""
+SELECT 'audit' AS section, event_type, k, value FROM (
+  SELECT event_type, 'hll_ok' AS k, 'true' AS value
+  FROM (SELECT DISTINCT event_type FROM events)
+  UNION ALL
+  SELECT event_type, 'p50_ok' AS k, 'true' AS value
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+UNION ALL
+SELECT 'histq' AS section, event_type,
+       'p' || CAST(p AS VARCHAR) AS k,
+       CAST(n AS VARCHAR) || '/' || CAST(rank AS VARCHAR) || '/' ||
+       CAST(bin_idx AS VARCHAR) || '/' || CAST(lo AS VARCHAR) || '/' ||
+       CAST(hi AS VARCHAR) AS value
+FROM ({histq})
+"""
+
+
 @register(
     "q74_sketch_audit",
     covers=("A3", "A4"),
-    oracle="""
-SELECT event_type, true AS hll_ok, true AS p50_ok
-FROM (SELECT DISTINCT event_type FROM events)
-""",
+    oracle=_q74_oracle(),
 )
 def q74_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation workhorses — approx_count_distinct (HLL++)
@@ -198,7 +293,14 @@ def q74_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-error booleans can).  Measured error: HLL ≤ 6.7%, p50 ≤ 0.6%
     across sf0.001–0.1.  Exact distinct/percentile exist here only as the
     audit baseline; at 100 TB you run the sketches alone — one partial-agg
-    shuffle, mergeable state, no giant sort."""
+    shuffle, mergeable state, no giant sort.
+
+    r13 graft (X142): a second section carries the mergeable log-bin
+    histogram quantile registry's one-shot surface — exact-rank brackets
+    of the fixed-point event value per event_type, value-identical to the
+    DuckDB mirror (operators/histq.py; fold ≡ one-shot ≡ stream pinned in
+    tests/test_histq.py).  Output is a tidy (section, event_type, k,
+    value) long frame so both legs ride one driver hash."""
     events = load_table(spark, sf_dir, "events")
     r = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_d"),
@@ -208,7 +310,29 @@ def q74_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hll_ok = (F.abs(F.col("approx_d") - F.col("exact_d")) / F.col("exact_d")) <= 0.15
     p50_ok = (F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.abs(F.col("exact_p50"))) <= 0.05
-    return r.select("event_type", hll_ok.alias("hll_ok"), p50_ok.alias("p50_ok"))
+    audit_long = r.select(
+        "event_type", hll_ok.alias("hll_ok"), p50_ok.alias("p50_ok")
+    ).selectExpr(
+        "'audit' AS section",
+        "event_type",
+        "stack(2, 'hll_ok', CAST(hll_ok AS STRING), "
+        "'p50_ok', CAST(p50_ok AS STRING)) AS (k, value)",
+    )
+
+    from briefly_spark.operators.histq import group_quantiles
+
+    fixed = events.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("value_fp")
+    )
+    histq_long = group_quantiles(
+        fixed, group_cols=["event_type"], value_col="value_fp"
+    ).select(
+        F.lit("histq").alias("section"),
+        "event_type",
+        F.concat(F.lit("p"), F.col("p").cast("string")).alias("k"),
+        F.concat_ws("/", "n", "rank", "bin_idx", "lo", "hi").alias("value"),
+    )
+    return audit_long.unionByName(histq_long)
 
 
 # --------------------------------------------------------------------------

@@ -83,42 +83,10 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "frame; its accept path is gated through q58) — final "
                   "disposition",
     },
-    {
-        "op": "X142 mergeable log-bin histogram quantile registry",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.histq:group_quantiles",
-        "test": "tests/test_histq.py::test_duckdb_mirror_on_testdata",
-        "queued": "graft: joins q74_sketch_audit (r10-green, r13 head — "
-                  "seat already paid) as its quantile-bracket leg at r13 "
-                  "open — the r12 composite-first policy; no dedicated slot",
-    },
-    {
-        "op": "X143 edit-distance similarity join (fuzzy entity resolution)",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.fuzzy:fuzzy_dedup_pairs",
-        "test": "tests/test_fuzzy.py::test_duckdb_bruteforce_mirror_on_testdata",
-        "queued": "graft: joins q37_dup_clusters (r10-green, r13 head — "
-                  "seat already paid) as a fuzzy-tier pair source at r13 "
-                  "open — the r12 composite-first policy; no dedicated slot",
-    },
-    {
-        "op": "X144 regular-grid resample with LOCF gap-fill",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.temporal:resample_locf",
-        "test": "tests/test_resample.py::test_on_real_events_hourly_grid",
-        "queued": "graft: joins q70_tumbling_window (r10-green, r13 head — "
-                  "seat already paid) as its gap-filled grid leg at r13 "
-                  "open — the r12 composite-first policy; no dedicated slot",
-    },
-    {
-        "op": "X145 incremental near-dup admission registry (MinHash bands)",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.dedup:neardup_incremental",
-        "test": "tests/test_neardup_registry.py::test_matches_pure_python_simulator",
-        "queued": "graft: joins q31_minhash_lsh_pairs (r10-green, r13 head — "
-                  "seat already paid) as a registry-admission leg at r13 "
-                  "open — the r12 composite-first policy; no dedicated slot",
-    },
+    # X142 graduated r13 → q74_sketch_audit's quantile-bracket leg
+    # X143 graduated r13 → q37_dup_clusters's fuzzy-tier pair source
+    # X144 graduated r13 → q70_tumbling_window's gap-filled grid leg
+    # X145 graduated r13 → q31_minhash_lsh_pairs's admission-registry leg
     {
         "op": "X146 exact pairwise covariance/correlation registry",
         "kind": "duckdb-mirror",
