@@ -654,10 +654,20 @@ def neardup_incremental(
         "__t",
         n,
     )
-    signed = minhash_signatures_exploded(shingled, "id", "shingles", k)
+    # ``signed`` and ``banded`` are each referenced by several join arms
+    # below (history verify, in-batch candidate self-join, the registry
+    # deltas); without a materialization boundary every arm replays the
+    # whole shingle→md5→minhash pipeline — measured 10× on q31's r13
+    # admission graft, where the "batch" is corpus-sized.  Both frames
+    # are batch-bounded (ids × k signature chars / ids × bands rows), so
+    # the q128 localCheckpoint idiom applies: compute once, store blocks
+    # executor-side, truncate lineage.
+    signed = minhash_signatures_exploded(shingled, "id", "shingles", k).localCheckpoint(
+        eager=True
+    )
     banded = signed.select(
         "id", F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
-    )
+    ).localCheckpoint(eager=True)
 
     def _agree(a, b):
         return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
@@ -702,12 +712,15 @@ def neardup_incremental(
         .filter(_agree(F.col("sig"), F.col("__ss")) >= min_agree)
         .select("id", F.col("small_id").alias("dup_of"), F.lit("batch").alias("source"))
     )
+    # rejects feeds three consumers (admitted anti-join, keep_ids
+    # anti-join, the returned verdicts) — same materialization argument;
+    # it is candidate-bounded, far smaller than the batch
     rejects = (
         hist_ver.unionByName(batch_ver)
         .groupBy("id")
         .agg(F.min(F.struct("dup_of", "source")).alias("__r"))
         .select("id", F.col("__r.dup_of").alias("dup_of"), F.col("__r.source").alias("source"))
-    )
+    ).localCheckpoint(eager=True)
     admitted = batch.join(
         rejects.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )

@@ -263,19 +263,25 @@ def sql_expectation_report(checks: list[Check]) -> str:
     arms = []
     for c in checks:
         name = _check_name(c).replace("'", "''")
+        # coalesce(sum(...), 0): on an EMPTY table SQL sum is NULL while the
+        # Spark report coalesces its conditional counts to 0 (passed=true) —
+        # without it the two surfaces disagree on empty inputs (review r12,
+        # deferred to ride q147's r13 graft so the hash moved inside a gate
+        # window)
         if c.kind == "not_null":
             arms.append(
                 f"SELECT '{c.table}' AS tbl, '{name}' AS chk,"
                 f" CAST(count(*) AS BIGINT) AS n_rows,"
-                f" CAST(sum(CASE WHEN {c.cols[0]} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" CAST(coalesce(sum(CASE WHEN {c.cols[0]} IS NULL THEN 1 ELSE 0 END), 0)"
+                f" AS BIGINT)"
                 f" AS n_violations FROM {c.table}"
             )
         elif c.kind == "in_range":
             col = c.cols[0]
             arms.append(
                 f"SELECT '{c.table}', '{name}', CAST(count(*) AS BIGINT),"
-                f" CAST(sum(CASE WHEN {col} IS NOT NULL AND"
-                f" ({col} < {c.lo!r} OR {col} > {c.hi!r}) THEN 1 ELSE 0 END) AS BIGINT)"
+                f" CAST(coalesce(sum(CASE WHEN {col} IS NOT NULL AND"
+                f" ({col} < {c.lo!r} OR {col} > {c.hi!r}) THEN 1 ELSE 0 END), 0) AS BIGINT)"
                 f" FROM {c.table}"
             )
         elif c.kind == "accepted":
@@ -285,7 +291,7 @@ def sql_expectation_report(checks: list[Check]) -> str:
             )
             arms.append(
                 f"SELECT '{c.table}', '{name}', CAST(count(*) AS BIGINT),"
-                f" CAST(sum(CASE WHEN {c.cols[0]} IN ({vals}) THEN 0 ELSE 1 END)"
+                f" CAST(coalesce(sum(CASE WHEN {c.cols[0]} IN ({vals}) THEN 0 ELSE 1 END), 0)"
                 f" AS BIGINT) FROM {c.table}"
             )
         elif c.kind == "unique":

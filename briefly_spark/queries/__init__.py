@@ -173,6 +173,15 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q15_small_lot_revenue",
     "q80_media_metadata",
     "q147_expectation_audit",
+    # TAIL SEAT (position 51 — beyond the 50-entry gate, bounded to one
+    # round by tests/test_gate_debt.py): the r12-deferred
+    # sql_expectation_report empty-table coalesce landed with q147's r13
+    # graft, and q149's anomalies leg embeds the same helper, so q149's
+    # oracle FORM moved too (values unchanged — the synthetic runs are
+    # non-empty, coalesce is a no-op there; q147's fresh r13 row gates the
+    # fix's value surface).  q149 is r12-green (fresh deferral) and its
+    # driver row lands at r14 — the q128 r12→r13 precedent.
+    "q149_governance_pack",
 )
 
 

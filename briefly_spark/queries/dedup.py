@@ -74,21 +74,113 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH corpus AS (
   SELECT doc_id AS id, text FROM documents
   UNION ALL SELECT doc_id + 10000 AS id, text FROM documents
+),
+g AS (
+  SELECT md5(text) AS content_md5, min(id) AS keep_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM corpus GROUP BY content_md5
+),
+assign AS (
+  SELECT c.id, g.keep_id AS cluster
+  FROM corpus c JOIN g ON md5(c.text) = g.content_md5
+),
+splits AS (
+  SELECT id, cluster,
+         CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 4, 1)) - 1)) % 100 < 5
+              THEN 'val'
+              WHEN ((strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(cluster AS VARCHAR)), 4, 1)) - 1)) % 100 < 10
+              THEN 'test' ELSE 'train' END AS split
+  FROM assign
+),
+dup_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.id < b.id
+),
+leak AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM dup_pairs p
+  JOIN splits sa ON sa.id = p.id_a
+  JOIN splits sb ON sb.id = p.id_b
+  GROUP BY 1, 2
 )
-SELECT md5(text) AS content_md5, min(id) AS keep_id, count(*) AS n_copies
-FROM corpus GROUP BY content_md5
+SELECT 'dedup' AS section, content_md5 AS k,
+       CAST(keep_id AS VARCHAR) || '/' || CAST(n_copies AS VARCHAR) AS value
+FROM g
+UNION ALL
+SELECT 'split' AS section, CAST(id AS VARCHAR) AS k,
+       CAST(cluster AS VARCHAR) || '/' || split AS value
+FROM splits
+UNION ALL
+SELECT 'leakage' AS section, split_a || '|' || split_b AS k,
+       CAST(n_pairs AS VARCHAR) || '/' ||
+       CAST(split_a <> split_b AS VARCHAR) AS value
+FROM leak
 """,
 )
 def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: md5-groupBy keeping min id (deterministic
     survivor, unlike the reference's random policies — SURVEY §7.2).  One
     shuffle on the 16-byte digest, not the document text: at 100 TB the
-    shuffle payload is keys + ids only."""
+    shuffle payload is keys + ids only.
+
+    r13 graft (X147): the leakage-safe cluster split + its cross-split
+    audit (operators/textstats.py:cluster_split/split_leakage_report) on
+    the dedup family's own clusters — every member of an exact-dup group
+    is assigned by hashing the group's SURVIVOR id, so duplicates can
+    never straddle train/test; the 'leakage' section measures that claim
+    over the group's internal pairs (all diagonal by construction — and
+    the driver hash would catch a regression that broke it).  Output is
+    a tidy (section, k, value) long frame."""
+    from briefly_spark.operators.textstats import cluster_split, split_leakage_report
+
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
         docs.select((F.col("doc_id") + 10000).alias("id"), "text")
     )
-    return exact_dedup(corpus, "text", "id")
+    groups = exact_dedup(corpus, "text", "id")
+    dedup_long = groups.select(
+        F.lit("dedup").alias("section"),
+        F.col("content_md5").alias("k"),
+        F.concat_ws(
+            "/", F.col("keep_id").cast("string"), F.col("n_copies").cast("string")
+        ).alias("value"),
+    )
+    assign = (
+        corpus.select(F.md5("text").alias("content_md5"), "id")
+        .join(groups.select("content_md5", "keep_id"), "content_md5")
+        .select("id", F.col("keep_id").alias("cluster"))
+    )
+    splits = cluster_split(assign, id_col="id", cluster_col="cluster")
+    split_long = splits.select(
+        F.lit("split").alias("section"),
+        F.col("id").cast("string").alias("k"),
+        F.concat_ws("/", F.col("cluster").cast("string"), F.col("split")).alias(
+            "value"
+        ),
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    dup_pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    leak_long = split_leakage_report(
+        splits.select("id", "split"), dup_pairs
+    ).select(
+        F.lit("leakage").alias("section"),
+        F.concat_ws("|", "split_a", "split_b").alias("k"),
+        F.concat_ws(
+            "/", F.col("n_pairs").cast("string"), F.col("leaks").cast("string")
+        ).alias("value"),
+    )
+    return dedup_long.unionByName(split_long).unionByName(leak_long)
 
 
 # --------------------------------------------------------------------------
@@ -214,6 +306,11 @@ def q31_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (admitted per batch)."""
     from briefly_spark.operators.dedup import neardup_incremental
 
+    # corpus stays LAZY: its rows are full documents, and materializing
+    # them (localCheckpoint) measurably costs more than the recompute
+    # (split/slice is CPU-cheap, serializing MB-sized text rows is not) —
+    # the materialization boundaries live on the SMALL derived frames
+    # instead (signatures/bands/rejects inside neardup_incremental)
     corpus = _corpus(spark, sf_dir)
     pairs_long = minhash_dedup_pairs(
         corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4
@@ -691,6 +788,9 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from briefly_spark.operators.dedup import connected_components
     from briefly_spark.operators.fuzzy import fuzzy_dedup_pairs
 
+    # corpus stays LAZY (materializing full-text rows costs more than the
+    # recompute — see q31); the fuzzy leg's materialization boundary is
+    # the small heads frame below
     corpus = _corpus(spark, sf_dir)
     pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
     comp = connected_components(
@@ -705,7 +805,14 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("component") == F.col("id")).cast("string"),
         ).alias("value"),
     )
-    heads = corpus.select("id", F.substring("text", 1, 40).alias("head"))
+    # heads is referenced by every fuzzy join arm (grams, both fringe
+    # legs, the verify hydration) — materialize the (id, 40-char head)
+    # frame once so the corpus construction (mutant split/slice/concat
+    # over full texts) doesn't replay per arm (the q128 idiom; measured
+    # 10 s → ~3 s on the r13 graft at sf0.1)
+    heads = corpus.select(
+        "id", F.substring("text", 1, 40).alias("head")
+    ).localCheckpoint(eager=True)
     fuzzy_long = fuzzy_dedup_pairs(
         heads, id_col="id", text_col="head", max_dist=1, q=3
     ).select(

@@ -93,16 +93,136 @@ def _audit_checks() -> list:
     ]
 
 
+#: X146 correlation-screen configuration (the pinned covmat test surface):
+#: quantized lineitem metrics per returnflag
+_CORR_METRICS = ["qty", "cents", "disc"]
+
+
+def _corr_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+
+
+_CORR_INPUT_SQL = (
+    "(SELECT l_orderkey, l_returnflag, "
+    "CAST(floor(l_quantity) AS BIGINT) AS qty, "
+    "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents, "
+    "CAST(floor(l_discount * 100) AS BIGINT) AS disc "
+    "FROM lineitem)"
+)
+
+
+def _q147_oracle() -> str:
+    from briefly_spark.operators.covmat import sql_pairwise_moments
+
+    corr = sql_pairwise_moments(
+        _CORR_INPUT_SQL, group_cols=["l_returnflag"], metric_cols=_CORR_METRICS
+    )
+    corr_long = (
+        "SELECT '{sec}' AS section,\n"
+        "       l_returnflag || '|' || m_a || '|' || m_b AS k,\n"
+        "       CAST(n AS VARCHAR) || '/' || CAST(cov_num AS VARCHAR) || '/' ||\n"
+        "       CAST(var_a_num AS VARCHAR) || '/' || CAST(var_b_num AS VARCHAR)\n"
+        "         AS value\n"
+        f"FROM ({corr})"
+    )
+    return f"""
+SELECT 'audit' AS section, "table" || '|' || "check" AS k,
+       CAST(n_rows AS VARCHAR) || '/' || CAST(n_violations AS VARCHAR) ||
+       '/' || CAST(passed AS VARCHAR) AS value
+FROM ({sql_expectation_report(_audit_checks())})
+UNION ALL
+{corr_long.format(sec='corr')}
+UNION ALL
+{corr_long.format(sec='corr_registry')}
+"""
+
+
 @register(
     "q147_expectation_audit",
     covers=("P7", "A3"),
-    oracle=sql_expectation_report(_audit_checks()),
+    oracle=_q147_oracle(),
 )
 def q147_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake-wide data-quality audit: 28 declarative checks (uniqueness,
     presence, value domains, referential containment) over all ten
     generated tables, one report row per check.  Contains exactly one
     designed-in red — ``unique(l_orderkey, l_linenumber)`` — proving the
-    audit can fail; the oracle mirrors check-for-check."""
+    audit can fail; the oracle mirrors check-for-check.
+
+    r13 graft (X146): a correlation-screen leg — the exact pairwise
+    covariance/correlation sufficient statistics of three quantized
+    lineitem metrics per returnflag (operators/covmat.py; DECIMAL(38,0)
+    ≡ HUGEINT value-identical), emitted twice: 'corr' is the one-shot
+    surface, 'corr_registry' the SAME moments folded from two additive
+    batch blocks — both hashed against the ONE one-shot oracle, so
+    fold ≡ one-shot is driver-gated by construction (the q149/X131
+    pattern).  Output is a tidy (section, k, value) long frame.  The
+    r12-deferred sql_expectation_report empty-table coalesce landed with
+    this graft (tests/test_expectations.py empty-table pin)."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.covmat import (
+        pairwise_batch_sums,
+        pairwise_moments,
+        pairwise_registry_moments,
+        pairwise_sums,
+    )
+
     tables = {n: load_table(spark, sf_dir, n) for n in _TABLES}
-    return expectation_report(spark, tables, _audit_checks())
+    audit_long = expectation_report(spark, tables, _audit_checks()).select(
+        F.lit("audit").alias("section"),
+        F.concat_ws("|", "table", "check").alias("k"),
+        F.concat_ws(
+            "/",
+            F.col("n_rows").cast("string"),
+            F.col("n_violations").cast("string"),
+            F.col("passed").cast("string"),
+        ).alias("value"),
+    )
+
+    def _corr_long(mom: DataFrame, section: str) -> DataFrame:
+        return mom.select(
+            F.lit(section).alias("section"),
+            F.concat_ws("|", "l_returnflag", "m_a", "m_b").alias("k"),
+            F.concat_ws(
+                "/",
+                F.col("n").cast("string"),
+                F.col("cov_num").cast("string"),
+                F.col("var_a_num").cast("string"),
+                F.col("var_b_num").cast("string"),
+            ).alias("value"),
+        )
+
+    # the quantized projection feeds the one-shot pass AND both batch
+    # blocks — materialize once (5 narrow columns; the q128 idiom) so
+    # lineitem scans once instead of three times
+    li = _corr_input(spark, sf_dir).localCheckpoint(eager=True)
+    oneshot = pairwise_moments(
+        pairwise_sums(li, group_cols=["l_returnflag"], metric_cols=_CORR_METRICS),
+        group_cols=["l_returnflag"],
+    )
+    blocks = pairwise_batch_sums(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        group_cols=["l_returnflag"],
+        metric_cols=_CORR_METRICS,
+        batch_id=0,
+    ).unionByName(
+        pairwise_batch_sums(
+            li.filter(F.col("l_orderkey") % 2 == 1),
+            group_cols=["l_returnflag"],
+            metric_cols=_CORR_METRICS,
+            batch_id=1,
+        )
+    )
+    folded = pairwise_registry_moments(blocks, group_cols=["l_returnflag"])
+    return audit_long.unionByName(_corr_long(oneshot, "corr")).unionByName(
+        _corr_long(folded, "corr_registry")
+    )

@@ -71,27 +71,95 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_topk_orders_per_customer",
     covers=("W1", "W2", "W4", "P10"),
     oracle="""
-SELECT o_custkey, o_orderkey, o_totalprice, rk
-FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-  FROM orders
-) WHERE rk <= 3
+WITH oneshot AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp, rk
+  FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+    FROM orders
+  ) WHERE rk <= 3
+)
+SELECT 'topk' AS section,
+       CAST(o_custkey AS VARCHAR) || '/' || CAST(rk AS VARCHAR) AS k,
+       CAST(o_orderkey AS VARCHAR) || '/' || CAST(price_fp AS VARCHAR) AS value
+FROM oneshot
+UNION ALL
+SELECT 'standing' AS section,
+       CAST(o_custkey AS VARCHAR) || '/' || CAST(o_orderkey AS VARCHAR) AS k,
+       CAST(price_fp AS VARCHAR) AS value
+FROM oneshot
 """,
 )
 def q02_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer top-3 orders by price (ref: global top-k at
     get_relevant_articles.py:138-139, per-feed head-n at raw_articles.py:89).
     One shuffle on the partition key; ties broken by orderkey so the result
-    is deterministic under any physical ordering."""
+    is deterministic under any physical ordering.
+
+    r13 graft (X149): a 'standing' section carries the grouped standing
+    top-k registry (operators/sketches.py:topk_batch_grouped /
+    topk_registry_resolve_grouped) — the orders table arrives as two
+    batch blocks (orderkey parity), each contributing its per-customer
+    top-3, and the resolve folds them to the exact per-group head.  Both
+    sections hash against ONE one-shot oracle, so fold ≡ one-shot is
+    driver-gated by construction (the q149/X131 pattern; the per-id
+    crowd-out hazard is pinned in tests/test_topk_grouped.py).  Output is
+    a tidy (section, k, value) long frame with fp2 price strings."""
+    from briefly_spark.operators.sketches import (
+        topk_batch_grouped,
+        topk_registry_resolve_grouped,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
+    price_fp = F.floor(F.col("o_totalprice") * 100).cast("long")
+    topk_long = (
         orders.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .select(
+            F.lit("topk").alias("section"),
+            F.concat_ws(
+                "/", F.col("o_custkey").cast("string"), F.col("rk").cast("string")
+            ).alias("k"),
+            F.concat_ws(
+                "/", F.col("o_orderkey").cast("string"), price_fp.cast("string")
+            ).alias("value"),
+        )
     )
+    slim = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    blocks = topk_batch_grouped(
+        slim.filter(F.col("o_orderkey") % 2 == 0),
+        group_cols=["o_custkey"],
+        score_col="o_totalprice",
+        id_col="o_orderkey",
+        k=3,
+        batch_id=0,
+    ).unionByName(
+        topk_batch_grouped(
+            slim.filter(F.col("o_orderkey") % 2 == 1),
+            group_cols=["o_custkey"],
+            score_col="o_totalprice",
+            id_col="o_orderkey",
+            k=3,
+            batch_id=1,
+        )
+    )
+    standing_long = topk_registry_resolve_grouped(
+        blocks,
+        group_cols=["o_custkey"],
+        score_col="o_totalprice",
+        id_col="o_orderkey",
+        k=3,
+    ).select(
+        F.lit("standing").alias("section"),
+        F.concat_ws(
+            "/", F.col("o_custkey").cast("string"), F.col("o_orderkey").cast("string")
+        ).alias("k"),
+        price_fp.cast("string").alias("value"),
+    )
+    return topk_long.unionByName(standing_long)
 
 
 # --------------------------------------------------------------------------

@@ -556,6 +556,35 @@ def test_sql_mirror_matches_spark_report_on_testdata(spark, sf_dir):
     assert not want[("lineitem", "unique(l_orderkey, l_linenumber)")][2]
 
 
+def test_sql_mirror_matches_spark_report_on_empty_table(spark):
+    """Regression pin (review r12, landed with q147's r13 graft): on an
+    EMPTY table the conditional arms' SQL sum() is NULL — without the
+    coalesce the mirror reported NULL violations where the Spark report
+    coalesces to 0/passed=true.  Both surfaces must agree: zero rows,
+    zero violations, passed."""
+    import duckdb
+
+    from briefly_spark.operators.expectations import sql_expectation_report
+
+    t = spark.createDataFrame([], "id LONG, cat STRING, val DOUBLE")
+    checks = [
+        not_null("t", "id"),
+        in_range("t", "val", 0.0, 1.0),
+        accepted("t", "cat", "a", "b"),
+        unique("t", "id"),
+    ]
+    got = sorted(
+        tuple(r) for r in expectation_report(spark, {"t": t}, checks).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, val DOUBLE)")
+    want = sorted(
+        tuple(r) for r in con.execute(sql_expectation_report(checks)).fetchall()
+    )
+    assert got == want
+    assert all(nv == 0 and passed for _, _, _, nv, passed in got)
+
+
 def test_column_profiles_rejects_non_numeric_and_unknown(spark):
     import pytest
 

@@ -190,7 +190,9 @@ def test_graft_dispositions_name_real_queries():
 
     reg = load_registry()
     grafts = [m for m in MIRROR_PINNED if m["queued"].startswith("graft")]
-    assert grafts, "r12+ graft lane must stay enumerated"
+    # an EMPTY graft lane is the valid drained state (r13 executed all
+    # eight X142–X149 grafts); what this test guards is that any entry
+    # that IS queued names a resolvable target
     for m in grafts:
         named = _re.findall(r"q\d+[a-z_]*", m["queued"])
         assert named, f"{m['op']}: graft disposition names no target query"

@@ -83,47 +83,19 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "frame; its accept path is gated through q58) — final "
                   "disposition",
     },
-    # X142 graduated r13 → q74_sketch_audit's quantile-bracket leg
-    # X143 graduated r13 → q37_dup_clusters's fuzzy-tier pair source
-    # X144 graduated r13 → q70_tumbling_window's gap-filled grid leg
-    # X145 graduated r13 → q31_minhash_lsh_pairs's admission-registry leg
-    {
-        "op": "X146 exact pairwise covariance/correlation registry",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.covmat:pairwise_moments",
-        "test": "tests/test_covmat.py::test_duckdb_mirror_on_real_lineitem",
-        "queued": "graft: joins q147_expectation_audit (r10-green, r13 head — "
-                  "seat already paid) as a correlation-screen leg at r13 "
-                  "open — the r12 composite-first policy; no dedicated slot",
-    },
-    {
-        "op": "X147 leakage-safe cluster split + cross-split leakage audit",
-        "kind": "duckdb-mirror",
-        "symbol": "briefly_spark.operators.textstats:cluster_split",
-        "test": "tests/test_cluster_split.py::test_split_arithmetic_matches_duckdb",
-        "queued": "graft: joins q30_exact_dedup's family (r10-green, r13 "
-                  "head — seat already paid) as the split-assignment leg "
-                  "at r13 open — the r12 composite-first policy",
-    },
-    {
-        "op": "X148 as-of join with direction + tolerance (merge_asof parity)",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.temporal:asof_join_near",
-        "test": "tests/test_asof_near.py::test_randomized_vs_bruteforce",
-        "queued": "graft: joins q76_asof_enrich (r10-green, r13 head — "
-                  "seat already paid) as a nearest/tolerance leg at r13 "
-                  "open — the r12 composite-first policy; no dedicated slot",
-    },
-    {
-        "op": "X149 grouped standing top-k (per-group registry form of X139)",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.sketches:topk_batch_grouped",
-        "test": "tests/test_topk_grouped.py::test_fold_equals_oneshot_and_reference",
-        "queued": "graft: joins q02_topk_orders_per_customer's family "
-                  "(r10-green, r13 head — seat already paid) as the "
-                  "standing per-group head leg at r13 open — the r12 "
-                  "composite-first policy; no dedicated slot",
-    },
+    # r13 graft queue EXECUTED (all eight X142–X149 dispositions landed on
+    # their named host queries at r13 open; each host's fresh driver row
+    # carries the grafted surface under its hash):
+    #   X142 → q74_sketch_audit (quantile-bracket leg)
+    #   X143 → q37_dup_clusters (fuzzy-tier pair source)
+    #   X144 → q70_tumbling_window (gap-filled grid leg)
+    #   X145 → q31_minhash_lsh_pairs (admission-registry leg)
+    #   X146 → q147_expectation_audit (correlation screen, one-shot +
+    #          registry fold under one oracle; carried the deferred
+    #          sql_expectation_report empty-table coalesce)
+    #   X147 → q30_exact_dedup (cluster split + leakage audit legs)
+    #   X148 → q76_asof_enrich (nearest/tolerance leg)
+    #   X149 → q02_topk_orders_per_customer (standing per-group head leg)
     {
         "op": "X140 warehouse layout audit + compaction work-list",
         "kind": "pure-python-pin",
