@@ -1,16 +1,37 @@
 """Summarize + fact-check operators (SURVEY §2.9 M5/M6) — deterministic
 stub implementations as pure Column expressions, shared by the query pack
-(q61/q62) and the jobs layer.
+(q61/q62) and the jobs layer, PLUS the import-gated real-LLM backends
+behind the same DataFrame contract (the operators/tts.py seam pattern).
 
-The LLM backends plug in behind the same column contract via
-``mapInPandas`` (see operators/embedding.py for the harness pattern); the
-stubs below are the test/oracle implementations mandated by SURVEY §7.2
-(no randomness in correctness paths).
+Stubs are the test/oracle implementations mandated by SURVEY §7.2 (no
+randomness in correctness paths).  The real backends:
+
+- M5 ``summarize_articles(backend="openai")``: the reference's
+  async-fan-out-in-batch harness (summarize_utils.py:14-58 — AsyncOpenAI
+  chat, temperature 0.4, max_tokens 225, 3 retries, content[:500]
+  fallback) rebuilt as ``mapInPandas`` with a bounded asyncio semaphore
+  INSIDE each Arrow batch; one client per executor process.
+- M6 ``factcheck_articles(backend="serper_groq")``: the reference's
+  Serper-search + Groq structured fact-check orchestration
+  (validation_utils.py:40-165 — Vietnam-locale last-day search, result-
+  count buckets, 10 000/100 chunking, per-statement confirmed/refuted
+  verdicts, the A6 score formula) with the randomness removed per §7.2
+  (the 20% random early-return is dropped; the rand(3,5) bucket is a
+  fixed 3).  Groq is reached through its public OpenAI-compatible
+  endpoint.
+
+Both are NotImplementedError-gated when the sdk or API keys are absent
+(this container) and exercised via mock-injected modules in
+tests/test_backend_seams.py — exactly like tts.py's openai branch.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from briefly_spark.operators.chunking import chunk_fixed_expr
@@ -65,3 +86,299 @@ def factcheck_score(text: Column) -> Column:
     return F.when(
         n_tot > 0, F.least(F.greatest(raw, F.lit(3.0)), F.lit(10.0)).cast("double")
     ).otherwise(F.lit(3.0))
+
+
+# ---------------------------------------------------------------------------
+# M5 — batch summarize operator: deterministic stub + import-gated OpenAI
+# backend behind ONE DataFrame contract (the tts.py seam pattern).
+# ---------------------------------------------------------------------------
+#: the reference's editor instruction (summarize_utils.py:23): exactly 4
+#: newline-separated Vietnamese key points, no preamble/numbering/bullets
+_SYSTEM_PROMPT = (
+    "Bạn là một biên tập viên. Tóm tắt bài báo thành đúng 4 ý chính bằng "
+    "tiếng Việt, mỗi ý một dòng, không câu mở đầu, không đánh số, không "
+    "gạch đầu dòng."
+)
+#: reference generation parameters (summarize_utils.py:27-29)
+_SUMMARIZE_TEMPERATURE = 0.4
+_SUMMARIZE_MAX_TOKENS = 225
+_SUMMARIZE_RETRIES = 3
+
+
+def _load_summarize_backend(
+    backend: str,
+    *,
+    model: str = "gpt-4o-mini",
+    max_concurrency: int = 8,
+) -> Callable[[list[str]], list[str | None]]:
+    """Resolve the batch summarizer — called INSIDE the mapInPandas
+    generator so the (unpicklable) client is built once per executor
+    process.  'openai' reproduces the reference call shape
+    (summarize_utils.py:14-39): AsyncOpenAI chat completion, system
+    prompt above, temperature 0.4, max_tokens 225, 3 attempts with a
+    2 s·attempt backoff; a row that exhausts retries (or returns empty)
+    yields None and the caller applies the content[:500] fallback
+    (summarize_utils.py:70).  The async fan-out runs INSIDE the Arrow
+    batch under a bounded semaphore — the reference's
+    asyncio.gather-per-batch harness (summarize_utils.py:41-58) without
+    the per-row process launch."""
+    if backend == "openai":
+        try:
+            from openai import AsyncOpenAI  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "openai summarize backend requires the sdk + OPENAI_API_KEY "
+                "on executors; use backend='stub' for deterministic tests"
+            ) from exc
+        import asyncio
+
+        client = AsyncOpenAI()
+
+        def summarize_batch(texts: list[str]) -> list[str | None]:
+            async def one(text: str, sem) -> str | None:
+                async with sem:
+                    for attempt in range(1, _SUMMARIZE_RETRIES + 1):
+                        try:
+                            resp = await client.chat.completions.create(
+                                messages=[
+                                    {"role": "system", "content": _SYSTEM_PROMPT},
+                                    {"role": "user", "content": text},
+                                ],
+                                model=model,
+                                temperature=_SUMMARIZE_TEMPERATURE,
+                                max_tokens=_SUMMARIZE_MAX_TOKENS,
+                            )
+                            out = (resp.choices[0].message.content or "").strip()
+                            if not out:
+                                raise ValueError("empty summary")
+                            return out
+                        except Exception:
+                            if attempt == _SUMMARIZE_RETRIES:
+                                return None
+                            await asyncio.sleep(2.0 * attempt)
+                    return None
+
+            async def run() -> list[str | None]:
+                sem = asyncio.Semaphore(max_concurrency)
+                return list(await asyncio.gather(*[one(t, sem) for t in texts]))
+
+            return asyncio.run(run())
+
+        return summarize_batch
+    raise ValueError(f"unknown summarize backend {backend!r}")
+
+
+def summarize_articles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    backend: str = "stub",
+    model: str = "gpt-4o-mini",
+    max_concurrency: int = 8,
+) -> DataFrame:
+    """(id, text) → (id, summary array<string>, summary_status): ONE
+    column contract over both implementations.  'stub' is the
+    oracle-gated Column-expression path (q61/q62's surface — hashes
+    unchanged); 'openai' is the Arrow-batched async fan-out, splitting
+    the model's newline points into the bullet array
+    (summarize_utils.py:78) and tagging rows that fell back to
+    content[:500] with status='fallback' (SURVEY §7.2: mark, don't mix)."""
+    if backend == "stub":
+        t = F.col(text_col)
+        return df.select(
+            id_col,
+            summary_bullets(t).alias("summary"),
+            summary_status(t).alias("summary_status"),
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _load_summarize_backend(
+            backend, model=model, max_concurrency=max_concurrency
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = fn([str(t) for t in pdf[text_col]])
+            summaries, statuses = [], []
+            for text, out in zip(pdf[text_col], outs):
+                if out is None:
+                    summaries.append([str(text)[:FALLBACK_CHARS]])
+                    statuses.append("fallback")
+                else:
+                    summaries.append([x.strip() for x in out.split("\n") if x.strip()])
+                    statuses.append("ok")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "summary": summaries,
+                    "summary_status": statuses,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"`{id_col}` long, summary array<string>, summary_status string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — batch fact-check operator: deterministic stub + import-gated
+# Serper+Groq orchestration behind ONE DataFrame contract.
+# ---------------------------------------------------------------------------
+#: fact-check chunking (validation_utils.py:31-37)
+_FACTCHECK_CHUNK = 10_000
+_FACTCHECK_OVERLAP = 100
+#: Groq model id (validation_utils.py's llama-4-scout default)
+_FACTCHECK_MODEL = "meta-llama/llama-4-scout-17b-16e-instruct"
+#: Groq's public OpenAI-compatible endpoint
+_GROQ_BASE_URL = "https://api.groq.com/openai/v1"
+_SERPER_URL = "https://google.serper.dev/search"
+
+#: structured fact-check instruction (validation_utils.py:92-117's JSON
+#: contract): per statement — confirmed / refuted / unverifiable / vague
+_FACTCHECK_PROMPT = (
+    "Kiểm tra tính chính xác của văn bản tiếng Việt sau. Với mỗi tuyên bố, "
+    "phân loại 'confirmed', 'refuted', 'unverifiable' hoặc 'vague' kèm giải "
+    'thích ngắn. Trả về JSON: {"result": [{"statement": "...", '
+    '"status": "...", "explanation": "...", "suggested_keywords": ["..."]}]}'
+    "\n\n{text}"
+)
+
+
+def _load_factcheck_backend(
+    backend: str,
+    *,
+    model: str = _FACTCHECK_MODEL,
+    max_results: int = 10,
+) -> Callable[[list[str]], list[int]]:
+    """Resolve the batch fact-checker.  'serper_groq' reproduces the
+    reference orchestration (validation_utils.py:40-165): Serper web
+    search (Vietnam locale, last-day, 10 results) seeded by the summary's
+    first 100 chars with an lru_cache, the result-count buckets
+    (0 → 0, <5 → 1, <8 → 2, <10 → 3 — the reference's rand(3,5) arm is a
+    FIXED 3 per SURVEY §7.2, and its 20% random early-return is dropped),
+    then 10 000/100 chunking and a per-chunk structured fact-check
+    through Groq's OpenAI-compatible chat endpoint, scored with the A6
+    formula clamp(((#confirmed − 0.5·#refuted)/total)·10, 3, 10)
+    (validation_utils.py:157-163)."""
+    if backend == "serper_groq":
+        try:
+            import requests  # type: ignore
+            from openai import OpenAI  # type: ignore
+        except ImportError as exc:
+            raise NotImplementedError(
+                "serper_groq fact-check backend requires the requests + "
+                "openai sdks; use backend='stub' for deterministic tests"
+            ) from exc
+        import json as _json
+        from functools import lru_cache
+
+        serper_key = os.environ.get("SERPER_API_KEY")
+        groq_key = os.environ.get("GROQ_API_KEY")
+        if not serper_key or not groq_key:
+            raise NotImplementedError(
+                "serper_groq fact-check backend requires SERPER_API_KEY and "
+                "GROQ_API_KEY on executors"
+            )
+        client = OpenAI(base_url=_GROQ_BASE_URL, api_key=groq_key)
+
+        @lru_cache(maxsize=1000)  # validation_utils.py:40's search cache
+        def search(query: str) -> int:
+            resp = requests.get(
+                _SERPER_URL,
+                headers={"X-API-KEY": serper_key, "Content-Type": "application/json"},
+                params={
+                    "q": query,
+                    "location": "Vietnam",
+                    "gl": "vn",
+                    "hl": "vi",
+                    "tbs": "qdr:d",
+                    "num": max_results,
+                },
+                timeout=10,
+            )
+            resp.raise_for_status()
+            return len(resp.json().get("organic", []))
+
+        def score_one(summary: str) -> int:
+            n_results = search(summary[:100])  # validation_utils.py:124
+            if n_results < max_results:  # count buckets, de-randomized
+                if n_results == 0:
+                    return 0
+                if n_results < 5:
+                    return 1
+                if n_results < 8:
+                    return 2
+                return 3
+            chunks = [
+                summary[i : i + _FACTCHECK_CHUNK]
+                for i in range(
+                    0, max(len(summary), 1), _FACTCHECK_CHUNK - _FACTCHECK_OVERLAP
+                )
+            ]
+            statuses: list[str] = []
+            for ch in chunks:
+                resp = client.chat.completions.create(
+                    model=model,
+                    messages=[
+                        {
+                            "role": "user",
+                            "content": _FACTCHECK_PROMPT.replace("{text}", ch),
+                        }
+                    ],
+                    response_format={"type": "json_object"},
+                )
+                parsed = _json.loads(resp.choices[0].message.content or "{}")
+                statuses.extend(
+                    str(r.get("status", "")) for r in parsed.get("result", [])
+                )
+            total = len(statuses)
+            if total == 0:
+                return 3
+            n_conf = sum(1 for s in statuses if s == "confirmed")
+            n_ref = sum(1 for s in statuses if s == "refuted")
+            raw = (n_conf - 0.5 * n_ref) / total * 10
+            return int(min(max(raw, 3.0), 10.0))
+
+        def factcheck_batch(texts: list[str]) -> list[int]:
+            return [score_one(str(t)) for t in texts]
+
+        return factcheck_batch
+    raise ValueError(f"unknown fact-check backend {backend!r}")
+
+
+def factcheck_articles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    backend: str = "stub",
+    model: str = _FACTCHECK_MODEL,
+) -> DataFrame:
+    """(id, text) → (id, validation_score): ONE column contract over the
+    deterministic stub (q61's oracle-gated surface — the A6 formula over
+    md5-bucketed statement verdicts) and the live Serper+Groq
+    orchestration.  The live path returns the same integer-score scale,
+    so a pipeline can switch backends without schema changes."""
+    if backend == "stub":
+        return df.select(
+            id_col,
+            factcheck_score(F.col(text_col)).cast("double").alias("validation_score"),
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _load_factcheck_backend(backend, model=model)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scores = fn([str(t) for t in pdf[text_col]])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "validation_score": [float(s) for s in scores],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"`{id_col}` long, validation_score double"
+    )

@@ -525,3 +525,224 @@ def test_wav_decode_rejects_non_wav_and_exotic_variants():
     )
     with pytest.raises(ValueError, match="unsupported"):
         wav_decode_pcm(blob)
+
+
+# ---------------------------------------------------------------------------
+# OpenAI summarize seam (operators/summarize.py M5 `openai` backend)
+# ---------------------------------------------------------------------------
+def _fake_async_openai(responses: dict[str, str | None]) -> types.ModuleType:
+    """AsyncOpenAI mock honoring the recorded sdk call shape: await
+    client.chat.completions.create(messages=..., model=..., temperature=...,
+    max_tokens=...) -> resp.choices[0].message.content.  ``responses`` maps
+    user text -> content (None simulates a persistent empty reply)."""
+    import asyncio
+
+    mod = types.ModuleType("openai")
+    calls = []
+
+    class _Msg:
+        def __init__(self, content):
+            self.content = content
+
+    class _Choice:
+        def __init__(self, content):
+            self.message = _Msg(content)
+
+    class _Resp:
+        def __init__(self, content):
+            self.choices = [_Choice(content)]
+
+    class _Completions:
+        async def create(self, *, messages, model, temperature, max_tokens):
+            assert temperature == 0.4 and max_tokens == 225
+            assert messages[0]["role"] == "system"
+            calls.append(messages[1]["content"])
+            await asyncio.sleep(0)
+            return _Resp(responses[messages[1]["content"]])
+
+    class _Chat:
+        def __init__(self):
+            self.completions = _Completions()
+
+    class AsyncOpenAI:
+        def __init__(self):
+            self.chat = _Chat()
+
+    mod.AsyncOpenAI = AsyncOpenAI
+    mod._calls = calls
+    return mod
+
+
+def test_openai_summarize_backend_runs_with_mock(clean_modules, monkeypatch):
+    from briefly_spark.operators import summarize as sz
+
+    monkeypatch.setattr(sz, "_SUMMARIZE_RETRIES", 2)
+    mod = _fake_async_openai(
+        {"doc one": "ý 1\ný 2\ný 3\ný 4", "doc two": None}
+    )
+    clean_modules("openai", mod)
+    # patch sleep so the retry backoff doesn't stall the suite
+    fn = sz._load_summarize_backend("openai")
+    outs = fn(["doc one", "doc two"])
+    assert outs[0] == "ý 1\ný 2\ný 3\ný 4"
+    assert outs[1] is None  # empty reply exhausts retries -> fallback marker
+    # retries: doc two attempted _SUMMARIZE_RETRIES times, doc one once
+    assert mod._calls.count("doc two") == 2 and mod._calls.count("doc one") == 1
+
+
+def test_openai_summarize_backend_gated_without_lib():
+    from briefly_spark.operators.summarize import _load_summarize_backend
+
+    assert "openai" not in sys.modules
+    with pytest.raises(NotImplementedError):
+        _load_summarize_backend("openai")
+    with pytest.raises(ValueError):
+        _load_summarize_backend("nope")
+
+
+# ---------------------------------------------------------------------------
+# Serper+Groq fact-check seam (operators/summarize.py M6 backend)
+# ---------------------------------------------------------------------------
+def _fake_requests(organic_by_query: dict[str, int]) -> types.ModuleType:
+    mod = types.ModuleType("requests")
+
+    class _Resp:
+        def __init__(self, n):
+            self._n = n
+
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            return {"organic": [{"title": f"r{i}"} for i in range(self._n)]}
+
+    def get(url, *, headers, params, timeout):
+        assert "serper" in url and headers["X-API-KEY"] == "sk-serper"
+        assert params["gl"] == "vn" and params["tbs"] == "qdr:d"
+        return _Resp(organic_by_query.get(params["q"], 0))
+
+    mod.get = get
+    return mod
+
+
+def _fake_sync_openai(statuses: list[str]) -> types.ModuleType:
+    """OpenAI-compatible (Groq) chat mock returning a structured
+    fact-check JSON with the given per-statement statuses."""
+    import json
+
+    mod = types.ModuleType("openai")
+
+    class _Msg:
+        def __init__(self, content):
+            self.content = content
+
+    class _Choice:
+        def __init__(self, content):
+            self.message = _Msg(content)
+
+    class _Resp:
+        def __init__(self, content):
+            self.choices = [_Choice(content)]
+
+    class _Completions:
+        def create(self, *, model, messages, response_format):
+            assert response_format == {"type": "json_object"}
+            body = {
+                "result": [
+                    {"statement": f"s{i}", "status": s, "explanation": "",
+                     "suggested_keywords": []}
+                    for i, s in enumerate(statuses)
+                ]
+            }
+            return _Resp(json.dumps(body))
+
+    class _Chat:
+        def __init__(self):
+            self.completions = _Completions()
+
+    class OpenAI:
+        def __init__(self, *, base_url=None, api_key=None):
+            assert base_url and "groq" in base_url
+            self.chat = _Chat()
+
+    mod.OpenAI = OpenAI
+    return mod
+
+
+def test_serper_groq_factcheck_backend_runs_with_mock(clean_modules, monkeypatch):
+    from briefly_spark.operators.summarize import _load_factcheck_backend
+
+    monkeypatch.setenv("SERPER_API_KEY", "sk-serper")
+    monkeypatch.setenv("GROQ_API_KEY", "sk-groq")
+    full = "đủ kết quả " * 20
+    sparse = "ít kết quả"
+    clean_modules(
+        "requests", _fake_requests({full[:100]: 10, sparse[:100]: 4})
+    )
+    # 6 confirmed, 2 refuted, 2 other -> ((6 - 1)/10)*10 = 5
+    clean_modules(
+        "openai",
+        _fake_sync_openai(["confirmed"] * 6 + ["refuted"] * 2 + ["vague"] * 2),
+    )
+    fn = _load_factcheck_backend("serper_groq")
+    scores = fn([full, sparse])
+    assert scores[0] == 5      # the A6 formula over the mocked verdicts
+    assert scores[1] == 1      # <5 results -> deterministic bucket 1
+
+
+def test_serper_groq_factcheck_gated_without_keys(clean_modules, monkeypatch):
+    from briefly_spark.operators.summarize import _load_factcheck_backend
+
+    clean_modules("requests", _fake_requests({}))
+    clean_modules("openai", _fake_sync_openai([]))
+    monkeypatch.delenv("SERPER_API_KEY", raising=False)
+    monkeypatch.delenv("GROQ_API_KEY", raising=False)
+    with pytest.raises(NotImplementedError):
+        _load_factcheck_backend("serper_groq")
+    with pytest.raises(ValueError):
+        _load_factcheck_backend("nope")
+
+
+def test_summarize_and_factcheck_stub_paths_match_column_exprs(spark):
+    """The DataFrame contract's 'stub' route is the SAME surface q61/q62
+    hash — value-compare against the raw Column expressions."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.summarize import (
+        factcheck_articles,
+        factcheck_score,
+        summarize_articles,
+        summary_bullets,
+        summary_status,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten eleven twelve"),
+         (2, "short"),
+         (3, " ".join(f"w{i}" for i in range(60)))],
+        "id LONG, text STRING",
+    )
+    got = sorted(
+        tuple(r)
+        for r in summarize_articles(df, "text", "id", backend="stub").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            summary_bullets(F.col("text")).alias("summary"),
+            summary_status(F.col("text")).alias("summary_status"),
+        ).collect()
+    )
+    assert got == want
+    got_fc = sorted(
+        tuple(r)
+        for r in factcheck_articles(df, "text", "id", backend="stub").collect()
+    )
+    want_fc = sorted(
+        tuple(r)
+        for r in df.select(
+            "id", factcheck_score(F.col("text")).cast("double").alias("validation_score")
+        ).collect()
+    )
+    assert got_fc == want_fc
