@@ -319,16 +319,14 @@ def relate_batch(
     )
     eligible = articles.filter(
         (F.col("embedding_status") == "completed")
-        & (
-            F.col("related_ids").isNull()
-            # an empty result is a TERMINAL state until its TTL passes
-            # (review r12: unconditioned size==0 kept a zero-neighbor
-            # article permanently at the head of the bounded work-list
-            # with no path to completion; the corpus must grow before a
-            # retry can help, and the TTL is exactly that clock)
-            | ((F.size("related_ids") == 0) & stale)
-            | stale
-        )
+        # never-related (NULL) or past TTL.  An EMPTY related_ids result
+        # is deliberately NOT re-queued before its TTL: it is a terminal
+        # state until the corpus grows (review r12 — unconditioned
+        # size==0 kept a zero-neighbor article permanently at the head of
+        # the bounded work-list), and the `stale` arm is exactly that
+        # clock — an explicit (size==0 & stale) term would be subsumed by
+        # it (ADVICE r12 #2: the old three-arm form carried dead code)
+        & (F.col("related_ids").isNull() | stale)
     )
     # gate count only when a threshold is set — the default (0) skips the
     # extra job over the articles scan entirely

@@ -110,17 +110,32 @@ class Warehouse:
         writer — its interrupted swap is completed by recovery, not by the
         lock).
 
-        Two race windows are closed by construction (review r12): the pid
-        is stamped into a private file BEFORE the atomic ``os.link`` that
-        creates the lock, so no observer ever reads an empty/partial lock
-        and mistakes a live writer for a stale one; and a stale lock is
-        stolen by atomic RENAME — exactly one stealer wins, losers loop
-        and re-examine whatever lock now exists instead of unlinking a
-        fresh rival."""
+        Three race windows are closed by construction (review r12 +
+        ADVICE r12 #1): the pid is stamped into a private file BEFORE the
+        atomic ``os.link`` that creates the lock, so no observer ever
+        reads an empty/partial lock and mistakes a live writer for a
+        stale one; a stale lock is stolen by atomic RENAME — exactly one
+        stealer wins, losers loop and re-examine whatever lock now exists
+        instead of unlinking a fresh rival; and the steal is IDENTITY
+        VERIFIED — the stealer records the examined lock's inode (fstat on
+        the handle it read the dead pid from) and, after the rename,
+        confirms the wrecked file IS that inode.  Without that check, a
+        rival stealer could complete its own steal and link a fresh LIVE
+        lock between our read and our rename; our rename would then strip
+        the live writer and both processes would mutate the table.  On a
+        mismatch the wrongly-taken lock is restored by atomic ``os.link``
+        (never overwrites a newer rival) and the loop re-examines.
+        Release is identity-checked the same way (unlink only our own
+        inode).  Residual corner, documented not hidden: if a THIRD
+        acquirer links into the instant between a mistaken rename and its
+        restore, the restore fails and the rival's seat is lost — a
+        triple-race on a local-FS protocol; a multi-host deployment
+        replaces this file lock with a lock service (module docstring)."""
         lock = self.path(f".{table}.lock")
         mine = f"{lock}.{os.getpid()}.{uuid.uuid4().hex[:6]}"
         with open(mine, "w") as fh:
             fh.write(str(os.getpid()))
+        my_ino = os.stat(mine).st_ino
         acquired = False
         try:
             while True:
@@ -129,9 +144,11 @@ class Warehouse:
                     acquired = True
                     break
                 except FileExistsError:
+                    lock_ino = None
                     try:
                         with open(lock) as fh:
                             holder = int(fh.read().strip() or "-1")
+                            lock_ino = os.fstat(fh.fileno()).st_ino
                     except (OSError, ValueError):
                         holder = -1
                     if holder == os.getpid():
@@ -150,6 +167,19 @@ class Warehouse:
                         os.rename(lock, wreck)
                     except FileNotFoundError:
                         continue  # another stealer won; re-examine
+                    # ADVICE r12 #1: verify we renamed the inode whose dead
+                    # pid we examined — a mismatch means we just stripped a
+                    # rival's FRESH lock; put it back and re-examine
+                    try:
+                        wreck_ino = os.stat(wreck).st_ino
+                    except FileNotFoundError:  # pragma: no cover - swept
+                        continue
+                    if lock_ino is not None and wreck_ino != lock_ino:
+                        with contextlib.suppress(FileExistsError, FileNotFoundError):
+                            os.link(wreck, lock)
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(wreck)
+                        continue
                     with contextlib.suppress(FileNotFoundError):
                         os.unlink(wreck)
             yield
@@ -157,8 +187,12 @@ class Warehouse:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(mine)
             if acquired:
+                # release ONLY our own lock (identity check): after a
+                # pathological steal our name could already point at a
+                # rival's lock — blind unlink would strip it
                 with contextlib.suppress(FileNotFoundError):
-                    os.unlink(lock)
+                    if os.stat(lock).st_ino == my_ino:
+                        os.unlink(lock)
 
     # -- K2: truncate-and-load ------------------------------------------------
     def overwrite(self, df: DataFrame, table: str, *, partition_by: list[str] | None = None) -> None:
@@ -235,6 +269,23 @@ class Warehouse:
                     p = os.path.join(self.root, d)
                     if os.path.isdir(p):
                         shutil.rmtree(p, ignore_errors=True)
+            # ADVICE r12 #3: a writer that crashes while holding the lock
+            # leaks its pid-stamped sidecar (.{t}.lock.{pid}.{hex}), and a
+            # stealer that crashes mid-steal leaks .{t}.lock.stale.{hex};
+            # neither is a directory, so the tmp/old sweep above never
+            # touches them.  Remove sidecars whose embedded pid is dead
+            # (a LIVE writer's sidecar — including our own — is kept);
+            # stale wrecks carry no pid and are orphans once no live
+            # writer holds the table.
+            prefix = f".{base}.lock."
+            for d in os.listdir(self.root):
+                if not d.startswith(prefix):
+                    continue
+                tag = d[len(prefix):].split(".", 1)[0]
+                if tag.isdigit() and _pid_alive(int(tag)):
+                    continue
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(self.root, d))
         # The swap completion is ALSO gated on "no live writer": a reader
         # must not commit a rival's half-staged swap out from under it
         # (review r12 — the staged set is only complete once the writer

@@ -698,14 +698,30 @@ def neardup_stream(
     operator's ``old_id != id`` self-guard); every sink is an idempotent
     keyed merge.  Arrival order is SEMANTIC (earlier batches claim
     content) — the contract of any online dedup; the pure-Python
-    simulator equivalence is pinned in tests."""
+    simulator equivalence is pinned in tests.
+
+    First use needs no pre-seeded registries (ADVICE r12 #4: the sink
+    used to fail with a path-not-found unless the caller seeded empty
+    band/sig tables): an absent registry reads as an EMPTY frame of the
+    registry schema, and the first merge creates the table."""
     from briefly_spark.operators.dedup import neardup_incremental
 
+    def _read_or_empty(table: str, schema: str) -> DataFrame:
+        if wh.exists(table):
+            return wh.read(table)
+        return wh.spark.createDataFrame([], schema)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        id_type = dict(batch_df.dtypes).get(id_col, "bigint")
         admitted, band_delta, sig_delta, rejects = neardup_incremental(
             batch_df,
-            wh.read(band_table),
-            wh.read(sig_table),
+            _read_or_empty(
+                band_table,
+                f"batch_id BIGINT, band INT, key STRING, id {id_type}",
+            ),
+            _read_or_empty(
+                sig_table, f"batch_id BIGINT, id {id_type}, sig ARRAY<STRING>"
+            ),
             id_col=id_col,
             text_col=text_col,
             batch_id=batch_id,

@@ -205,17 +205,8 @@ def test_stream_matches_fold_and_rerun_is_noop(spark, tmp_path):
         ).parquet(str(src / f"b{j}"))
         time.sleep(1.1)  # file source orders micro-batches by mod time
     wh = Warehouse(spark, str(tmp_path / "wh_nd"))
-    wh.overwrite(spark.createDataFrame([], "id long, text string"), "clean")
-    wh.overwrite(
-        spark.createDataFrame([], "batch_id long, band int, key string, id long"),
-        "bands",
-    )
-    wh.overwrite(
-        spark.createDataFrame([], "batch_id long, id long, sig array<string>"), "sigs"
-    )
-    wh.overwrite(
-        spark.createDataFrame([], "id long, dup_of long, source string"), "rejects"
-    )
+    # NO pre-seeded tables (ADVICE r12 #4): first use must read the absent
+    # registries as empty frames and create every table on first merge
     ckpt = str(tmp_path / "nd_ckpt")
     run = lambda: neardup_stream(  # noqa: E731
         read_parquet_stream(spark, str(src) + "/*/", max_files_per_trigger=1),

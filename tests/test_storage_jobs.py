@@ -773,3 +773,48 @@ def test_merge_upsert_schema_evolution_both_directions(spark, tmp_path):
     )
     got = {r["id"]: (r["v"], r["extra"]) for r in wh.read("t").collect()}
     assert got == {1: ("a", None), 2: ("b2", 99), 3: (None, None)}
+
+
+def test_recover_sweeps_dead_lock_sidecars_keeps_live(spark, tmp_path):
+    """ADVICE r12 #3: pid-stamped sidecars of crashed writers and orphaned
+    steal wrecks are swept by _recover; a LIVE writer's sidecar (and the
+    lock itself) survive."""
+    import os
+
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_sweep"))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    wh.overwrite(df, "t")
+    dead = wh.path(".t.lock.999999999.abc123")
+    live = wh.path(f".t.lock.{os.getpid()}.def456")
+    wreck = wh.path(".t.lock.stale.0f0f0f")
+    for p, pid in ((dead, "999999999"), (live, str(os.getpid())), (wreck, "999999999")):
+        with open(p, "w") as fh:
+            fh.write(pid)
+    wh.read("t")  # triggers _recover
+    assert not os.path.exists(dead), "dead-pid sidecar must be swept"
+    assert not os.path.exists(wreck), "orphaned steal wreck must be swept"
+    assert os.path.exists(live), "live writer's sidecar must survive"
+    os.unlink(live)
+
+
+def test_lock_release_is_identity_checked(spark, tmp_path):
+    """ADVICE r12 #1 (release half): if the lock path no longer holds OUR
+    inode when we release, leave it alone — a blind unlink would strip a
+    rival's fresh lock."""
+    import os
+
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_rel"))
+    lock = wh.path(".t.lock")
+    with wh._writer_lock("t"):
+        # simulate a pathological steal: replace our lock with a rival's
+        os.unlink(lock)
+        with open(lock, "w") as fh:
+            fh.write("424242")
+        rival_ino = os.stat(lock).st_ino
+    # release must NOT have removed the rival's lock
+    assert os.path.exists(lock) and os.stat(lock).st_ino == rival_ino
+    os.unlink(lock)
