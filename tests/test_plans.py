@@ -90,9 +90,17 @@ def test_q93_uses_take_ordered_not_global_sort_window(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_q30_exact_dedup_single_agg_shuffle(spark, sf_dir):
+def test_q30_exact_dedup_bounded_shuffles(spark, sf_dir):
+    """r13 graft: q30 now carries three legs (dedup groups, X147 cluster
+    split, leakage audit).  The corpus contributes the ONE md5-groupBy
+    hash-agg; every later shuffle runs on the groups/assignments frame
+    (digest + ids, never text).  Pin the bounded count and that no
+    exchange carries the text column."""
     plan = plan_of(spark, sf_dir, "q30_exact_dedup")
-    assert len(shuffle_exchanges(plan)) <= 2  # spread + the one hash-agg
+    ex = shuffle_exchanges(plan)
+    assert len(ex) <= 7, plan
+    offenders = [l for l in ex if re.search(r"\btext#\d+", l)]
+    assert not offenders, offenders
 
 
 def test_q41_related_pipeline_scans_each_input_once(spark, sf_dir):
