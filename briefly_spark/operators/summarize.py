@@ -130,11 +130,24 @@ def _load_summarize_backend(
                 "openai summarize backend requires the sdk + OPENAI_API_KEY "
                 "on executors; use backend='stub' for deterministic tests"
             ) from exc
+        if not os.environ.get("OPENAI_API_KEY"):
+            # sdk-present/key-absent must surface the documented seam
+            # signal, not an opaque OpenAIError from inside mapInPandas
+            # (review r13 — the factcheck twin already gated its keys)
+            raise NotImplementedError(
+                "openai summarize backend requires OPENAI_API_KEY on "
+                "executors; use backend='stub' for deterministic tests"
+            )
         import asyncio
 
-        client = AsyncOpenAI()
-
         def summarize_batch(texts: list[str]) -> list[str | None]:
+            # the client is created INSIDE the per-batch event loop:
+            # asyncio.run() closes its loop at batch end, and a client
+            # shared across batches would die with the first loop (its
+            # pooled transport belongs to it) — every later batch would
+            # silently degrade to fallback (review r13)
+            client = AsyncOpenAI()
+
             async def one(text: str, sem) -> str | None:
                 async with sem:
                     for attempt in range(1, _SUMMARIZE_RETRIES + 1):
@@ -250,7 +263,7 @@ def _load_factcheck_backend(
     *,
     model: str = _FACTCHECK_MODEL,
     max_results: int = 10,
-) -> Callable[[list[str]], list[int]]:
+) -> Callable[[list[str]], list[float]]:
     """Resolve the batch fact-checker.  'serper_groq' reproduces the
     reference orchestration (validation_utils.py:40-165): Serper web
     search (Vietnam locale, last-day, 10 results) seeded by the summary's
@@ -300,16 +313,16 @@ def _load_factcheck_backend(
             resp.raise_for_status()
             return len(resp.json().get("organic", []))
 
-        def score_one(summary: str) -> int:
+        def score_one(summary: str) -> float:
             n_results = search(summary[:100])  # validation_utils.py:124
             if n_results < max_results:  # count buckets, de-randomized
                 if n_results == 0:
-                    return 0
+                    return 0.0
                 if n_results < 5:
-                    return 1
+                    return 1.0
                 if n_results < 8:
-                    return 2
-                return 3
+                    return 2.0
+                return 3.0
             chunks = [
                 summary[i : i + _FACTCHECK_CHUNK]
                 for i in range(
@@ -329,19 +342,35 @@ def _load_factcheck_backend(
                     response_format={"type": "json_object"},
                 )
                 parsed = _json.loads(resp.choices[0].message.content or "{}")
+                result = parsed.get("result", [])
                 statuses.extend(
-                    str(r.get("status", "")) for r in parsed.get("result", [])
+                    str(r.get("status", ""))
+                    for r in (result if isinstance(result, list) else [])
+                    if isinstance(r, dict)
                 )
             total = len(statuses)
             if total == 0:
-                return 3
+                return 3.0
             n_conf = sum(1 for s in statuses if s == "confirmed")
             n_ref = sum(1 for s in statuses if s == "refuted")
             raw = (n_conf - 0.5 * n_ref) / total * 10
-            return int(min(max(raw, 3.0), 10.0))
+            # same fractional scale as the stub (review r13: int() here
+            # made backend='stub' -> live a coarsening, not a swap)
+            return float(min(max(raw, 3.0), 10.0))
 
-        def factcheck_batch(texts: list[str]) -> list[int]:
-            return [score_one(str(t)) for t in texts]
+        def factcheck_batch(texts: list[str]) -> list[float]:
+            out = []
+            for t in texts:
+                # one transient Serper/Groq failure must not kill the
+                # Spark task (and re-bill every call in the batch on
+                # retry): the reference's per-article error fallback is
+                # validation_score = 2 (summarize_utils.py:76-77) —
+                # mirror it per row (review r13)
+                try:
+                    out.append(score_one(str(t)))
+                except Exception:
+                    out.append(2.0)
+            return out
 
         return factcheck_batch
     raise ValueError(f"unknown fact-check backend {backend!r}")

@@ -144,13 +144,21 @@ class Warehouse:
                     acquired = True
                     break
                 except FileExistsError:
-                    lock_ino = None
+                    # fstat BEFORE parsing, so even a garbage-content lock
+                    # carries a verified inode into the steal below; a lock
+                    # we cannot OPEN is re-examined, never stolen blind
+                    # (review r13: an unverified steal here could strip a
+                    # rival's fresh live lock through the lock_ino=None
+                    # hole the r12 fix left open)
                     try:
                         with open(lock) as fh:
-                            holder = int(fh.read().strip() or "-1")
                             lock_ino = os.fstat(fh.fileno()).st_ino
-                    except (OSError, ValueError):
-                        holder = -1
+                            try:
+                                holder = int(fh.read().strip() or "-1")
+                            except ValueError:
+                                holder = -1
+                    except OSError:
+                        continue  # vanished/unreadable handle — re-examine
                     if holder == os.getpid():
                         raise TableLockedError(
                             f"re-entrant write on table {table!r} from the same "
@@ -174,7 +182,7 @@ class Warehouse:
                         wreck_ino = os.stat(wreck).st_ino
                     except FileNotFoundError:  # pragma: no cover - swept
                         continue
-                    if lock_ino is not None and wreck_ino != lock_ino:
+                    if wreck_ino != lock_ino:
                         with contextlib.suppress(FileExistsError, FileNotFoundError):
                             os.link(wreck, lock)
                         with contextlib.suppress(FileNotFoundError):
@@ -273,19 +281,30 @@ class Warehouse:
             # leaks its pid-stamped sidecar (.{t}.lock.{pid}.{hex}), and a
             # stealer that crashes mid-steal leaks .{t}.lock.stale.{hex};
             # neither is a directory, so the tmp/old sweep above never
-            # touches them.  Remove sidecars whose embedded pid is dead
-            # (a LIVE writer's sidecar — including our own — is kept);
-            # stale wrecks carry no pid and are orphans once no live
-            # writer holds the table.
+            # touches them.  A sidecar is removed only when the pid it
+            # belongs to is DEAD — for pid-stamped sidecars that's the
+            # name tag, for stale wrecks it's the file CONTENT (review
+            # r13: a wreck in a live stealer's mistaken-rename window
+            # holds a rival's LIVE lock pending restore; sweeping it by
+            # name alone would defeat the restore and strip the rival).
             prefix = f".{base}.lock."
             for d in os.listdir(self.root):
                 if not d.startswith(prefix):
                     continue
+                p = os.path.join(self.root, d)
                 tag = d[len(prefix):].split(".", 1)[0]
-                if tag.isdigit() and _pid_alive(int(tag)):
+                if tag.isdigit():
+                    pid = int(tag)
+                else:
+                    try:
+                        with open(p) as fh:
+                            pid = int(fh.read().strip() or "-1")
+                    except (OSError, ValueError):
+                        pid = -1
+                if pid != -1 and _pid_alive(pid):
                     continue
                 with contextlib.suppress(OSError):
-                    os.unlink(os.path.join(self.root, d))
+                    os.unlink(p)
         # The swap completion is ALSO gated on "no live writer": a reader
         # must not commit a rival's half-staged swap out from under it
         # (review r12 — the staged set is only complete once the writer

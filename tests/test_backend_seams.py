@@ -577,27 +577,39 @@ def test_openai_summarize_backend_runs_with_mock(clean_modules, monkeypatch):
     from briefly_spark.operators import summarize as sz
 
     monkeypatch.setattr(sz, "_SUMMARIZE_RETRIES", 2)
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
     mod = _fake_async_openai(
         {"doc one": "ý 1\ný 2\ný 3\ný 4", "doc two": None}
     )
     clean_modules("openai", mod)
-    # patch sleep so the retry backoff doesn't stall the suite
     fn = sz._load_summarize_backend("openai")
     outs = fn(["doc one", "doc two"])
     assert outs[0] == "ý 1\ný 2\ný 3\ný 4"
     assert outs[1] is None  # empty reply exhausts retries -> fallback marker
     # retries: doc two attempted _SUMMARIZE_RETRIES times, doc one once
     assert mod._calls.count("doc two") == 2 and mod._calls.count("doc one") == 1
+    # a SECOND batch gets a fresh client inside its own event loop —
+    # review r13: a client shared across asyncio.run() loops dies with
+    # the first loop and every later batch degraded to fallback
+    outs2 = fn(["doc one"])
+    assert outs2 == ["ý 1\ný 2\ný 3\ný 4"]
 
 
-def test_openai_summarize_backend_gated_without_lib():
+def test_openai_summarize_backend_gated_without_lib(monkeypatch, clean_modules):
     from briefly_spark.operators.summarize import _load_summarize_backend
 
     assert "openai" not in sys.modules
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
     with pytest.raises(NotImplementedError):
         _load_summarize_backend("openai")
     with pytest.raises(ValueError):
         _load_summarize_backend("nope")
+    # sdk present but key absent must raise the SAME seam signal
+    # (review r13), not an opaque sdk error inside mapInPandas
+    clean_modules("openai", _fake_async_openai({}))
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(NotImplementedError, match="OPENAI_API_KEY"):
+        _load_summarize_backend("openai")
 
 
 # ---------------------------------------------------------------------------
@@ -746,3 +758,39 @@ def test_summarize_and_factcheck_stub_paths_match_column_exprs(spark):
         ).collect()
     )
     assert got_fc == want_fc
+
+
+def test_serper_groq_per_row_error_falls_back_to_two(clean_modules, monkeypatch):
+    """Review r13: one transient search failure must not kill the Spark
+    task — the reference's per-article error fallback is score 2."""
+    from briefly_spark.operators.summarize import _load_factcheck_backend
+
+    monkeypatch.setenv("SERPER_API_KEY", "sk-serper")
+    monkeypatch.setenv("GROQ_API_KEY", "sk-groq")
+    mod = types.ModuleType("requests")
+
+    def get(url, *, headers, params, timeout):
+        raise ConnectionError("serper down")
+
+    mod.get = get
+    clean_modules("requests", mod)
+    clean_modules("openai", _fake_sync_openai([]))
+    fn = _load_factcheck_backend("serper_groq")
+    assert fn(["bất kỳ"]) == [2.0]
+
+
+def test_serper_groq_scores_are_floats_like_the_stub(clean_modules, monkeypatch):
+    """Review r13: the live path must keep the stub's fractional scale —
+    int() truncation made a backend swap a silent coarsening."""
+    from briefly_spark.operators.summarize import _load_factcheck_backend
+
+    monkeypatch.setenv("SERPER_API_KEY", "sk-serper")
+    monkeypatch.setenv("GROQ_API_KEY", "sk-groq")
+    full = "đầy đủ " * 30
+    clean_modules("requests", _fake_requests({full[:100]: 10}))
+    # 2 confirmed, 1 refuted, 1 vague -> ((2 - 0.5)/4)*10 = 3.75
+    clean_modules(
+        "openai", _fake_sync_openai(["confirmed", "confirmed", "refuted", "vague"])
+    )
+    fn = _load_factcheck_backend("serper_groq")
+    assert fn([full]) == [3.75]

@@ -818,3 +818,22 @@ def test_lock_release_is_identity_checked(spark, tmp_path):
     # release must NOT have removed the rival's lock
     assert os.path.exists(lock) and os.stat(lock).st_ino == rival_ino
     os.unlink(lock)
+
+
+def test_recover_keeps_inflight_wreck_of_live_stealer(spark, tmp_path):
+    """Review r13: a .stale wreck whose CONTENT names a live pid is a
+    mistaken-rename in some live stealer's restore window — sweeping it
+    by name alone would strip the rival's lock; it must survive."""
+    import os
+
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_wreck"))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    wh.overwrite(df, "t")
+    live_wreck = wh.path(".t.lock.stale.aaaaaa")
+    with open(live_wreck, "w") as fh:
+        fh.write(str(os.getpid()))  # live pid in CONTENT
+    wh.read("t")
+    assert os.path.exists(live_wreck), "live-content wreck must survive"
+    os.unlink(live_wreck)
