@@ -15,7 +15,8 @@ corpus is preserved exactly.
 Queries, one per shuffle family:
 
 - q50_token_stats       — map-only (+ rollup): the linear floor.
-- q30_exact_dedup       — one hash-agg shuffle.
+- q30_exact_dedup       — hash-agg shuffle + (r13) the X147 split/leakage
+  legs on the groups frame (digest-keyed; text never shuffles).
 - q83_span_dedup        — min-groupBy + keep equi-join + per-doc agg.
 - q84_dsir_weights      — explode + BOUNDED feature agg (table stays
   ≤ n_buckets rows at every K — the broadcast-by-construction claim) +
