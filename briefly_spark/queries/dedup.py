@@ -813,8 +813,12 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads = corpus.select(
         "id", F.substring("text", 1, 40).alias("head")
     ).localCheckpoint(eager=True)
+    # q=5: completeness is q-independent (the oracle is the brute-force
+    # plan), but candidate volume isn't — longer grams are rarer, and the
+    # measured sf0.1 ladder is q=2 29.9 s / q=3 6.4 s / q=5 4.0 s for the
+    # identical 5857-pair output
     fuzzy_long = fuzzy_dedup_pairs(
-        heads, id_col="id", text_col="head", max_dist=1, q=3
+        heads, id_col="id", text_col="head", max_dist=1, q=5
     ).select(
         F.lit("fuzzy").alias("section"),
         F.concat_ws(
