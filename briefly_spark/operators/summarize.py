@@ -149,9 +149,14 @@ def _load_summarize_backend(
             client = AsyncOpenAI()
 
             async def one(text: str, sem) -> str | None:
-                async with sem:
-                    for attempt in range(1, _SUMMARIZE_RETRIES + 1):
-                        try:
+                for attempt in range(1, _SUMMARIZE_RETRIES + 1):
+                    try:
+                        # the semaphore bounds CONCURRENT API CALLS only —
+                        # holding it across the backoff sleep would let a
+                        # failing batch serialize behind sleeping slots
+                        # (review r13 pass 2: 10 k rows × 6 s of held-slot
+                        # sleeps ≈ hours)
+                        async with sem:
                             resp = await client.chat.completions.create(
                                 messages=[
                                     {"role": "system", "content": _SYSTEM_PROMPT},
@@ -161,15 +166,21 @@ def _load_summarize_backend(
                                 temperature=_SUMMARIZE_TEMPERATURE,
                                 max_tokens=_SUMMARIZE_MAX_TOKENS,
                             )
-                            out = (resp.choices[0].message.content or "").strip()
-                            if not out:
-                                raise ValueError("empty summary")
-                            return out
-                        except Exception:
-                            if attempt == _SUMMARIZE_RETRIES:
-                                return None
-                            await asyncio.sleep(2.0 * attempt)
-                    return None
+                        out = (resp.choices[0].message.content or "").strip()
+                        if not out:
+                            raise ValueError("empty summary")
+                        return out
+                    except Exception as exc:
+                        if _is_config_error(exc):
+                            # auth/permission/bad-model affects EVERY row:
+                            # fail the task loudly instead of burning the
+                            # full retry ladder per row and returning a
+                            # "successful" all-fallback batch
+                            raise
+                        if attempt == _SUMMARIZE_RETRIES:
+                            return None
+                        await asyncio.sleep(2.0 * attempt)
+                return None
 
             async def run() -> list[str | None]:
                 sem = asyncio.Semaphore(max_concurrency)
@@ -179,6 +190,24 @@ def _load_summarize_backend(
 
         return summarize_batch
     raise ValueError(f"unknown summarize backend {backend!r}")
+
+
+#: sdk exception class names that mean MISCONFIGURATION, not transience —
+#: matched by name so the seam needs no sdk import at module load
+_CONFIG_ERROR_NAMES = frozenset(
+    {"AuthenticationError", "PermissionDeniedError", "NotFoundError"}
+)
+
+
+def _is_config_error(exc: Exception) -> bool:
+    """True for errors that will fail every row identically (bad key,
+    revoked permission, unknown model / 4xx client errors): retrying or
+    masking them turns a configuration mistake into a silent all-fallback
+    run (review r13 pass 2)."""
+    if type(exc).__name__ in _CONFIG_ERROR_NAMES:
+        return True
+    status = getattr(getattr(exc, "response", None), "status_code", None)
+    return status is not None and 400 <= int(status) < 500
 
 
 def summarize_articles(
@@ -297,6 +326,12 @@ def _load_factcheck_backend(
 
         @lru_cache(maxsize=1000)  # validation_utils.py:40's search cache
         def search(query: str) -> int:
+            # GET with url-encoded params is the REFERENCE's observed-
+            # working call shape (validation_utils.py:55-59 builds
+            # "/search?<urlencoded>" and requests.get()s it) — kept as the
+            # behavioral spec; if the service ever rejects GET, the 4xx
+            # surfaces loudly through _is_config_error below rather than
+            # masking as per-row fallback
             resp = requests.get(
                 _SERPER_URL,
                 headers={"X-API-KEY": serper_key, "Content-Type": "application/json"},
@@ -361,14 +396,20 @@ def _load_factcheck_backend(
         def factcheck_batch(texts: list[str]) -> list[float]:
             out = []
             for t in texts:
-                # one transient Serper/Groq failure must not kill the
+                # one TRANSIENT Serper/Groq failure must not kill the
                 # Spark task (and re-bill every call in the batch on
                 # retry): the reference's per-article error fallback is
                 # validation_score = 2 (summarize_utils.py:76-77) —
-                # mirror it per row (review r13)
+                # mirror it per row.  Configuration errors (bad key,
+                # rejected call shape — any 4xx) affect EVERY row
+                # identically and re-raise instead: a silent all-2.0 run
+                # is indistinguishable from healthy low-confidence output
+                # (review r13 passes 1+2).
                 try:
                     out.append(score_one(str(t)))
-                except Exception:
+                except Exception as exc:
+                    if _is_config_error(exc):
+                        raise
                     out.append(2.0)
             return out
 
@@ -387,8 +428,10 @@ def factcheck_articles(
     """(id, text) → (id, validation_score): ONE column contract over the
     deterministic stub (q61's oracle-gated surface — the A6 formula over
     md5-bucketed statement verdicts) and the live Serper+Groq
-    orchestration.  The live path returns the same integer-score scale,
-    so a pipeline can switch backends without schema changes."""
+    orchestration.  Both paths return the same FRACTIONAL double score
+    scale (review r13: the live path's early int() truncation made a
+    backend swap a silent coarsening), so a pipeline can switch backends
+    without schema or scale changes."""
     if backend == "stub":
         return df.select(
             id_col,

@@ -126,11 +126,16 @@ class Warehouse:
         mismatch the wrongly-taken lock is restored by atomic ``os.link``
         (never overwrites a newer rival) and the loop re-examines.
         Release is identity-checked the same way (unlink only our own
-        inode).  Residual corner, documented not hidden: if a THIRD
+        inode).  Residual corners, documented not hidden (both require
+        the mistaken-rename triple-race to begin): (a) if a THIRD
         acquirer links into the instant between a mistaken rename and its
-        restore, the restore fails and the rival's seat is lost — a
-        triple-race on a local-FS protocol; a multi-host deployment
-        replaces this file lock with a lock service (module docstring)."""
+        restore, the restore fails and the rival's seat is lost; (b) if
+        the wrecked rival RELEASES before the restore lands, the restore
+        resurrects a lock naming a live pid with no writer behind it —
+        later acquirers see a live holder until that pid exits, at which
+        point the dead-pid steal clears it (self-healing, but blocked in
+        the interim).  A multi-host deployment replaces this file lock
+        with a lock service (module docstring)."""
         lock = self.path(f".{table}.lock")
         mine = f"{lock}.{os.getpid()}.{uuid.uuid4().hex[:6]}"
         with open(mine, "w") as fh:
@@ -146,10 +151,15 @@ class Warehouse:
                 except FileExistsError:
                     # fstat BEFORE parsing, so even a garbage-content lock
                     # carries a verified inode into the steal below; a lock
-                    # we cannot OPEN is re-examined, never stolen blind
-                    # (review r13: an unverified steal here could strip a
-                    # rival's fresh live lock through the lock_ino=None
-                    # hole the r12 fix left open)
+                    # we cannot OPEN is never stolen blind (review r13: an
+                    # unverified steal here could strip a rival's fresh
+                    # live lock through the lock_ino=None hole the r12 fix
+                    # left open).  A VANISHED lock is re-examined (the
+                    # next os.link likely succeeds); a PERSISTENTLY
+                    # unopenable one (EACCES — foreign-owned wreckage)
+                    # raises instead of hot-spinning or stealing blind —
+                    # it needs an operator, not a guess (review r13
+                    # pass 2).
                     try:
                         with open(lock) as fh:
                             lock_ino = os.fstat(fh.fileno()).st_ino
@@ -157,8 +167,14 @@ class Warehouse:
                                 holder = int(fh.read().strip() or "-1")
                             except ValueError:
                                 holder = -1
-                    except OSError:
-                        continue  # vanished/unreadable handle — re-examine
+                    except FileNotFoundError:
+                        continue
+                    except OSError as exc:
+                        raise TableLockedError(
+                            f"table {table!r} has an unreadable lock file "
+                            f"({exc}); cannot verify its holder — remove "
+                            f"{lock} manually if its writer is known dead"
+                        ) from exc
                     if holder == os.getpid():
                         raise TableLockedError(
                             f"re-entrant write on table {table!r} from the same "

@@ -794,3 +794,69 @@ def test_serper_groq_scores_are_floats_like_the_stub(clean_modules, monkeypatch)
     )
     fn = _load_factcheck_backend("serper_groq")
     assert fn([full]) == [3.75]
+
+
+def test_openai_summarize_config_errors_fail_fast(clean_modules, monkeypatch):
+    """Review r13 pass 2: auth/permission/4xx errors affect every row —
+    the backend must raise loudly instead of burning the retry ladder
+    per row and returning a 'successful' all-fallback batch."""
+    import asyncio
+
+    from briefly_spark.operators import summarize as sz
+
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-bad")
+    mod = types.ModuleType("openai")
+    calls = []
+
+    class AuthenticationError(Exception):
+        pass
+
+    class _Completions:
+        async def create(self, **kw):
+            calls.append(1)
+            await asyncio.sleep(0)
+            raise AuthenticationError("invalid key")
+
+    class _Chat:
+        def __init__(self):
+            self.completions = _Completions()
+
+    class AsyncOpenAI:
+        def __init__(self):
+            self.chat = _Chat()
+
+    mod.AsyncOpenAI = AsyncOpenAI
+    clean_modules("openai", mod)
+    fn = sz._load_summarize_backend("openai")
+    with pytest.raises(AuthenticationError):
+        fn(["doc one", "doc two"])
+    # no retry ladder on a config error: at most one attempt per row
+    assert len(calls) <= 2
+
+
+def test_serper_groq_config_error_fails_fast(clean_modules, monkeypatch):
+    """A 4xx from the search endpoint (bad key / rejected call shape)
+    must raise, not mask as per-row 2.0 fallback."""
+    from briefly_spark.operators.summarize import _load_factcheck_backend
+
+    monkeypatch.setenv("SERPER_API_KEY", "sk-wrong")
+    monkeypatch.setenv("GROQ_API_KEY", "sk-groq")
+    mod = types.ModuleType("requests")
+
+    class _Resp:
+        status_code = 403
+
+    class HTTPError(Exception):
+        def __init__(self):
+            super().__init__("403")
+            self.response = _Resp()
+
+    def get(url, *, headers, params, timeout):
+        raise HTTPError()
+
+    mod.get = get
+    clean_modules("requests", mod)
+    clean_modules("openai", _fake_sync_openai([]))
+    fn = _load_factcheck_backend("serper_groq")
+    with pytest.raises(Exception, match="403"):
+        fn(["bất kỳ"])

@@ -837,3 +837,33 @@ def test_recover_keeps_inflight_wreck_of_live_stealer(spark, tmp_path):
     wh.read("t")
     assert os.path.exists(live_wreck), "live-content wreck must survive"
     os.unlink(live_wreck)
+
+
+def test_unopenable_lock_raises_instead_of_spinning(spark, tmp_path):
+    """Review r13 pass 2: a lock that EXISTS but cannot be opened must
+    raise TableLockedError (operator intervention) — not hot-spin, and
+    never steal blind (an unverified steal re-opens the identity race)."""
+    import os
+
+    import pytest
+
+    from briefly_spark.storage import TableLockedError, Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_noperm"))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    wh.overwrite(df, "t")
+    lock = wh.path(".t.lock")
+    with open(lock, "w") as fh:
+        fh.write("999999999")
+    os.chmod(lock, 0)
+    if os.getuid() == 0:
+        # root bypasses mode bits — the EACCES branch is unreachable
+        # here; assert the readable-path behavior (dead pid -> stolen)
+        os.chmod(lock, 0o644)
+        wh.merge_upsert(df, "t", ["id"])
+        assert not os.path.exists(lock)
+    else:
+        with pytest.raises(TableLockedError, match="unreadable lock"):
+            wh.merge_upsert(df, "t", ["id"])
+        os.chmod(lock, 0o644)
+        os.unlink(lock)
