@@ -63,16 +63,12 @@ def register(
     return deco
 
 
-#: r12 driver-window head (VERDICT r11 "Next round" #1).  r11 was 50/50
-#: green, so the rotation is tools/window_plan.py's emitted proposal with
-#: the ONE discretionary seat (the r10-fresh q39 fill) replaced by the
-#: round's new query: q149_governance_pack leads (gate debt by
-#: construction — it is ALSO the consolidation vehicle of VERDICT r11
-#: next-round #2: one driver hash over twelve previously mirror-pinned
-#: governance ops), then the exhaustive r09-stale pack (49 queries).
-#: Mechanically checked by tools/gate_debt.py + tests/test_gate_debt.py
-#: against the committed last-gated-hash manifest, and by the over-age
-#: invariant in tools/window_plan.py.
+#: r13 driver-window head (VERDICT r12 "Next round" #1).  r12 was 50/50
+#: green, so the rotation is tools/window_plan.py's emitted proposal
+#: VERBATIM — exactly the 50 r10-green queries, zero spare seats (the
+#: r12 forecast held).  Mechanically checked by tools/gate_debt.py +
+#: tests/test_gate_debt.py against the committed last-gated-hash
+#: manifest, and by the over-age invariant in tools/window_plan.py.
 #:
 #: REGISTRY CAPACITY POLICY (VERDICT r11 next-round #3 — the committed
 #: written policy; window_plan/gate_debt enforce the mechanics):
@@ -91,30 +87,22 @@ def register(
 #:      the HUGEINT-surface mechanism it proved is enforced on every
 #:      query by check_oracle's output-surface type audit).
 #:
-#: r13 forecast (written at r12 close so the rotation is no surprise):
-#: the r10-green pack is exactly 50 queries INCLUDING q128 (whose
-#: de-collected form holds this round's tail seat and earns no r12 row),
-#: so the r13 head is fully determined — all 50 r10-green queries, zero
-#: spare seats.  r13 therefore registers nothing new; new work lands
-#: mirror-pinned, or grafts into an r10-pack query (whose head seat is
-#: already paid for) in the composite style.
+#: r13 EXECUTED (the r12 forecast and graft queue, in full): all eight
+#: X142–X149 grafts landed on their named hosts (q74/q37/q70/q31/q147/
+#: q30/q76/q02 — tidy (section, k, value) long frames, each host's fresh
+#: r13 row carries the grafted surface), the deferred
+#: sql_expectation_report empty-table coalesce rode q147's graft, and
+#: MIRROR_PINNED drained to the five standing pins.
 #:
-#: r13 graft queue (authoritative list + per-op test sites:
-#: tools/window_plan.py:MIRROR_PINNED, mechanically checked by
-#: tests/test_gate_debt.py::test_graft_dispositions_name_real_queries):
-#: the r12 continuation landed eight ops whose graft targets are all in
-#: the r13 head, so each graft changes a query that is about to earn a
-#: fresh row anyway — X142→q74 (quantile brackets), X143→q37 (fuzzy
-#: tier), X144→q70 (gap-filled grid), X145→q31 (admission registry),
-#: X146→q147 (correlation screen), X147→q30 family (split assignment),
-#: X148→q76 (nearest/tolerance), X149→q02 family (standing per-group
-#: head).  Graft = extend the query's frame with the op's leg and its
-#: oracle with the already-pinned mirror SQL, then plan_shape --update.
-#: Bundle with the q147 graft: the deferred sql_expectation_report
-#: empty-table fix (review r12 — the not_null/in_range/accepted arms
-#: need coalesce(sum(...), 0) to match Spark's 0/true on empty tables;
-#: changing the builder now would move q147's oracle hash outside its
-#: window, so it lands WITH q147's fresh r13 row).
+#: r14 forecast (written at r13 close so the rotation is no surprise):
+#: after the r13 gate the stale pack is the 50 r11-green queries, PLUS
+#: q149 must re-gate (its oracle form moved with the expectation-report
+#: coalesce; it holds r13's one-round tail seat) — 51 candidates for 50
+#: seats, so ONE r11-pack query rides the r14 tail seat (the q128
+#: r12→r13 precedent; pick the one window_plan lists last).  r14
+#: registers nothing new; any new capability lands mirror-pinned with a
+#: disposition, or grafts into an r11-pack query whose seat is already
+#: paid (the r13 pattern).
 WINDOW_HEAD: tuple[str, ...] = (
     # r13 head — exactly the 50 r10-green queries (window_plan.py
     # proposal, taken verbatim; zero spare seats as the r12 forecast
