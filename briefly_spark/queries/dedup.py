@@ -99,8 +99,12 @@ splits AS (
   FROM assign
 ),
 dup_pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.id < b.id
+  -- member ↔ survivor, NOT within-cluster all-pairs: k−1 rows per
+  -- cluster instead of k·(k−1)/2 (a boilerplate mega-cluster would make
+  -- the all-pairs audit quadratic at scale), and audit-equivalent — any
+  -- member whose split strays from the cluster's lands off-diagonal
+  -- through its survivor pair
+  SELECT cluster AS id_a, id AS id_b FROM assign WHERE id <> cluster
 ),
 leak AS (
   SELECT least(sa.split, sb.split) AS split_a,
@@ -166,11 +170,14 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         ),
     )
-    a, b = assign.alias("a"), assign.alias("b")
-    dup_pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # member ↔ survivor pairs (k−1 per cluster): linear in the corpus
+    # where within-cluster all-pairs is quadratic in cluster size — a
+    # boilerplate mega-cluster at 100 TB would explode the audit join;
+    # equivalent for the leakage measurement (every member meets the
+    # cluster's split through its survivor pair)
+    dup_pairs = assign.filter(F.col("id") != F.col("cluster")).select(
+        F.col("cluster").alias("id_a"), F.col("id").alias("id_b")
+    )
     leak_long = split_leakage_report(
         splits.select("id", "split"), dup_pairs
     ).select(
