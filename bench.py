@@ -51,8 +51,20 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def load_avg() -> list[float]:
+    """1/5/15-minute host load averages, rounded — recorded inside the
+    bench JSON so a loaded-host artifact self-dispositions (VERDICT r13
+    next-round #3: r12's 1.145x and r13's 1.13x driver readings were
+    pure ambient load that only the separate pair files could explain)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = load_avg()
     registry = load_registry()
     spark = get_spark("briefly_spark_bench")
 
@@ -94,6 +106,12 @@ def main() -> None:
             print(f"bench warm error {name}: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    load_end = load_avg()
+    # "Idle" means nothing else materially competing for the 32 cores:
+    # the bench itself contributes up to ~n_cpus to the 1-min figure, so
+    # the 15-min START reading is the ambient-load signal to disposition
+    # against (>~2 on a 32-core host = loaded, expect inflated walls).
+    load = {"start": load_start, "end": load_end, "n_cpus": os.cpu_count()}
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     gate_total = round(
         sum(t for n, t in timings.items() if t >= 0 and n in PIPELINE_GATES), 3
@@ -112,6 +130,10 @@ def main() -> None:
             "unit": "sec",
             "plan_total": plan_total,
             "gate_total": gate_total,
+            # stdout carries only the ambient (start) reading — the line
+            # must stay inside the driver's 2000-char tail; end lands in
+            # BENCH_FULL.json.
+            "load": {"start": load_start, "n_cpus": os.cpu_count()},
             "queries": short,
             "sf": sf_of(sf_dir),
             "n_queries": len(timings),
@@ -126,6 +148,7 @@ def main() -> None:
             "unit": "sec",
             "plan_total": plan_total,
             "gate_total": gate_total,
+            "load": load,
             "queries": timings,
             "warm": warm,
             "sf": sf_of(sf_dir),

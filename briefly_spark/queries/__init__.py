@@ -63,12 +63,18 @@ def register(
     return deco
 
 
-#: r13 driver-window head (VERDICT r12 "Next round" #1).  r12 was 50/50
-#: green, so the rotation is tools/window_plan.py's emitted proposal
-#: VERBATIM — exactly the 50 r10-green queries, zero spare seats (the
-#: r12 forecast held).  Mechanically checked by tools/gate_debt.py +
-#: tests/test_gate_debt.py against the committed last-gated-hash
-#: manifest, and by the over-age invariant in tools/window_plan.py.
+#: r14 driver-window head (VERDICT r13 "Next round" #1).  r13 was 50/50
+#: green, so the rotation is tools/window_plan.py's emitted proposal —
+#: the 49 r11-green queries plus q149's mandated re-gate — with ONE
+#: reorder the verdict prescribes: q149_governance_pack LEADS the head
+#: (its oracle form moved with the shared empty-table coalesce helper at
+#: r13; it held the documented one-round tail seat and its driver row is
+#: due now).  50 candidates for 50 seats — the r13 forecast guessed 51
+#: (one r11 query riding a tail seat) but the r11 pack is 49, not 50, so
+#: the window closes exactly with zero spare seats and zero tail seats.
+#: Mechanically checked by tools/gate_debt.py + tests/test_gate_debt.py
+#: against the committed last-gated-hash manifest, and by the over-age
+#: invariant in tools/window_plan.py.
 #:
 #: REGISTRY CAPACITY POLICY (VERDICT r11 next-round #3 — the committed
 #: written policy; window_plan/gate_debt enforce the mechanics):
@@ -94,82 +100,83 @@ def register(
 #: sql_expectation_report empty-table coalesce rode q147's graft, and
 #: MIRROR_PINNED drained to the five standing pins.
 #:
-#: r14 forecast (written at r13 close so the rotation is no surprise):
-#: after the r13 gate the stale pack is the 50 r11-green queries, PLUS
-#: q149 must re-gate (its oracle form moved with the expectation-report
-#: coalesce; it holds r13's one-round tail seat) — 51 candidates for 50
-#: seats, so ONE r11-pack query rides the r14 tail seat (the q128
-#: r12→r13 precedent; pick the one window_plan lists last).  r14
-#: registers nothing new; any new capability lands mirror-pinned with a
-#: disposition, or grafts into an r11-pack query whose seat is already
-#: paid (the r13 pattern).
+#: r15 forecast (written at r14 open so the rotation is no surprise):
+#: after the r14 gate the stale pack is the r12-green queries MINUS
+#: q149 (it re-gates at r14, moving to the r14 pack) = 49, PLUS q37's
+#: re-gate (its oracle form moved at r14 open with the brute-force cost
+#: ceiling; it holds r14's one-round tail seat) — exactly 50 candidates
+#: for 50 seats, zero spare, zero tail.  The capacity arithmetic works
+#: BECAUSE q149's regate consumed the cycle's one spare seat at r14 and
+#: thereby shrank the r15-due pack by one; a second oracle-form change
+#: this round would not fit — don't make one.  r14 registers nothing
+#: new; any new capability lands mirror-pinned with a disposition, or
+#: grafts into a query whose seat is already paid (the r13 pattern).
 WINDOW_HEAD: tuple[str, ...] = (
-    # r13 head — exactly the 50 r10-green queries (window_plan.py
-    # proposal, taken verbatim; zero spare seats as the r12 forecast
-    # said).  q128 leads: its de-collected r12 form held the one-round
-    # tail seat and its driver row is due now.  The eight r13 grafts
-    # (X142–X149) all land on queries in this head — q74, q37, q70,
-    # q31, q147, q30 family, q76, q02 family — so every grafted surface
-    # earns a fresh driver row this round.
-    "q128_jobs_dag_resolve",
-    "q39_line_boilerplate_filter",
-    "q66_curriculum_buckets",
-    "q67_pack_exact",
-    "q40_ann_topk",
-    "q41_related_articles",
-    "q42_lsh_ann",
-    "q43_ivf_ann",
-    "q49_contrastive_pairs",
-    "q45_quantized_ann",
-    "q44_related_lsh",
-    "q60_chunk_embed_meanpool",
-    "q61_factcheck_scores",
-    "q62_summarize_worklist",
-    "q63_embed_arrow_harness",
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_windows",
-    "q73_props_json_extract",
-    "q74_sketch_audit",
-    "q75_funnel",
-    "q78_rolling_features",
-    "q79_attribution",
-    "q76_asof_enrich",
-    "q77_range_join",
-    "q30_exact_dedup",
-    "q31_minhash_lsh_pairs",
-    "q32_simhash_fingerprints",
-    "q33_ngram_jaccard_pairs",
-    "q34_embedding_near_dup",
-    "q36_decontaminate",
-    "q29_dedup_survivors",
-    "q37_dup_clusters",
-    "q01_pricing_summary",
-    "q02_topk_orders_per_customer",
-    "q03_revenue_by_nation",
-    "q04_customers_without_orders",
-    "q05_orders_with_heavy_items",
-    "q06_distinct_segments",
-    "q07_order_status_tallies",
-    "q08_order_set_ops",
-    "q09_part_scalar_funcs",
-    "q10_latest_events_per_user",
-    "q11_events_worklist",
-    "q12_weighted_customer_score",
-    "q13_cube_revenue",
-    "q14_running_totals",
-    "q15_small_lot_revenue",
-    "q80_media_metadata",
-    "q147_expectation_audit",
-    # TAIL SEAT (position 51 — beyond the 50-entry gate, bounded to one
-    # round by tests/test_gate_debt.py): the r12-deferred
-    # sql_expectation_report empty-table coalesce landed with q147's r13
-    # graft, and q149's anomalies leg embeds the same helper, so q149's
-    # oracle FORM moved too (values unchanged — the synthetic runs are
-    # non-empty, coalesce is a no-op there; q147's fresh r13 row gates the
-    # fix's value surface).  q149 is r12-green (fresh deferral) and its
-    # driver row lands at r14 — the q128 r12→r13 precedent.
+    # r14 head — q149 LEADS (the r13 verdict's mandate: its oracle
+    # absorbed the shared empty-table coalesce helper with q147's graft
+    # and held the documented one-round tail seat; the q128 r12→r13
+    # precedent ends here with its fresh driver row).  Then the 49
+    # r11-green queries in window_plan.py proposal order.  Zero spare
+    # seats, zero tail seats.
     "q149_governance_pack",
+    "q50_token_stats",
+    "q51_language_id",
+    "q52_quality_score",
+    "q53_winnow_fingerprints",
+    "q54_source_quality_rollup",
+    "q55_gopher_rules",
+    "q56_pii_scrub",
+    "q57_hash_split",
+    "q58_mixture_resample",
+    "q59_pack_sequences",
+    "q35_top_ngram_repetition",
+    "q38_stratified_quota_sample",
+    "q68_group_split",
+    "q69_pack_assemble",
+    "q114_temperature_mixture",
+    "q20_clean_documents",
+    "q21_chunk_fixed",
+    "q22_chunk_recursive",
+    "q23_doc_source_dims",
+    "q24_summary_bullets",
+    "q25_img_and_ids",
+    "q26_url_canonical",
+    "q27_paragraph_extract",
+    "q46_tfidf_topterms",
+    "q47_bm25_search",
+    "q48_lm_perplexity",
+    "q121_token_surprisal",
+    "q129_hybrid_rrf",
+    "q90_ingest_normalize",
+    "q92_feeds_config",
+    "q93_two_tier_worklist",
+    "q94_worklist_hydration",
+    "q91_tts_synthesis",
+    "q83_span_dedup",
+    "q85_semantic_dedup",
+    "q88_vocab_encode",
+    "q109_bpe_merges",
+    "q126_bpe_encode",
+    "q148_unigram_tokenizer",
+    "q124_classifier_train",
+    "q115_label_propagation",
+    "q16_volume_shipping",
+    "q17_large_volume_orders",
+    "q18_disjunctive_revenue",
+    "q19_revenue_concentration",
+    "q28_heavy_hitters",
+    "q81_media_decode_arrow",
+    "q82_frame_sample",
+    "q120_hh_stream_resolve",
+    # TAIL SEAT (position 51 — beyond the 50-entry gate, bounded to one
+    # round by tests/test_gate_debt.py): q37's oracle form moved at r14
+    # open with the brute-force cost ceiling (VERDICT r13 next-round #4 —
+    # sql_fuzzy_dedup_pairs now embeds the SQL_BRUTE_FORCE_CAP error()
+    # guard; a no-op at every SF the gate sweeps, values unchanged and
+    # re-verified by check_oracle at sf0.01 this round).  q37 is r13-green
+    # (fresh deferral) and its driver row lands at r15 — the q149 r13→r14
+    # precedent.
+    "q37_dup_clusters",
 )
 
 

@@ -84,6 +84,40 @@ def test_duckdb_bruteforce_mirror_on_testdata(spark, sf_dir):
     assert len(got) > 100  # a real matching surface, not a trivial pass
 
 
+def test_sql_mirror_brute_force_cap_refuses_above_and_noop_below():
+    """The written q37-oracle cost ceiling (VERDICT r13 next-round #4):
+    the emitted brute-force mirror embeds a count guard that REFUSES —
+    a loud DuckDB error() before the quadratic join starts, not a
+    multi-hour wedge — when the input exceeds ``brute_cap``.  Under the
+    cap the guard is a value-level no-op.  The default cap
+    (SQL_BRUTE_FORCE_CAP=20k) keeps 2x margin over the sf0.1 corpus
+    (10k); above it the pin strategy switches to the committed sf0.1
+    evidence + the pure-python/hypothesis pins in this file."""
+    import duckdb
+
+    from briefly_spark.operators.fuzzy import SQL_BRUTE_FORCE_CAP
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT i AS id, 'ab' || CAST(i % 5 AS VARCHAR) AS txt "
+        "FROM range(50) r(i)"
+    )
+    capped = sql_fuzzy_dedup_pairs("t", id_col="id", text_col="txt", max_dist=1, brute_cap=49)
+    with pytest.raises(duckdb.Error, match="SQL_BRUTE_FORCE_CAP"):
+        con.execute(capped).fetchall()
+    # under the cap: identical rows to the unguarded r13 form
+    ok = sql_fuzzy_dedup_pairs("t", id_col="id", text_col="txt", max_dist=1, brute_cap=50)
+    unguarded = sql_fuzzy_dedup_pairs(
+        "t", id_col="id", text_col="txt", max_dist=1, brute_cap=10**12
+    )
+    got = sorted(con.execute(ok).fetchall())
+    assert got == sorted(con.execute(unguarded).fetchall())
+    assert len(got) > 0
+    # the default ceiling keeps its documented 2x margin over the largest
+    # gate-swept corpus (sf0.1 -> 10k docs); q37's oracle relies on that
+    assert SQL_BRUTE_FORCE_CAP >= 20_000
+
+
 def test_rxs_form_nulls_and_contracts(spark):
     left = spark.createDataFrame(
         [(1, "acme corp"), (2, "zzz"), (3, None)], "id LONG, name STRING"
