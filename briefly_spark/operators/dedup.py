@@ -606,6 +606,7 @@ def neardup_incremental(
     k: int = 8,
     bands: int = 4,
     min_agree: int = 6,
+    materialize: str = "local_checkpoint",
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Admit a micro-batch against the near-dup HISTORY without ever
     reprocessing it — the MinHash twin of the exact-substring claims
@@ -639,7 +640,38 @@ def neardup_incremental(
     Returns (admitted, band_delta, sig_delta, rejects): admitted keeps the
     batch's full schema; deltas carry ``batch_id`` for group-replace;
     rejects is (id, dup_of, source).
+
+    ``materialize`` picks the boundary for the internally-reused frames
+    (signatures / bands / rejects, each referenced by several join arms):
+
+    - ``"local_checkpoint"`` (default): fastest — blocks are stored
+      executor-side and lineage is TRUNCATED, so **any executor loss
+      makes the run unrecoverable and fails the job** (ADVICE r13: the
+      blocks are non-replicated).  Right for bounded batch/bench runs
+      where a retry is cheap.
+    - ``"persist"``: MEMORY_AND_DISK cache with lineage kept — an
+      executor loss recomputes the lost partitions instead of failing.
+      Right for production-style foreachBatch sinks (neardup_stream)
+      and long multi-batch drains; costs lineage-tracking overhead and
+      a re-analysis of the (cheap, batch-bounded) upstream plan on
+      recompute.
     """
+    if materialize not in ("local_checkpoint", "persist"):
+        raise ValueError(
+            f"neardup_incremental: materialize must be 'local_checkpoint' "
+            f"or 'persist', got {materialize!r}"
+        )
+
+    def _bound(df: DataFrame) -> DataFrame:
+        """Materialization boundary per the ``materialize`` contract."""
+        if materialize == "persist":
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # eager, like localCheckpoint(eager=True)
+            return df
+        return df.localCheckpoint(eager=True)
+
     if not (0 < min_agree <= k) or k % bands or not (0 < k <= 8):
         # k ≤ 8: each signature component is 4 hex chars of ONE md5 digest
         # (k·4 ≤ 32) — beyond that the tail components are empty strings
@@ -662,12 +694,13 @@ def neardup_incremental(
     # are batch-bounded (ids × k signature chars / ids × bands rows), so
     # the q128 localCheckpoint idiom applies: compute once, store blocks
     # executor-side, truncate lineage.
-    signed = minhash_signatures_exploded(shingled, "id", "shingles", k).localCheckpoint(
-        eager=True
+    signed = _bound(minhash_signatures_exploded(shingled, "id", "shingles", k))
+    banded = _bound(
+        signed.select(
+            "id",
+            F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key"),
+        )
     )
-    banded = signed.select(
-        "id", F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "key")
-    ).localCheckpoint(eager=True)
 
     def _agree(a, b):
         return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
@@ -715,12 +748,12 @@ def neardup_incremental(
     # rejects feeds three consumers (admitted anti-join, keep_ids
     # anti-join, the returned verdicts) — same materialization argument;
     # it is candidate-bounded, far smaller than the batch
-    rejects = (
+    rejects = _bound(
         hist_ver.unionByName(batch_ver)
         .groupBy("id")
         .agg(F.min(F.struct("dup_of", "source")).alias("__r"))
         .select("id", F.col("__r.dup_of").alias("dup_of"), F.col("__r.source").alias("source"))
-    ).localCheckpoint(eager=True)
+    )
     admitted = batch.join(
         rejects.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )

@@ -141,14 +141,7 @@ def _load_summarize_backend(
         import asyncio
 
         def summarize_batch(texts: list[str]) -> list[str | None]:
-            # the client is created INSIDE the per-batch event loop:
-            # asyncio.run() closes its loop at batch end, and a client
-            # shared across batches would die with the first loop (its
-            # pooled transport belongs to it) — every later batch would
-            # silently degrade to fallback (review r13)
-            client = AsyncOpenAI()
-
-            async def one(text: str, sem) -> str | None:
+            async def one(client, text: str, sem) -> str | None:
                 for attempt in range(1, _SUMMARIZE_RETRIES + 1):
                     try:
                         # the semaphore bounds CONCURRENT API CALLS only —
@@ -183,8 +176,20 @@ def _load_summarize_backend(
                 return None
 
             async def run() -> list[str | None]:
-                sem = asyncio.Semaphore(max_concurrency)
-                return list(await asyncio.gather(*[one(t, sem) for t in texts]))
+                # the client lives INSIDE the per-batch event loop
+                # (asyncio.run() closes its loop at batch end; a client
+                # shared across batches would die with the first loop —
+                # review r13) and is CLOSED before the loop exits: tearing
+                # the loop down with the httpx pool still open leaks
+                # connections/FDs on long-running executors (ADVICE r13)
+                client = AsyncOpenAI()
+                try:
+                    sem = asyncio.Semaphore(max_concurrency)
+                    return list(
+                        await asyncio.gather(*[one(client, t, sem) for t in texts])
+                    )
+                finally:
+                    await client.close()
 
             return asyncio.run(run())
 
@@ -197,17 +202,63 @@ def _load_summarize_backend(
 _CONFIG_ERROR_NAMES = frozenset(
     {"AuthenticationError", "PermissionDeniedError", "NotFoundError"}
 )
+#: 4xx statuses (and sdk names) that are TRANSIENT despite the class:
+#: 429 rate-limit (OpenAI RateLimitError; Serper via raise_for_status)
+#: and 408 request-timeout recover on their own — treating them as
+#: config errors kills the Spark task under load, skipping the retry
+#: ladder / per-row fallback and re-billing the whole batch on task
+#: retry, the exact failure mode this design exists to avoid (ADVICE
+#: r13 medium)
+_TRANSIENT_ERROR_NAMES = frozenset({"RateLimitError", "APITimeoutError"})
+_TRANSIENT_STATUSES = frozenset({408, 429})
 
 
 def _is_config_error(exc: Exception) -> bool:
     """True for errors that will fail every row identically (bad key,
     revoked permission, unknown model / 4xx client errors): retrying or
     masking them turns a configuration mistake into a silent all-fallback
-    run (review r13 pass 2)."""
-    if type(exc).__name__ in _CONFIG_ERROR_NAMES:
+    run (review r13 pass 2).  Rate-limit/timeout responses (429/408) are
+    load-dependent, not configuration — they follow the transient path
+    (retry ladder / per-row fallback) even though they are 4xx."""
+    name = type(exc).__name__
+    if name in _TRANSIENT_ERROR_NAMES:
+        return False
+    if name in _CONFIG_ERROR_NAMES:
         return True
     status = getattr(getattr(exc, "response", None), "status_code", None)
-    return status is not None and 400 <= int(status) < 500
+    return (
+        status is not None
+        and 400 <= int(status) < 500
+        and int(status) not in _TRANSIENT_STATUSES
+    )
+
+
+def _id_field(df: DataFrame, id_col: str) -> tuple[str, str | None]:
+    """(spark schema type, pandas astype target) for the live-path id
+    column, derived from ``df.schema`` AT THE API BOUNDARY — the schema
+    was previously hardcoded to ``long``/``astype('int64')``, so a
+    string or decimal id failed (or silently truncated) deep inside the
+    executor instead of raising here (ADVICE r13).  Integral widths all
+    widen losslessly to long; string ids pass through; anything else is
+    a loud TypeError naming the column and its type."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    dt = df.schema[id_col].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return "long", "int64"
+    if isinstance(dt, StringType):
+        return "string", None
+    raise TypeError(
+        f"id column {id_col!r} has type {dt.simpleString()}; the live "
+        "summarize/fact-check paths support integral or string ids — cast "
+        "explicitly before calling"
+    )
 
 
 def summarize_articles(
@@ -234,6 +285,8 @@ def summarize_articles(
             summary_status(t).alias("summary_status"),
         )
 
+    id_type, id_cast = _id_field(df, id_col)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = _load_summarize_backend(
             backend, model=model, max_concurrency=max_concurrency
@@ -250,16 +303,18 @@ def summarize_articles(
                 else:
                     summaries.append([x.strip() for x in out.split("\n") if x.strip()])
                     statuses.append("ok")
+            ids = pdf[id_col].astype(id_cast) if id_cast else pdf[id_col]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
+                    id_col: ids,
                     "summary": summaries,
                     "summary_status": statuses,
                 }
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        gen, schema=f"`{id_col}` long, summary array<string>, summary_status string"
+        gen,
+        schema=f"`{id_col}` {id_type}, summary array<string>, summary_status string",
     )
 
 
@@ -438,19 +493,22 @@ def factcheck_articles(
             factcheck_score(F.col(text_col)).cast("double").alias("validation_score"),
         )
 
+    id_type, id_cast = _id_field(df, id_col)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = _load_factcheck_backend(backend, model=model)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             scores = fn([str(t) for t in pdf[text_col]])
+            ids = pdf[id_col].astype(id_cast) if id_cast else pdf[id_col]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
+                    id_col: ids,
                     "validation_score": [float(s) for s in scores],
                 }
             )
 
     return df.select(id_col, text_col).mapInPandas(
-        gen, schema=f"`{id_col}` long, validation_score double"
+        gen, schema=f"`{id_col}` {id_type}, validation_score double"
     )

@@ -269,8 +269,17 @@ class Warehouse:
                 with open(lock) as fh:
                     holder = int(fh.read().strip() or "-1")
                 live = holder != os.getpid() and _pid_alive(holder)
-            except (OSError, ValueError):
-                live = False
+            except FileNotFoundError:
+                live = False  # lock vanished between probe and open
+            except OSError:
+                # a lock that EXISTS but cannot be opened must be treated
+                # as a live writer — the acquire path fails fast
+                # (TableLockedError) on exactly this state, and running
+                # the sidecar sweep / swap completion under it would act
+                # beneath a writer we merely cannot see (ADVICE r13)
+                live = True
+            except ValueError:
+                live = False  # unparseable content: same as acquire path
         if not live:
             base = os.path.basename(self.path(table))
             tmps = sorted(

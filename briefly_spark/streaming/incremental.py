@@ -683,6 +683,7 @@ def neardup_stream(
     k: int = 8,
     bands: int = 4,
     min_agree: int = 6,
+    materialize: str = "local_checkpoint",
 ) -> None:
     """Streaming near-dup admission (X145) — the MinHash twin of
     span_dedup_stream: each micro-batch is admitted against the persisted
@@ -703,7 +704,15 @@ def neardup_stream(
     First use needs no pre-seeded registries (ADVICE r12 #4: the sink
     used to fail with a path-not-found unless the caller seeded empty
     band/sig tables): an absent registry reads as an EMPTY frame of the
-    registry schema, and the first merge creates the table."""
+    registry schema, and the first merge creates the table.
+
+    ``materialize`` is forwarded to the admission operator's internal
+    boundary (ADVICE r13): the ``"local_checkpoint"`` default is fastest
+    but an executor loss mid-batch fails the stream query (non-replicated
+    blocks, truncated lineage — availableNow restarts cleanly from the
+    checkpoint, replay is byte-identical); pass ``"persist"`` for
+    production-style long drains where mid-batch executor loss should
+    recompute instead of failing."""
     from briefly_spark.operators.dedup import neardup_incremental
 
     def _read_or_empty(table: str, schema: str) -> DataFrame:
@@ -729,6 +738,7 @@ def neardup_stream(
             k=k,
             bands=bands,
             min_agree=min_agree,
+            materialize=materialize,
         )
         # Materialize ALL four frames before the first registry merge: the
         # deltas' lineage reads the registry files a prior merge in this

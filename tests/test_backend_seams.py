@@ -567,9 +567,15 @@ def _fake_async_openai(responses: dict[str, str | None]) -> types.ModuleType:
     class AsyncOpenAI:
         def __init__(self):
             self.chat = _Chat()
+            mod._clients.append(self)
+            self.closed = False
+
+        async def close(self):
+            self.closed = True
 
     mod.AsyncOpenAI = AsyncOpenAI
     mod._calls = calls
+    mod._clients = []
     return mod
 
 
@@ -593,6 +599,10 @@ def test_openai_summarize_backend_runs_with_mock(clean_modules, monkeypatch):
     # the first loop and every later batch degraded to fallback
     outs2 = fn(["doc one"])
     assert outs2 == ["ý 1\ný 2\ný 3\ný 4"]
+    # ADVICE r14: every per-batch client is closed before its loop exits
+    # (an open httpx pool at loop teardown leaks connections/FDs on
+    # long-running executors)
+    assert len(mod._clients) == 2 and all(c.closed for c in mod._clients)
 
 
 def test_openai_summarize_backend_gated_without_lib(monkeypatch, clean_modules):
@@ -825,6 +835,9 @@ def test_openai_summarize_config_errors_fail_fast(clean_modules, monkeypatch):
         def __init__(self):
             self.chat = _Chat()
 
+        async def close(self):
+            pass
+
     mod.AsyncOpenAI = AsyncOpenAI
     clean_modules("openai", mod)
     fn = sz._load_summarize_backend("openai")
@@ -832,6 +845,144 @@ def test_openai_summarize_config_errors_fail_fast(clean_modules, monkeypatch):
         fn(["doc one", "doc two"])
     # no retry ladder on a config error: at most one attempt per row
     assert len(calls) <= 2
+
+
+def test_is_config_error_exempts_transient_4xx():
+    """ADVICE r14 (medium): 429 rate-limit and 408 timeout are TRANSIENT
+    despite being 4xx — classifying them as config errors kills the task
+    under load, skipping the retry ladder / per-row fallback and
+    re-billing the whole batch on task retry."""
+    from briefly_spark.operators.summarize import _is_config_error
+
+    class _Resp:
+        def __init__(self, status):
+            self.status_code = status
+
+    def http_exc(status):
+        e = Exception(str(status))
+        e.response = _Resp(status)
+        return e
+
+    assert _is_config_error(http_exc(403))
+    assert _is_config_error(http_exc(404))
+    assert not _is_config_error(http_exc(429))
+    assert not _is_config_error(http_exc(408))
+    assert not _is_config_error(http_exc(500))
+
+    class RateLimitError(Exception):
+        pass
+
+    class AuthenticationError(Exception):
+        pass
+
+    # sdk classes are matched by NAME (no sdk import at module load);
+    # RateLimitError is transient even when its response carries a 429
+    rl = RateLimitError("rate limited")
+    rl.response = _Resp(429)
+    assert not _is_config_error(rl)
+    assert _is_config_error(AuthenticationError("bad key"))
+
+
+def test_openai_summarize_429_follows_transient_path(clean_modules, monkeypatch):
+    """A rate-limited batch must run the retry ladder and land on the
+    per-row fallback (None), never raise out of the Spark task."""
+    import asyncio
+
+    from briefly_spark.operators import summarize as sz
+
+    monkeypatch.setattr(sz, "_SUMMARIZE_RETRIES", 2)
+    monkeypatch.setattr(asyncio, "sleep", _instant_sleep(asyncio))
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+    mod = types.ModuleType("openai")
+    calls = []
+
+    class RateLimitError(Exception):
+        def __init__(self):
+            super().__init__("429")
+            self.response = types.SimpleNamespace(status_code=429)
+
+    class _Completions:
+        async def create(self, **kw):
+            calls.append(1)
+            await asyncio.sleep(0)
+            raise RateLimitError()
+
+    class AsyncOpenAI:
+        def __init__(self):
+            self.chat = types.SimpleNamespace(completions=_Completions())
+
+        async def close(self):
+            pass
+
+    mod.AsyncOpenAI = AsyncOpenAI
+    clean_modules("openai", mod)
+    fn = sz._load_summarize_backend("openai")
+    assert fn(["doc one"]) == [None]  # fallback marker, task alive
+    assert len(calls) == 2  # the full retry ladder ran
+
+
+def _instant_sleep(asyncio_mod):
+    real = asyncio_mod.sleep
+
+    async def fake(t):
+        await real(0)
+
+    return fake
+
+
+def test_serper_groq_429_falls_back_per_row(clean_modules, monkeypatch):
+    """A Serper 429 (surfaced via raise_for_status) is load, not
+    configuration: the per-row score-2 fallback applies (ADVICE r14)."""
+    from briefly_spark.operators.summarize import _load_factcheck_backend
+
+    monkeypatch.setenv("SERPER_API_KEY", "sk-serper")
+    monkeypatch.setenv("GROQ_API_KEY", "sk-groq")
+    mod = types.ModuleType("requests")
+
+    class HTTPError(Exception):
+        def __init__(self):
+            super().__init__("429 Too Many Requests")
+            self.response = types.SimpleNamespace(status_code=429)
+
+    def get(url, *, headers, params, timeout):
+        raise HTTPError()
+
+    mod.get = get
+    clean_modules("requests", mod)
+    clean_modules("openai", _fake_sync_openai([]))
+    fn = _load_factcheck_backend("serper_groq")
+    assert fn(["bất kỳ"]) == [2.0]
+
+
+def test_live_path_id_column_validated_at_api_boundary(spark):
+    """ADVICE r14: the live mapInPandas schema derives from the id
+    column's actual type — string ids pass through, integral ids widen
+    to long, anything else raises HERE (driver, clear message), not deep
+    inside an executor."""
+    from briefly_spark.operators.summarize import (
+        _id_field,
+        factcheck_articles,
+        summarize_articles,
+    )
+
+    df_long = spark.createDataFrame([(1, "t")], "id LONG, text STRING")
+    df_int = spark.createDataFrame([(1, "t")], "id INT, text STRING")
+    df_str = spark.createDataFrame([("a", "t")], "id STRING, text STRING")
+    df_dec = spark.createDataFrame([(1.5, "t")], "id DOUBLE, text STRING")
+    assert _id_field(df_long, "id") == ("long", "int64")
+    assert _id_field(df_int, "id") == ("long", "int64")
+    assert _id_field(df_str, "id") == ("string", None)
+    with pytest.raises(TypeError, match="id column 'id' has type double"):
+        _id_field(df_dec, "id")
+    # the operator surfaces raise eagerly on the driver, before any
+    # backend/sdk loading (which happens inside the executor generator)
+    with pytest.raises(TypeError, match="integral or string"):
+        summarize_articles(df_dec, "text", "id", backend="openai")
+    with pytest.raises(TypeError, match="integral or string"):
+        factcheck_articles(df_dec, "text", "id", backend="serper_groq")
+    # string ids build a valid plan with a string id field
+    plan = summarize_articles(df_str, "text", "id", backend="openai")
+    assert dict(plan.dtypes)["id"] == "string"
 
 
 def test_serper_groq_config_error_fails_fast(clean_modules, monkeypatch):

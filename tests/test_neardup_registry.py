@@ -146,6 +146,38 @@ def test_matches_pure_python_simulator(spark):
     assert got_rej[22] == (13, "history")  # cross-batch exact dup
 
 
+def test_persist_materialization_matches_local_checkpoint(spark):
+    """ADVICE r14: the materialization boundary is configurable —
+    'persist' (MEMORY_AND_DISK, lineage KEPT, executor-loss recomputes)
+    must produce byte-identical verdicts to the 'local_checkpoint'
+    default (non-replicated blocks, executor-loss fails the job)."""
+    import pytest
+
+    batches = _corpus()
+    band_reg = spark.createDataFrame([], "batch_id long, band int, key string, id long")
+    sig_reg = spark.createDataFrame([], "batch_id long, id long, sig array<string>")
+    df = spark.createDataFrame(batches[0], "id long, text string")
+    outs = {}
+    for mode in ("local_checkpoint", "persist"):
+        adm, bd, sd, rej = neardup_incremental(
+            df, band_reg, sig_reg, id_col="id", text_col="text",
+            batch_id=0, n=N, k=K, bands=BANDS, min_agree=MIN_AGREE,
+            materialize=mode,
+        )
+        outs[mode] = (
+            sorted(r["id"] for r in adm.collect()),
+            sorted(map(tuple, rej.collect())),
+            sorted(map(tuple, bd.collect())),
+            sorted(map(tuple, sd.collect())),
+        )
+    assert outs["persist"] == outs["local_checkpoint"]
+    with pytest.raises(ValueError, match="materialize"):
+        neardup_incremental(
+            df, band_reg, sig_reg, id_col="id", text_col="text",
+            batch_id=0, materialize="checkpointish",
+        )
+
+
 def test_crash_replay_verdicts_are_stable(spark):
     """Replaying a batch AFTER its registry block landed (the foreachBatch
     at-least-once window) must reproduce byte-identical verdicts."""

@@ -839,6 +839,45 @@ def test_recover_keeps_inflight_wreck_of_live_stealer(spark, tmp_path):
     os.unlink(live_wreck)
 
 
+def test_recover_treats_unopenable_lock_as_live(spark, tmp_path, monkeypatch):
+    """ADVICE r14: _recover used to map an unreadable lock (OSError) to
+    live=False, letting the sidecar sweep and swap completion run under
+    a writer whose lock merely cannot be opened — inconsistent with the
+    acquire path, which fails fast (TableLockedError) on exactly that
+    state.  An unopenable-but-present lock must now be treated as LIVE
+    (recovery skipped); a VANISHED lock stays live=False."""
+    import builtins
+    import os
+
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_recover_live"))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    wh.overwrite(df, "t")
+    lock = wh.path(".t.lock")
+    with open(lock, "w") as fh:
+        fh.write("999999999")  # dead pid — readable path WOULD recover
+    sidecar = wh.path(".t.lock.999999999.abcdef")
+    with open(sidecar, "w") as fh:
+        fh.write("999999999")  # dead-pid sidecar — sweep target
+    real_open = builtins.open
+
+    def deny_lock(path, *a, **kw):
+        if str(path) == lock:
+            raise PermissionError(13, "denied", str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", deny_lock)
+    wh._recover("t")
+    assert os.path.exists(sidecar), (
+        "sidecar swept under an unopenable (possibly live) lock"
+    )
+    monkeypatch.setattr(builtins, "open", real_open)
+    wh._recover("t")  # readable again: dead pid -> not live -> swept
+    assert not os.path.exists(sidecar)
+    os.unlink(lock)
+
+
 def test_unopenable_lock_raises_instead_of_spinning(spark, tmp_path):
     """Review r13 pass 2: a lock that EXISTS but cannot be opened must
     raise TableLockedError (operator intervention) — not hot-spin, and

@@ -85,19 +85,65 @@ QUERIES = (
     # legs are fixed — growth must therefore be strongly sublinear, and
     # the output stays (sections × groups)-bounded at every K
     "q149_governance_pack",
+    # r14 heavy-plan pack (VERDICT r13 next-round #2 — the x32 rung for
+    # the ten heaviest plans; q31/q149 already above):
+    # full jobs-DAG drain against a temp warehouse — growth tracks the
+    # ingest/curate/summarize/embed legs; the per-batch merge rounds are
+    # fixed orchestration cost
+    "q128_jobs_dag_resolve",
+    # CC min-propagation over the banded pair graph + the fuzzy
+    # edit-distance tier (replica-prefixed tokens keep replicas
+    # lexically disjoint — candidate volume grows linearly in K)
+    "q37_dup_clusters",
+    # sketch-vs-exact audit over EVENTS (replicated with user_id offsets
+    # from r14 on): HLL/GK state is constant per group, the exact audit
+    # baselines grow with rows — the documented at-scale mode drops them
+    "q74_sketch_audit",
+    # 28 declarative checks + the corr screen: lineitem/customer legs are
+    # FIXED (not replicated), so growth tracks the documents/events legs
+    # only — expect strongly sublinear cells, dispositioned in the notes
+    "q147_expectation_audit",
+    # unigram-LM/SentencePiece trainer: fixed EM rounds over a vocab
+    # whose size follows Heaps(K); time must track the corpus scans
+    "q148_unigram_tokenizer",
+    # near-dup graph label propagation: O(log n) rounds over the banded
+    # pair set — rounds grow with the DIAMETER (constant per replica,
+    # replicas disjoint), state with component count
+    "q115_label_propagation",
+    # PQ train/encode/recall-audit over EMBEDDINGS (replicated with
+    # vec_id offsets from r14 on; vectors duplicated — k-means centroids
+    # are unchanged under duplication, encode/audit legs grow linearly)
+    "q118_pq_ann",
+    # streaming heavy-hitter drain + resolve gate: micro-batch count is
+    # fixed, per-batch state is (k x partitions)-bounded by Misra-Gries
+    "q120_hh_stream_resolve",
 )
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
 _REPLICA_STRIDE = 10_000_000
 
 
+#: tables the sweep replicates K× (everything else is symlinked at ×1):
+#: documents with replica-prefixed tokens (lexically disjoint replicas),
+#: events with id-offset users/events (distinct-user cardinality grows
+#: linearly, per-group row count grows linearly — the q74/q28 scale
+#: axes), embeddings with id-offset duplicated vectors (k-means
+#: centroids invariant under duplication; encode/top-k legs grow
+#: linearly — the q118 scale axis).  r14 addition for the heavy-plan
+#: pack; r13's ×1→×8 cells predate events/embeddings replication and
+#: are only comparable for documents-family queries.
+REPLICATED = ("documents", "events", "embeddings")
+
+
 def build_replicated_dir(spark, sf_dir: str, out_dir: str, k: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
-        if t != "documents":
+        if t not in REPLICATED:
             dst = table_path(out_dir, t)
             if not os.path.exists(dst):
                 os.symlink(table_path(sf_dir, t), dst)
+    _replicate_events(spark, sf_dir, out_dir, k)
+    _replicate_embeddings(spark, sf_dir, out_dir, k)
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     parts = []
     for r in range(k):
@@ -123,6 +169,40 @@ def build_replicated_dir(spark, sf_dir: str, out_dir: str, k: int) -> None:
     out.repartition(n_parts).write.mode("overwrite").parquet(
         table_path(out_dir, "documents")
     )
+
+
+def _replicate_events(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    parts = [ev]
+    for r in range(1, k):
+        off = F.lit(r * _REPLICA_STRIDE)
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + off).withColumn(
+                "user_id", F.col("user_id") + off
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    n_parts = max(spark.sparkContext.defaultParallelism, k)
+    out.repartition(n_parts).write.mode("overwrite").parquet(
+        table_path(out_dir, "events")
+    )
+
+
+def _replicate_embeddings(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    parts = [emb]
+    for r in range(1, k):
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * _REPLICA_STRIDE))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(table_path(out_dir, "embeddings"))
 
 
 def run_cold(fn, spark, sf_dir: str) -> float:
@@ -166,6 +246,14 @@ def main() -> None:
             growth = row[f"t_{kmax}x"] / max(row[f"t_{min(ks)}x"], 1e-9)
             row["x_growth"] = round(growth, 2)
             row["eff"] = round((kmax / min(ks)) / growth, 2)
+            # growth exponent e with t ~ K^e over the swept span: e < 1
+            # sub-linear, e = 1 linear, e > 1 the red flag (VERDICT r13
+            # next-round #2 asks for the exponent per heavy plan)
+            import math
+
+            row["exp"] = round(
+                math.log(max(growth, 1e-9)) / math.log(kmax / min(ks)), 2
+            )
             results[name] = row
         print(json.dumps({"sf_dir": sf_dir, "ks": ks, "results": results}))
     finally:
