@@ -58,7 +58,8 @@ def load_avg() -> list[float]:
     pure ambient load that only the separate pair files could explain)."""
     try:
         return [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # pragma: no cover - non-POSIX
+    except (AttributeError, OSError):  # pragma: no cover - non-POSIX
+        # platforms without the call raise AttributeError, not OSError
         return []
 
 

@@ -654,13 +654,19 @@ def neardup_incremental(
       Right for production-style foreachBatch sinks (neardup_stream)
       and long multi-batch drains; costs lineage-tracking overhead and
       a re-analysis of the (cheap, batch-bounded) upstream plan on
-      recompute.
+      recompute.  The persisted internals are handed to the caller as
+      ``rejects.neardup_persisted`` (a list of DataFrames): unpersist
+      them once the four returned frames are materialized/consumed —
+      Spark's CacheManager holds cache entries until explicit unpersist,
+      so skipping this leaks blocks per call on a long drain
+      (neardup_stream releases them automatically).
     """
     if materialize not in ("local_checkpoint", "persist"):
         raise ValueError(
             f"neardup_incremental: materialize must be 'local_checkpoint' "
             f"or 'persist', got {materialize!r}"
         )
+    persisted: list[DataFrame] = []
 
     def _bound(df: DataFrame) -> DataFrame:
         """Materialization boundary per the ``materialize`` contract."""
@@ -669,6 +675,7 @@ def neardup_incremental(
 
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             df.count()  # eager, like localCheckpoint(eager=True)
+            persisted.append(df)
             return df
         return df.localCheckpoint(eager=True)
 
@@ -764,6 +771,9 @@ def neardup_incremental(
     sig_delta = signed.join(keep_ids, "id").select(
         F.lit(int(batch_id)).cast("long").alias("batch_id"), "id", "sig"
     )
+    # cache-release handle (persist mode only; empty list otherwise —
+    # localCheckpoint blocks are reclaimed by the ContextCleaner on GC)
+    rejects.neardup_persisted = persisted
     return admitted, band_delta, sig_delta, rejects
 
 

@@ -711,8 +711,17 @@ def neardup_stream(
     but an executor loss mid-batch fails the stream query (non-replicated
     blocks, truncated lineage — availableNow restarts cleanly from the
     checkpoint, replay is byte-identical); pass ``"persist"`` for
-    production-style long drains where mid-batch executor loss should
-    recompute instead of failing."""
+    production-style long drains where executor loss during the
+    admission COMPUTATION recomputes instead of failing.  Scope of that
+    protection (review r14): once the four outputs are re-bounded for
+    the merge phase, the re-bind is necessarily a lineage CUT
+    (localCheckpoint — lineage kept across the merge would recompute
+    from registry files the merge itself replaces), so an executor loss
+    during the merges still fails the batch; those frames are
+    micro-batch-sized, and the availableNow restart replays the batch
+    idempotently.  The operator's persisted internals are unpersisted
+    after the re-bind, so a long drain does not accumulate cache
+    entries."""
     from briefly_spark.operators.dedup import neardup_incremental
 
     def _read_or_empty(table: str, schema: str) -> DataFrame:
@@ -743,11 +752,19 @@ def neardup_stream(
         # Materialize ALL four frames before the first registry merge: the
         # deltas' lineage reads the registry files a prior merge in this
         # very sink replaces (FILE_NOT_EXIST otherwise); every frame is
-        # micro-batch-sized by construction.
+        # micro-batch-sized by construction.  This re-bind is a lineage
+        # CUT by requirement, regardless of ``materialize`` (see the
+        # docstring's scope note).
+        to_release = list(getattr(rejects, "neardup_persisted", ()))
         admitted = admitted.localCheckpoint(eager=True)
         band_delta = band_delta.localCheckpoint(eager=True)
         sig_delta = sig_delta.localCheckpoint(eager=True)
         rejects = rejects.localCheckpoint(eager=True)
+        # the operator's persisted internals are consumed now — release
+        # them so a long drain doesn't leak CacheManager entries per
+        # batch (review r14)
+        for f in to_release:
+            f.unpersist()
         if admitted.take(1):
             wh.merge_upsert(admitted, clean_table, [id_col])
             wh.merge_upsert(band_delta, band_table, ["batch_id"])

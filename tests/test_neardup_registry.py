@@ -170,6 +170,18 @@ def test_persist_materialization_matches_local_checkpoint(spark):
             sorted(map(tuple, bd.collect())),
             sorted(map(tuple, sd.collect())),
         )
+        # cache-release contract (review r14): persist mode hands back
+        # its persisted internals for the caller to release; the default
+        # mode has nothing to release
+        handles = rej.neardup_persisted
+        if mode == "persist":
+            assert len(handles) == 3  # signed, banded, rejects
+            assert all(h.storageLevel.useMemory for h in handles)
+            for h in handles:
+                h.unpersist()
+            assert not any(h.storageLevel.useMemory for h in handles)
+        else:
+            assert handles == []
     assert outs["persist"] == outs["local_checkpoint"]
     with pytest.raises(ValueError, match="materialize"):
         neardup_incremental(

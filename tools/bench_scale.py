@@ -37,6 +37,7 @@ Usage: python tools/bench_scale.py [sf_dir] [K ...]   (default sf0.1, K=1 8 64)
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -248,12 +249,12 @@ def main() -> None:
             row["eff"] = round((kmax / min(ks)) / growth, 2)
             # growth exponent e with t ~ K^e over the swept span: e < 1
             # sub-linear, e = 1 linear, e > 1 the red flag (VERDICT r13
-            # next-round #2 asks for the exponent per heavy plan)
-            import math
-
-            row["exp"] = round(
-                math.log(max(growth, 1e-9)) / math.log(kmax / min(ks)), 2
-            )
+            # next-round #2 asks for the exponent per heavy plan);
+            # undefined for a single-K invocation (span of zero decades)
+            if kmax > min(ks):
+                row["exp"] = round(
+                    math.log(max(growth, 1e-9)) / math.log(kmax / min(ks)), 2
+                )
             results[name] = row
         print(json.dumps({"sf_dir": sf_dir, "ks": ks, "results": results}))
     finally:
