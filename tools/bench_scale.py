@@ -243,6 +243,11 @@ def main() -> None:
             for k in ks:
                 print(f"# {name} @ {k}x ...", file=sys.stderr, flush=True)
                 row[f"t_{k}x"] = run_cold(registry[name].fn, spark, dirs[k])
+                # crash-proof: a cell that dies later (OOM on a bigger K)
+                # must not erase the cells already measured (r14: the
+                # first x32 heavy sweep lost 30 min of cells to q118's
+                # flat-ADC OOM)
+                print(f"# {name} @ {k}x = {row[f't_{k}x']}s", file=sys.stderr, flush=True)
             kmax = max(ks)
             growth = row[f"t_{kmax}x"] / max(row[f"t_{min(ks)}x"], 1e-9)
             row["x_growth"] = round(growth, 2)
@@ -256,7 +261,12 @@ def main() -> None:
                     math.log(max(growth, 1e-9)) / math.log(kmax / min(ks)), 2
                 )
             results[name] = row
-        print(json.dumps({"sf_dir": sf_dir, "ks": ks, "results": results}))
+        payload = json.dumps({"sf_dir": sf_dir, "ks": ks, "results": results})
+        print(payload)
+        out = os.environ.get("SPARK_GRAFT_SCALE_OUT")
+        if out:  # sidecar copy — stdout also carries JVM gc noise
+            with open(out, "w") as fh:
+                fh.write(payload + "\n")
     finally:
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
