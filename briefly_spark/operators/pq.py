@@ -182,6 +182,133 @@ def pq_adc_topk(
     )
 
 
+def ivf_coarse_cells(corpus_q: DataFrame, *, n_cells: int = 16) -> DataFrame:
+    """Deterministic coarse centroids over quantized vectors: the
+    ``n_cells`` corpus vectors with lexicographically smallest
+    ``md5(id)`` — the seeded-sample discipline of
+    :func:`briefly_spark.operators.similarity.ivf_candidate_ids`, kept
+    byte-reproducible so an IVF-PQ surface can sit under a SQL oracle.
+    Returns (cell_id, cv) with full-width integer coordinates."""
+    return (
+        corpus_q.withColumn("ck", F.md5(F.col("id").cast("string")))
+        .orderBy("ck")
+        .limit(n_cells)
+        .select(F.col("id").alias("cell_id"), F.col("q").alias("cv"))
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus_q: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    *,
+    dim: int,
+    subspaces: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 32,
+    k_final: int = 5,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted-file pruning in front of the ADC scorer —
+    the composition FAISS ships as its at-scale default and the fix for
+    flat PQ's one super-linear term (X150; r14 ×32 weak-scaling sweep:
+    :func:`pq_search` scores every (query, corpus-code) pair, so a probe
+    panel that grows WITH the corpus makes ADC work q·n ~ K², measured
+    exp 1.35 at documents ×32).  Here each corpus vector is assigned to
+    its nearest coarse cell (one broadcast join against ``n_cells``
+    rows, integer L2, ties to the smallest cell id), each query probes
+    its ``n_probe`` nearest cells, and ADC scoring runs ONLY inside
+    probed cells: per-query candidates shrink by ~n_probe/n_cells, and
+    growing n_cells with the corpus (the FAISS sqrt(n) rule) keeps
+    per-query ADC work ~ n_probe·n/n_cells — sub-linear in K when the
+    panel is fixed, linear when it grows with the corpus.  The shortlist
+    is exact-re-ranked like :func:`pq_search`, so output contract and
+    determinism discipline (integer distances, smallest-id ties) are
+    identical; recall vs flat PQ is n_probe-controlled and pinned in
+    tests/test_pq.py.
+
+    Scale shape: coarse assignment is map-only against a broadcast;
+    candidates are a thin (query_id, neighbor_id) cell equi-join; the
+    ADC join keys the broadcast distance table on (query_id, s, code) so
+    only candidate pairs are ever scored."""
+    from pyspark.sql import Window
+
+    cells = ivf_coarse_cells(corpus_q, n_cells=n_cells)
+
+    def _assign(df: DataFrame, id_col: str, keep: int) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(F.asc("cd"), F.asc("cell_id"))
+        return (
+            df.join(F.broadcast(cells), how="cross")
+            .select(id_col, "cell_id", _sq_dist("q", "cv").alias("cd"))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= keep)
+            .select(id_col, "cell_id")
+        )
+
+    from pyspark.sql import Window
+
+    corpus_cells = _assign(corpus_q, "id", 1)
+    query_cells = _assign(queries, "query_id", n_probe)
+    cand = (
+        query_cells.join(corpus_cells, "cell_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    width = dim // subspaces
+    sub_q = queries.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.slice("q", s * width + 1, width).alias("q"),
+                    )
+                    for s in range(subspaces)
+                ]
+            )
+        ).alias("p"),
+    ).select("query_id", "p.s", "p.q")
+    dt = sub_q.join(codebooks, "s").select(
+        "query_id", "s", F.col("cell").alias("code"), _sq_dist().alias("d")
+    )
+    scored = (
+        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(dt), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    hydrated = (
+        short.join(
+            corpus_q.select(F.col("id").alias("neighbor_id"), F.col("q").alias("cq")),
+            "neighbor_id",
+        )
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    return (
+        hydrated.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k_final)
+        .select("query_id", "neighbor_id", "rank", "sq_dist")
+    )
+
+
 def pq_search(
     queries: DataFrame,
     corpus_q: DataFrame,

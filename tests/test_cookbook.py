@@ -225,3 +225,25 @@ def test_cookbook_standing_weighted_sample_runs(spark, sf_dir):
         .collect()
     ]
     assert folded == oneshot
+
+
+def test_cookbook_ivfpq_flow_runs(spark, sf_dir):
+    """The r14 'Similarity search' addition: the IVF-PQ snippet must run
+    as written (X150 — the at-100TB path the cookbook points flat-PQ
+    users to)."""
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.pq import ivfpq_search, pq_fit_encode, quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit_encode(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, subspaces=8, k=16, iters=2
+    )
+    corpus_q = quantized(emb, "vec_id", "embedding")
+    queries = corpus_q.filter("id % 20 = 0").selectExpr("id AS query_id", "q")
+    hits = ivfpq_search(
+        queries, corpus_q, codes, books, dim=64, subspaces=8,
+        n_cells=16, n_probe=8,
+    )
+    rows = hits.collect()
+    assert rows and {r.rank for r in rows} <= set(range(1, 6))
+    assert set(hits.columns) == {"query_id", "neighbor_id", "rank", "sq_dist"}

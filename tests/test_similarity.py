@@ -279,6 +279,97 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     assert recall >= 0.4, recall  # 8x16 codebooks + exact re-rank of the ADC top-32
 
 
+def test_ivfpq_full_probe_equals_flat_and_pruned_is_bounded(spark, sf_dir):
+    """X150 (r14): IVF-PQ — the coarse prune in front of flat ADC that
+    fixes the one super-linear weak-scaling term (the x32 sweep measured
+    flat pq_search at exp 1.35 when the probe panel grows with the
+    corpus).  Contract pins: (a) probing EVERY cell is byte-identical to
+    flat pq_search (the prune only removes, never reorders); (b) with
+    n_probe < n_cells every returned neighbor lies in a cell the query
+    probed (the candidate bound is structural, not statistical);
+    (c) recall@5 vs flat PQ stays usable at fixture scale."""
+    import pyspark.sql.functions as F
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.pq import (
+        ivf_coarse_cells,
+        ivfpq_search,
+        pq_fit_encode,
+        pq_search,
+        quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit_encode(
+        emb, id_col="vec_id", vec_col="embedding", dim=64, subspaces=8, k=16, iters=2
+    )
+    corpus_q = quantized(emb, "vec_id", "embedding")
+    qdf = corpus_q.filter(F.col("id") % 50 == 0).select(
+        F.col("id").alias("query_id"), "q"
+    )
+    flat = sorted(
+        map(
+            tuple,
+            pq_search(
+                qdf, corpus_q, codes, books, dim=64, subspaces=8,
+                shortlist=32, k_final=5,
+            ).collect(),
+        )
+    )
+    # (a) full probe == flat, byte-identical
+    full = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                qdf, corpus_q, codes, books, dim=64, subspaces=8,
+                n_cells=8, n_probe=8, shortlist=32, k_final=5,
+            ).collect(),
+        )
+    )
+    assert full == flat
+    # (b) pruned: every neighbor sits in a probed cell of its query
+    pruned = ivfpq_search(
+        qdf, corpus_q, codes, books, dim=64, subspaces=8,
+        n_cells=8, n_probe=3, shortlist=32, k_final=5,
+    )
+    cells = ivf_coarse_cells(corpus_q, n_cells=8)
+    from pyspark.sql import Window
+
+    def assigned(df, id_col, keep):
+        w = Window.partitionBy(id_col).orderBy(F.asc("cd"), F.asc("cell_id"))
+        return (
+            df.crossJoin(F.broadcast(cells))
+            .select(
+                id_col,
+                "cell_id",
+                F.aggregate(
+                    F.zip_with("q", "cv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x,
+                ).alias("cd"),
+            )
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= keep)
+            .select(id_col, "cell_id")
+        )
+
+    probed = {
+        (r.query_id, r.cell_id) for r in assigned(qdf, "query_id", 3).collect()
+    }
+    corpus_cell = {
+        r.id: r.cell_id
+        for r in assigned(
+            corpus_q.select(F.col("id"), "q"), "id", 1
+        ).collect()
+    }
+    rows = pruned.collect()
+    assert rows, "pruned IVF-PQ returned nothing"
+    for r in rows:
+        assert (r.query_id, corpus_cell[r.neighbor_id]) in probed
+    # (c) recall vs flat PQ stays usable on the near-uniform fixture
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(got & set((a, b) for a, b, _, _ in flat)) / max(len(flat), 1)
+    assert recall >= 0.3, recall
+
+
 def test_pq_codes_are_compact(spark, sf_dir):
     from briefly_spark.operators.pq import pq_fit_encode
     from briefly_spark.catalog import load_table

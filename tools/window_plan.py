@@ -105,6 +105,20 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "file listings — not reproducible from the parquet views "
                   "a gate sees) — final disposition",
     },
+    {
+        "op": "X150 IVF-PQ coarse-pruned ADC search",
+        "kind": "pure-python-pin",
+        "symbol": "briefly_spark.operators.pq:ivfpq_search",
+        "test": "tests/test_similarity.py::"
+                "test_ivfpq_full_probe_equals_flat_and_pruned_is_bounded",
+        "queued": "graft into q118_pq_ann at r15 (its r12-paid seat re-gates "
+                  "then): an ivfpq section alongside the flat surface — "
+                  "full-probe byte-identity to pq_search makes the oracle "
+                  "shared.  Fixes the ONE super-linear x32 weak-scaling "
+                  "term (flat ADC exp 1.35 with a corpus-growing probe "
+                  "panel -> ivfpq exp 0.44 at sqrt(n) cells, n_probe=8; "
+                  "BENCH_NOTES r14)",
+    },
 )
 
 
