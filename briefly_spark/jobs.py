@@ -346,9 +346,12 @@ def relate_batch(
     scores = articles.select(
         F.col("url").alias("neighbor_id"), F.col("validation_score")
     )
-    # tier='auto': exact below the documented corpus bound, LSH above —
-    # the production default the operator ships (review r12: hard-coded
-    # 'exact' was quadratic at the module's own 100 TB design point)
+    # tier='auto': exact below the documented |queries|x|corpus| pair
+    # bound, LSH above — the production default the operator ships
+    # (review r12: hard-coded 'exact' was quadratic at the module's own
+    # 100 TB design point; r14: the bound moved from corpus-size to the
+    # pair product because THIS caller drains corpus-sized query batches,
+    # which kept exact at q·n ≈ 5·10⁸ pairs in the ×32 scale cell)
     ranked = related_topk(
         queries, corpus, scores, k_candidates=k + 1, k_final=k,
         tier="auto", dims=dims,

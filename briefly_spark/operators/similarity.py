@@ -482,7 +482,7 @@ def related_topk(
     score_weight: float = 0.3,
     default_score: int = 5,
     tier: str = "exact",
-    exact_max_corpus: int = 100_000,
+    exact_max_pairs: int = 25_000_000,
     dims: int | None = None,
     bits: int = 8,
     tables: int = 4,
@@ -505,19 +505,25 @@ def related_topk(
     reference becomes two joins + two windows.
 
     Candidate generation is pluggable (``tier``): ``"exact"`` scores every
-    (query, corpus) pair — the correctness baseline, quadratic and only
-    sane below ~1e5 corpus rows; ``"lsh"`` / ``"ivf"`` reuse
-    :func:`lsh_candidate_ids` / :func:`ivf_candidate_ids` so the candidate
-    set is bucket-bounded — the 100 TB path, identical downstream
-    semantics applied to the candidate subset.  ``"auto"`` picks exact
-    below ``exact_max_corpus`` corpus rows (one cheap count job) and LSH
-    above — the production default: small collections get exact results,
-    large ones get the scale-safe plan without a code change."""
+    (query, corpus) pair — the correctness baseline; ``"lsh"`` / ``"ivf"``
+    reuse :func:`lsh_candidate_ids` / :func:`ivf_candidate_ids` so the
+    candidate set is bucket-bounded — the 100 TB path, identical
+    downstream semantics applied to the candidate subset.  ``"auto"``
+    picks exact below ``exact_max_pairs`` (|queries|·|corpus| — two cheap
+    count jobs) and LSH above — the production default: small workloads
+    get exact results, large ones get the scale-safe plan without a code
+    change.  The gate is the PAIR PRODUCT, not corpus size alone (r14:
+    jobs.relate_batch drains corpus-sized query batches, so a
+    corpus-only bound kept the exact tier at q·n ≈ 5·10⁸ pairs in the
+    ×32 weak-scaling cell — q128's one super-linear span; every
+    gate-swept SF stays orders of magnitude below this bound, so gated
+    values are unchanged)."""
     if tier == "auto":
-        # One count job against the raw corpus scan.  Column pruning reduces
-        # it to a parquet-metadata rowcount, so it is NOT worth a persist —
-        # the expensive lineage (scored pairs) below is consumed linearly.
-        tier = "exact" if corpus.count() <= exact_max_corpus else "lsh"
+        # Two count jobs against the raw scans.  Column pruning reduces
+        # them to parquet-metadata rowcounts, so they are NOT worth a
+        # persist — the expensive lineage (scored pairs) below is
+        # consumed linearly.
+        tier = "exact" if queries.count() * corpus.count() <= exact_max_pairs else "lsh"
     q = _with_norm(queries, "qn").alias("q")
     # same BNLJ-parallelism fix as topk_cosine: stream side must be spread
     c = _with_norm(spread(corpus), "cn").alias("c")

@@ -235,6 +235,31 @@ def test_mmr_rerank_tie_breaks_to_smallest_cid(spark):
     assert got == {1: 20, 2: 21}
 
 
+def test_related_topk_auto_gate_is_pair_product(spark):
+    """r14: the auto tier gates on |queries|x|corpus|, not corpus size
+    alone — relate_batch drains corpus-sized query batches, so a
+    corpus-only bound kept the exact quadratic tier at q*n ~ 5e8 pairs
+    in the x32 scale cell.  Observable: forcing the bound below q*n must
+    route to LSH (which demands dims), a bound above it stays exact."""
+    import pytest
+
+    queries = spark.createDataFrame(
+        [(i, "t", [float(i), 1.0]) for i in range(6)],
+        "query_id long, topic string, v array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, "t", [float(i), 2.0]) for i in range(6)],
+        "neighbor_id long, topic string, v array<double>",
+    )
+    scores = spark.createDataFrame([(100, 5.0)], "neighbor_id long, validation_score double")
+    # 36 pairs > bound of 10 -> LSH tier -> dims required
+    with pytest.raises(ValueError, match="dims"):
+        related_topk(queries, corpus, scores, tier="auto", exact_max_pairs=10)
+    # 36 pairs <= 36 -> exact tier, runs without dims
+    out = related_topk(queries, corpus, scores, tier="auto", exact_max_pairs=36)
+    assert out.count() > 0
+
+
 def test_pq_adc_recall_floor(spark, sf_dir):
     # PQ is approximate: assert recall@5 against the exact integer
     # squared-L2 top-5 stays above a floor at fixture scale
