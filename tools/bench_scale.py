@@ -32,6 +32,11 @@ executor pool (time grows with data); eff > 1 means sublinear growth
 a quadratic join or a hot serial stage).  Paste into BENCH_NOTES.md.
 
 Usage: python tools/bench_scale.py [sf_dir] [K ...]   (default sf0.1, K=1 8 64)
+
+Heap: the heavy pack at K >= 32 needs SPARK_GRAFT_DRIVER_MEM=48g — the
+8g session default OOMs on the biggest agg states (measured r14: flat
+PQ's 2e8-group ADC agg at x32; the per-cell emission below preserves
+everything measured up to such a crash).
 """
 
 from __future__ import annotations
