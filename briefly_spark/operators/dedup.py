@@ -607,6 +607,7 @@ def neardup_incremental(
     bands: int = 4,
     min_agree: int = 6,
     materialize: str = "local_checkpoint",
+    persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Admit a micro-batch against the near-dup HISTORY without ever
     reprocessing it — the MinHash twin of the exact-substring claims
@@ -654,12 +655,14 @@ def neardup_incremental(
       Right for production-style foreachBatch sinks (neardup_stream)
       and long multi-batch drains; costs lineage-tracking overhead and
       a re-analysis of the (cheap, batch-bounded) upstream plan on
-      recompute.  The persisted internals are handed to the caller as
-      ``rejects.neardup_persisted`` (a list of DataFrames): unpersist
-      them once the four returned frames are materialized/consumed —
-      Spark's CacheManager holds cache entries until explicit unpersist,
-      so skipping this leaks blocks per call on a long drain
-      (neardup_stream releases them automatically).
+      recompute.  Pass ``persisted_out`` (a list) to receive the
+      persisted internals EXPLICITLY: unpersist them once the four
+      returned frames are materialized/consumed — Spark's CacheManager
+      holds cache entries until explicit unpersist, so skipping this
+      leaks blocks per call on a long drain (neardup_stream releases
+      them in a finally).  An out-param, not an attribute on a returned
+      frame: any re-bind (.filter/.localCheckpoint) would silently drop
+      an attribute and re-open the leak (review r14).
     """
     if materialize not in ("local_checkpoint", "persist"):
         raise ValueError(
@@ -771,9 +774,10 @@ def neardup_incremental(
     sig_delta = signed.join(keep_ids, "id").select(
         F.lit(int(batch_id)).cast("long").alias("batch_id"), "id", "sig"
     )
-    # cache-release handle (persist mode only; empty list otherwise —
+    # cache-release handles (persist mode only; empty otherwise —
     # localCheckpoint blocks are reclaimed by the ContextCleaner on GC)
-    rejects.neardup_persisted = persisted
+    if persisted_out is not None:
+        persisted_out.extend(persisted)
     return admitted, band_delta, sig_delta, rejects
 
 

@@ -130,6 +130,69 @@ def pq_fit_encode(
     return codes, cent.select("s", "cell", "cv")
 
 
+def _query_distance_table(
+    queries: DataFrame, codebooks: DataFrame, *, dim: int, subspaces: int
+) -> DataFrame:
+    """(query_id, s, code, d) — the ADC distance table, |queries|·S·k
+    rows, broadcast-sized by construction.  ONE definition shared by the
+    flat and IVF-pruned searchers: the gated n_probe=n_cells byte-
+    identity between them (tests/test_similarity.py) rests on the table
+    construction being THE SAME CODE, not a kept-in-sync copy (review
+    r14)."""
+    width = dim // subspaces
+    sub_q = queries.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.slice("q", s * width + 1, width).alias("q"),
+                    )
+                    for s in range(subspaces)
+                ]
+            )
+        ).alias("p"),
+    ).select("query_id", "p.s", "p.q")
+    return sub_q.join(codebooks, "s").select(
+        "query_id", "s", F.col("cell").alias("code"), _sq_dist().alias("d")
+    )
+
+
+def _exact_rerank(
+    shortlist: DataFrame, queries: DataFrame, corpus_q: DataFrame, k_final: int
+) -> DataFrame:
+    """Hydrate a thin (query_id, neighbor_id) shortlist with full-width
+    quantized vectors (id equi-joins — only shortlist rows are touched)
+    and re-rank by EXACT integer squared-L2, smallest-id ties.  Shared by
+    pq_search and ivfpq_search for the same identity reason as
+    :func:`_query_distance_table`."""
+    from pyspark.sql import Window
+
+    hydrated = (
+        shortlist.join(
+            corpus_q.select(F.col("id").alias("neighbor_id"), F.col("q").alias("cq")),
+            "neighbor_id",
+        )
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    return (
+        hydrated.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_final)
+        .select("query_id", "neighbor_id", "rank", "sq_dist")
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -148,24 +211,7 @@ def pq_adc_topk(
     (id, s, code) rows: at 100 TB the scored frame is 4 ints per corpus
     vector fanned against a broadcast, with the per-(query, id) sum a
     partial-aggregable integer."""
-    width = dim // subspaces
-    sub_q = queries.select(
-        "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("s"),
-                        F.slice("q", s * width + 1, width).alias("q"),
-                    )
-                    for s in range(subspaces)
-                ]
-            )
-        ).alias("p"),
-    ).select("query_id", "p.s", "p.q")
-    dt = sub_q.join(codebooks, "s").select(
-        "query_id", "s", F.col("cell").alias("code"), _sq_dist().alias("d")
-    )
+    dt = _query_distance_table(queries, codebooks, dim=dim, subspaces=subspaces)
     scored = (
         codes.join(F.broadcast(dt), ["s", "code"])
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
@@ -223,56 +269,47 @@ def ivfpq_search(
     growing n_cells with the corpus (the FAISS sqrt(n) rule) keeps
     per-query ADC work ~ n_probe·n/n_cells — sub-linear in K when the
     panel is fixed, linear when it grows with the corpus.  The shortlist
-    is exact-re-ranked like :func:`pq_search`, so output contract and
-    determinism discipline (integer distances, smallest-id ties) are
-    identical; recall vs flat PQ is n_probe-controlled and pinned in
-    tests/test_pq.py.
+    is exact-re-ranked like :func:`pq_search` (same shared helper), so
+    output contract and determinism discipline (integer distances,
+    smallest-id ties) are identical; recall vs flat PQ is
+    n_probe-controlled and pinned in tests/test_similarity.py.
 
-    Scale shape: coarse assignment is map-only against a broadcast;
-    candidates are a thin (query_id, neighbor_id) cell equi-join; the
-    ADC join keys the broadcast distance table on (query_id, s, code) so
-    only candidate pairs are ever scored."""
+    Scale shape: corpus coarse assignment is one broadcast fan-out with a
+    MAP-SIDE-COMBINABLE min-struct aggregation (~|corpus| combined rows —
+    not a window sort over |corpus|·n_cells, which is n^1.5 under the
+    sqrt(n)-cells rule; review r14); the query side keeps a per-query
+    window because it needs the n_probe-head, and queries are the small
+    side.  Candidates are a thin (query_id, neighbor_id) cell equi-join;
+    the ADC join keys the broadcast distance table on (query_id, s,
+    code) so only candidate pairs are ever scored."""
     from pyspark.sql import Window
 
     cells = ivf_coarse_cells(corpus_q, n_cells=n_cells)
-
-    def _assign(df: DataFrame, id_col: str, keep: int) -> DataFrame:
-        w = Window.partitionBy(id_col).orderBy(F.asc("cd"), F.asc("cell_id"))
-        return (
-            df.join(F.broadcast(cells), how="cross")
-            .select(id_col, "cell_id", _sq_dist("q", "cv").alias("cd"))
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= keep)
-            .select(id_col, "cell_id")
-        )
-
-    from pyspark.sql import Window
-
-    corpus_cells = _assign(corpus_q, "id", 1)
-    query_cells = _assign(queries, "query_id", n_probe)
+    # corpus → nearest cell: the pq_fit_encode.assign idiom (min over a
+    # (dist, cell) struct — integer dist, smallest-cell ties), reduced
+    # map-side instead of sorted per partition
+    corpus_cells = (
+        corpus_q.join(F.broadcast(cells), how="cross")
+        .select("id", F.struct(_sq_dist("q", "cv").alias("cd"), "cell_id").alias("dc"))
+        .groupBy("id")
+        .agg(F.min("dc").alias("best"))
+        .select("id", F.col("best.cell_id").alias("cell_id"))
+    )
+    # queries → n_probe nearest cells: per-query head, queries are small
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cell_id"))
+    query_cells = (
+        queries.join(F.broadcast(cells), how="cross")
+        .select("query_id", "cell_id", _sq_dist("q", "cv").alias("cd"))
+        .withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= n_probe)
+        .select("query_id", "cell_id")
+    )
     cand = (
         query_cells.join(corpus_cells, "cell_id")
         .filter(F.col("query_id") != F.col("id"))
         .select("query_id", F.col("id").alias("neighbor_id"))
     )
-    width = dim // subspaces
-    sub_q = queries.select(
-        "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("s"),
-                        F.slice("q", s * width + 1, width).alias("q"),
-                    )
-                    for s in range(subspaces)
-                ]
-            )
-        ).alias("p"),
-    ).select("query_id", "p.s", "p.q")
-    dt = sub_q.join(codebooks, "s").select(
-        "query_id", "s", F.col("cell").alias("code"), _sq_dist().alias("d")
-    )
+    dt = _query_distance_table(queries, codebooks, dim=dim, subspaces=subspaces)
     scored = (
         cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
         .join(F.broadcast(dt), ["query_id", "s", "code"])
@@ -285,28 +322,7 @@ def ivfpq_search(
         .filter(F.col("rank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    hydrated = (
-        short.join(
-            corpus_q.select(F.col("id").alias("neighbor_id"), F.col("q").alias("cq")),
-            "neighbor_id",
-        )
-        .join(queries, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("sq_dist"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
-    return (
-        hydrated.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k_final)
-        .select("query_id", "neighbor_id", "rank", "sq_dist")
-    )
+    return _exact_rerank(short, queries, corpus_q, k_final)
 
 
 def pq_search(
@@ -329,27 +345,4 @@ def pq_search(
     cand = pq_adc_topk(
         queries, codes, codebooks, dim=dim, subspaces=subspaces, k_final=shortlist
     ).select("query_id", "neighbor_id")
-    hydrated = (
-        cand.join(
-            corpus_q.select(F.col("id").alias("neighbor_id"), F.col("q").alias("cq")),
-            "neighbor_id",
-        )
-        .join(queries, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("sq_dist"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
-    return (
-        hydrated.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_final)
-        .select("query_id", "neighbor_id", "rank", "sq_dist")
-    )
+    return _exact_rerank(cand, queries, corpus_q, k_final)

@@ -519,11 +519,18 @@ def related_topk(
     gate-swept SF stays orders of magnitude below this bound, so gated
     values are unchanged)."""
     if tier == "auto":
-        # Two count jobs against the raw scans.  Column pruning reduces
-        # them to parquet-metadata rowcounts, so they are NOT worth a
-        # persist — the expensive lineage (scored pairs) below is
-        # consumed linearly.
-        tier = "exact" if queries.count() * corpus.count() <= exact_max_pairs else "lsh"
+        # corpus.count() prunes to a parquet-metadata rowcount on raw
+        # scans; queries is a DERIVED frame in every in-repo caller
+        # (relate_batch joins, q41 filters), so its count evaluates real
+        # lineage — run it only when the corpus alone doesn't already
+        # decide (|queries| >= 1 ⇒ corpus_n > bound is decisive), and
+        # skip the whole probe when the caller forced a tier (review
+        # r14).
+        corpus_n = corpus.count()
+        if corpus_n > exact_max_pairs:
+            tier = "lsh"
+        else:
+            tier = "exact" if queries.count() * corpus_n <= exact_max_pairs else "lsh"
     q = _with_norm(queries, "qn").alias("q")
     # same BNLJ-parallelism fix as topk_cosine: stream side must be spread
     c = _with_norm(spread(corpus), "cn").alias("c")

@@ -731,6 +731,7 @@ def neardup_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         id_type = dict(batch_df.dtypes).get(id_col, "bigint")
+        to_release: list = []
         admitted, band_delta, sig_delta, rejects = neardup_incremental(
             batch_df,
             _read_or_empty(
@@ -748,29 +749,31 @@ def neardup_stream(
             bands=bands,
             min_agree=min_agree,
             materialize=materialize,
+            persisted_out=to_release,
         )
         # Materialize ALL four frames before the first registry merge: the
         # deltas' lineage reads the registry files a prior merge in this
         # very sink replaces (FILE_NOT_EXIST otherwise); every frame is
         # micro-batch-sized by construction.  This re-bind is a lineage
         # CUT by requirement, regardless of ``materialize`` (see the
-        # docstring's scope note).
-        to_release = list(getattr(rejects, "neardup_persisted", ()))
-        admitted = admitted.localCheckpoint(eager=True)
-        band_delta = band_delta.localCheckpoint(eager=True)
-        sig_delta = sig_delta.localCheckpoint(eager=True)
-        rejects = rejects.localCheckpoint(eager=True)
-        # the operator's persisted internals are consumed now — release
-        # them so a long drain doesn't leak CacheManager entries per
-        # batch (review r14)
-        for f in to_release:
-            f.unpersist()
-        if admitted.take(1):
-            wh.merge_upsert(admitted, clean_table, [id_col])
-            wh.merge_upsert(band_delta, band_table, ["batch_id"])
-            wh.merge_upsert(sig_delta, sig_table, ["batch_id"])
-        if rejects.take(1):
-            wh.merge_upsert(rejects, rejects_table, ["id"])
+        # docstring's scope note).  The unpersist lives in finally: a
+        # batch that dies mid-checkpoint/merge must not leak its cached
+        # internals across availableNow restart attempts (review r14
+        # pass 2).
+        try:
+            admitted = admitted.localCheckpoint(eager=True)
+            band_delta = band_delta.localCheckpoint(eager=True)
+            sig_delta = sig_delta.localCheckpoint(eager=True)
+            rejects = rejects.localCheckpoint(eager=True)
+            if admitted.take(1):
+                wh.merge_upsert(admitted, clean_table, [id_col])
+                wh.merge_upsert(band_delta, band_table, ["batch_id"])
+                wh.merge_upsert(sig_delta, sig_table, ["batch_id"])
+            if rejects.take(1):
+                wh.merge_upsert(rejects, rejects_table, ["id"])
+        finally:
+            for f in to_release:
+                f.unpersist()
 
     q = (
         source.writeStream.foreachBatch(sink)

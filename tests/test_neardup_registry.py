@@ -159,10 +159,11 @@ def test_persist_materialization_matches_local_checkpoint(spark):
     df = spark.createDataFrame(batches[0], "id long, text string")
     outs = {}
     for mode in ("local_checkpoint", "persist"):
+        handles: list = []
         adm, bd, sd, rej = neardup_incremental(
             df, band_reg, sig_reg, id_col="id", text_col="text",
             batch_id=0, n=N, k=K, bands=BANDS, min_agree=MIN_AGREE,
-            materialize=mode,
+            materialize=mode, persisted_out=handles,
         )
         outs[mode] = (
             sorted(r["id"] for r in adm.collect()),
@@ -170,10 +171,10 @@ def test_persist_materialization_matches_local_checkpoint(spark):
             sorted(map(tuple, bd.collect())),
             sorted(map(tuple, sd.collect())),
         )
-        # cache-release contract (review r14): persist mode hands back
-        # its persisted internals for the caller to release; the default
-        # mode has nothing to release
-        handles = rej.neardup_persisted
+        # cache-release contract (review r14: an EXPLICIT out-param, not
+        # an attribute a re-bind would silently drop): persist mode hands
+        # back its persisted internals for the caller to release; the
+        # default mode has nothing to release
         if mode == "persist":
             assert len(handles) == 3  # signed, banded, rejects
             assert all(h.storageLevel.useMemory for h in handles)
