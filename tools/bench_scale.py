@@ -6,11 +6,18 @@ paper (COVERAGE.md X-series notes).
 Corpus construction: the documents table is replicated K× with every
 token PREFIXED by a replica tag (``r3the r3quick ...``) and doc_ids
 offset per replica.  Prefixing (rather than appending a tag token)
-keeps replicas lexically DISJOINT — no cross-replica shingles, spans,
-bigrams or band keys — so every query's output cardinality grows
-linearly in K and the sweep measures engine scaling, not output
-explosion.  Within a replica the dup/near-dup structure of the original
-corpus is preserved exactly.
+keeps replicas lexically DISJOINT at the WORD level — no cross-replica
+shingles, spans, bigrams or band keys — so every query's output
+cardinality grows linearly in K and the sweep measures engine scaling,
+not output explosion.  Within a replica the dup/near-dup structure of
+the original corpus is preserved exactly.  CAVEAT (r14, measured): the
+word-level guarantee does NOT extend to CHARACTER q-grams — "quick" is
+a substring of "r3quick" — so char-gram operators (the q37 fuzzy tier)
+see the untagged original replica's grams recur in every tagged
+replica, inflating prefix-filter candidates by an n_orig·K term; their
+cells here are an artifact CEILING, dispositioned in BENCH_NOTES with
+a char-disjoint (per-replica Caesar rotation) control showing the
+engine leg sub-linear.
 
 Queries, one per shuffle family:
 
