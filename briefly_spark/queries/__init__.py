@@ -112,71 +112,64 @@ def register(
 #: new; any new capability lands mirror-pinned with a disposition, or
 #: grafts into a query whose seat is already paid (the r13 pattern).
 WINDOW_HEAD: tuple[str, ...] = (
-    # r14 head — q149 LEADS (the r13 verdict's mandate: its oracle
-    # absorbed the shared empty-table coalesce helper with q147's graft
-    # and held the documented one-round tail seat; the q128 r12→r13
-    # precedent ends here with its fresh driver row).  Then the 49
-    # r11-green queries in window_plan.py proposal order.  Zero spare
-    # seats, zero tail seats.
-    "q149_governance_pack",
-    "q50_token_stats",
-    "q51_language_id",
-    "q52_quality_score",
-    "q53_winnow_fingerprints",
-    "q54_source_quality_rollup",
-    "q55_gopher_rules",
-    "q56_pii_scrub",
-    "q57_hash_split",
-    "q58_mixture_resample",
-    "q59_pack_sequences",
-    "q35_top_ngram_repetition",
-    "q38_stratified_quota_sample",
-    "q68_group_split",
-    "q69_pack_assemble",
-    "q114_temperature_mixture",
-    "q20_clean_documents",
-    "q21_chunk_fixed",
-    "q22_chunk_recursive",
-    "q23_doc_source_dims",
-    "q24_summary_bullets",
-    "q25_img_and_ids",
-    "q26_url_canonical",
-    "q27_paragraph_extract",
-    "q46_tfidf_topterms",
-    "q47_bm25_search",
-    "q48_lm_perplexity",
-    "q121_token_surprisal",
-    "q129_hybrid_rrf",
-    "q90_ingest_normalize",
-    "q92_feeds_config",
-    "q93_two_tier_worklist",
-    "q94_worklist_hydration",
-    "q91_tts_synthesis",
-    "q83_span_dedup",
-    "q85_semantic_dedup",
-    "q88_vocab_encode",
-    "q109_bpe_merges",
-    "q126_bpe_encode",
-    "q148_unigram_tokenizer",
-    "q124_classifier_train",
-    "q115_label_propagation",
-    "q16_volume_shipping",
-    "q17_large_volume_orders",
-    "q18_disjunctive_revenue",
-    "q19_revenue_concentration",
-    "q28_heavy_hitters",
-    "q81_media_decode_arrow",
-    "q82_frame_sample",
-    "q120_hh_stream_resolve",
-    # TAIL SEAT (position 51 — beyond the 50-entry gate, bounded to one
-    # round by tests/test_gate_debt.py): q37's oracle form moved at r14
-    # open with the brute-force cost ceiling (VERDICT r13 next-round #4 —
-    # sql_fuzzy_dedup_pairs now embeds the SQL_BRUTE_FORCE_CAP error()
-    # guard; a no-op at every SF the gate sweeps, values unchanged and
-    # re-verified by check_oracle at sf0.01 this round).  q37 is r13-green
-    # (fresh deferral) and its driver row lands at r15 — the q149 r13→r14
-    # precedent.
+    # r15 head — q37 LEADS (the r14 verdict's mandate: its oracle gained
+    # the SQL_BRUTE_FORCE_CAP error() guard at r14 and held the
+    # documented one-round tail seat; the q149 r13→r14 precedent ends
+    # here with its fresh driver row).  Then the 49 r12-green queries in
+    # window_plan.py proposal order — 49 stale + q37 = exactly 50, zero
+    # spare seats, zero tail seats.  q118 sits in the head because the
+    # X150 IVF-PQ graft lands under its driver hash this round
+    # (tools/window_plan.py X150 disposition).
     "q37_dup_clusters",
+    "q113_random_projection",
+    "q116_mmr_rerank",
+    "q118_pq_ann",
+    "q140_ccnet_ppl_buckets",
+    "q142_phrase_search",
+    "q143_doc_entropy",
+    "q145_lm_holdout_ppl",
+    "q131_exact_substring_dedup",
+    "q133_substring_dedup_keepfirst",
+    "q134_duplication_flow",
+    "q135_eval_overlap_exact",
+    "q84_dsir_weights",
+    "q86_dsir_select",
+    "q87_curation_funnel",
+    "q89_dsir_budget_fill",
+    "q96_kmeans_clusters",
+    "q125_classifier_margins",
+    "q130_classifier_margins_avg",
+    "q127_classifier_funnel_audit",
+    "q132_classifier_pr_curve",
+    "q139_vocab_coverage",
+    "q141_nb_confusion",
+    "q95_dup_graph_pagerank",
+    "q144_dup_triangles",
+    "q100_waiting_suppliers",
+    "q107_term_pmi",
+    "q108_source_similarity",
+    "q110_balance_prospects",
+    "q111_nation_top_supplier",
+    "q117_source_drift_kl",
+    "q136_heaps_vocab_growth",
+    "q137_zipf_rank_curve",
+    "q146_rollup_inventory",
+    "q97_bloom_decontaminate",
+    "q98_zorder_layout",
+    "q99_group_sample",
+    "q101_winsorize_lengths",
+    "q103_grouped_median",
+    "q105_snapshot_diff",
+    "q106_weighted_sample",
+    "q119_rank_fusion",
+    "q64_retention_cohorts",
+    "q65_median_gap",
+    "q102_peak_concurrency",
+    "q112_event_transitions",
+    "q122_shingle_containment",
+    "q123_dup_cluster_histogram",
+    "q138_lsh_calibration",
+    "q104_frame_fingerprint_pairs",
 )
 
 
