@@ -584,6 +584,8 @@ _PQ_K = 16      # centroids per subspace codebook
 _PQ_ITERS = 2   # Lloyd rounds per codebook
 _PQ_SHORTLIST = 32  # ADC candidates per query, exact-re-ranked to top-k
 _PQ_TOPK = 5
+_IVF_CELLS = 16  # coarse cells for the ivfpq section (X150 graft, r15)
+_IVF_PROBE = 4   # cells probed per query — a real 4/16 prune, oracle-mirrored
 
 
 def _q118_oracle() -> str:
@@ -672,14 +674,75 @@ rerank AS MATERIALIZED (
   JOIN qv qq ON qq.id = c.query_id
   JOIN qv nq ON nq.id = c.neighbor_id
 )""")
+    # X150 graft (r15): the PRUNED IVF-PQ leg, mirrored in full.  Coarse
+    # cells are the n_cells corpus vectors with smallest md5(id) (the
+    # operators/pq.py:ivf_coarse_cells discipline — deterministic, so the
+    # whole prune sits on the oracle surface, not just the full-probe
+    # identity the pin test already covers); corpus→cell and query→probe
+    # assignments are integer full-width argmins with smallest-cell ties;
+    # ADC is restricted to probed-cell candidate pairs; the shortlist
+    # re-ranks through the SAME exact integer distance as the flat leg.
+    fsq = (
+        "list_sum(list_transform(range(1, len(v.q) + 1),"
+        " i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))"
+    )
+    parts.append(f"""
+cells AS MATERIALIZED (
+  SELECT id AS cell_id, q AS cv FROM qv
+  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {_IVF_CELLS}
+),
+corpus_cell AS MATERIALIZED (
+  SELECT id, cell_id FROM (
+    SELECT v.id, c.cell_id,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {fsq}, c.cell_id) AS rn
+    FROM qv v JOIN cells c ON TRUE) WHERE rn = 1
+),
+query_cell AS MATERIALIZED (
+  SELECT query_id, cell_id FROM (
+    SELECT v.id AS query_id, c.cell_id,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {fsq}, c.cell_id) AS rn
+    FROM (SELECT id, q FROM qv WHERE id % 20 = 0) v
+    JOIN cells c ON TRUE) WHERE rn <= {_IVF_PROBE}
+),
+ivf_scored AS MATERIALIZED (
+  SELECT ca.query_id, ca.neighbor_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+  FROM (SELECT qc.query_id, cc.id AS neighbor_id
+        FROM query_cell qc JOIN corpus_cell cc USING (cell_id)
+        WHERE qc.query_id <> cc.id) ca
+  JOIN codes ON codes.id = ca.neighbor_id
+  JOIN dt ON dt.query_id = ca.query_id
+         AND dt.s = codes.s AND dt.code = codes.code
+  GROUP BY ca.query_id, ca.neighbor_id
+),
+ivf_rerank AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qq.q) + 1),
+              i -> (qq.q[i] - nq.q[i]) * (qq.q[i] - nq.q[i]))) AS BIGINT)
+           AS sq_dist
+  FROM (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+          FROM ivf_scored) WHERE rn <= {_PQ_SHORTLIST}) c
+  JOIN qv qq ON qq.id = c.query_id
+  JOIN qv nq ON nq.id = c.neighbor_id
+)""")
     return (
         "WITH "
         + ",".join(parts)
         + f"""
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sq_dist FROM (
+SELECT 'flat' AS section, query_id, neighbor_id,
+       CAST(rank AS BIGINT) AS rank, sq_dist FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sq_dist, neighbor_id) AS rank
-  FROM rerank) WHERE rank <= {_PQ_TOPK}"""
+  FROM rerank) WHERE rank <= {_PQ_TOPK}
+UNION ALL
+SELECT 'ivfpq' AS section, query_id, neighbor_id,
+       CAST(rank AS BIGINT) AS rank, sq_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sq_dist, neighbor_id) AS rank
+  FROM ivf_rerank) WHERE rank <= {_PQ_TOPK}"""
     )
 
 
@@ -702,22 +765,51 @@ def q118_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings — PQ's adversarial worst case (no cluster structure;
     distance concentration); K and the shortlist size are the recall
     levers, and the recall floor is pytest-pinned.  See operators/pq.py
-    for the 100 TB shape."""
-    from briefly_spark.operators.pq import pq_fit_encode, pq_search, quantized
+    for the 100 TB shape.
+
+    r15 graft (X150, tools/window_plan.py disposition): an 'ivfpq'
+    section carries the PRUNED coarse-cell search (n_cells=16, n_probe=4
+    — a real 4/16 prune, the fix for flat ADC's q·n ~ K² super-linear
+    term found by the r14 ×32 sweep) alongside the 'flat' surface, under
+    ONE driver hash.  The oracle mirrors the prune itself — smallest-md5
+    coarse cells, integer argmin assignments, probed-cell-only ADC —
+    not just the full-probe byte-identity (which stays pytest-pinned in
+    tests/test_similarity.py); codebooks, distance table, and the exact
+    re-rank are shared between the legs on both sides."""
+    from briefly_spark.operators.pq import (
+        ivfpq_search,
+        pq_fit_encode,
+        pq_search,
+        quantized,
+    )
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     codes, books = pq_fit_encode(
         emb, id_col="vec_id", vec_col="embedding", dim=64,
         subspaces=_PQ_S, k=_PQ_K, iters=_PQ_ITERS,
     )
+    codes = codes.persist()
     corpus_q = quantized(emb, "vec_id", "embedding").persist()
     queries = corpus_q.filter(F.col("id") % 20 == 0).select(
         F.col("id").alias("query_id"), "q"
     )
-    out = pq_search(
+    flat = pq_search(
         queries, corpus_q, codes, books,
         dim=64, subspaces=_PQ_S, shortlist=_PQ_SHORTLIST, k_final=_PQ_TOPK,
     )
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sq_dist"
+    ivfpq = ivfpq_search(
+        queries, corpus_q, codes, books,
+        dim=64, subspaces=_PQ_S, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        shortlist=_PQ_SHORTLIST, k_final=_PQ_TOPK,
     )
+
+    def tidy(df: DataFrame, section: str) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "sq_dist",
+        )
+
+    return tidy(flat, "flat").unionByName(tidy(ivfpq, "ivfpq"))

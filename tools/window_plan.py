@@ -105,20 +105,14 @@ MIRROR_PINNED: tuple[dict, ...] = (
                   "file listings — not reproducible from the parquet views "
                   "a gate sees) — final disposition",
     },
-    {
-        "op": "X150 IVF-PQ coarse-pruned ADC search",
-        "kind": "pure-python-pin",
-        "symbol": "briefly_spark.operators.pq:ivfpq_search",
-        "test": "tests/test_similarity.py::"
-                "test_ivfpq_full_probe_equals_flat_and_pruned_is_bounded",
-        "queued": "graft into q118_pq_ann at r15 (its r12-paid seat re-gates "
-                  "then): an ivfpq section alongside the flat surface — "
-                  "full-probe byte-identity to pq_search makes the oracle "
-                  "shared.  Fixes the ONE super-linear x32 weak-scaling "
-                  "term (flat ADC exp 1.35 with a corpus-growing probe "
-                  "panel -> ivfpq exp 0.44 at sqrt(n) cells, n_probe=8; "
-                  "BENCH_NOTES r14)",
-    },
+    # r15 graft queue EXECUTED:
+    #   X150 IVF-PQ coarse-pruned ADC search → q118_pq_ann (r15 open).
+    #   Landed STRONGER than queued: the gated 'ivfpq' section runs the
+    #   PRUNED search (n_cells=16, n_probe=4) and the DuckDB oracle
+    #   mirrors the prune itself (smallest-md5 cells, integer argmin
+    #   assignments, probed-cell-only ADC) — the full-probe byte-identity
+    #   remains pytest-pinned (tests/test_similarity.py::
+    #   test_ivfpq_full_probe_equals_flat_and_pruned_is_bounded).
 )
 
 
