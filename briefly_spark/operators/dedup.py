@@ -669,6 +669,16 @@ def neardup_incremental(
             f"neardup_incremental: materialize must be 'local_checkpoint' "
             f"or 'persist', got {materialize!r}"
         )
+    if materialize == "persist" and persisted_out is None:
+        # ADVICE r14 #1: without the out-param the three persisted
+        # handles are unreachable and every call on a long drain leaks
+        # MEMORY_AND_DISK cache entries — the exact failure the
+        # out-param exists to prevent.  Refuse the pairing outright.
+        raise ValueError(
+            "neardup_incremental: materialize='persist' requires "
+            "persisted_out (a list) so the caller can unpersist the "
+            "internal frames — omitting it leaks cache entries per call"
+        )
     persisted: list[DataFrame] = []
 
     def _bound(df: DataFrame) -> DataFrame:

@@ -219,17 +219,23 @@ def sql_fuzzy_dedup_pairs(
     value-matches only where characters are single bytes.  The Spark
     surface's unicode behavior is the intended character semantics and
     is pinned against a pure-Python character-level reference instead."""
-    # the guard lives in WHERE (not an unreferenced projected column —
-    # DuckDB's column pruning deletes those, silently disarming the cap;
-    # measured): an uncorrelated scalar, evaluated once before the join
-    # pipelines start, raising in ~0 s above the cap
-    return f"""SELECT l.{id_col} AS left_id, r.{id_col} AS right_id,
+    # The guard is a MATERIALIZED one-row CTE consumed by the LEFT scan's
+    # FROM (ADVICE r14 #3): the join cannot emit a single l-row until the
+    # guard aggregate has evaluated, so the refusal fires before any
+    # levenshtein work STRUCTURALLY (dataflow order), not because the
+    # optimizer happened to evaluate an uncorrelated WHERE subquery
+    # early.  It still must not be an unreferenced projected column —
+    # DuckDB's column pruning deletes those, silently disarming the cap
+    # (measured) — which is why the scan filters on g.ok.
+    return f"""WITH bf_guard AS MATERIALIZED (
+  SELECT CASE WHEN count(*) > {int(brute_cap)}
+    THEN error('sql_fuzzy_dedup_pairs: input exceeds SQL_BRUTE_FORCE_CAP={int(brute_cap)} rows; the brute-force O(n^2) levenshtein mirror is ~375s at 10k rows and quadratic beyond — pin completeness at sf<=0.1 instead (operators/fuzzy.py)')
+    ELSE 1 END AS ok FROM {table})
+SELECT l.{id_col} AS left_id, r.{id_col} AS right_id,
        CAST(levenshtein(l.{text_col}, r.{text_col}) AS INT) AS dist
-FROM {table} l JOIN {table} r
+FROM (SELECT t.* FROM {table} t, bf_guard g WHERE g.ok = 1) l
+JOIN {table} r
   ON l.{id_col} < r.{id_col}
  AND abs(length(l.{text_col}) - length(r.{text_col})) <= {int(max_dist)}
 WHERE l.{text_col} IS NOT NULL AND r.{text_col} IS NOT NULL
-  AND levenshtein(l.{text_col}, r.{text_col}) <= {int(max_dist)}
-  AND (SELECT CASE WHEN count(*) > {int(brute_cap)}
-    THEN error('sql_fuzzy_dedup_pairs: input exceeds SQL_BRUTE_FORCE_CAP={int(brute_cap)} rows; the brute-force O(n^2) levenshtein mirror is ~375s at 10k rows and quadratic beyond — pin completeness at sf<=0.1 instead (operators/fuzzy.py)')
-    ELSE 1 END FROM {table}) = 1"""
+  AND levenshtein(l.{text_col}, r.{text_col}) <= {int(max_dist)}"""

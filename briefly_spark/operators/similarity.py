@@ -528,7 +528,18 @@ def related_topk(
         # r14).
         corpus_n = corpus.count()
         if corpus_n > exact_max_pairs:
-            tier = "lsh"
+            # The corpus-only short-circuit assumes >=1 query makes the
+            # pair product decisive.  With dims=None an LSH routing would
+            # raise where exact would have returned empty, so for those
+            # callers pay the queries count and send an EMPTY batch to
+            # the exact tier (0 pairs <= bound — the stated pair-product
+            # contract; ADVICE r14 #2).  dims-providing callers keep the
+            # one-count fast path: LSH on an empty batch is a cheap
+            # empty result, not an error.
+            if dims is None and queries.count() == 0:
+                tier = "exact"
+            else:
+                tier = "lsh"
         else:
             tier = "exact" if queries.count() * corpus_n <= exact_max_pairs else "lsh"
     q = _with_norm(queries, "qn").alias("q")

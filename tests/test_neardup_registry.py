@@ -289,3 +289,19 @@ def test_rejects_k_beyond_md5_slice_budget(spark):
             df, empty_b, empty_s, id_col="id", text_col="text",
             batch_id=0, k=16, bands=4, min_agree=12,
         )
+
+
+def test_rejects_persist_without_out_param(spark):
+    """ADVICE r15 pin: materialize='persist' with persisted_out=None would
+    silently discard the persisted handles — a guaranteed cache leak per
+    call on a long drain.  The pairing is refused, not documented."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    empty_b = spark.createDataFrame([], "batch_id long, band int, key string, id long")
+    empty_s = spark.createDataFrame([], "batch_id long, id long, sig array<string>")
+    with pytest.raises(ValueError, match="persisted_out"):
+        neardup_incremental(
+            df, empty_b, empty_s, id_col="id", text_col="text",
+            batch_id=0, materialize="persist",
+        )

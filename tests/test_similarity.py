@@ -407,3 +407,21 @@ def test_pq_codes_are_compact(spark, sf_dir):
     assert codes.count() == 4 * n                      # S rows per vector
     assert books.count() <= 4 * 8                      # at most S·k centroids
     assert set(codes.columns) == {"id", "s", "code"}   # no vectors in the code table
+
+
+def test_related_topk_auto_tier_empty_queries_above_corpus_bound(spark):
+    """ADVICE r15 pin: with tier='auto', corpus_n above the pair bound,
+    and dims=None, an EMPTY query batch must resolve to the exact tier's
+    empty result (0 pairs <= bound — the pair-product contract), not
+    raise the LSH ValueError('dims') the corpus-only short-circuit used
+    to route into."""
+    queries = spark.createDataFrame([], "query_id long, topic string, v array<double>")
+    corpus = spark.createDataFrame(
+        [(i, "t", [float(i), 1.0]) for i in range(8)],
+        "neighbor_id long, topic string, v array<double>",
+    )
+    scores = spark.createDataFrame([], "neighbor_id long, validation_score int")
+    out = related_topk(
+        queries, corpus, scores, tier="auto", exact_max_pairs=4, dims=None
+    )
+    assert out.count() == 0
