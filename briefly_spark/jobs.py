@@ -352,9 +352,16 @@ def relate_batch(
     # 100 TB design point; r14: the bound moved from corpus-size to the
     # pair product because THIS caller drains corpus-sized query batches,
     # which kept exact at q·n ≈ 5·10⁸ pairs in the ×32 scale cell)
+    # queries_n: the work-list is LIMITed to batch_size and EMBEDDINGS
+    # carries one row per url, so batch_size is a known upper bound —
+    # passing it skips the auto-tier's derived-lineage queries count
+    # (VERDICT r14 #4; an over-estimate can only shift toward LSH, the
+    # scale-safe direction, and every gate-swept SF stays far inside the
+    # exact bound either way).  The corpus probe stays: wh.read is a raw
+    # parquet scan, so its count prunes to metadata.
     ranked = related_topk(
         queries, corpus, scores, k_candidates=k + 1, k_final=k,
-        tier="auto", dims=dims,
+        tier="auto", dims=dims, queries_n=batch_size,
     )
     # collect_list order is not preserved across the groupBy shuffle —
     # sort (rank, id) structs inside the aggregate instead.

@@ -488,6 +488,8 @@ def related_topk(
     tables: int = 4,
     n_cells: int = 16,
     n_probe: int = 4,
+    corpus_n: int | None = None,
+    queries_n: int | None = None,
 ) -> DataFrame:
     """Two-tier similarity with fallback fill + weighted re-rank — the full
     reference pipeline (get_relevant_articles.py) as ONE set-oriented job:
@@ -517,7 +519,17 @@ def related_topk(
     corpus-only bound kept the exact tier at q·n ≈ 5·10⁸ pairs in the
     ×32 weak-scaling cell — q128's one super-linear span; every
     gate-swept SF stays orders of magnitude below this bound, so gated
-    values are unchanged)."""
+    values are unchanged).
+
+    ``corpus_n`` / ``queries_n`` (VERDICT r14 #4): trusted
+    exact-or-UPPER-BOUND row counts a caller already knows — each one
+    provided replaces the corresponding eager ``count()`` probe job.
+    The corpus count prunes to parquet metadata on raw scans, but the
+    queries side is a DERIVED frame in every in-repo caller, so its
+    count evaluates real lineage; ``jobs.relate_batch`` passes its
+    ``batch_size`` limit as ``queries_n``.  An over-estimate can only
+    shift the gate toward LSH — the scale-safe direction; pass exact
+    counts where the exact/LSH boundary matters to results."""
     if tier == "auto":
         # corpus.count() prunes to a parquet-metadata rowcount on raw
         # scans; queries is a DERIVED frame in every in-repo caller
@@ -526,7 +538,8 @@ def related_topk(
         # decide (|queries| >= 1 ⇒ corpus_n > bound is decisive), and
         # skip the whole probe when the caller forced a tier (review
         # r14).
-        corpus_n = corpus.count()
+        if corpus_n is None:
+            corpus_n = corpus.count()
         if corpus_n > exact_max_pairs:
             # The corpus-only short-circuit assumes >=1 query makes the
             # pair product decisive.  With dims=None an LSH routing would
@@ -536,12 +549,16 @@ def related_topk(
             # contract; ADVICE r14 #2).  dims-providing callers keep the
             # one-count fast path: LSH on an empty batch is a cheap
             # empty result, not an error.
-            if dims is None and queries.count() == 0:
+            if dims is None and (
+                queries_n == 0 or (queries_n is None and queries.count() == 0)
+            ):
                 tier = "exact"
             else:
                 tier = "lsh"
         else:
-            tier = "exact" if queries.count() * corpus_n <= exact_max_pairs else "lsh"
+            if queries_n is None:
+                queries_n = queries.count()
+            tier = "exact" if queries_n * corpus_n <= exact_max_pairs else "lsh"
     q = _with_norm(queries, "qn").alias("q")
     # same BNLJ-parallelism fix as topk_cosine: stream side must be spread
     c = _with_norm(spread(corpus), "cn").alias("c")

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table, spread
+from briefly_spark.catalog import load_table, spread, table_rows
 from briefly_spark.operators.similarity import (
     ann_recall_audit,
     contrastive_pairs,
@@ -126,9 +126,20 @@ def q41_related_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation_score is the deterministic (id·7) mod 11 — replacing the
     reference's random default (SURVEY §7.2)."""
     queries, corpus, scores = _related_inputs(spark, sf_dir)
-    # tier="auto": exact below the corpus threshold (all local SFs — keeps
-    # the exact-oracle hash), LSH candidate generation above it.
-    return related_topk(queries, corpus, scores, k_candidates=6, k_final=5, tier="auto", dims=64)
+    # tier="auto": exact below the pair bound (all local SFs — keeps the
+    # exact-oracle hash), LSH candidate generation above it.  The probe
+    # counts come from the parquet FOOTER (catalog.table_rows — zero
+    # Spark jobs; VERDICT r14 #4: the two eager count() probes were
+    # q41's one bench mover at r14): corpus is exactly one row per
+    # embeddings row, and queries (the id%20 slice) is bounded above by
+    # it — an over-estimate only ever shifts the gate toward LSH, and
+    # the n² crossover (~n=5000) sits above every locally-swept SF, so
+    # gated and benched values are unchanged (exact tier either way).
+    n = table_rows(sf_dir, "embeddings")
+    return related_topk(
+        queries, corpus, scores, k_candidates=6, k_final=5, tier="auto",
+        dims=64, corpus_n=n, queries_n=n,
+    )
 
 
 def _related_inputs(spark: SparkSession, sf_dir: str):
