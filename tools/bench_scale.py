@@ -130,7 +130,77 @@ QUERIES = (
     # streaming heavy-hitter drain + resolve gate: micro-batch count is
     # fixed, per-batch state is (k x partitions)-bounded by Misra-Gries
     "q120_hh_stream_resolve",
+    # r15 gate-rung pack (VERDICT r14 next-round #5 — the remaining
+    # pipeline/stream gates at x32):
+    # hybrid retrieval: BM25 postings join + exact cosine branch + RRF
+    # fusion over |Q|*20 candidate rows — both branches grow with the
+    # corpus (queries are doc_id % 100, so the panel grows too)
+    "q129_hybrid_rrf",
+    # keep-first ExactSubstr one-shot: partial-aggregable min-groupBy on
+    # the md5 shingle key + one equi-join + sparse interval merge; its
+    # STREAM leg is the x133_substring_stream extra below
+    "q133_substring_dedup_keepfirst",
 )
+
+#: Non-registry scale cells — callables measured exactly like QUERIES
+#: rows (cold, noop-sink where applicable).  x133: the streaming
+#: ExactSubstr twin (streaming/incremental.py:substring_dedup_stream) —
+#: a FIXED 4-micro-batch drain of the replicated documents dir through
+#: the shingle-registry foreachBatch sink into a temp warehouse, so the
+#: cell measures per-batch work growing with K (weak scaling of the
+#: stream leg), not a batch-count artifact.
+EXTRAS = ("x133_substring_stream",)
+
+
+def run_substring_stream_cell(spark, sf_dir: str) -> float:
+    import glob as _glob
+
+    from briefly_spark.storage import Warehouse
+    from briefly_spark.streaming import read_parquet_stream, substring_dedup_stream
+
+    doc_path = table_path(sf_dir, "documents")
+    wrap = None
+    if os.path.isfile(doc_path):
+        # base testdata stores the table as ONE file; the file stream
+        # source needs a directory — wrap it (warmup path only; the
+        # replicated dirs this sweep measures are directories already)
+        wrap = tempfile.mkdtemp(prefix="sub_stream_src_")
+        os.symlink(doc_path, os.path.join(wrap, "part-0.parquet"))
+        doc_path = wrap
+    files = _glob.glob(os.path.join(doc_path, "*.parquet"))
+    per_trigger = max(1, math.ceil(max(len(files), 1) / 4))
+    tmp = tempfile.mkdtemp(prefix="sub_stream_")
+    try:
+        wh = Warehouse(spark, os.path.join(tmp, "wh"))
+        wh.overwrite(
+            spark.createDataFrame(
+                [],
+                "id long, n_tokens long, n_dup_windows long, n_runs long, "
+                "n_covered long, max_run_len long, clean_text string",
+            ),
+            "clean_docs",
+        )
+        wh.overwrite(
+            spark.createDataFrame([], "h string, first_key long"), "sub_registry"
+        )
+        t0 = time.perf_counter()
+        substring_dedup_stream(
+            read_parquet_stream(spark, doc_path, max_files_per_trigger=per_trigger),
+            wh,
+            clean_table="clean_docs",
+            registry_table="sub_registry",
+            checkpoint=os.path.join(tmp, "ckpt"),
+            id_col="doc_id",
+            text_col="text",
+            min_tokens=8,
+        )
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if wrap:
+            shutil.rmtree(wrap, ignore_errors=True)
+
+
 #: doc_id offset per replica — far above any testdata id, far below the
 #: q83 okey stride overflow bound (id·1e6 must stay < 2^63)
 _REPLICA_STRIDE = 10_000_000
@@ -231,8 +301,8 @@ def main() -> None:
     # restricts the pack (for measuring late additions without replaying
     # the whole grid); default is every QUERIES entry.
     only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
-    queries = tuple(only.split(",")) if only else QUERIES
-    unknown = [q for q in queries if q not in QUERIES]
+    queries = tuple(only.split(",")) if only else QUERIES + EXTRAS
+    unknown = [q for q in queries if q not in QUERIES + EXTRAS]
     if unknown:
         raise SystemExit(f"not in the recorded pack: {unknown}")
     spark = get_spark("bench_scale")
@@ -245,6 +315,9 @@ def main() -> None:
             build_replicated_dir(spark, sf_dir, d, k)
             dirs[k] = d
         for name in queries:  # plans + codegen warmup off the clock
+            if name in EXTRAS:
+                run_substring_stream_cell(spark, WARMUP_SF_DIR)
+                continue
             registry[name].fn(spark, WARMUP_SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -254,7 +327,10 @@ def main() -> None:
             row: dict[str, float] = {}
             for k in ks:
                 print(f"# {name} @ {k}x ...", file=sys.stderr, flush=True)
-                row[f"t_{k}x"] = run_cold(registry[name].fn, spark, dirs[k])
+                if name in EXTRAS:
+                    row[f"t_{k}x"] = run_substring_stream_cell(spark, dirs[k])
+                else:
+                    row[f"t_{k}x"] = run_cold(registry[name].fn, spark, dirs[k])
                 # crash-proof: a cell that dies later (OOM on a bigger K)
                 # must not erase the cells already measured (r14: the
                 # first x32 heavy sweep lost 30 min of cells to q118's
