@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from briefly_spark.catalog import load_table, spread
 from briefly_spark.numerics import trunc4
+from briefly_spark.oracle_guards import guarded_scan, sql_row_cap_cte
 from briefly_spark.operators.dedup import (
     exact_dedup,
     jaccard,
@@ -411,13 +412,18 @@ def q32_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q33_ngram_jaccard_pairs",
     covers=("J4",),
+    # ARMED row cap (r15 oracle-cost ladder: this blocked-cartesian
+    # mirror measured exp 1.85 over sf0.01→sf0.1, ~49 s at sf0.1,
+    # ~1 h extrapolated at sf1) — the guard scan feeds the quadratic
+    # join's left side, so the refusal is dataflow-structural.
     oracle=f"""
 WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
+{sql_row_cap_cte("corpus", label="q33_ngram_jaccard_pairs")},
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                / len(list_distinct(list_concat(a.shingles, b.shingles))) * 10000) / 10000.0 AS jac
-  FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
+  FROM {guarded_scan("sh")} a JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
 )
 SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.6
 """,
@@ -446,14 +452,17 @@ def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q122_shingle_containment",
     covers=("J4", "P5"),
+    # ARMED row cap (r15 ladder: exp 1.74, ~38 s at sf0.1, ~34 min
+    # extrapolated at sf1) — same structural guard as q33.
     oracle=f"""
 WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
+{sql_row_cap_cte("corpus", label="q122_shingle_containment")},
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
          CAST(len(a.shingles) AS BIGINT) AS sa,
          CAST(len(b.shingles) AS BIGINT) AS sb
-  FROM sh a JOIN sh b
+  FROM {guarded_scan("sh")} a JOIN sh b
     ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
   WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
 ),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from briefly_spark.catalog import load_table, spread
 from briefly_spark.operators.dedup import ngram_jaccard_pairs
 from briefly_spark.operators.graph import PR_SCALE, label_propagation, weighted_pagerank
+from briefly_spark.oracle_guards import guarded_scan, sql_row_cap_cte
 from briefly_spark.queries import register
 
 _PR_ITERS = 5
@@ -27,7 +28,7 @@ _PR_ITERS = 5
 #: for every near-dup-graph oracle in this file (q95/q115 edges, q144
 #: triangles): these CTEs are load-bearing for cross-engine equivalence,
 #: so a tokenizer or formula fix must hit all consumers at once.
-_PAIRS_SQL = """
+_PAIRS_SQL = f"""
 toks AS (
   SELECT doc_id AS id, source, lang,
          list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
@@ -40,13 +41,20 @@ sh AS (
                           i -> t[i] || ' ' || t[i+1])) AS shingles
   FROM toks
 ),
+{sql_row_cap_cte("documents", label="near-dup-graph pair mirror (q95/q115/q144)")},
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
            / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-  FROM sh a JOIN sh b
+  FROM {guarded_scan("sh")} a JOIN sh b
     ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
 )"""
+# ARMED row cap on the shared blocked-cartesian prefix (r15 oracle-cost
+# ladder: q95's mirror measured exp 1.82 over sf0.01→sf0.1, 77 s at
+# sf0.1, ~1.4 h extrapolated at sf1 — the iterative PageRank stages are
+# cheap next to this pair join).  One guard here arms every consumer
+# (q95/q115/q144) at once; the guard scan feeds the join's left side so
+# the refusal is dataflow-structural (briefly_spark/oracle_guards.py).
 
 _EDGES_SQL = _PAIRS_SQL + """,
 edges AS (
