@@ -86,9 +86,18 @@ def table_rows(sf_dir: str, name: str) -> int:
     schedules a Spark job per call; this is a few microseconds of file
     I/O.  Only valid for the CATALOG parquet tables — derived frames
     must still count."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):  # replicated/warehouse layout: a dir of parts
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def spread(df: DataFrame) -> DataFrame:

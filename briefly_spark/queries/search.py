@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from briefly_spark.catalog import load_table, spread
+from briefly_spark.catalog import load_table, spread, table_rows
 from briefly_spark.numerics import det_ln_items
 from briefly_spark.operators.search import (
     bm25_score_items,
@@ -313,6 +313,15 @@ _RRF_K = 60           # the standard RRF damping constant (Cormack et al.)
 _RRF_SCALE = 1_000_000  # integer fixed point: each vote = SCALE // (K + rank)
 _HYB_BRANCH_K = 10    # per-branch candidate depth before fusion
 _HYB_K = 5            # fused top-k
+#: pair-product bound for the dense branch's exact tier (the
+#: relate/auto-tier discipline, VERDICT r14): exact cosine scores
+#: |Q|·|corpus| pairs with BOTH sides growing with the corpus (queries
+#: are vec_id % 100) — a K² term.  The r15 ×32 gate rung read q129 at
+#: overall exp 0.95 with the cosine branch's coefficient still small;
+#: above this bound the branch routes to LSH candidates + exact re-rank
+#: instead.  Every gate-swept SF stays far inside the bound (sf0.1:
+#: 21·2000 = 42k pairs), so gated values are unchanged.
+_HYB_EXACT_MAX_PAIRS = 25_000_000
 
 
 def _q129_oracle() -> str:
@@ -390,11 +399,18 @@ def q129_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     union + one partial-agg + a per-query window over ≤20 rows/query) —
     at 100 TB the corpus cost lives entirely in the branch indexes, and
     swapping the exact cosine branch for the LSH/IVF/PQ rungs
-    (q42/q43/q118) changes nothing downstream of the rank columns."""
+    (q42/q43/q118) changes nothing downstream of the rank columns.
+
+    r15: that swap is now the AUTOMATIC scale path — the dense branch
+    gates on the |Q|·|corpus| pair product (zero-job parquet-footer
+    counts via catalog.table_rows) and routes to lsh_topk above
+    ``_HYB_EXACT_MAX_PAIRS``; the BM25 branch needs no gate (postings
+    equi-join, per-term df constant under a growing corpus of new
+    terms)."""
     from pyspark.sql import Window
 
     from briefly_spark.operators.search import bm25_topk, term_postings
-    from briefly_spark.operators.similarity import topk_cosine
+    from briefly_spark.operators.similarity import lsh_topk, topk_cosine
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     postings = term_postings(docs, "doc_id", "text")
@@ -413,9 +429,13 @@ def q129_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     vq = emb.filter(F.col("id") % 100 == 0).select(F.col("id").alias("query_id"), "v")
-    vec = topk_cosine(
-        vq, emb.select(F.col("id").alias("neighbor_id"), "v"), k=_HYB_BRANCH_K
-    ).select(
+    corpus = emb.select(F.col("id").alias("neighbor_id"), "v")
+    n_emb = table_rows(sf_dir, "embeddings")
+    if (n_emb // 100 + 1) * n_emb <= _HYB_EXACT_MAX_PAIRS:
+        vec = topk_cosine(vq, corpus, k=_HYB_BRANCH_K)
+    else:
+        vec = lsh_topk(vq, corpus, dims=64, k=_HYB_BRANCH_K)
+    vec = vec.select(
         F.col("query_id").alias("qid"),
         F.col("neighbor_id").alias("id"),
         F.col("rank").alias("brank"),

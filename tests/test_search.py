@@ -333,3 +333,23 @@ def test_lm_holdout_unseen_events_hand_computed(spark):
     # cases: a fully-novel head gets p = 1/V (> 1/(c1+V) for a seen head
     # with an unseen tail), so seen-head/unseen-tail is the MOST surprised
     assert rows[10].nll_sum_fp < rows[12].nll_sum_fp < rows[11].nll_sum_fp
+
+
+def test_hybrid_rrf_dense_branch_routes_to_lsh_above_pair_bound(spark, sf_dir, monkeypatch):
+    """r15 scale pin: q129's dense branch is q·n with BOTH sides growing
+    (queries are vec_id % 100) — a K² term.  Above the pair bound it must
+    route to lsh_topk and still produce the fused contract (schema,
+    per-query top-k, sane ranks); at every gate-swept SF the bound keeps
+    the exact tier, so this forces the LSH path with a tiny bound."""
+    import briefly_spark.queries.search as qs
+
+    monkeypatch.setattr(qs, "_HYB_EXACT_MAX_PAIRS", 1)
+    out = qs.q129_hybrid_rrf(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "LSH-tier hybrid returned nothing"
+    assert out.columns == ["qid", "id", "rank", "fused_fp", "n_branches"]
+    per_q = {}
+    for r in rows:
+        assert 1 <= r.rank <= 5 and r.n_branches in (1, 2)
+        per_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
