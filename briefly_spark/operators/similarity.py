@@ -147,6 +147,43 @@ def signature_tables(v: Column, dims: int, bits: int, tables: int) -> Column:
     )
 
 
+def lsh_bits_for(
+    n_corpus: int,
+    *,
+    target_bucket_rows: int = 64,
+    min_bits: int = 8,
+    max_bits: int = 20,
+) -> int:
+    """Corpus-size-adaptive hyperplane count: enough bits that expected
+    bucket occupancy stays ~``target_bucket_rows`` (buckets ≈ n/target),
+    clamped to [min_bits, max_bits].
+
+    WHY (r15 gate-rung finding): with FIXED bits the bucket count is a
+    constant, so occupancy grows linearly with the corpus and candidate
+    pairs grow |Q|·n/2^bits — the same q·n ~ K² class as the r14
+    flat-ADC finding, just divided by a constant (measured: q129's LSH
+    branch at the ×32 rung).  With bits ~ log2(n/target) the occupancy
+    is constant, so candidate pairs ~ |Q|·target·tables — linear in the
+    query panel, flat in the corpus.  Exact-duplicate vectors always
+    share every bucket regardless of bits (they are genuine neighbors —
+    output-relevant work); adaptive bits splits the *distinct* vectors.
+    Signature cost grows with bits (bits·tables plane dots per row) —
+    logarithmic in n, the right trade.  max_bits=20 caps the plan's
+    plane-literal array at 80·dims floats.
+
+    Recall: more bits lowers per-table collision probability for
+    near-but-not-identical vectors; multi-table OR-ing compensates
+    (recall ≈ 1-(1-p^bits)^tables).  Callers that pin bits for a gated
+    hash (q44's bits=4) are unaffected — this helper is only wired into
+    scale paths that engage above the exact-tier pair bound."""
+    import math
+
+    if n_corpus <= 0:
+        return min_bits
+    need = math.ceil(math.log2(max(n_corpus / target_bucket_rows, 1.0)))
+    return max(min_bits, min(max_bits, need))
+
+
 def lsh_candidate_ids(
     queries: DataFrame,
     corpus: DataFrame,
@@ -484,7 +521,7 @@ def related_topk(
     tier: str = "exact",
     exact_max_pairs: int = 25_000_000,
     dims: int | None = None,
-    bits: int = 8,
+    bits: int | None = None,
     tables: int = 4,
     n_cells: int = 16,
     n_probe: int = 4,
@@ -559,6 +596,14 @@ def related_topk(
             if queries_n is None:
                 queries_n = queries.count()
             tier = "exact" if queries_n * corpus_n <= exact_max_pairs else "lsh"
+        # auto-routed LSH scales its bucket count with the corpus unless
+        # the caller pinned bits — constant occupancy, candidate pairs
+        # linear in |Q| (see lsh_bits_for; engages only above
+        # exact_max_pairs, so gated hashes are untouched by design)
+        if tier == "lsh" and bits is None:
+            bits = lsh_bits_for(corpus_n)
+    if bits is None:
+        bits = 8  # explicit-tier legacy default (q44's gated hash predates this)
     q = _with_norm(queries, "qn").alias("q")
     # same BNLJ-parallelism fix as topk_cosine: stream side must be spread
     c = _with_norm(spread(corpus), "cn").alias("c")

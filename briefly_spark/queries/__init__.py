@@ -115,12 +115,28 @@ WINDOW_HEAD: tuple[str, ...] = (
     # r15 head — q37 LEADS (the r14 verdict's mandate: its oracle gained
     # the SQL_BRUTE_FORCE_CAP error() guard at r14 and held the
     # documented one-round tail seat; the q149 r13→r14 precedent ends
-    # here with its fresh driver row).  Then the 49 r12-green queries in
-    # window_plan.py proposal order — 49 stale + q37 = exactly 50, zero
-    # spare seats, zero tail seats.  q118 sits in the head because the
+    # here with its fresh driver row).  Then the r12-green queries in
+    # window_plan.py proposal order.  q118 sits in the head because the
     # X150 IVF-PQ graft lands under its driver hash this round
     # (tools/window_plan.py X150 disposition).
+    #
+    # Mid-round amendment: the round's own work changed FOUR more query
+    # forms after the open rotation — q33/q115 gained the armed
+    # ORACLE_ROW_CAP guard CTEs (oracle_guards.py; q95/q122/q144 too,
+    # but those were already seated), q41's fn now passes
+    # corpus_n/queries_n hints, and q129's dense branch gates on the
+    # pair product.  Form-changed debt outranks unchanged-form
+    # staleness (gate_debt's invariant), so those four take the seats
+    # of the four tail r12-green entries (q112_event_transitions,
+    # q123_dup_cluster_histogram, q138_lsh_calibration,
+    # q104_frame_fingerprint_pairs), whose r12 rows stay valid for
+    # their unchanged forms and which LEAD the r16 stale pack — the
+    # one-round-tail-seat discipline q37 just completed, times four.
     "q37_dup_clusters",
+    "q33_ngram_jaccard_pairs",
+    "q41_related_articles",
+    "q115_label_propagation",
+    "q129_hybrid_rrf",
     "q113_random_projection",
     "q116_mmr_rerank",
     "q118_pq_ann",
@@ -165,11 +181,7 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q64_retention_cohorts",
     "q65_median_gap",
     "q102_peak_concurrency",
-    "q112_event_transitions",
     "q122_shingle_containment",
-    "q123_dup_cluster_histogram",
-    "q138_lsh_calibration",
-    "q104_frame_fingerprint_pairs",
 )
 
 

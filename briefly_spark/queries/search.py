@@ -410,7 +410,7 @@ def q129_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from briefly_spark.operators.search import bm25_topk, term_postings
-    from briefly_spark.operators.similarity import lsh_topk, topk_cosine
+    from briefly_spark.operators.similarity import lsh_bits_for, lsh_topk, topk_cosine
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     postings = term_postings(docs, "doc_id", "text")
@@ -434,7 +434,11 @@ def q129_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (n_emb // 100 + 1) * n_emb <= _HYB_EXACT_MAX_PAIRS:
         vec = topk_cosine(vq, corpus, k=_HYB_BRANCH_K)
     else:
-        vec = lsh_topk(vq, corpus, dims=64, k=_HYB_BRANCH_K)
+        # adaptive bits: fixed-bit LSH keeps a constant bucket count, so
+        # occupancy (⇒ candidate pairs) grows q·n/2^bits ~ K² — the r15
+        # ×32 gate rung measured this branch at exp ~1 on the 8→32 span.
+        # bits ~ log2(n/64) holds occupancy constant: pairs ~ |Q|·64·L.
+        vec = lsh_topk(vq, corpus, dims=64, k=_HYB_BRANCH_K, bits=lsh_bits_for(n_emb))
     vec = vec.select(
         F.col("query_id").alias("qid"),
         F.col("neighbor_id").alias("id"),

