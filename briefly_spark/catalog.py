@@ -93,10 +93,16 @@ def table_rows(sf_dir: str, name: str) -> int:
 
     path = table_path(sf_dir, name)
     if os.path.isdir(path):  # replicated/warehouse layout: a dir of parts
-        return sum(
-            pq.ParquetFile(p).metadata.num_rows
-            for p in glob.glob(os.path.join(path, "*.parquet"))
+        parts = glob.glob(os.path.join(path, "*.parquet")) or glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
         )
+        if not parts:
+            # an unrecognized layout must REFUSE, not report 0: scale
+            # gates compare this count against pair bounds, and a silent
+            # 0 flips them to the exact tier — the unsafe direction —
+            # on an arbitrarily large corpus (r15 review finding)
+            raise FileNotFoundError(f"no parquet parts under {path}")
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
     return pq.ParquetFile(path).metadata.num_rows
 
 

@@ -38,6 +38,12 @@ def sql_row_cap_cte(
     ``table`` once and raising a DuckDB ``error()`` naming ``label``
     above ``cap``.  Compose with :func:`guarded_scan` on the quadratic
     join's left side."""
+    # safe-by-construction for any label (r15 review finding): a quote
+    # in the interpolated message would otherwise break — or worse,
+    # silently disarm — every execution of the guard
+    label = label.replace("'", "''")
+    if not table.replace("_", "").isalnum() or not cte.replace("_", "").isalnum():
+        raise ValueError(f"table/cte must be bare identifiers: {table!r}, {cte!r}")
     return (
         f"{cte} AS MATERIALIZED (\n"
         f"  SELECT CASE WHEN count(*) > {int(cap)}\n"

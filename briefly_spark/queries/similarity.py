@@ -132,13 +132,16 @@ def q41_related_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark jobs; VERDICT r14 #4: the two eager count() probes were
     # q41's one bench mover at r14): corpus is exactly one row per
     # embeddings row, and queries (the id%20 slice) is bounded above by
-    # it — an over-estimate only ever shifts the gate toward LSH, and
-    # the n² crossover (~n=5000) sits above every locally-swept SF, so
-    # gated and benched values are unchanged (exact tier either way).
+    # it.  queries_n must be the SLICE bound, not n: the catalog ids are
+    # contiguous intervals (replica stride 10M is %20-aligned), so the
+    # id%20 slice is exactly ≤ n//20 + 1 — passing n instead moved the
+    # exact→LSH crossover from n≈22,360 down to n≈5,000 and flipped a
+    # K=4 replicated sweep to approximate results vs the exact oracle
+    # (r15 review finding; LSH changes RESULTS, not just cost).
     n = table_rows(sf_dir, "embeddings")
     return related_topk(
         queries, corpus, scores, k_candidates=6, k_final=5, tier="auto",
-        dims=64, corpus_n=n, queries_n=n,
+        dims=64, corpus_n=n, queries_n=n // 20 + 1,
     )
 
 

@@ -473,11 +473,13 @@ def test_lsh_bits_for_constant_occupancy_policy():
     assert vals == sorted(vals)
 
 
-def test_related_topk_auto_routed_lsh_uses_adaptive_bits(spark):
+def test_related_topk_auto_routed_lsh_uses_adaptive_bits(spark, monkeypatch):
     """The auto->LSH route resolves bits=None via lsh_bits_for(corpus_n);
-    an explicit bits pin wins.  Both produce schema-correct results on a
-    corpus whose true neighbors are exact duplicates (duplicates share
-    every bucket at ANY bits, so recall of dup-neighbors is structural)."""
+    an explicit bits pin must NOT consult it.  Pinned by interception
+    (r15 review finding: the earlier schema/count assertions held for any
+    bits value, leaving the resolution path itself unpinned)."""
+    import briefly_spark.operators.similarity as sim
+
     corpus = spark.createDataFrame(
         [(i, "t", [float(i % 4), 1.0, 0.5]) for i in range(12)],
         "neighbor_id long, topic string, v array<double>",
@@ -488,7 +490,18 @@ def test_related_topk_auto_routed_lsh_uses_adaptive_bits(spark):
     scores = spark.createDataFrame([], "neighbor_id long, validation_score int")
     kw = dict(k_candidates=3, k_final=3, tier="auto", dims=3,
               corpus_n=10**9, queries_n=10**6, exact_max_pairs=50)
-    adaptive = related_topk(queries, corpus, scores, **kw)      # bits -> 20
+
+    calls = []
+    real = sim.lsh_bits_for
+    monkeypatch.setattr(
+        sim, "lsh_bits_for", lambda n, **k: calls.append(n) or real(n, **k)
+    )
+    adaptive = related_topk(queries, corpus, scores, **kw)
+    assert calls == [10**9], "auto->LSH must resolve bits from corpus_n"
+    assert adaptive.count() >= 0  # plan executes at the resolved bits=20
+
+    calls.clear()
     pinned = related_topk(queries, corpus, scores, bits=8, **kw)
+    assert calls == [], "an explicit bits pin must bypass lsh_bits_for"
     assert adaptive.columns == pinned.columns
-    assert adaptive.count() >= 0 and pinned.count() >= 0
+    assert pinned.count() >= 0

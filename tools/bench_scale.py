@@ -310,18 +310,30 @@ def _run_isolated(sf_dir: str, ks: list[int]) -> None:
     import subprocess
 
     merged: dict[str, dict[str, float]] = {}
+    failed: list[int] = []
     for k in ks:
         out = tempfile.mktemp(prefix=f"scale_iso_{k}x_", suffix=".json")
         env = dict(os.environ, SPARK_GRAFT_SCALE_OUT=out)
-        subprocess.run(
+        # crash-proof per the file's own discipline: one child OOMing at
+        # the biggest K must not discard the cells already merged — keep
+        # what was measured and report the lost rung (r15 review finding)
+        rc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), sf_dir, str(k)],
-            env=env, check=True, stdout=sys.stderr,
-        )
+            env=env, stdout=sys.stderr,
+        ).returncode
+        if rc != 0 or not os.path.exists(out):
+            print(f"[isolate] K={k} child failed (rc={rc}); cells kept so far "
+                  f"stay in the merged output", file=sys.stderr)
+            failed.append(k)
+            continue
         with open(out) as fh:
             cells = json.load(fh)["results"]
         os.unlink(out)
         for name, row in cells.items():
             merged.setdefault(name, {}).update(row)
+    ks = [k for k in ks if k not in failed]
+    if not ks:
+        raise SystemExit("[isolate] every child K failed — nothing measured")
     kmin, kmax = min(ks), max(ks)
     for row in merged.values():
         if kmax > kmin and f"t_{kmax}x" in row and f"t_{kmin}x" in row:
@@ -329,7 +341,10 @@ def _run_isolated(sf_dir: str, ks: list[int]) -> None:
             row["x_growth"] = round(growth, 2)
             row["eff"] = round((kmax / kmin) / growth, 2)
             row["exp"] = round(math.log(max(growth, 1e-9)) / math.log(kmax / kmin), 2)
-    payload = json.dumps({"sf_dir": sf_dir, "ks": ks, "isolated": True, "results": merged})
+    payload = json.dumps(
+        {"sf_dir": sf_dir, "ks": ks, "failed_ks": failed, "isolated": True,
+         "results": merged}
+    )
     print(payload)
     out = os.environ.get("SPARK_GRAFT_SCALE_OUT")
     if out:

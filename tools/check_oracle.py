@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -54,7 +55,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):
+            # replicated/warehouse layout (oracle_sweep_large, bucketed
+            # writers): a directory of part files — DuckDB needs the glob
+            p = os.path.join(p, "**", "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
     attempted = 0

@@ -33,6 +33,29 @@ sys.path.insert(0, ".")
 from briefly_spark.queries import load_registry
 
 
+def tier_switched(k: int, base: str) -> list[str]:
+    """Queries whose Spark side auto-routes exact→approximate above a
+    pair-product bound: above the crossover their results legitimately
+    diverge from the exact-SQL oracle (recall < 1 is the DESIGN, the
+    same class as a cap refusal), so the sweep must classify them as
+    TIER_SWITCHED rather than run them into a spurious hash failure
+    (r15 review finding).  The formulas mirror the in-query gates and
+    are pinned against the real constants by
+    tests/test_oracle_sweep_tiers.py."""
+    from briefly_spark.catalog import table_rows
+    from briefly_spark.operators.similarity import related_topk
+    from briefly_spark.queries.search import _HYB_EXACT_MAX_PAIRS
+
+    n = table_rows(base, "embeddings") * k
+    related_bound = related_topk.__kwdefaults__["exact_max_pairs"]
+    out = []
+    if (n // 100 + 1) * n > _HYB_EXACT_MAX_PAIRS:  # q129's dense branch
+        out.append("q129_hybrid_rrf")
+    if (n // 20 + 1) * n > related_bound:  # q41's auto tier
+        out.append("q41_related_articles")
+    return out
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -45,12 +68,16 @@ def main() -> int:
         if spec.oracle
         and ("ORACLE_ROW_CAP" in spec.oracle or "SQL_BRUTE_FORCE_CAP" in spec.oracle)
     )
+    switched = tier_switched(k, base)
     # sf-pinned oracles compare at their own pinned dir regardless of the
     # sweep dir — check_oracle already downgrades them to rows-only here
     names = [
-        n for n in (only or sorted(registry)) if n not in capped
+        n for n in (only or sorted(registry)) if n not in capped and n not in switched
     ]
-    print(f"K={k}x {base}; {len(names)} queries; CAPPED (pinned at sf0.1): {capped}")
+    print(
+        f"K={k}x {base}; {len(names)} queries; CAPPED (pinned at sf0.1): "
+        f"{capped}; TIER_SWITCHED (exact gate exceeded at this K): {switched}"
+    )
 
     from briefly_spark.session import get_spark
     from tools.bench_scale import build_replicated_dir
