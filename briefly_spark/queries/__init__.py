@@ -126,12 +126,19 @@ WINDOW_HEAD: tuple[str, ...] = (
     # but those were already seated), q41's fn now passes
     # corpus_n/queries_n hints, and q129's dense branch gates on the
     # pair product.  Form-changed debt outranks unchanged-form
-    # staleness (gate_debt's invariant), so those four take the seats
-    # of the four tail r12-green entries (q112_event_transitions,
-    # q123_dup_cluster_histogram, q138_lsh_calibration,
-    # q104_frame_fingerprint_pairs), whose r12 rows stay valid for
-    # their unchanged forms and which LEAD the r16 stale pack — the
-    # one-round-tail-seat discipline q37 just completed, times four.
+    # staleness (gate_debt's invariant), which left 54 claimants for 50
+    # seats (49 r12-stale + q37 + these four).  Resolution: the
+    # capacity-policy graft, not a tail seat — the four r12-stale tail
+    # entries (q112_event_transitions, q123_dup_cluster_histogram,
+    # q138_lsh_calibration, q104_frame_fingerprint_pairs) are RETIRED
+    # into seated hosts (q112→q102 'transitions', q123→q37
+    # 'size_histogram', q138→q122 'lsh_calibration', q104→q33
+    # 'frame_pairs'), so their capabilities re-gate THIS round under
+    # their hosts' fresh driver hashes instead of carrying r12 evidence
+    # to age 3.  Registry 149→145: a 50-seat / 3-round rotation now has
+    # 5 spare seats per cycle — the structural fix for the saturation
+    # this round exposed (at 149/150 a single mid-round form change
+    # forces exactly this arithmetic again).
     "q37_dup_clusters",
     "q33_ngram_jaccard_pairs",
     "q41_related_articles",

@@ -411,21 +411,52 @@ def q32_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q33_ngram_jaccard_pairs",
-    covers=("J4",),
+    covers=("J4", "M7"),
     # ARMED row cap (r15 oracle-cost ladder: this blocked-cartesian
     # mirror measured exp 1.85 over sf0.01→sf0.1, ~49 s at sf0.1,
     # ~1 h extrapolated at sf1) — the guard scan feeds the quadratic
-    # join's left side, so the refusal is dataflow-structural.
+    # join's left side, so the refusal is dataflow-structural.  The
+    # frame_pairs legs need no cap: the mirror is an inverted-index
+    # equi-join bounded by the df ≤ 64 posting cap, not a pair join.
     oracle=f"""
 WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
 {sql_row_cap_cte("corpus", label="q33_ngram_jaccard_pairs")},
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
-         floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.shingles, b.shingles))) * 10000) / 10000.0 AS jac
+         CAST(floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) * 10000)
+              AS BIGINT) AS jac_fp
   FROM {guarded_scan("sh")} a JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.id < b.id
+),
+md AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+mf AS (
+  SELECT media_id, k.k AS frame_idx,
+         md5(substr(text, CAST(k.k * 32 + 1 AS INT), 32)) AS frame_md5
+  FROM md, (SELECT unnest(range(0, 16)) AS k) k
+  WHERE k.k * 32 + 32 <= n
+),
+mkept AS (
+  SELECT media_id, frame_idx, frame_md5,
+         count(*) OVER (PARTITION BY frame_idx, frame_md5) AS df
+  FROM mf
+),
+mpairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+  FROM mkept a JOIN mkept b ON a.frame_idx = b.frame_idx
+                   AND a.frame_md5 = b.frame_md5 AND a.media_id < b.media_id
+  WHERE a.df <= 64
+  GROUP BY id_a, id_b
+  HAVING count(*) >= 3
 )
-SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.6
+SELECT 'jaccard' AS section,
+       CAST(id_a AS VARCHAR) || '/' || CAST(id_b AS VARCHAR) AS k,
+       CAST(jac_fp AS VARCHAR) AS value
+FROM pairs WHERE jac_fp >= 6000
+UNION ALL
+SELECT 'frame_pairs' AS section,
+       CAST(id_a AS VARCHAR) || '/' || CAST(id_b AS VARCHAR) AS k,
+       CAST(shared AS VARCHAR) AS value
+FROM mpairs
 """,
 )
 def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,14 +467,140 @@ def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the shuffle is keyed on (shingle, source, lang) — O(postings), not
     O(block²).  The oracle states the same semantics as the literal
     blocked cartesian; both engines agree because shingle sets are
-    distinct arrays.  Threshold note: jac ≥ 0.6 ⟺ trunc4(jac) ≥ 0.6
-    (0.6·10⁴ is integral), so filtering untruncated then truncating for
-    output is hash-identical."""
+    distinct arrays.  Threshold note: jac ≥ 0.6 ⟺ floor(jac·10⁴) ≥ 6000
+    (0.6·10⁴ is integral and IEEE multiplication is monotone), so the
+    operator's untruncated filter and the tidy fixed-point value agree
+    engine-exactly.
+
+    r15 graft (capacity policy: q104_frame_fingerprint_pairs' standalone
+    seat retired into this host — its own docstring names this query's
+    inverted-index discipline as its model): the 'frame_pairs' section
+    is media near-dup detection the frame way, the multimodal leg of the
+    dedup pack.  Blobs sharing ≥ 3 fixed-offset frame hashes are
+    near-dup candidates (re-encoded copies, watermarked variants, shared
+    intros); candidates come from an equi-join on (frame_idx, frame_md5)
+    postings — O(matching postings), never an all-pairs blob compare —
+    and the blob never leaves its scan (only 16-byte hashes shuffle).
+    The df ≤ 64 posting cap drops frames whose list explodes (shared
+    codec headers — the stop-word hazard of every inverted index; no
+    near-dup signal there anyway); it is a window count over the ONE
+    postings frame and semantics-preserving at gate scale (max posting
+    list measured: 4)."""
+    from briefly_spark.operators.multimodal import attach_media, frame_fingerprints
+
     corpus = _corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
         corpus, "id", "text", n=3, threshold=0.6, block_cols=("source", "lang")
     )
-    return pairs.select("id_a", "id_b", trunc4(F.col("jac")).alias("jac"))
+    jac_long = pairs.select(
+        F.lit("jaccard").alias("section"),
+        F.concat_ws(
+            "/", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("k"),
+        F.floor(F.col("jac") * 10000).cast("long").cast("string").alias("value"),
+    )
+    media = attach_media(spread(load_table(spark, sf_dir, "documents")))
+    fp = frame_fingerprints(media, frame_bytes=32, n_frames=16)
+    kept = fp.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("frame_idx", "frame_md5")),
+    ).filter(F.col("df") <= 64)
+    frame_long = (
+        kept.select(F.col("media_id").alias("id_a"), "frame_idx", "frame_md5")
+        .join(
+            fp.select(F.col("media_id").alias("id_b"), "frame_idx", "frame_md5"),
+            ["frame_idx", "frame_md5"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select(
+            F.lit("frame_pairs").alias("section"),
+            F.concat_ws(
+                "/", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+            ).alias("k"),
+            F.col("shared").cast("string").alias("value"),
+        )
+    )
+    return jac_long.unionByName(frame_long)
+
+
+# --------------------------------------------------------------------------
+# q138 — LSH banding calibration: empirical collision S-curve vs theory.
+# --------------------------------------------------------------------------
+def _scurve_items(dialect: str) -> list[str]:
+    """Staged integer fixed-point items ending in ``… AS theory_fp``: the
+    analytic banded-MinHash collision probability 1 − (1 − s^r)^b at the
+    bucket's Jaccard midpoint, for r=2 rows × b=4 bands (the q31
+    configuration).  Pure BIGINT arithmetic — squarings at 10⁴ scale with
+    floor-div renormalization — so both engines emit identical integers
+    (no library pow anywhere)."""
+    div = "div" if dialect == "spark" else "//"
+    return [
+        "(bucket * 1000 + 500) AS __mid",                       # decile midpoint, fp4
+        f"((__mid * __mid) {div} 10000) AS __s2",               # s^r, r=2
+        "(10000 - __s2) AS __pno",                              # 1 - s^r
+        f"((__pno * __pno) {div} 10000) AS __p2",               # (1-s^r)^2
+        f"((__p2 * __p2) {div} 10000) AS __p4",                 # (1-s^r)^4, b=4
+        "CAST((10000 - __p4) AS BIGINT) AS theory_fp",
+    ]
+
+
+#: CTE chain for the banding-calibration legs, shared into the q122 host
+#: oracle (r15 graft — the standalone q138 seat is retired).  ``post``
+#: scans through the host's row-cap guard so the quadratic ``co`` join
+#: inherits the structural refusal.
+_CALIB_CTES = f"""post AS (SELECT id, unnest(shingles) AS s FROM {guarded_scan("sh")}),
+sz AS (SELECT id, len(shingles) AS sz FROM sh),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.id < b.id
+  GROUP BY id_a, id_b
+),
+truth AS MATERIALIZED (
+  SELECT co.id_a, co.id_b,
+         CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) AS jac
+  FROM co JOIN sz za ON za.id = co.id_a JOIN sz zb ON zb.id = co.id_b
+  WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.1
+),
+hs AS (SELECT id, list_transform(shingles, s -> md5(s)) AS hh FROM sh),
+sig AS (
+  SELECT id,
+         list_transform(range(0, 8),
+           i -> list_min(list_transform(hh, h -> substr(h, CAST(i * 4 + 1 AS INT), 4)))) AS sg
+  FROM hs
+),
+banded AS (
+  SELECT id, b, md5(sg[2*b + 1] || '|' || sg[2*b + 2]) AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+),
+flag AS (
+  SELECT t.jac, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+rep AS (
+  SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(hit) AS BIGINT) AS n_cand
+  FROM flag GROUP BY bucket
+)"""
+
+_CALIB_SECTION_SQL = f"""
+SELECT 'lsh_calibration' AS section, CAST(bucket AS VARCHAR) AS k,
+       CAST(n_pairs AS VARCHAR) || '/' || CAST(n_cand AS VARCHAR) || '/' ||
+       CAST(hit_rate_fp AS VARCHAR) || '/' || CAST(theory_fp AS VARCHAR) AS value
+FROM (
+  SELECT bucket, n_pairs, n_cand,
+         CAST((n_cand * 10000) // n_pairs AS BIGINT) AS hit_rate_fp,
+         {', '.join(_scurve_items('duckdb'))}
+  FROM rep
+)"""
+
 
 
 # --------------------------------------------------------------------------
@@ -451,9 +608,10 @@ def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q122_shingle_containment",
-    covers=("J4", "P5"),
+    covers=("J4", "P5", "A3"),
     # ARMED row cap (r15 ladder: exp 1.74, ~38 s at sf0.1, ~34 min
-    # extrapolated at sf1) — same structural guard as q33.
+    # extrapolated at sf1) — same structural guard as q33; the
+    # calibration legs' quadratic co join scans through the same guard.
     oracle=f"""
 WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
 {sql_row_cap_cte("corpus", label="q122_shingle_containment")},
@@ -467,13 +625,22 @@ pairs AS (
   WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
 ),
 scored AS (
-  SELECT id_a, id_b, inter, sa, sb,
-         (inter * 10000) // sa AS cont_a_fp,
-         (inter * 10000) // sb AS cont_b_fp
-  FROM pairs
-)
-SELECT id_a, id_b, inter, sa, sb, cont_a_fp, cont_b_fp
-FROM scored WHERE greatest(cont_a_fp, cont_b_fp) >= 8000
+  SELECT id_a, id_b, inter, sa, sb, cont_a_fp, cont_b_fp
+  FROM (SELECT id_a, id_b, inter, sa, sb,
+               (inter * 10000) // sa AS cont_a_fp,
+               (inter * 10000) // sb AS cont_b_fp
+        FROM pairs)
+  WHERE greatest(cont_a_fp, cont_b_fp) >= 8000
+),
+{_CALIB_CTES}
+SELECT 'containment' AS section,
+       CAST(id_a AS VARCHAR) || '/' || CAST(id_b AS VARCHAR) AS k,
+       CAST(inter AS VARCHAR) || '/' || CAST(sa AS VARCHAR) || '/' ||
+       CAST(sb AS VARCHAR) || '/' || CAST(cont_a_fp AS VARCHAR) || '/' ||
+       CAST(cont_b_fp AS VARCHAR) AS value
+FROM scored
+UNION ALL
+{_CALIB_SECTION_SQL}
 """,
 )
 def q122_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,14 +660,84 @@ def q122_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer fixed-point divisions, engine-exact with no doubles.  The
     oracle states the quadratic blocked semantics; its empty-shingle guard
     is vacuous on the Spark side (pairs only arise from a shared
-    shingle)."""
-    from briefly_spark.operators.dedup import shingle_containment_pairs
+    shingle).
+
+    r15 graft (capacity policy: q138_lsh_calibration's standalone seat
+    retired into this host — both queries audit the same shingle space
+    and the standalone seat rebuilt it from scratch): the
+    'lsh_calibration' section is the MinHash-LSH banding calibration
+    curve, the audit read before trusting the q31 near-dup rung at
+    100 TB.  For every exact-Jaccard decile bucket (ground truth from
+    the q33 inverted-index pairs, floored at jac ≥ 0.1 — the 0-decile is
+    unbounded at scale, every pair sharing one stopword trigram), the
+    fraction of pairs the k=8/b=4 banding actually surfaced as
+    candidates, next to the analytic S-curve 1 − (1 − s²)⁴ at the bucket
+    midpoint (Broder; Leskovec-Rajaraman-Ullman ch. 3).  Empirical ≪
+    theory in a high bucket is a recall hole; a fat low bucket is wasted
+    verify work.  Ground truth is a postings equi-join (bounded by token
+    count), candidates the q31 band-key equi-join (ids only — shingles
+    never ride the ×4 explode), the flag join pair-keyed, the report 9
+    rows; the theory column is pure BIGINT fixed-point, engine-exact."""
+    from briefly_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        shingle_containment_pairs,
+    )
 
     corpus = _corpus(spark, sf_dir)
-    return shingle_containment_pairs(
+    cont_long = shingle_containment_pairs(
         corpus, "id", "text", n=3, threshold_fp=8000,
         block_cols=("source", "lang"),
+    ).select(
+        F.lit("containment").alias("section"),
+        F.concat_ws(
+            "/", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("k"),
+        F.concat_ws(
+            "/",
+            F.col("inter").cast("string"),
+            F.col("sa").cast("string"),
+            F.col("sb").cast("string"),
+            F.col("cont_a_fp").cast("string"),
+            F.col("cont_b_fp").cast("string"),
+        ).alias("value"),
     )
+    truth = ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.1)
+    shingled = with_shingles(
+        corpus.select("id", "text"), "text", 3, out="sh"
+    ).select("id", "sh")
+    cand = (
+        lsh_candidate_pairs(shingled, "id", "sh", k=8, bands=4)
+        .select("id_a", "id_b")
+        .withColumn("hit", F.lit(1))
+    )
+    rep = (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            F.expr("least(CAST(floor(jac * 10) AS BIGINT), 9)").alias("bucket"),
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_cand"),
+        )
+    )
+    calib_long = rep.selectExpr(
+        "bucket", "n_pairs", "n_cand",
+        "CAST((n_cand * 10000) div n_pairs AS BIGINT) AS hit_rate_fp",
+        *_scurve_items("spark"),
+    ).select(
+        F.lit("lsh_calibration").alias("section"),
+        F.col("bucket").cast("string").alias("k"),
+        F.concat_ws(
+            "/",
+            F.col("n_pairs").cast("string"),
+            F.col("n_cand").cast("string"),
+            F.col("hit_rate_fp").cast("string"),
+            F.col("theory_fp").cast("string"),
+        ).alias("value"),
+    )
+    return cont_long.unionByName(calib_long)
 
 
 # --------------------------------------------------------------------------
@@ -772,13 +1009,23 @@ SELECT 'fuzzy' AS section,
        CAST(left_id AS VARCHAR) || '/' || CAST(right_id AS VARCHAR) AS k,
        CAST(dist AS VARCHAR) AS value
 FROM ({fuzzy})
+UNION ALL
+SELECT 'size_histogram' AS section, CAST(cluster_size AS VARCHAR) AS k,
+       CAST(n_clusters AS VARCHAR) || '/' ||
+       CAST(cluster_size * n_clusters AS VARCHAR) AS value
+FROM (
+  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component)
+  GROUP BY cluster_size
+)
 """
     )
 
 
 @register(
     "q37_dup_clusters",
-    covers=("P5",),
+    covers=("P5", "A3"),
     oracle=_q37_oracle(),
 )
 def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +1059,10 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         corpus.select("id"), pairs.select("id_a", "id_b")
     )
+    # comp feeds two sections; no extra materialization needed — the CC
+    # iteration localCheckpoints its label frame internally (lineage
+    # truncation), so the histogram leg reuses the checkpointed labels
+    # rather than replaying the pair join
     cluster_long = comp.select(
         F.lit("cluster").alias("section"),
         F.col("id").cast("string").alias("k"),
@@ -842,179 +1093,46 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("dist").cast("string").alias("value"),
     )
-    return cluster_long.unionByName(fuzzy_long)
-
-
-# --------------------------------------------------------------------------
-# q123 — duplication profile: near-dup cluster-size histogram.
-# --------------------------------------------------------------------------
-@register(
-    "q123_dup_cluster_histogram",
-    covers=("P5", "A3"),
-    oracle=_q37_oracle_prefix()
-    + """,
-sizes AS (
-  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-  FROM comp GROUP BY component
-)
-SELECT cluster_size,
-       CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
-FROM sizes GROUP BY cluster_size
-""",
-)
-def q123_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus duplication profile — the cluster-size histogram of the
-    near-dup graph (how many singletons, pairs, k-cliques…): the one-page
-    number a curation run reports before/after dedup (dup rate = 1 −
-    n_clusters/n_docs summed over the histogram), and the standard check
-    that duplicate mass follows the expected power law rather than one
-    pathological mega-cluster (which would indicate boilerplate leaking
-    past the quality filters, the q95 template-hub signal in aggregate).
-
-    Plan: q37's pair generation + connected components unchanged, then
-    TWO partial-agg shuffles over the component frame (component → size,
-    size → histogram) — the histogram is bounded by the largest cluster
-    size, dimension-sized however large the corpus."""
-    from briefly_spark.operators.dedup import connected_components
-
-    corpus = _corpus(spark, sf_dir)
-    pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
-    comp = connected_components(corpus.select("id"), pairs.select("id_a", "id_b"))
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
-    )
-    return sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters")
-    ).select(
-        "cluster_size",
-        "n_clusters",
-        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
-    )
-
-
-
-# --------------------------------------------------------------------------
-# q138 — LSH banding calibration: empirical collision S-curve vs theory.
-# --------------------------------------------------------------------------
-def _scurve_items(dialect: str) -> list[str]:
-    """Staged integer fixed-point items ending in ``… AS theory_fp``: the
-    analytic banded-MinHash collision probability 1 − (1 − s^r)^b at the
-    bucket's Jaccard midpoint, for r=2 rows × b=4 bands (the q31
-    configuration).  Pure BIGINT arithmetic — squarings at 10⁴ scale with
-    floor-div renormalization — so both engines emit identical integers
-    (no library pow anywhere)."""
-    div = "div" if dialect == "spark" else "//"
-    return [
-        "(bucket * 1000 + 500) AS __mid",                       # decile midpoint, fp4
-        f"((__mid * __mid) {div} 10000) AS __s2",               # s^r, r=2
-        "(10000 - __s2) AS __pno",                              # 1 - s^r
-        f"((__pno * __pno) {div} 10000) AS __p2",               # (1-s^r)^2
-        f"((__p2 * __p2) {div} 10000) AS __p4",                 # (1-s^r)^4, b=4
-        "CAST((10000 - __p4) AS BIGINT) AS theory_fp",
-    ]
-
-
-_Q138_ORACLE = f"""
-WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
-post AS (SELECT id, unnest(shingles) AS s FROM sh),
-sz AS (SELECT id, len(shingles) AS sz FROM sh),
-co AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM post a JOIN post b ON a.s = b.s AND a.id < b.id
-  GROUP BY id_a, id_b
-),
-truth AS MATERIALIZED (
-  SELECT co.id_a, co.id_b,
-         CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) AS jac
-  FROM co JOIN sz za ON za.id = co.id_a JOIN sz zb ON zb.id = co.id_b
-  WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.1
-),
-hs AS (SELECT id, list_transform(shingles, s -> md5(s)) AS hh FROM sh),
-sig AS (
-  SELECT id,
-         list_transform(range(0, 8),
-           i -> list_min(list_transform(hh, h -> substr(h, CAST(i * 4 + 1 AS INT), 4)))) AS sg
-  FROM hs
-),
-banded AS (
-  SELECT id, b, md5(sg[2*b + 1] || '|' || sg[2*b + 2]) AS key
-  FROM sig, (SELECT unnest(range(0, 4)) AS b)
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.id < b.id
-),
-flag AS (
-  SELECT t.jac, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
-),
-rep AS (
-  SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS bucket,
-         CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(sum(hit) AS BIGINT) AS n_cand
-  FROM flag GROUP BY bucket
-)
-SELECT bucket, n_pairs, n_cand, hit_rate_fp, theory_fp FROM (
-  SELECT bucket, n_pairs, n_cand,
-         CAST((n_cand * 10000) // n_pairs AS BIGINT) AS hit_rate_fp,
-         {', '.join(_scurve_items('duckdb'))}
-  FROM rep
-)
-"""
-
-
-@register("q138_lsh_calibration", covers=("J4", "A3"), oracle=_Q138_ORACLE)
-def q138_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding calibration curve — the audit read before
-    trusting the q31 near-dup rung at 100 TB: for every exact-Jaccard
-    decile bucket (ground truth from the q33 inverted-index pairs,
-    floored at jac ≥ 0.1), the fraction of pairs the k=8/b=4 banding
-    actually surfaced as candidates, NEXT TO the analytic S-curve
-    1 − (1 − s²)⁴ at the bucket midpoint (Broder/LSH theory;
-    Leskovec-Rajaraman-Ullman ch. 3).  Empirical ≪ theory in a high
-    bucket means the banding is missing true near-dups (recall hole);
-    a fat low bucket quantifies the wasted verify work (precision).
-
-    The jac ≥ 0.1 floor is structural, not a shortcut: the 0-decile
-    (all pairs sharing ANY shingle) is unbounded at scale — every pair
-    sharing one stopword trigram — while deciles 1+ inherit the exact
-    size-ratio prune, and banding is only ever tuned on them.
-
-    Plan shape at 100 TB: ground truth is the q33 postings equi-join
-    (shuffle on shingle keys, bounded by token count, AQE-skew-split);
-    candidates are the q31 band-key equi-join (ids only — shingles never
-    ride the ×4 explode); the flag join is pair-keyed; the report is 9
-    rows.  Theory column is pure BIGINT arithmetic — engine-exact.
-
-    Hash caveat shared with q31/q33 (documented there): md5-string
-    min-hashing makes the LSH bucketing itself engine-comparable."""
-    corpus = _corpus(spark, sf_dir)
-    truth = ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.1)
-    shingled = with_shingles(
-        corpus.select("id", "text"), "text", 3, out="sh"
-    ).select("id", "sh")
-    from briefly_spark.operators.dedup import lsh_candidate_pairs
-
-    cand = (
-        lsh_candidate_pairs(shingled, "id", "sh", k=8, bands=4)
-        .select("id_a", "id_b")
-        .withColumn("hit", F.lit(1))
-    )
-    rep = (
-        truth.join(cand, ["id_a", "id_b"], "left")
+    # r15 graft (capacity policy: q123_dup_cluster_histogram's standalone
+    # seat retired into this host — the histogram is q37's own component
+    # frame re-aggregated, so a separate driver row re-ran the entire
+    # pair+CC pipeline to gate two dimension-bounded shuffles): the
+    # cluster-size histogram of the near-dup graph — how many singletons,
+    # pairs, k-cliques — the one-page duplication profile a curation run
+    # reports before/after dedup, and the standard check that duplicate
+    # mass follows the expected power law rather than one pathological
+    # mega-cluster.  value = n_clusters/n_docs at each size.
+    hist_long = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
         .select(
-            F.expr("least(CAST(floor(jac * 10) AS BIGINT), 9)").alias("bucket"),
-            F.coalesce("hit", F.lit(0)).alias("hit"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum("hit").cast("long").alias("n_cand"),
+            F.lit("size_histogram").alias("section"),
+            F.col("cluster_size").cast("string").alias("k"),
+            F.concat_ws(
+                "/",
+                F.col("n_clusters").cast("string"),
+                (F.col("cluster_size") * F.col("n_clusters")).cast("string"),
+            ).alias("value"),
         )
     )
-    return rep.selectExpr(
-        "bucket", "n_pairs", "n_cand",
-        "CAST((n_cand * 10000) div n_pairs AS BIGINT) AS hit_rate_fp",
-        *_scurve_items("spark"),
-    ).select("bucket", "n_pairs", "n_cand", "hit_rate_fp", "theory_fp")
+    return cluster_long.unionByName(fuzzy_long).unionByName(hist_long)
+
+
+# --------------------------------------------------------------------------
+# q123_dup_cluster_histogram — RETIRED at r15 (capacity policy): grafted
+# into q37_dup_clusters as its 'size_histogram' section.  The standalone
+# seat re-ran q37's entire pair+CC pipeline only to gate two extra
+# dimension-bounded aggregations; under the host both legs share one
+# component frame and one driver hash.  Coverage (P5, A3) moved to the
+# host's covers tuple; COVERAGE.md row re-pointed.
+# --------------------------------------------------------------------------
+
+
+# q138_lsh_calibration — RETIRED at r15 (capacity policy): grafted into
+# q122_shingle_containment as its 'lsh_calibration' section (both audit
+# the same shingle space; the standalone seat rebuilt it from scratch).
+# Coverage (J4, A3) moved to the host's covers tuple; the S-curve
+# fixed-point items (_scurve_items) and calibration CTE chain
+# (_CALIB_CTES) now live beside the host above.

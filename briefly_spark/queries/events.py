@@ -627,10 +627,24 @@ def q65_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q102 — peak concurrent sessions per day: interval endpoints + a
 # DISTRIBUTED prefix sum (per-day partials, day-frame offsets).
 # --------------------------------------------------------------------------
+def _q112_logp_items(dialect: str) -> list[str]:
+    """Staged smoothed-transition log-probability as lateral-alias SELECT
+    items ending in ``… AS logp_fp`` (numerics.det_ln_items — same op
+    order as the inline det_ln expansion, ~10× smaller SQL).  Shared by
+    the q102 host's 'transitions' section (r15 graft) and its Spark leg."""
+    from briefly_spark.numerics import det_ln_items
+
+    return [
+        *det_ln_items("c_pair + 1", "__l_num", dialect),
+        *det_ln_items("c_prev + n_types", "__l_den", dialect),
+        "CAST(floor(((__l_num) - (__l_den)) * 10000.0) AS BIGINT) AS logp_fp",
+    ]
+
+
 @register(
     "q102_peak_concurrency",
-    covers=("A4", "W6"),
-    oracle="""
+    covers=("A4", "W6", "A3", "W2"),
+    oracle=f"""
 WITH gaps AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -670,10 +684,37 @@ run AS (
          pref.off + sum(delta) OVER (PARTITION BY epd.day
                                      ORDER BY ts, delta) AS conc
   FROM epd JOIN pref ON epd.day = pref.day
+),
+tpairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type, next_type, count(*) AS c_pair
+  FROM tpairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (
+  SELECT event_type, CAST(sum(c_pair) AS BIGINT) AS c_prev
+  FROM trans GROUP BY event_type
+),
+v AS (SELECT count(DISTINCT next_type) AS n_types FROM trans),
+tscored AS (
+  SELECT event_type, next_type, c_pair, {', '.join(_q112_logp_items('duckdb'))}
+  FROM trans JOIN tot USING (event_type) CROSS JOIN v
 )
-SELECT CAST(day AS BIGINT) AS day_off,
-       CAST(max(conc) AS BIGINT) AS peak_conc
-FROM run GROUP BY day
+SELECT 'peak' AS section, CAST(day_off AS VARCHAR) AS k,
+       CAST(peak_conc AS VARCHAR) AS value
+FROM (SELECT CAST(day AS BIGINT) AS day_off,
+             CAST(max(conc) AS BIGINT) AS peak_conc
+      FROM run GROUP BY day)
+UNION ALL
+SELECT 'transitions' AS section,
+       event_type || '>' || next_type AS k,
+       CAST(c_pair AS VARCHAR) || '/' || CAST(logp_fp AS VARCHAR) AS value
+FROM tscored
 """,
 )
 def q102_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,7 +731,20 @@ def q102_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-day max is engine-exact integer arithmetic throughout.  At
     100 TB the day partitioning scales with history length while each
     day's endpoint set stays bounded — the classic two-level scan
-    pattern."""
+    pattern.
+
+    r15 graft (capacity policy: q112_event_transitions' standalone seat
+    retired into this host — both are one-pass analytics over the same
+    per-user ordered event stream): the 'transitions' section is the
+    first-order Markov transition matrix, the sequence-modeling
+    counterpart of q48's bigram LM (user behavior instead of text).
+    Laplace-smoothed log P(next | prev) = det_ln(c_pair + 1) −
+    det_ln(c_prev + V), both arguments INTEGERS, so the fixed-point
+    score is engine-exact.  ONE user_id shuffle orders each stream for
+    the lead() pairing (ties broken by event_id); the pair tally
+    partial-aggregates map-side into a |types|²-bounded frame; row
+    totals and V derive from THAT tiny frame and broadcast back — at
+    100 TB the only corpus-sized cost is the window shuffle."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -715,82 +769,44 @@ def q102_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         epd.join(F.broadcast(pref), "day")
         .withColumn("conc", F.col("off") + F.sum("delta").over(run_w))
     )
-    return run.groupBy(F.col("day").cast("long").alias("day_off")).agg(
-        F.max("conc").cast("long").alias("peak_conc")
+    peak_long = (
+        run.groupBy(F.col("day").cast("long").alias("day_off"))
+        .agg(F.max("conc").cast("long").alias("peak_conc"))
+        .select(
+            F.lit("peak").alias("section"),
+            F.col("day_off").cast("string").alias("k"),
+            F.col("peak_conc").cast("string").alias("value"),
+        )
     )
-
-
-# --------------------------------------------------------------------------
-# q112 — next-event transition matrix (first-order Markov model).
-# --------------------------------------------------------------------------
-def _q112_logp_items(dialect: str) -> list[str]:
-    """Staged smoothed-transition log-probability as lateral-alias SELECT
-    items ending in ``… AS logp_fp`` (numerics.det_ln_items — same op
-    order as the inline det_ln expansion, ~10× smaller SQL)."""
-    from briefly_spark.numerics import det_ln_items
-
-    return [
-        *det_ln_items("c_pair + 1", "__l_num", dialect),
-        *det_ln_items("c_prev + n_types", "__l_den", dialect),
-        "CAST(floor(((__l_num) - (__l_den)) * 10000.0) AS BIGINT) AS logp_fp",
-    ]
-
-
-def _q112_oracle() -> str:
-    return f"""
-WITH pairs AS (
-  SELECT event_type,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS next_type
-  FROM events
-),
-trans AS (
-  SELECT event_type, next_type, count(*) AS c_pair
-  FROM pairs WHERE next_type IS NOT NULL
-  GROUP BY event_type, next_type
-),
-tot AS (
-  SELECT event_type, CAST(sum(c_pair) AS BIGINT) AS c_prev
-  FROM trans GROUP BY event_type
-),
-v AS (SELECT count(DISTINCT next_type) AS n_types FROM trans),
-scored AS (
-  SELECT event_type, next_type, c_pair, {', '.join(_q112_logp_items('duckdb'))}
-  FROM trans JOIN tot USING (event_type) CROSS JOIN v
-)
-SELECT event_type, next_type, c_pair, logp_fp FROM scored
-"""
-
-
-@register("q112_event_transitions", covers=("A3", "W2"), oracle=_q112_oracle())
-def q112_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event streams —
-    the sequence-modeling counterpart of q48's bigram LM (user behavior
-    instead of text): Laplace-smoothed log P(next | prev) =
-    det_ln(c_pair + 1) − det_ln(c_prev + V), both arguments INTEGERS, so
-    the fixed-point score is engine-exact.  Plan: ONE user_id shuffle
-    orders each user's stream for the lead() pairing (ties broken by
-    event_id — deterministic), then the pair tally partial-aggregates
-    map-side into a |types|²-bounded frame; row totals and the type count
-    V derive from THAT tiny frame (no second corpus scan) and broadcast
-    back.  At 100 TB the only corpus-sized cost is the one window
-    shuffle; everything after is dimension-sized."""
-    from pyspark.sql import Window
-
-    events = load_table(spark, sf_dir, "events")
     wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = events.select(
+    tpairs = events.select(
         "event_type", F.lead("event_type").over(wl).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
-    trans = pairs.groupBy("event_type", "next_type").agg(
+    trans = tpairs.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("c_pair")
     )
     trans = trans.persist()
     tot = trans.groupBy("event_type").agg(F.sum("c_pair").alias("c_prev"))
     v = trans.agg(F.count_distinct("next_type").alias("n_types"))
-    return (
+    trans_long = (
         trans.join(F.broadcast(tot), "event_type")
         .crossJoin(F.broadcast(v))
         .selectExpr("event_type", "next_type", "c_pair", *_q112_logp_items("spark"))
-        .select("event_type", "next_type", "c_pair", "logp_fp")
+        .select(
+            F.lit("transitions").alias("section"),
+            F.concat_ws(">", "event_type", "next_type").alias("k"),
+            F.concat_ws(
+                "/", F.col("c_pair").cast("string"), F.col("logp_fp").cast("string")
+            ).alias("value"),
+        )
     )
+    return peak_long.unionByName(trans_long)
+
+
+# --------------------------------------------------------------------------
+# q112_event_transitions — RETIRED at r15 (capacity policy): grafted into
+# q102_peak_concurrency as its 'transitions' section (both are one-pass
+# analytics over the same per-user ordered event stream).  Coverage
+# (A3, W2) moved to the host's covers tuple; _q112_logp_items now lives
+# beside the host above.
+# --------------------------------------------------------------------------

@@ -135,13 +135,14 @@ def test_connected_components_bad_method(spark):
 
 
 def test_lsh_calibration_matches_bruteforce(spark):
-    """q138's decile buckets, candidate flags, and theory column pinned
-    against an itertools all-pairs reference on the sf0.001 corpus — a
-    third engine next to the Spark plan and the DuckDB oracle."""
+    """The lsh_calibration section's decile buckets, candidate flags, and
+    theory column pinned against an itertools all-pairs reference on the
+    sf0.001 corpus — a third engine next to the Spark plan and the DuckDB
+    oracle.  (Hosted in q122_shingle_containment since the r15 graft.)"""
     import hashlib
     import itertools
 
-    from briefly_spark.queries.dedup import _corpus, q138_lsh_calibration
+    from briefly_spark.queries.dedup import _corpus, q122_shingle_containment
 
     rows = _corpus(spark, "/root/testdata/sf0.001").select("id", "text").collect()
 
@@ -176,8 +177,10 @@ def test_lsh_calibration_matches_bruteforce(spark):
         expected[bucket] = (n + 1, c + int(hit))
 
     got = {
-        r["bucket"]: (r["n_pairs"], r["n_cand"], r["hit_rate_fp"], r["theory_fp"])
-        for r in q138_lsh_calibration(spark, "/root/testdata/sf0.001").collect()
+        int(r["k"]): tuple(int(x) for x in r["value"].split("/"))
+        for r in q122_shingle_containment(spark, "/root/testdata/sf0.001")
+        .filter("section = 'lsh_calibration'")
+        .collect()
     }
     assert set(got) == set(expected)
     for bucket, (n, c) in expected.items():

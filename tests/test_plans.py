@@ -384,16 +384,15 @@ def test_q111_argmax_broadcasts_no_window(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_q112_one_corpus_shuffle_stats_broadcast(spark, sf_dir):
-    # exactly one corpus-sized shuffle (the user_id window); the row
-    # totals and type count come off the persisted tiny transition frame
-    # and broadcast back
-    plan = plan_of(spark, sf_dir, "q112_event_transitions")
+def test_q102_transitions_stats_broadcast(spark, sf_dir):
+    # the 'transitions' section (q112's r15 graft host): one corpus-sized
+    # shuffle (the user_id window); row totals and type count come off
+    # the persisted tiny transition frame and broadcast back.  The host's
+    # own 'peak' leg joins day partials via broadcast too — the merged
+    # plan must stay free of sort-merge joins entirely.
+    plan = plan_of(spark, sf_dir, "q102_peak_concurrency")
     assert "InMemoryTableScan" in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 1, plan
-    ex = shuffle_exchanges(plan)
-    # user_id window + pair groupBy over the in-memory frame; nothing else
-    # corpus-sized — allow the small-frame aggs but no join shuffles
+    assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
 
 

@@ -279,8 +279,29 @@ def _replicate_embeddings(spark, sf_dir: str, out_dir: str, k: int) -> None:
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     parts = [emb]
     for r in range(1, k):
+        # replicas must be VALUE-distinct, not just id-distinct — the r14
+        # q37 lesson (char-disjoint document replicas) applied to vectors.
+        # Byte-identical replicas put cos(orig, replica) exactly at 1.0,
+        # a trunc4 knife edge where Spark's sequential fold and DuckDB's
+        # list_sum differ by an ulp and round to different sides
+        # (measured: the K=4 oracle sweep's q41 hash mismatch).  A
+        # deterministic per-replica nudge on one rotating dimension keeps
+        # every sim strictly inside a bucket; it also stops replica pairs
+        # from being trivially easy for the ANN/dedup rungs.
+        dim = r % 64
         parts.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * _REPLICA_STRIDE))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x + F.when(i == F.lit(dim), F.lit(float(r) / 128.0))
+                        .otherwise(F.lit(0.0))
+                        .cast("float")
+                    ).cast("float"),
+                ),
+            )
         )
     out = parts[0]
     for p in parts[1:]:
