@@ -86,6 +86,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     block_cols: tuple[str, ...] = (),
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted index — the scalable form
     of the quadratic baseline (replaces raw_articles.py:44-96's set-based
@@ -113,7 +114,8 @@ def ngram_jaccard_pairs(
         F.col("a.sz"), F.col("b.sz")
     ) * F.lit(threshold)
     inter = _blocked_pair_counts(
-        df, id_col, text_col, n, block_cols, extra_cond=ratio_prune
+        df, id_col, text_col, n, block_cols, extra_cond=ratio_prune,
+        shingles_col=shingles_col,
     )
     jac = F.col("inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("inter"))
     return inter.select("id_a", "id_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
@@ -126,6 +128,7 @@ def _blocked_pair_counts(
     n: int,
     block_cols: tuple[str, ...],
     extra_cond: Column | None = None,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Shared inverted-index pair scaffolding for the shingle-overlap
     family: explode distinct shingles into postings, equi-join on
@@ -133,8 +136,16 @@ def _blocked_pair_counts(
     optional per-pair prune on ``a.sz``/``b.sz``), and count-aggregate the
     intersection.  Returns ``(id_a, id_b, inter, sa, sb)`` — the one spot
     tokenization/blocking changes must be made for BOTH Jaccard and
-    containment scoring."""
-    sh = with_shingles(df, text_col, n)
+    containment scoring.
+
+    ``shingles_col`` short-circuits the internal shingling with a caller
+    -staged (typically persisted) shingle array — the sharing hook for
+    queries running several shingle-space legs over one corpus (q122's
+    three sections re-shingled the corpus once per leg without it)."""
+    if shingles_col is not None:
+        sh = df.withColumnRenamed(shingles_col, "shingles")
+    else:
+        sh = with_shingles(df, text_col, n)
     post = sh.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
@@ -166,6 +177,7 @@ def shingle_containment_pairs(
     n: int = 3,
     threshold_fp: int = 8000,
     block_cols: tuple[str, ...] = (),
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs — |A∩B|/|A| and |A∩B|/|B| —
     the subset-duplicate detector symmetric Jaccard misses: a short
@@ -185,7 +197,9 @@ def shingle_containment_pairs(
     Returns ``(id_a, id_b, inter, sa, sb, cont_a_fp, cont_b_fp)`` with
     ``greatest(cont_a_fp, cont_b_fp) >= threshold_fp``.
     """
-    inter = _blocked_pair_counts(df, id_col, text_col, n, block_cols)
+    inter = _blocked_pair_counts(
+        df, id_col, text_col, n, block_cols, shingles_col=shingles_col
+    )
     scored = inter.select(
         "id_a",
         "id_b",

@@ -68,6 +68,17 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(F.col(id_col).alias("media_id"), content.alias("content"), meta.alias("meta"))
 
 
+def media_corpus(spark, sf_dir: str) -> DataFrame:
+    """The ONE synthetic media-corpus construction every media query
+    starts from: the documents table, spread for parallelism, through
+    :func:`attach_media`.  Single definition so the multimodal pack and
+    the q33 frame_pairs graft host can never silently diverge on the
+    media synthesis (r15 review finding)."""
+    from briefly_spark.catalog import load_table, spread
+
+    return attach_media(spread(load_table(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # feature extraction (decode stub) — native twin + Arrow harness
 # ---------------------------------------------------------------------------

@@ -486,7 +486,7 @@ def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup signal there anyway); it is a window count over the ONE
     postings frame and semantics-preserving at gate scale (max posting
     list measured: 4)."""
-    from briefly_spark.operators.multimodal import attach_media, frame_fingerprints
+    from briefly_spark.operators.multimodal import frame_fingerprints, media_corpus
 
     corpus = _corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
@@ -499,7 +499,7 @@ def q33_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.floor(F.col("jac") * 10000).cast("long").cast("string").alias("value"),
     )
-    media = attach_media(spread(load_table(spark, sf_dir, "documents")))
+    media = media_corpus(spark, sf_dir)
     fp = frame_fingerprints(media, frame_bytes=32, n_frames=16)
     kept = fp.withColumn(
         "df",
@@ -684,9 +684,14 @@ def q122_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _corpus(spark, sf_dir)
+    # ONE shingling pass feeds all three legs (r15 review finding: the
+    # graft's whole point was sharing the shingle space, but each leg
+    # re-scanned and re-shingled the corpus) — persist the shingled frame
+    # and hand it to the pair ops via their shingles_col hook
+    shingled = with_shingles(corpus, "text", 3).persist()
     cont_long = shingle_containment_pairs(
-        corpus, "id", "text", n=3, threshold_fp=8000,
-        block_cols=("source", "lang"),
+        shingled, "id", "text", n=3, threshold_fp=8000,
+        block_cols=("source", "lang"), shingles_col="shingles",
     ).select(
         F.lit("containment").alias("section"),
         F.concat_ws(
@@ -701,12 +706,13 @@ def q122_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cont_b_fp").cast("string"),
         ).alias("value"),
     )
-    truth = ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.1)
-    shingled = with_shingles(
-        corpus.select("id", "text"), "text", 3, out="sh"
-    ).select("id", "sh")
+    truth = ngram_jaccard_pairs(
+        shingled, "id", "text", n=3, threshold=0.1, shingles_col="shingles"
+    )
     cand = (
-        lsh_candidate_pairs(shingled, "id", "sh", k=8, bands=4)
+        lsh_candidate_pairs(
+            shingled.select("id", "shingles"), "id", "shingles", k=8, bands=4
+        )
         .select("id_a", "id_b")
         .withColumn("hit", F.lit(1))
     )
@@ -1056,13 +1062,14 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the small heads frame below
     corpus = _corpus(spark, sf_dir)
     pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
+    # comp feeds two sections — persist (lazy, the q102 trans.persist()
+    # discipline): the CC iteration checkpoints its LABEL frame
+    # internally, but the singleton left join and corpus id scans sit
+    # above that checkpoint and would replay per section (r15 review
+    # finding, visible as doubled SortMergeJoin/FileScan in plan_shape)
     comp = connected_components(
         corpus.select("id"), pairs.select("id_a", "id_b")
-    )
-    # comp feeds two sections; no extra materialization needed — the CC
-    # iteration localCheckpoints its label frame internally (lineage
-    # truncation), so the histogram leg reuses the checkpointed labels
-    # rather than replaying the pair join
+    ).persist()
     cluster_long = comp.select(
         F.lit("cluster").alias("section"),
         F.col("id").cast("string").alias("k"),

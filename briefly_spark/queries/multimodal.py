@@ -36,7 +36,9 @@ _VEC_STR = "array_to_string(list_transform({v}, x -> CAST(CAST(floor(x * 10000) 
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return attach_media(spread(load_table(spark, sf_dir, "documents")))
+    from briefly_spark.operators.multimodal import media_corpus
+
+    return media_corpus(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
