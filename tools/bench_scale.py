@@ -126,8 +126,9 @@ QUERIES = (
     # replicas disjoint), state with component count
     "q115_label_propagation",
     # PQ train/encode/recall-audit over EMBEDDINGS (replicated with
-    # vec_id offsets from r14 on; vectors duplicated — k-means centroids
-    # are unchanged under duplication, encode/audit legs grow linearly)
+    # vec_id offsets from r14 on; replicas value-nudged per-replica from
+    # r15 — see _replicate_embeddings — so centroids shift only by the
+    # nudge epsilon; encode/audit legs grow linearly either way)
     "q118_pq_ann",
     # streaming heavy-hitter drain + resolve gate: micro-batch count is
     # fixed, per-batch state is (k x partitions)-bounded by Misra-Gries
@@ -142,6 +143,18 @@ QUERIES = (
     # the md5 shingle key + one equi-join + sparse interval merge; its
     # STREAM leg is the x133_substring_stream extra below
     "q133_substring_dedup_keepfirst",
+    # r15 graft-host pack: the merged forms carry their retired seats'
+    # legs, so the hosts need their own cells.
+    # containment postings join + the grafted calibration legs (truth
+    # postings join, banded candidates, pair-keyed flag join) off ONE
+    # persisted shingled frame — every leg is O(postings), none O(n²)
+    "q122_shingle_containment",
+    # inverted-index Jaccard + the grafted frame-fingerprint postings
+    # join (16 frames/doc, df ≤ 64 cap bounds posting lists)
+    "q33_ngram_jaccard_pairs",
+    # day-partitioned prefix sum + the grafted per-user transition
+    # window: one user_id shuffle, |types|²-bounded tally
+    "q102_peak_concurrency",
 )
 
 #: Non-registry scale cells — callables measured exactly like QUERIES
