@@ -531,7 +531,18 @@ def run_until_drained(
     """Run curate → summarize → tts → embed → relate until no job finds
     work — the idempotent backfill sweep: because every write is a keyed
     merge driven by a status predicate, re-running is always safe and
-    always converges."""
+    always converges.
+
+    Convergence check: a job whose batch UNDER-fills (processed <
+    batch_size) drained its entire work-list this round — the limit did
+    not bind, so zero eligible rows remain — and no later stage creates
+    work for it (new curate/summarize work only comes from ingest, which
+    is outside the loop; tts/embed work only from summarize and relate
+    work only from embed, both of which run EARLIER in the same round).
+    So a round where every job under-fills is already the fixed point,
+    and the all-zero verification round (five more work-list scans) is
+    pure overhead — skip it.  A round of exactly-full batches still
+    re-probes, as it must."""
     results: list[JobResult] = []
     for _ in range(max_rounds):
         round_results = [
@@ -542,7 +553,7 @@ def run_until_drained(
             relate_batch(wh, batch_size=batch_size),
         ]
         results.extend(round_results)
-        if all(r.processed == 0 for r in round_results):
+        if all(r.processed < batch_size for r in round_results):
             break
     return results
 

@@ -229,6 +229,13 @@ class Warehouse:
         self, df: DataFrame, table: str, *, partition_by: list[str] | None = None
     ) -> None:
         tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")
+        if partition_by:
+            # Without this, every input partition emits one file per hive
+            # partition value (observed: 128 files for a 1000-row table) and
+            # every later scan/merge pays the per-file open cost.  REBALANCE
+            # lets AQE coalesce to advisory-sized output files — and split
+            # oversized partitions at scale, so it is safe in both modes.
+            df = df.hint("rebalance", *partition_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -351,6 +358,7 @@ class Warehouse:
         *,
         partition_by: list[str] | None = None,
         small_batch: bool = True,
+        partition_rows=None,
     ) -> None:
         """``MERGE``: rows matching on ``key`` are replaced wholesale by the
         update row, new keys are inserted (mongo upsert semantics,
@@ -391,7 +399,8 @@ class Warehouse:
                 return
             if partition_by:
                 self._merge_upsert_partitioned(
-                    updates, table, key, partition_by, small_batch
+                    updates, table, key, partition_by, small_batch,
+                    partition_rows=partition_rows,
                 )
                 return
             target = self.read(table)
@@ -404,7 +413,8 @@ class Warehouse:
 
     def _merge_upsert_partitioned(
         self, updates: DataFrame, table: str, key: list[str],
-        partition_by: list[str], small_batch: bool = True
+        partition_by: list[str], small_batch: bool = True,
+        partition_rows=None,
     ) -> None:
         """Partition-scoped merge: build the merged slice for the affected
         partitions aside (no read-while-overwrite on the live table), then
@@ -417,7 +427,7 @@ class Warehouse:
         to the same handful of directories."""
         self._assert_partitioned_layout(table, partition_by)
         target = self.read(table)
-        cond = self._partition_filter(updates, partition_by)
+        cond = self._partition_filter(updates, partition_by, partition_rows)
         if cond is None:
             return
         ukeys = updates.select(*key)
@@ -427,12 +437,23 @@ class Warehouse:
         merged = kept.unionByName(updates, allowMissingColumns=True)
         self._swap_partitions(merged, table, partition_by)
 
-    def _partition_filter(self, batch: DataFrame, partition_by: list[str]):
+    def _partition_filter(
+        self, batch: DataFrame, partition_by: list[str], partition_rows=None
+    ):
         """OR-of-ANDs predicate selecting exactly the partitions present in
         ``batch`` (driver collect of the batch's distinct partition tuples —
         bounded by the batch, not the table), or None for an empty batch.
-        Partition pruning turns it into a directory listing."""
-        parts = batch.select(*partition_by).distinct().collect()
+        Partition pruning turns it into a directory listing.
+
+        ``partition_rows`` lets a caller that already collected the batch's
+        partition tuples (e.g. jobs._merge_batch, whose did-we-find-work
+        count is a groupBy over exactly these columns) pass them in and
+        skip the extra Spark action per merge."""
+        parts = (
+            partition_rows
+            if partition_rows is not None
+            else batch.select(*partition_by).distinct().collect()
+        )
         cond = None
         for row in parts:
             c = None
@@ -474,6 +495,7 @@ class Warehouse:
         next :meth:`read` — never a lost or half-visible partition."""
         self._recover(table)  # finish any interrupted predecessor first
         aside = self.path(f".{table}.merge-{uuid.uuid4().hex[:8]}")
+        slice_df = slice_df.hint("rebalance", *partition_by)  # see _overwrite_locked
         slice_df.write.mode("overwrite").partitionBy(*partition_by).parquet(aside)
         final = self.path(table)
         swap = os.path.join(final, f".swap-{uuid.uuid4().hex[:8]}")
@@ -545,6 +567,7 @@ class Warehouse:
         *,
         partition_by: list[str] | None = None,
         small_batch: bool = True,
+        partition_rows=None,
     ) -> None:
         """``WHEN MATCHED UPDATE SET c = delta.c``: only ``set_cols`` change,
         all other columns ride along; unmatched target rows are untouched;
@@ -570,7 +593,7 @@ class Warehouse:
             target = self.read(table)
             if partition_by:
                 self._assert_partitioned_layout(table, partition_by)
-                cond = self._partition_filter(delta, partition_by)
+                cond = self._partition_filter(delta, partition_by, partition_rows)
                 if cond is None:
                     return
                 target = target.filter(cond)
