@@ -127,23 +127,32 @@ WINDOW_HEAD: tuple[str, ...] = (
     # corpus_n/queries_n hints, and q129's dense branch gates on the
     # pair product.  Form-changed debt outranks unchanged-form
     # staleness (gate_debt's invariant), which left 54 claimants for 50
-    # seats (49 r12-stale + q37 + these four).  Resolution: the
-    # capacity-policy graft, not a tail seat — the four r12-stale tail
-    # entries (q112_event_transitions, q123_dup_cluster_histogram,
-    # q138_lsh_calibration, q104_frame_fingerprint_pairs) are RETIRED
-    # into seated hosts (q112→q102 'transitions', q123→q37
-    # 'size_histogram', q138→q122 'lsh_calibration', q104→q33
-    # 'frame_pairs'), so their capabilities re-gate THIS round under
-    # their hosts' fresh driver hashes instead of carrying r12 evidence
-    # to age 3.  Registry 149→145: a 50-seat / 3-round rotation now has
-    # 5 spare seats per cycle — the structural fix for the saturation
-    # this round exposed (at 149/150 a single mid-round form change
-    # forces exactly this arithmetic again).
+    # seats (49 r12-stale + q37 + these four).  The mid-round
+    # resolution retired the four r12-stale tail entries
+    # (q112_event_transitions, q123_dup_cluster_histogram,
+    # q138_lsh_calibration, q104_frame_fingerprint_pairs) into seated
+    # hosts (q112→q102 'transitions', q123→q37 'size_histogram',
+    # q138→q122 'lsh_calibration', q104→q33 'frame_pairs').
+    #
+    # r15-optimization-open amendment: the driver contract forbids a
+    # DECLARED query disappearing between rounds — retirement of a
+    # registered seat is a regression however sound the capacity
+    # arithmetic, so the four standalone queries are RESTORED in their
+    # last-gated (r12) forms (manifest hashes unchanged: not debt, but
+    # over-age at r15) while the host sections stay.  Seating with 55
+    # claimants: the 45 plain r12-stale + the 4 restored r12-stale must
+    # hold gated head seats (a tail seat requires r13+ evidence), q37
+    # keeps the mandated lead, and the five claimants WITH r13/r14
+    # evidence (q33, q41, q115, q129 — form-changed; q128 — form moved
+    # by the r15 drain optimization) take the one-round tail seats the
+    # q149/q37 precedents define.  Their current forms stay covered by
+    # the committed builder-side oracle sweep until the r16 head seats
+    # them first.
     "q37_dup_clusters",
-    "q33_ngram_jaccard_pairs",
-    "q41_related_articles",
-    "q115_label_propagation",
-    "q129_hybrid_rrf",
+    "q104_frame_fingerprint_pairs",
+    "q112_event_transitions",
+    "q123_dup_cluster_histogram",
+    "q138_lsh_calibration",
     "q113_random_projection",
     "q116_mmr_rerank",
     "q118_pq_ann",
@@ -189,6 +198,12 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q65_median_gap",
     "q102_peak_concurrency",
     "q122_shingle_containment",
+    # --- one-round tail seats (positions 51+; r13/r14 evidence) ---
+    "q33_ngram_jaccard_pairs",
+    "q41_related_articles",
+    "q115_label_propagation",
+    "q129_hybrid_rrf",
+    "q128_jobs_dag_resolve",
 )
 
 

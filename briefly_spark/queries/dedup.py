@@ -1128,18 +1128,165 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q123_dup_cluster_histogram — RETIRED at r15 (capacity policy): grafted
-# into q37_dup_clusters as its 'size_histogram' section.  The standalone
-# seat re-ran q37's entire pair+CC pipeline only to gate two extra
-# dimension-bounded aggregations; under the host both legs share one
-# component frame and one driver hash.  Coverage (P5, A3) moved to the
-# host's covers tuple; COVERAGE.md row re-pointed.
+# q123 — duplication profile: near-dup cluster-size histogram.
+# (Briefly retired into q37's 'size_histogram' section mid-r15; restored
+# as a standalone seat at the r15 optimization open — the driver contract
+# forbids a declared query disappearing between rounds.  The host section
+# stays; both share _q37_oracle_prefix.)
 # --------------------------------------------------------------------------
+@register(
+    "q123_dup_cluster_histogram",
+    covers=("P5", "A3"),
+    oracle=_q37_oracle_prefix()
+    + """,
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""",
+)
+def q123_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile — the cluster-size histogram of the
+    near-dup graph (how many singletons, pairs, k-cliques…): the one-page
+    number a curation run reports before/after dedup (dup rate = 1 −
+    n_clusters/n_docs summed over the histogram), and the standard check
+    that duplicate mass follows the expected power law rather than one
+    pathological mega-cluster (which would indicate boilerplate leaking
+    past the quality filters, the q95 template-hub signal in aggregate).
+
+    Plan: q37's pair generation + connected components unchanged, then
+    TWO partial-agg shuffles over the component frame (component → size,
+    size → histogram) — the histogram is bounded by the largest cluster
+    size, dimension-sized however large the corpus."""
+    from briefly_spark.operators.dedup import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus, "id", "text", n=3, k=8, bands=4, threshold=0.4)
+    comp = connected_components(corpus.select("id"), pairs.select("id_a", "id_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )
 
 
-# q138_lsh_calibration — RETIRED at r15 (capacity policy): grafted into
-# q122_shingle_containment as its 'lsh_calibration' section (both audit
-# the same shingle space; the standalone seat rebuilt it from scratch).
-# Coverage (J4, A3) moved to the host's covers tuple; the S-curve
-# fixed-point items (_scurve_items) and calibration CTE chain
-# (_CALIB_CTES) now live beside the host above.
+# --------------------------------------------------------------------------
+# q138 — LSH banding calibration: empirical collision S-curve vs theory.
+# (Briefly retired into q122's 'lsh_calibration' section mid-r15; restored
+# as a standalone seat at the r15 optimization open — the driver contract
+# forbids a declared query disappearing between rounds.  The host section
+# stays; _scurve_items above is shared by both.)
+# --------------------------------------------------------------------------
+_Q138_ORACLE = f"""
+WITH {_CORPUS_SQL}, {_SHINGLES_SQL},
+post AS (SELECT id, unnest(shingles) AS s FROM sh),
+sz AS (SELECT id, len(shingles) AS sz FROM sh),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.id < b.id
+  GROUP BY id_a, id_b
+),
+truth AS MATERIALIZED (
+  SELECT co.id_a, co.id_b,
+         CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) AS jac
+  FROM co JOIN sz za ON za.id = co.id_a JOIN sz zb ON zb.id = co.id_b
+  WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.1
+),
+hs AS (SELECT id, list_transform(shingles, s -> md5(s)) AS hh FROM sh),
+sig AS (
+  SELECT id,
+         list_transform(range(0, 8),
+           i -> list_min(list_transform(hh, h -> substr(h, CAST(i * 4 + 1 AS INT), 4)))) AS sg
+  FROM hs
+),
+banded AS (
+  SELECT id, b, md5(sg[2*b + 1] || '|' || sg[2*b + 2]) AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+),
+flag AS (
+  SELECT t.jac, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+rep AS (
+  SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(hit) AS BIGINT) AS n_cand
+  FROM flag GROUP BY bucket
+)
+SELECT bucket, n_pairs, n_cand, hit_rate_fp, theory_fp FROM (
+  SELECT bucket, n_pairs, n_cand,
+         CAST((n_cand * 10000) // n_pairs AS BIGINT) AS hit_rate_fp,
+         {', '.join(_scurve_items('duckdb'))}
+  FROM rep
+)
+"""
+
+
+@register("q138_lsh_calibration", covers=("J4", "A3"), oracle=_Q138_ORACLE)
+def q138_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding calibration curve — the audit read before
+    trusting the q31 near-dup rung at 100 TB: for every exact-Jaccard
+    decile bucket (ground truth from the q33 inverted-index pairs,
+    floored at jac ≥ 0.1), the fraction of pairs the k=8/b=4 banding
+    actually surfaced as candidates, NEXT TO the analytic S-curve
+    1 − (1 − s²)⁴ at the bucket midpoint (Broder/LSH theory;
+    Leskovec-Rajaraman-Ullman ch. 3).  Empirical ≪ theory in a high
+    bucket means the banding is missing true near-dups (recall hole);
+    a fat low bucket quantifies the wasted verify work (precision).
+
+    The jac ≥ 0.1 floor is structural, not a shortcut: the 0-decile
+    (all pairs sharing ANY shingle) is unbounded at scale — every pair
+    sharing one stopword trigram — while deciles 1+ inherit the exact
+    size-ratio prune, and banding is only ever tuned on them.
+
+    Plan shape at 100 TB: ground truth is the q33 postings equi-join
+    (shuffle on shingle keys, bounded by token count, AQE-skew-split);
+    candidates are the q31 band-key equi-join (ids only — shingles never
+    ride the ×4 explode); the flag join is pair-keyed; the report is 9
+    rows.  Theory column is pure BIGINT arithmetic — engine-exact.
+
+    Hash caveat shared with q31/q33 (documented there): md5-string
+    min-hashing makes the LSH bucketing itself engine-comparable."""
+    corpus = _corpus(spark, sf_dir)
+    truth = ngram_jaccard_pairs(corpus, "id", "text", n=3, threshold=0.1)
+    shingled = with_shingles(
+        corpus.select("id", "text"), "text", 3, out="sh"
+    ).select("id", "sh")
+    from briefly_spark.operators.dedup import lsh_candidate_pairs
+
+    cand = (
+        lsh_candidate_pairs(shingled, "id", "sh", k=8, bands=4)
+        .select("id_a", "id_b")
+        .withColumn("hit", F.lit(1))
+    )
+    rep = (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            F.expr("least(CAST(floor(jac * 10) AS BIGINT), 9)").alias("bucket"),
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_cand"),
+        )
+    )
+    return rep.selectExpr(
+        "bucket", "n_pairs", "n_cand",
+        "CAST((n_cand * 10000) div n_pairs AS BIGINT) AS hit_rate_fp",
+        *_scurve_items("spark"),
+    ).select("bucket", "n_pairs", "n_cand", "hit_rate_fp", "theory_fp")
+

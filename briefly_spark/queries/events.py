@@ -804,9 +804,67 @@ def q102_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q112_event_transitions — RETIRED at r15 (capacity policy): grafted into
-# q102_peak_concurrency as its 'transitions' section (both are one-pass
-# analytics over the same per-user ordered event stream).  Coverage
-# (A3, W2) moved to the host's covers tuple; _q112_logp_items now lives
-# beside the host above.
+# q112 — next-event transition matrix (first-order Markov model).
+# (Briefly retired into q102's 'transitions' section mid-r15; restored as
+# a standalone seat at the r15 optimization open — the driver contract
+# forbids a declared query disappearing between rounds.  The host section
+# stays; _q112_logp_items above is shared by both.)
 # --------------------------------------------------------------------------
+def _q112_oracle() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type, next_type, count(*) AS c_pair
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (
+  SELECT event_type, CAST(sum(c_pair) AS BIGINT) AS c_prev
+  FROM trans GROUP BY event_type
+),
+v AS (SELECT count(DISTINCT next_type) AS n_types FROM trans),
+scored AS (
+  SELECT event_type, next_type, c_pair, {', '.join(_q112_logp_items('duckdb'))}
+  FROM trans JOIN tot USING (event_type) CROSS JOIN v
+)
+SELECT event_type, next_type, c_pair, logp_fp FROM scored
+"""
+
+
+@register("q112_event_transitions", covers=("A3", "W2"), oracle=_q112_oracle())
+def q112_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the sequence-modeling counterpart of q48's bigram LM (user behavior
+    instead of text): Laplace-smoothed log P(next | prev) =
+    det_ln(c_pair + 1) − det_ln(c_prev + V), both arguments INTEGERS, so
+    the fixed-point score is engine-exact.  Plan: ONE user_id shuffle
+    orders each user's stream for the lead() pairing (ties broken by
+    event_id — deterministic), then the pair tally partial-aggregates
+    map-side into a |types|²-bounded frame; row totals and the type count
+    V derive from THAT tiny frame (no second corpus scan) and broadcast
+    back.  At 100 TB the only corpus-sized cost is the one window
+    shuffle; everything after is dimension-sized."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        "event_type", F.lead("event_type").over(wl).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c_pair")
+    )
+    trans = trans.persist()
+    tot = trans.groupBy("event_type").agg(F.sum("c_pair").alias("c_prev"))
+    v = trans.agg(F.count_distinct("next_type").alias("n_types"))
+    return (
+        trans.join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(v))
+        .selectExpr("event_type", "next_type", "c_pair", *_q112_logp_items("spark"))
+        .select("event_type", "next_type", "c_pair", "logp_fp")
+    )

@@ -142,10 +142,68 @@ def q82_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q104_frame_fingerprint_pairs — RETIRED at r15 (capacity policy):
-# grafted into q33_ngram_jaccard_pairs as its 'frame_pairs' section (its
-# docstring already named q33's inverted-index discipline as its model).
-# Coverage (J4, M7) moved to the host's covers tuple; the Spark leg uses
-# attach_media + frame_fingerprints from operators/multimodal.py
-# unchanged.
+# q104 — media near-dup pairs via fixed-stride frame fingerprints.
+# (Briefly retired into q33's 'frame_pairs' section mid-r15; restored as a
+# standalone seat at the r15 optimization open — the driver contract
+# forbids a declared query disappearing between rounds.  The host section
+# stays; this is the same computation under its original name and hash.)
 # --------------------------------------------------------------------------
+@register(
+    "q104_frame_fingerprint_pairs",
+    covers=("J4", "M7"),
+    oracle="""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT media_id, k.k AS frame_idx,
+         md5(substr(text, CAST(k.k * 32 + 1 AS INT), 32)) AS frame_md5
+  FROM d, (SELECT unnest(range(0, 16)) AS k) k
+  WHERE k.k * 32 + 32 <= n
+),
+kept AS (
+  SELECT media_id, frame_idx, frame_md5,
+         count(*) OVER (PARTITION BY frame_idx, frame_md5) AS df
+  FROM f
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+FROM kept a JOIN kept b ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
+                 AND a.media_id < b.media_id
+WHERE a.df <= 64
+GROUP BY id_a, id_b
+HAVING count(*) >= 3
+""",
+)
+def q104_frame_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup detection the frame way — the multimodal leg of the
+    dedup pack (text X1–X5, embeddings X5/X52): blobs sharing ≥ 3 frame
+    hashes at the SAME fixed offsets are near-dup candidates (re-encoded
+    copies, watermarked variants, shared intros).  Candidates come from
+    an inverted-index equi-join on (frame_idx, frame_md5) — O(matching
+    postings), the q33 discipline, never an all-pairs blob compare — and
+    the blob itself never leaves its scan (only 16-byte hashes shuffle).
+    The validity guard keeps empty-tail frames from relating everything
+    (operators/multimodal.py:frame_fingerprints), and a df cap (64)
+    drops any frame whose posting list explodes — a shared codec header
+    or boilerplate intro would otherwise fan the join out quadratically,
+    the stop-word hazard of every inverted index; such frames carry no
+    near-dup signal anyway.  The cap is a window count over the ONE
+    postings frame (no second scan), and it is semantics-preserving at
+    gate scale (max posting list measured: 4)."""
+    media = _media(spark, sf_dir)
+    fp = frame_fingerprints(media, frame_bytes=32, n_frames=16)
+    kept = fp.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("frame_idx", "frame_md5")),
+    ).filter(F.col("df") <= 64)
+    a = kept.select(
+        F.col("media_id").alias("id_a"), "frame_idx", "frame_md5"
+    )
+    b = fp.select(
+        F.col("media_id").alias("id_b"), "frame_idx", "frame_md5"
+    )
+    return (
+        a.join(b, ["frame_idx", "frame_md5"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
