@@ -53,18 +53,33 @@ class JobResult:
     processed: int
 
 
-def _merge_batch(batch: DataFrame, merge) -> int:
+def _merge_batch(batch: DataFrame, merge, partition_by: list[str] | None = None) -> int:
     """Materialize a work batch ONCE across its two actions: every job ends
     with ``count()`` (did we find work?) followed by a keyed merge — without
     a persist the whole work-list lineage (scan → filter → sort → limit →
     transform) is evaluated twice per job.  Batches are bounded (by
     ``batch_size``, or the caller's ingest slice), so persistence is safe
-    at any table size."""
+    at any table size.
+
+    With ``partition_by``, the did-we-find-work count runs as a groupBy
+    over exactly those columns, so the batch's distinct partition tuples
+    come back from the SAME action and are handed to ``merge`` as its
+    second argument — the storage layer's partition-scoped paths
+    (``partition_rows=``) then skip their own distinct+collect job, one
+    whole Spark action per merge.  The tuple count is bounded by the
+    batch (the grouped count is never wider than the rows it counts), so
+    the driver-side result stays as bounded as the count it replaces."""
     batch.persist()
     try:
-        n = batch.count()
-        if n:
-            merge(batch)
+        if partition_by is None:
+            n = batch.count()
+            if n:
+                merge(batch, None)
+        else:
+            rows = batch.groupBy(*partition_by).count().collect()
+            n = sum(r["count"] for r in rows)
+            if n:
+                merge(batch, rows)
     finally:
         batch.unpersist()
     return n
@@ -119,7 +134,11 @@ def ingest_documents(wh: Warehouse, docs: DataFrame) -> JobResult:
         existing = wh.read(ARTICLES).select("url")
         batch = batch.join(existing, "url", "left_anti")
     n = _merge_batch(
-        batch, lambda b: wh.merge_upsert(b, ARTICLES, ["url"], partition_by=PARTITION)
+        batch,
+        lambda b, pr: wh.merge_upsert(
+            b, ARTICLES, ["url"], partition_by=PARTITION, partition_rows=pr
+        ),
+        partition_by=PARTITION,
     )
     return JobResult("ingest", n)
 
@@ -154,13 +173,15 @@ def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
     )
     n = _merge_batch(
         delta,
-        lambda d: wh.merge_update(
+        lambda d, pr: wh.merge_update(
             d,
             ARTICLES,
             ["url"],
             ["summary", "summary_status", "validation_score"],
             partition_by=PARTITION,
+            partition_rows=pr,
         ),
+        partition_by=PARTITION,
     )
     return JobResult("summarize", n)
 
@@ -241,13 +262,15 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
         try:
             n = _merge_batch(
                 delta,
-                lambda d: wh.merge_update(
+                lambda d, pr: wh.merge_update(
                     d,
                     ARTICLES,
                     ["url"],
                     ["curated_content", "curated_status", "n_spans_trimmed"],
                     partition_by=PARTITION,
+                    partition_rows=pr,
                 ),
+                partition_by=PARTITION,
             )
         finally:
             clean.unpersist()
@@ -282,17 +305,22 @@ def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResu
     pooled = mean_pool(emb, ["url", "source"], "vector", out_col="vector").withColumn(
         "point_id", F.md5(F.col("url"))
     )
-    def merge(p: DataFrame) -> None:
-        # the persisted batch feeds BOTH merges — three actions, one lineage
-        wh.merge_upsert(p, EMBEDDINGS, ["url"], partition_by=PARTITION)
+    def merge(p: DataFrame, pr) -> None:
+        # the persisted batch feeds BOTH merges — three actions, one
+        # lineage; both merges are source-partitioned over the same rows,
+        # so one partition-tuple collect covers them both
+        wh.merge_upsert(
+            p, EMBEDDINGS, ["url"], partition_by=PARTITION, partition_rows=pr
+        )
         status = p.select(
             "url", "source", F.lit("completed").alias("embedding_status")
         )
         wh.merge_update(
-            status, ARTICLES, ["url"], ["embedding_status"], partition_by=PARTITION
+            status, ARTICLES, ["url"], ["embedding_status"],
+            partition_by=PARTITION, partition_rows=pr,
         )
 
-    n = _merge_batch(pooled, merge)
+    n = _merge_batch(pooled, merge, partition_by=PARTITION)
     return JobResult("embed", n)
 
 
@@ -391,13 +419,15 @@ def relate_batch(
     )
     n = _merge_batch(
         related,
-        lambda r: wh.merge_update(
+        lambda r, pr: wh.merge_update(
             r,
             ARTICLES,
             ["url"],
             ["related_ids", "related_ids_updated_at"],
             partition_by=PARTITION,
+            partition_rows=pr,
         ),
+        partition_by=PARTITION,
     )
     return JobResult("relate", n)
 
@@ -452,13 +482,15 @@ def tts_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
         )
         n = _merge_batch(
             delta,
-            lambda d: wh.merge_update(
+            lambda d, pr: wh.merge_update(
                 d,
                 ARTICLES,
                 ["url"],
                 ["male_audio_id", "female_audio_id"],
                 partition_by=PARTITION,
+                partition_rows=pr,
             ),
+            partition_by=PARTITION,
         )
     finally:
         work.unpersist()

@@ -172,11 +172,52 @@ def fuzzy_dedup_pairs(
     rows whose texts are within ``max_dist`` edits — (left_id < right_id,
     dist).  Feeds the same survivor-election / connected-components
     machinery as the exact and MinHash dedup tiers (operators/dedup.py,
-    operators/graph.py)."""
-    out = fuzzy_pairs(
-        df, df, id_col=id_col, text_col=text_col, max_dist=max_dist, q=q
+    operators/graph.py).
+
+    Not a thin wrapper over :func:`fuzzy_pairs` (r15 opt): the R×S form
+    on two copies of the same frame explodes the grams TWICE, runs TWO
+    per-id prefix windows, and verifies every candidate in both (a,b)
+    and (b,a) orientations before the caller halves them.  Here grams
+    and prefixes are computed ONCE and ``left_id < right_id`` is pushed
+    below the candidate join, so the distinct and the two text-hydration
+    joins see half the rows.  Output is provably identical: edit
+    distance is symmetric, the shared rarity order over the union of two
+    identical gram sides doubles every frequency (order-preserving), and
+    the fringe legs are symmetric under the same id filter."""
+    if max_dist < 0 or q < 2:
+        raise ValueError(
+            f"fuzzy_pairs: need max_dist >= 0 and q >= 2, got {max_dist}, {q}"
+        )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("left_id"), text_col
     )
-    return out.filter(F.col("left_id") < F.col("right_id"))
+    g = _grams(base, id_col="left_id", text_col=text_col, q=q)
+    (p,) = _prefixes([g], q=q, max_dist=max_dist)
+    cand = (
+        p.select(F.col("id").alias("left_id"), "gram")
+        .join(p.select(F.col("id").alias("right_id"), "gram"), "gram")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    # fringe: strings with ≤ q·d grams (len ≤ q·d-q+1) fall outside the
+    # prefix theorem; their partners are length-bounded to short_len + d
+    short_len = q * max_dist - q + 1
+    short = base.filter(F.length(text_col) <= short_len).select("left_id")
+    near = base.filter(F.length(text_col) <= short_len + max_dist).select("left_id")
+    fringe = (
+        short.crossJoin(
+            F.broadcast(near.select(F.col("left_id").alias("right_id")))
+        )
+        .unionByName(
+            near.crossJoin(
+                F.broadcast(short.select(F.col("left_id").alias("right_id")))
+            )
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+    )
+    cand = cand.unionByName(fringe).distinct()
+    right = base.select(F.col("left_id").alias("right_id"), text_col)
+    return _verify(cand, base, right, text_col=text_col, max_dist=max_dist)
 
 
 #: Row-count ceiling baked into every :func:`sql_fuzzy_dedup_pairs`
