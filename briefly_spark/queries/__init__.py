@@ -143,9 +143,9 @@ WINDOW_HEAD: tuple[str, ...] = (
     # claimants: the 45 plain r12-stale + the 4 restored r12-stale must
     # hold gated head seats (a tail seat requires r13+ evidence), q37
     # keeps the mandated lead, and the five claimants WITH r13/r14
-    # evidence (q33, q41, q115, q129 — form-changed; q128 — form moved
-    # by the r15 drain optimization) take the one-round tail seats the
-    # q149/q37 precedents define.  Their current forms stay covered by
+    # evidence (q33, q41, q115, q129 — form-changed; q128/q120 — forms
+    # moved by the r15 drain/partitioned-write optimizations) take the
+    # one-round tail seats the q149/q37 precedents define.  Their current forms stay covered by
     # the committed builder-side oracle sweep until the r16 head seats
     # them first.
     "q37_dup_clusters",
@@ -204,6 +204,7 @@ WINDOW_HEAD: tuple[str, ...] = (
     "q115_label_propagation",
     "q129_hybrid_rrf",
     "q128_jobs_dag_resolve",
+    "q120_hh_stream_resolve",
 )
 
 
