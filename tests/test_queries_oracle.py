@@ -116,15 +116,17 @@ def test_window_head_names_resolve_and_lead():
     assert len(WINDOW_HEAD) == len(set(WINDOW_HEAD)), "duplicate head entry"
     assert set(WINDOW_HEAD) <= set(names), "head names a missing query"
     assert names[: len(WINDOW_HEAD)] == list(WINDOW_HEAD)
-    assert len(WINDOW_HEAD) <= 55, (
+    assert len(WINDOW_HEAD) <= 56, (
         "head exceeds the driver's 50-row window by more than the "
         "documented overflow tail"
     )
-    # The r15-optimization-open seating carries a 5-entry tail: restoring
+    # The r15-optimization seating carries a 6-entry tail: restoring
     # the four retired standalone queries (the driver contract forbids a
     # declared query disappearing) put the 49 r12-stale entries back in
-    # the 50 gated seats, so the five claimants WITH r13/r14 evidence
-    # (q33, q41, q115, q129, q128) hold the documented one-round tail.
+    # the 50 gated seats, so the six claimants WITH r13/r14 evidence
+    # (q33, q41, q115, q129 — form-changed at r15 open; q128 and q120 —
+    # forms moved by the r15 drain/partitioned-write optimizations) hold
+    # the documented one-round tail.
     # Every tail entry's deferral freshness is enforced by
     # tests/test_gate_debt.py::test_window_tail_entries_bounded_to_one_round.
 
