@@ -63,9 +63,33 @@ def load_avg() -> list[float]:
         return []
 
 
+def cpu_ticks() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — the hypervisor-contention
+    signal loadavg cannot see: a degraded host can read load ≈ 0 while
+    10–20% of every tick is stolen (observed at r15: idle-start bench
+    1.7× slower than the committed artifact, loadavg 0.3, steal 4–20%).
+    The steal PERCENT over the bench window self-dispositions such runs
+    the same way the load field dispositions ambient CPU load."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):  # pragma: no cover - non-Linux
+        return None
+
+
+def steal_pct(t0: tuple[int, int] | None, t1: tuple[int, int] | None) -> float | None:
+    if not t0 or not t1 or t1[1] <= t0[1]:
+        return None
+    return round(100.0 * (t1[0] - t0[0]) / (t1[1] - t0[1]), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_start = load_avg()
+    ticks_start = cpu_ticks()
     registry = load_registry()
     spark = get_spark("briefly_spark_bench")
 
@@ -112,7 +136,12 @@ def main() -> None:
     # the bench itself contributes up to ~n_cpus to the 1-min figure, so
     # the 15-min START reading is the ambient-load signal to disposition
     # against (>~2 on a 32-core host = loaded, expect inflated walls).
-    load = {"start": load_start, "end": load_end, "n_cpus": os.cpu_count()}
+    load = {
+        "start": load_start,
+        "end": load_end,
+        "n_cpus": os.cpu_count(),
+        "steal_pct": steal_pct(ticks_start, cpu_ticks()),
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     gate_total = round(
         sum(t for n, t in timings.items() if t >= 0 and n in PIPELINE_GATES), 3
@@ -131,10 +160,14 @@ def main() -> None:
             "unit": "sec",
             "plan_total": plan_total,
             "gate_total": gate_total,
-            # stdout carries only the ambient (start) reading — the line
-            # must stay inside the driver's 2000-char tail; end lands in
-            # BENCH_FULL.json.
-            "load": {"start": load_start, "n_cpus": os.cpu_count()},
+            # stdout carries only the ambient (start) reading plus the
+            # window's steal percent — the line must stay inside the
+            # driver's 2000-char tail; end lands in BENCH_FULL.json.
+            "load": {
+                "start": load_start,
+                "n_cpus": os.cpu_count(),
+                "steal_pct": load["steal_pct"],
+            },
             "queries": short,
             "sf": sf_of(sf_dir),
             "n_queries": len(timings),

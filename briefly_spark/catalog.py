@@ -69,12 +69,41 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+#: (applicationId, path, mtime_ns) -> the scan DataFrame.  A DataFrame is
+#: an immutable LOGICAL plan — memoizing it shares plan construction, not
+#: data: every action still plans physically under the current session
+#: conf and reads the parquet bytes.  What it removes is the ~110 ms of
+#: driver time `spark.read.parquet` burns per call on schema inference +
+#: file-index setup (measured at r15; ~250 load_table calls per bench run
+#: ⇒ tens of seconds of pure re-planning of the same five immutable
+#: paths).  The mtime key invalidates the entry if anything rewrites the
+#: path (atomic dir swaps and fresh replica builds both bump it).
+_LOAD_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = normalize_event_ts(df)
+    import os as _os
+
+    path = table_path(sf_dir, name)
+    sc = spark.sparkContext
+    app_id = getattr(sc, "_briefly_app_id", None)
+    if app_id is None:
+        app_id = sc.applicationId  # one py4j round-trip, once per context
+        sc._briefly_app_id = app_id  # type: ignore[attr-defined]
+    key = (app_id, path, _os.stat(path).st_mtime_ns)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = normalize_event_ts(df)
+        # Stamp the scan's identity so spread() can memoize its
+        # partition-count probe per path: `df.rdd.getNumPartitions()`
+        # re-runs analysis + physical planning — pure driver cost for a
+        # count that is constant for an immutable path within a session.
+        df._briefly_scan_path = path  # type: ignore[attr-defined]
+        _LOAD_MEMO[key] = df
     return df
 
 
@@ -116,11 +145,35 @@ def spread(df: DataFrame) -> DataFrame:
     nested-loop pair joins all run on one core.  One narrow shuffle here
     buys full-width execution for everything after.  When the scan is
     already wide (the 100 TB case — files ≫ cores) this is a no-op.
+
+    The probe is memoized per catalog path (see :func:`load_table`): the
+    split count of an immutable parquet path is session-constant, so only
+    the first call per (path) pays the ~150 ms plan-translation cost of
+    ``df.rdd``; derived frames (no stamp) still probe directly.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    path = getattr(df, "_briefly_scan_path", None)
+    if path is not None:
+        # key includes the parallelism: files.minPartitionNum follows the
+        # core count, so a re-built session with different cores plans a
+        # different split count for the same path
+        key = (path, par)
+        n = _SPREAD_PROBE_MEMO.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPREAD_PROBE_MEMO[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < par:
         return df.repartition(par)
     return df
+
+
+#: (scan path, parallelism) -> planned partition count (plan metadata,
+#: not data): valid because catalog paths are immutable for a process's
+#: lifetime and the split count depends only on the files and the
+#: session's split config (which follows the core count).
+_SPREAD_PROBE_MEMO: dict[tuple[str, int], int] = {}
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,83 @@
+"""Catalog load/spread memoization (r15 optimization round).
+
+`spark.read.parquet` burns ~110 ms of driver time per call on schema
+inference + file-index setup; ~250 load_table calls per bench run made
+that tens of seconds of re-planning the same five immutable paths.  The
+memo shares the LOGICAL plan object per (app, path, mtime) — never data:
+every action still plans physically and reads the parquet bytes.  These
+pins guard the two invalidation axes (session identity, path rewrite)
+and the spread() probe's decision stability.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from briefly_spark.catalog import (
+    _LOAD_MEMO,
+    _SPREAD_PROBE_MEMO,
+    load_table,
+    spread,
+    table_path,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_load_table_memoizes_per_path(spark):
+    a = load_table(spark, SF, "documents")
+    b = load_table(spark, SF, "documents")
+    assert a is b, "same session + same immutable path must share the plan"
+    # distinct tables get distinct entries
+    c = load_table(spark, SF, "customer")
+    assert c is not a
+
+
+def test_load_table_result_unchanged_by_memo(spark):
+    df = load_table(spark, SF, "documents")
+    again = load_table(spark, SF, "documents")
+    assert df.columns == again.columns
+    assert df.count() == again.count()
+    # events normalization is inside the memoized frame
+    ev = load_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_load_table_memo_invalidates_on_rewrite(spark, tmp_path):
+    # build a private sf dir with a copied documents table, read it,
+    # rewrite the file, and confirm the memo hands back a FRESH frame
+    sf_dir = str(tmp_path / "sf_memo")
+    os.makedirs(sf_dir)
+    src = table_path(SF, "documents")
+    dst = table_path(sf_dir, "documents")
+    shutil.copy(src, dst)
+    first = load_table(spark, sf_dir, "documents")
+    n1 = first.count()
+    # rewrite: same schema, fewer rows (subset), strictly newer mtime
+    sub = first.limit(max(1, n1 // 2))
+    sub.toPandas().to_parquet(dst + ".new")
+    os.replace(dst + ".new", dst)
+    os.utime(dst)  # ensure the mtime moves even on coarse filesystems
+    second = load_table(spark, sf_dir, "documents")
+    assert second is not first, "a rewritten path must not reuse the plan"
+    assert second.count() == max(1, n1 // 2)
+
+
+def test_spread_probe_memoized_and_decision_stable(spark):
+    df = load_table(spark, SF, "documents")
+    out1 = spread(df)
+    key = (getattr(df, "_briefly_scan_path"), spark.sparkContext.defaultParallelism)
+    assert key in _SPREAD_PROBE_MEMO, "probe result must be memoized per path"
+    out2 = spread(load_table(spark, SF, "documents"))
+    # decision is deterministic: both calls agree on whether to widen
+    assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()
+
+
+def test_memo_is_plan_metadata_not_data(spark):
+    """The memo must never pin data: un-cached frames recompute per
+    action (two actions on the memoized frame both see the real file)."""
+    df = load_table(spark, SF, "documents")
+    assert df.storageLevel.useMemory is False
+    assert df.count() == load_table(spark, SF, "documents").count()
+    assert any(k[1].endswith("documents.parquet") for k in _LOAD_MEMO)
