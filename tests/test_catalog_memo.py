@@ -81,3 +81,33 @@ def test_memo_is_plan_metadata_not_data(spark):
     assert df.storageLevel.useMemory is False
     assert df.count() == load_table(spark, SF, "documents").count()
     assert any(k[1].endswith("documents.parquet") for k in _LOAD_MEMO)
+
+
+def test_warehouse_read_memo_sees_every_merge(spark, tmp_path):
+    """Warehouse.read memoizes repeat reads of an UNCHANGED version but a
+    merge (partition-scoped or full-swap) must always invalidate — the
+    next read reflects the new contents."""
+    from briefly_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, source string")
+    wh.overwrite(df0, "t")
+    first = wh.read("t")
+    assert wh.read("t") is first, "unchanged version must share the plan"
+    assert first.count() == 2
+    # full-swap overwrite: new dir inode
+    wh.overwrite(
+        spark.createDataFrame([(3, "c")], "id long, source string"), "t"
+    )
+    second = wh.read("t")
+    assert second is not first
+    assert second.count() == 1
+    # keyed merge (exercises the partition-scoped staging path)
+    wh.merge_upsert(
+        spark.createDataFrame([(4, "d")], "id long, source string"),
+        "t",
+        ["id"],
+    )
+    third = wh.read("t")
+    assert third is not second
+    assert third.count() == 2
