@@ -75,7 +75,10 @@ def cpu_ticks() -> tuple[int, int] | None:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # sum only user..steal (first 8 fields): guest/guest_nice are
+        # already accounted inside user/nice, so including them would
+        # double-count and understate steal_pct (ADVICE r15 #4)
+        return steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):  # pragma: no cover - non-Linux
         return None
 

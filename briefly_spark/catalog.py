@@ -99,10 +99,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events":
             df = normalize_event_ts(df)
         # Stamp the scan's identity so spread() can memoize its
-        # partition-count probe per path: `df.rdd.getNumPartitions()`
-        # re-runs analysis + physical planning — pure driver cost for a
-        # count that is constant for an immutable path within a session.
-        df._briefly_scan_path = path  # type: ignore[attr-defined]
+        # partition-count probe per table version: the probe key shares
+        # this entry's full (app, path, mtime) identity, so a rewritten
+        # path or a new context can never reuse a stale partition count
+        # (ADVICE r15 #2 — the old probe key was (path, parallelism)
+        # only, surviving both rewrites and session restarts).
+        df._briefly_scan_key = key  # type: ignore[attr-defined]
+        # Evict superseded entries on insert (ADVICE r15 #3 / VERDICT
+        # r15 #8): entries from other applicationIds pin DataFrames of
+        # dead/foreign contexts for the process lifetime, and an older
+        # mtime of the same path can never be read again.  Keeps both
+        # memos bounded by the live table count of one app.
+        stale = [
+            k for k in _LOAD_MEMO
+            if k != key
+            and (k[0] != app_id or (k[1] == path and k[2] != key[2]))
+        ]
+        for k in stale:
+            del _LOAD_MEMO[k]
+        if stale:
+            dead = {k[:3] for k in _SPREAD_PROBE_MEMO} - set(_LOAD_MEMO) - {key}
+            for k in [p for p in _SPREAD_PROBE_MEMO if p[:3] in dead]:
+                del _SPREAD_PROBE_MEMO[k]
         _LOAD_MEMO[key] = df
     return df
 
@@ -146,18 +164,19 @@ def spread(df: DataFrame) -> DataFrame:
     buys full-width execution for everything after.  When the scan is
     already wide (the 100 TB case — files ≫ cores) this is a no-op.
 
-    The probe is memoized per catalog path (see :func:`load_table`): the
-    split count of an immutable parquet path is session-constant, so only
-    the first call per (path) pays the ~150 ms plan-translation cost of
-    ``df.rdd``; derived frames (no stamp) still probe directly.
+    The probe is memoized per catalog table VERSION (see
+    :func:`load_table`): the split count of a parquet path is constant
+    while its (app, path, mtime) identity holds, so only the first call
+    per version pays the ~150 ms plan-translation cost of ``df.rdd``;
+    derived frames (no stamp) still probe directly.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    path = getattr(df, "_briefly_scan_path", None)
-    if path is not None:
+    scan_key = getattr(df, "_briefly_scan_key", None)
+    if scan_key is not None:
         # key includes the parallelism: files.minPartitionNum follows the
         # core count, so a re-built session with different cores plans a
         # different split count for the same path
-        key = (path, par)
+        key = (*scan_key, par)
         n = _SPREAD_PROBE_MEMO.get(key)
         if n is None:
             n = df.rdd.getNumPartitions()
@@ -169,11 +188,12 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-#: (scan path, parallelism) -> planned partition count (plan metadata,
-#: not data): valid because catalog paths are immutable for a process's
-#: lifetime and the split count depends only on the files and the
-#: session's split config (which follows the core count).
-_SPREAD_PROBE_MEMO: dict[tuple[str, int], int] = {}
+#: (app_id, scan path, mtime_ns, parallelism) -> planned partition count
+#: (plan metadata, not data).  Shares _LOAD_MEMO's full version identity
+#: (ADVICE r15 #2): a path rewrite bumps mtime and a new context changes
+#: app_id, so a stale count can never skip (or force) the repartition;
+#: load_table evicts entries here when their _LOAD_MEMO version dies.
+_SPREAD_PROBE_MEMO: dict[tuple[str, str, int, int], int] = {}
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

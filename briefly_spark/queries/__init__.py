@@ -148,63 +148,75 @@ WINDOW_HEAD: tuple[str, ...] = (
     # one-round tail seats the q149/q37 precedents define.  Their current forms stay covered by
     # the committed builder-side oracle sweep until the r16 head seats
     # them first.
-    "q37_dup_clusters",
-    "q104_frame_fingerprint_pairs",
-    "q112_event_transitions",
-    "q123_dup_cluster_histogram",
-    "q138_lsh_calibration",
-    "q113_random_projection",
-    "q116_mmr_rerank",
-    "q118_pq_ann",
-    "q140_ccnet_ppl_buckets",
-    "q142_phrase_search",
-    "q143_doc_entropy",
-    "q145_lm_holdout_ppl",
-    "q131_exact_substring_dedup",
-    "q133_substring_dedup_keepfirst",
-    "q134_duplication_flow",
-    "q135_eval_overlap_exact",
-    "q84_dsir_weights",
-    "q86_dsir_select",
-    "q87_curation_funnel",
-    "q89_dsir_budget_fill",
-    "q96_kmeans_clusters",
-    "q125_classifier_margins",
-    "q130_classifier_margins_avg",
-    "q127_classifier_funnel_audit",
-    "q132_classifier_pr_curve",
-    "q139_vocab_coverage",
-    "q141_nb_confusion",
-    "q95_dup_graph_pagerank",
-    "q144_dup_triangles",
-    "q100_waiting_suppliers",
-    "q107_term_pmi",
-    "q108_source_similarity",
-    "q110_balance_prospects",
-    "q111_nation_top_supplier",
-    "q117_source_drift_kl",
-    "q136_heaps_vocab_growth",
-    "q137_zipf_rank_curve",
-    "q146_rollup_inventory",
-    "q97_bloom_decontaminate",
-    "q98_zorder_layout",
-    "q99_group_sample",
-    "q101_winsorize_lengths",
-    "q103_grouped_median",
-    "q105_snapshot_diff",
-    "q106_weighted_sample",
-    "q119_rank_fusion",
-    "q64_retention_cohorts",
-    "q65_median_gap",
-    "q102_peak_concurrency",
-    "q122_shingle_containment",
-    # --- one-round tail seats (positions 51+; r13/r14 evidence) ---
-    "q33_ngram_jaccard_pairs",
-    "q41_related_articles",
-    "q115_label_propagation",
-    "q129_hybrid_rrf",
+    # r16 head (rotated at optimization-round open, after
+    # `gate_debt.py --update 15` absorbed CORRECTNESS_r15's 50 greens).
+    # Seat arithmetic: the r13-green pack is 49 queries (all over-age at
+    # r16) and the remaining gate debt is 6 (q33/q41/q128 — r13-green AND
+    # form-moved at r15; q115/q120/q129 — r14-green, form-moved at r15).
+    # 49 + q120 = exactly 50 head seats.  q128 and q120 LEAD — the r15
+    # verdict's explicit mandate (next-round #2): their forms moved most
+    # at r15 (drain convergence + partitioned micro-batch write) and both
+    # rotated out of the r15 driver sample, so the r16 gate must
+    # re-verify them first.  Then q33/q41 (debt + over-age), then the
+    # remaining 45 r13-green in window_plan.py proposal order.
+    # q115/q129 hold the one-round tail seats the q149/q37 precedents
+    # define (r14 driver evidence + committed builder-side oracle-sweep
+    # coverage of the moved forms); they are the first claimants of the
+    # r17 head.
     "q128_jobs_dag_resolve",
     "q120_hh_stream_resolve",
+    "q33_ngram_jaccard_pairs",
+    "q41_related_articles",
+    "q39_line_boilerplate_filter",
+    "q66_curriculum_buckets",
+    "q67_pack_exact",
+    "q40_ann_topk",
+    "q42_lsh_ann",
+    "q43_ivf_ann",
+    "q49_contrastive_pairs",
+    "q45_quantized_ann",
+    "q44_related_lsh",
+    "q60_chunk_embed_meanpool",
+    "q61_factcheck_scores",
+    "q62_summarize_worklist",
+    "q63_embed_arrow_harness",
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_windows",
+    "q73_props_json_extract",
+    "q74_sketch_audit",
+    "q75_funnel",
+    "q78_rolling_features",
+    "q79_attribution",
+    "q76_asof_enrich",
+    "q77_range_join",
+    "q30_exact_dedup",
+    "q31_minhash_lsh_pairs",
+    "q32_simhash_fingerprints",
+    "q34_embedding_near_dup",
+    "q36_decontaminate",
+    "q29_dedup_survivors",
+    "q01_pricing_summary",
+    "q02_topk_orders_per_customer",
+    "q03_revenue_by_nation",
+    "q04_customers_without_orders",
+    "q05_orders_with_heavy_items",
+    "q06_distinct_segments",
+    "q07_order_status_tallies",
+    "q08_order_set_ops",
+    "q09_part_scalar_funcs",
+    "q10_latest_events_per_user",
+    "q11_events_worklist",
+    "q12_weighted_customer_score",
+    "q13_cube_revenue",
+    "q14_running_totals",
+    "q15_small_lot_revenue",
+    "q80_media_metadata",
+    "q147_expectation_audit",
+    # --- one-round tail seats (positions 51+; r14 driver evidence +
+    # builder-side oracle-sweep coverage of the r15-moved forms) ---
+    "q115_label_propagation",
+    "q129_hybrid_rrf",
 )
 
 

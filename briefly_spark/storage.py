@@ -958,7 +958,17 @@ class Warehouse:
             if parts:
                 self.spark.conf.set(conf, "false")
             try:
-                df = self.read(table)
+                # Conf-sensitive read: BYPASS the read memo (ADVICE r15 #1).
+                # A memoized frame from an earlier same-version read was
+                # built with inference ON — its parsed partition values
+                # would be rewritten through partitionBy below, silently
+                # collapsing non-canonical dirs ('00'→'0'), the exact
+                # corruption inference-off exists to prevent.  Reading
+                # directly also keeps the inference-off frame OUT of the
+                # memo, so later plain reads never see string-typed
+                # partition columns.  _recover first, as read() would.
+                self._recover(table)
+                df = self.spark.read.parquet(self.path(table))
                 n = df.count()
                 n_files = max(1, math.ceil(n / target_rows_per_file))
                 tmp = self.path(f".{table}.tmp-{uuid.uuid4().hex[:8]}")

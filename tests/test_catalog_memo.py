@@ -67,11 +67,58 @@ def test_load_table_memo_invalidates_on_rewrite(spark, tmp_path):
 def test_spread_probe_memoized_and_decision_stable(spark):
     df = load_table(spark, SF, "documents")
     out1 = spread(df)
-    key = (getattr(df, "_briefly_scan_path"), spark.sparkContext.defaultParallelism)
-    assert key in _SPREAD_PROBE_MEMO, "probe result must be memoized per path"
+    key = (*getattr(df, "_briefly_scan_key"), spark.sparkContext.defaultParallelism)
+    assert key in _SPREAD_PROBE_MEMO, "probe result must be memoized per version"
     out2 = spread(load_table(spark, SF, "documents"))
     # decision is deterministic: both calls agree on whether to widen
     assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()
+
+
+def test_spread_probe_dies_with_rewritten_version(spark, tmp_path):
+    """ADVICE r15 #2: the probe memo shares the load memo's full
+    (app, path, mtime) identity — a rewritten path must re-probe, never
+    reuse the stale partition count."""
+    sf_dir = str(tmp_path / "sf_probe")
+    os.makedirs(sf_dir)
+    shutil.copy(table_path(SF, "documents"), table_path(sf_dir, "documents"))
+    first = load_table(spark, sf_dir, "documents")
+    spread(first)
+    k1 = (*first._briefly_scan_key, spark.sparkContext.defaultParallelism)
+    assert k1 in _SPREAD_PROBE_MEMO
+    dst = table_path(sf_dir, "documents")
+    first.limit(5).toPandas().to_parquet(dst + ".new")
+    os.replace(dst + ".new", dst)
+    os.utime(dst)
+    second = load_table(spark, sf_dir, "documents")
+    assert second._briefly_scan_key != first._briefly_scan_key
+    assert k1 not in _SPREAD_PROBE_MEMO, "stale probe entry must be evicted"
+    spread(second)  # re-probes under the new version key
+    k2 = (*second._briefly_scan_key, spark.sparkContext.defaultParallelism)
+    assert k2 in _SPREAD_PROBE_MEMO
+
+
+def test_memos_stay_bounded_across_sessions(spark):
+    """VERDICT r15 #8: entries keyed by foreign applicationIds are evicted
+    on insert, so the memo never outgrows one app's live table count."""
+    sc = spark.sparkContext
+    load_table(spark, SF, "documents")
+    load_table(spark, SF, "customer")
+    real_app = sc._briefly_app_id
+    try:
+        sc._briefly_app_id = "app-simulated-restart"
+        load_table(spark, SF, "documents")
+        apps = {k[0] for k in _LOAD_MEMO}
+        assert apps == {"app-simulated-restart"}, (
+            f"foreign-app entries must be evicted on insert, got {apps}"
+        )
+        assert all(k[0] == "app-simulated-restart" for k in _SPREAD_PROBE_MEMO)
+        from briefly_spark.catalog import TABLES
+
+        assert len(_LOAD_MEMO) <= len(TABLES)
+    finally:
+        sc._briefly_app_id = real_app
+        _LOAD_MEMO.clear()
+        _SPREAD_PROBE_MEMO.clear()
 
 
 def test_memo_is_plan_metadata_not_data(spark):

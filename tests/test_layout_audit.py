@@ -121,6 +121,36 @@ def test_compact_preserves_noncanonical_partition_strings(spark, tmp_path):
     assert got == [("0", 3), ("00", 1), ("00", 2), ("01", 4)]
 
 
+def test_compact_bypasses_read_memo(spark, tmp_path):
+    """ADVICE r15 #1: a table read earlier in the session leaves an
+    inference-ON frame in the Warehouse read memo; compact() must NOT
+    reuse it (its parsed partition values would collapse '00'→'0' on
+    rewrite), and must not leave its own inference-OFF frame behind for
+    later plain reads."""
+    wh = Warehouse(spark, str(tmp_path / "wh_memo_bypass"))
+    rows = [("00", 1), ("00", 2), ("0", 3), ("01", 4)]
+    df = spark.createDataFrame(rows, "part STRING, v LONG")
+    wh.overwrite(df.repartition(4), "t5", partition_by=["part"])
+    # prime the read memo with an inference-ON read of this exact version
+    primed = wh.read("t5")
+    assert wh.read("t5") is primed
+    import os
+    dirs = lambda: sorted(
+        d for d in os.listdir(wh.path("t5")) if d.startswith("part=")
+    )
+    wh.compact("t5", target_rows_per_file=10)
+    assert dirs() == ["part=0", "part=00", "part=01"], (
+        "compact reused the memoized inference-ON frame and collapsed "
+        "non-canonical partition dirs"
+    )
+    # post-compact plain read: partition column type-inferred again (an
+    # int here) — a string dtype would mean the compact-time
+    # inference-OFF frame leaked into the read memo
+    got = wh.read("t5")
+    assert dict(got.dtypes)["part"] != "string"
+    assert got.count() == 4
+
+
 def test_partition_layout_survives_empty_branch_and_refuses_mixed(spark, tmp_path):
     """One empty/shallow subtree must not truncate the detected chain
     (every branch is walked), and data files next to key= dirs raise."""
