@@ -181,6 +181,116 @@ def datasheet_batch_block(
     return rows.unionByName(sk)
 
 
+def datasheet_batch_blocks(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    length_bucket: int = 100,
+    batch_col,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Every batch's :func:`datasheet_batch_block` rows in ONE pass per
+    leg (guide §2.1 — combine shuffles): ``batch_col`` is a Column
+    expression partitioning ``docs`` into batches, and each leg's
+    aggregation groups by (batch_id, leg key) instead of re-scanning the
+    collection once per batch — 4 scans + 1 sketch pass total, however
+    many batches.  Row-identical to unioning ``datasheet_batch_block``
+    over the per-batch filters for NON-EMPTY batches; an empty batch
+    contributes no rows here (vs. the per-batch call's zero-count volume
+    + empty-sketch rows) — the same sums either way through
+    :func:`datasheet_registry_fold`, so use the per-batch form when a
+    registry must record that an empty batch was absorbed.  The
+    countDistinct legs are skipped outright: the per-batch form filters
+    those rows out (they don't sum), so computing them per batch was
+    dead work."""
+    from briefly_spark.operators.textstats import tokens
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        batch_col.cast("long").alias("batch_id"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.md5(F.col(text_col)).alias("text_h"),
+        *([F.col(lang_col).alias("lang")] if lang_col else []),
+        *([F.col(source_col).alias("source")] if source_col else []),
+    )
+    vol = base.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    parts = [
+        vol.selectExpr(
+            "batch_id",
+            "stack(3, "
+            "'volume', 'n_docs', '', n_docs, "
+            "'volume', 'n_tokens', '', n_tokens, "
+            "'volume', 'n_chars', '', n_chars"
+            ") AS (section, metric, k, value)",
+        )
+    ]
+    if lang_col:
+        parts.append(
+            base.groupBy("batch_id", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("v"))
+            .select(
+                "batch_id",
+                F.lit("language").alias("section"),
+                F.lit("n_docs").alias("metric"),
+                F.col("lang").cast("string").alias("k"),
+                F.col("v").alias("value"),
+            )
+        )
+    if source_col:
+        parts.append(
+            base.groupBy("batch_id", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("v"))
+            .select(
+                "batch_id",
+                F.lit("source").alias("section"),
+                F.lit("n_docs").alias("metric"),
+                F.col("source").cast("string").alias("k"),
+                F.col("v").alias("value"),
+            )
+        )
+    parts.append(
+        base.select(
+            "batch_id",
+            (F.floor(F.col("n_toks") / length_bucket) * length_bucket)
+            .cast("long").alias("b"),
+        )
+        .groupBy("batch_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select(
+            "batch_id",
+            F.lit("length_hist").alias("section"),
+            F.lit("n_docs").alias("metric"),
+            F.col("b").cast("string").alias("k"),
+            F.col("v").alias("value"),
+        )
+    )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    rows = rows.select(
+        "batch_id", *SHEET_COLS, F.lit(None).cast("binary").alias("sketch")
+    )
+    sk = base.groupBy("batch_id").agg(
+        F.hll_sketch_agg(F.col("text_h"), F.lit(lg_k)).alias("sketch")
+    ).select(
+        "batch_id",
+        F.lit("volume").alias("section"),
+        F.lit(_SKETCH_METRIC).alias("metric"),
+        F.lit("").alias("k"),
+        F.lit(None).cast("long").alias("value"),
+        "sketch",
+    )
+    return rows.unionByName(sk)
+
+
 def datasheet_registry_fold(registry: DataFrame) -> DataFrame:
     """The datasheet over everything the registry has absorbed — exact
     legs fold by SUM (bit-identical to a one-shot over the ingested

@@ -104,11 +104,13 @@ def expectation_report(
     (table, check, n_rows, n_violations, passed) — one row per check,
     deterministic order irrelevant (callers sort or hash).
 
-    All not_null / in_range / accepted checks against one table share a
-    SINGLE aggregate pass (conditional counts, report rows exploded from
-    the one agg row — no per-check re-scan); unique adds one
-    count-distinct over its key columns; fk one left join + conditional
-    count per relationship.
+    All not_null / in_range / accepted / unique checks against one table
+    share a SINGLE aggregate pass (conditional counts + the unique
+    checks' count-distincts, report rows exploded from the one agg row —
+    no per-check re-scan), and all fk checks from one child share a
+    single chained-left-join pass against their parents' distinct key
+    sets — so each table is scanned once as a check subject and once per
+    child-role (r16; guide §2.1).
 
     An empty ``checks`` list yields an empty report (same schema); a
     check naming a table or parent absent from ``tables`` raises
@@ -145,9 +147,33 @@ def expectation_report(
     for tname, tchecks in by_table.items():
         df = tables[tname]
         nrows = F.count(F.lit(1)).cast("long")
-        cond_aggs = []
-        cond_names = []
+        # ONE scan for every conditional AND unique check on this table: a
+        # single agg, then the per-check rows exploded out of its one row.
+        # A union of per-check selects over the same agg frame would
+        # re-plan (and re-scan) the aggregate once per arm — Spark has no
+        # cross-branch common-subtree reuse (ADVICE r09).  r16: the unique
+        # checks join the same agg (previously one extra pass per unique
+        # check): uniqueness is asserted over PRESENT keys, and
+        # ``count(DISTINCT c1, c2)`` skips rows with ANY null component —
+        # exactly the old ``na.drop(subset=cols)`` semantics — so the
+        # keyed row count folds in as a conditional count and the
+        # violation count as (keyed − distinct), value-identical including
+        # on empty tables (all legs coalesce to 0).  Each table carries at
+        # most one distinct-aggregate here, so no Expand blow-up.
+        agg_exprs: list = []
+        kv_structs: list = []
+
+        def _kv(name: str, n_rows_col, viol_col) -> None:
+            kv_structs.append(
+                F.struct(
+                    F.lit(name).alias("check"),
+                    n_rows_col.cast("long").alias("n_rows"),
+                    F.coalesce(viol_col, F.lit(0)).cast("long").alias("n_violations"),
+                )
+            )
+
         for c in tchecks:
+            i = len(agg_exprs)
             if c.kind == "not_null":
                 expr = F.sum(
                     F.when(F.col(c.cols[0]).isNull(), 1).otherwise(0)
@@ -163,87 +189,92 @@ def expectation_report(
                 expr = F.sum(
                     F.when(col.isin(list(c.values)), 0).otherwise(1)
                 )
+            elif c.kind == "unique":
+                present = None
+                for x in c.cols:
+                    p = F.col(x).isNotNull()
+                    present = p if present is None else (present & p)
+                agg_exprs.append(
+                    F.sum(F.when(present, 1).otherwise(0))
+                    .cast("long").alias(f"v{i}")
+                )
+                agg_exprs.append(
+                    F.count_distinct(*[F.col(x) for x in c.cols])
+                    .cast("long").alias(f"v{i + 1}")
+                )
+                keyed = F.coalesce(F.col(f"v{i}"), F.lit(0))
+                _kv(_check_name(c), keyed, keyed - F.col(f"v{i + 1}"))
+                continue
             else:
                 continue
-            cond_names.append(_check_name(c))
-            cond_aggs.append(expr.cast("long").alias(f"v{len(cond_aggs)}"))
-        if cond_aggs:
-            # ONE scan for every conditional check on this table: a single
-            # agg, then the per-check rows exploded out of its one row.  A
-            # union of per-check selects over the same agg frame would
-            # re-plan (and re-scan) the aggregate once per arm — Spark has
-            # no cross-branch common-subtree reuse (ADVICE r09).
-            row = df.agg(nrows.alias("n_rows"), *cond_aggs)
-            kv = F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(name).alias("check"),
-                        F.coalesce(F.col(f"v{i}"), F.lit(0))
-                        .cast("long")
-                        .alias("n_violations"),
-                    )
-                    for i, name in enumerate(cond_names)
-                ])
-            ).alias("kv")
+            agg_exprs.append(expr.cast("long").alias(f"v{i}"))
+            _kv(_check_name(c), F.col("n_rows_all"), F.col(f"v{i}"))
+        if kv_structs:
+            row = df.agg(nrows.alias("n_rows_all"), *agg_exprs)
+            kv = F.explode(F.array(*kv_structs)).alias("kv")
             frames.append(
-                row.select("n_rows", kv).select(
+                row.select(kv).select(
                     F.lit(tname).alias("table"),
                     F.col("kv.check").alias("check"),
-                    "n_rows",
+                    F.col("kv.n_rows").alias("n_rows"),
                     F.col("kv.n_violations").alias("n_violations"),
                 )
             )
-        for c in tchecks:
-            if c.kind == "unique":
-                # uniqueness is asserted over PRESENT keys (rows with a
-                # NULL key component are not counted here — compose with
-                # not_null to assert presence; count_distinct drops NULLs,
-                # so the subtraction must too)
-                keyed = df.na.drop(subset=list(c.cols))
-                row = keyed.agg(
-                    nrows.alias("n_rows"),
-                    (
-                        F.count(F.lit(1)) - F.count_distinct(*[F.col(x) for x in c.cols])
-                    ).cast("long").alias("n_violations"),
-                )
-                frames.append(
-                    row.select(
-                        F.lit(tname).alias("table"),
-                        F.lit(_check_name(c)).alias("check"),
-                        "n_rows", "n_violations",
-                    )
-                )
-            elif c.kind == "fk":
-                # one pass over the child: LEFT join against the distinct
-                # parent key set, count rows and unmatched keys together
-                # (the old anti-join + crossJoin-of-two-aggs scanned the
-                # child twice).  Broadcast only on the caller's dim=True
-                # assertion — a fact-sized parent key set must go through
-                # a shuffled join (AQE decides), never a driver collect.
+        # ONE pass over the child for ALL its fk checks (r16; previously
+        # one child scan per relationship): chain a LEFT join per parent
+        # against its DISTINCT key set (dedup ⇒ at most one match per
+        # child row — no row multiplication), then count every check's
+        # rows and unmatched keys from the single joined frame.  Each
+        # check's n_rows counts only PRESENT child keys (the old
+        # per-check ``filter(isNotNull)``), now as a conditional count.
+        # Broadcast only on the caller's dim=True assertion — a
+        # fact-sized parent key set must go through a shuffled join (AQE
+        # decides), never a driver collect.
+        fks = [c for c in tchecks if c.kind == "fk"]
+        if fks:
+            joined = df
+            for j, c in enumerate(fks):
                 parent = tables[c.parent].select(
-                    F.col(c.parent_cols[0]).alias("__pk")
+                    F.col(c.parent_cols[0]).alias(f"__pk{j}")
                 ).distinct()
                 if c.dim:
                     parent = F.broadcast(parent)
-                child = df.filter(F.col(c.cols[0]).isNotNull())
-                row = child.join(
-                    parent, child[c.cols[0]] == F.col("__pk"), "left"
-                ).agg(
-                    nrows.alias("n_rows"),
-                    F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
-                    .cast("long")
-                    .alias("n_violations"),
+                joined = joined.join(
+                    parent, df[c.cols[0]] == F.col(f"__pk{j}"), "left"
                 )
-                frames.append(
-                    row.select(
-                        F.lit(tname).alias("table"),
+            fk_aggs = []
+            fk_structs = []
+            for j, c in enumerate(fks):
+                key = F.col(c.cols[0])
+                fk_aggs.append(
+                    F.sum(F.when(key.isNotNull(), 1).otherwise(0))
+                    .cast("long").alias(f"fn{j}")
+                )
+                fk_aggs.append(
+                    F.sum(
+                        F.when(key.isNotNull() & F.col(f"__pk{j}").isNull(), 1)
+                        .otherwise(0)
+                    ).cast("long").alias(f"fv{j}")
+                )
+                fk_structs.append(
+                    F.struct(
                         F.lit(_check_name(c)).alias("check"),
-                        "n_rows",
-                        F.coalesce(F.col("n_violations"), F.lit(0))
-                        .cast("long")
-                        .alias("n_violations"),
+                        F.coalesce(F.col(f"fn{j}"), F.lit(0))
+                        .cast("long").alias("n_rows"),
+                        F.coalesce(F.col(f"fv{j}"), F.lit(0))
+                        .cast("long").alias("n_violations"),
                     )
                 )
+            row = joined.agg(*fk_aggs)
+            kv = F.explode(F.array(*fk_structs)).alias("kv")
+            frames.append(
+                row.select(kv).select(
+                    F.lit(tname).alias("table"),
+                    F.col("kv.check").alias("check"),
+                    F.col("kv.n_rows").alias("n_rows"),
+                    F.col("kv.n_violations").alias("n_violations"),
+                )
+            )
     out = frames[0]
     for fdf in frames[1:]:
         out = out.unionByName(fdf)

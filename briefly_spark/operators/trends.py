@@ -170,6 +170,30 @@ def trend_batch_sums(
     )
 
 
+def trend_sums_by_batch(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    batch_col,
+) -> DataFrame:
+    """Every batch's :func:`trend_batch_sums` block in ONE aggregation
+    pass (guide §2.1 — combine shuffles): ``batch_col`` is a Column
+    expression partitioning ``df`` into batches; grouping by
+    (batch_id, *group_cols) yields rows identical to unioning
+    ``trend_batch_sums`` over the per-batch filters — one scan + one
+    hash-aggregate instead of one of each per batch.  (An empty batch
+    contributes no rows under either form: the per-batch call's
+    group-by also emits nothing on an empty slice.)"""
+    return _group_sums(
+        df.withColumn("batch_id", batch_col.cast("long")),
+        group_cols=["batch_id", *group_cols],
+        x_col=x_col,
+        y_col=y_col,
+    ).select("batch_id", *group_cols, *SUM_COLS)
+
+
 def trend_registry_fit(registry: DataFrame, *, group_cols: list[str]) -> DataFrame:
     """The exact OLS fit over everything the registry has absorbed — one
     group-bounded fold of the sums blocks, then the same fraction

@@ -71,7 +71,7 @@ from briefly_spark.catalog import load_table
 from briefly_spark.operators.bootstrap import bootstrap_means, sql_bootstrap_means
 from briefly_spark.operators.datasheet import (
     dataset_datasheet,
-    datasheet_batch_block,
+    datasheet_batch_blocks,
     datasheet_registry_fold,
     sql_dataset_datasheet,
 )
@@ -102,8 +102,8 @@ from briefly_spark.operators.sketches import topk_batch, topk_registry_resolve
 from briefly_spark.operators.trends import (
     group_trend,
     sql_group_trend,
-    trend_batch_sums,
     trend_registry_fit,
+    trend_sums_by_batch,
 )
 from briefly_spark.queries import register
 
@@ -210,14 +210,14 @@ def _spark_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs.append(_long(group_trend(docs, **_TREND), "trend", "source", t_items))
 
     # X131 — the SAME fit through the mergeable registry (3 sums blocks);
-    # hashing both legs against one oracle gates fold ≡ one-shot itself
-    blocks = None
-    for i in range(_N_BATCHES):
-        blk = trend_batch_sums(
-            docs.filter(F.col("doc_id") % _N_BATCHES == i),
-            batch_id=i, **_TREND,
-        )
-        blocks = blk if blocks is None else blocks.unionByName(blk)
+    # hashing both legs against one oracle gates fold ≡ one-shot itself.
+    # r16: the blocks come from ONE grouped pass (batch_id = doc_id % 3)
+    # instead of three filtered scans — row-identical registry (guide
+    # §2.1; every batch is non-empty wherever the corpus has ≥3 docs,
+    # and an empty batch contributes no rows under either form).
+    blocks = trend_sums_by_batch(
+        docs, batch_col=F.col("doc_id") % _N_BATCHES, **_TREND,
+    )
     legs.append(_long(trend_registry_fit(blocks, group_cols=["source"]),
                       "trend_registry", "source", t_items))
 
@@ -266,14 +266,13 @@ def _spark_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # X137 — datasheet registry fold, exact legs (the HLL distinct leg is
-    # register state — pytest-pinned, excluded from the hashed surface)
-    sheet_reg = None
-    for i in range(_N_BATCHES):
-        blk = datasheet_batch_block(
-            docs.filter(F.col("doc_id") % _N_BATCHES == i),
-            batch_id=i, **_SHEET,
-        )
-        sheet_reg = blk if sheet_reg is None else sheet_reg.unionByName(blk)
+    # register state — pytest-pinned, excluded from the hashed surface).
+    # r16: one grouped pass per leg (batch_id = doc_id % 3) instead of
+    # three full per-batch datasheet scans — registry rows identical for
+    # the non-empty batches a modulo slice of a ≥3-doc corpus always is.
+    sheet_reg = datasheet_batch_blocks(
+        docs, batch_col=F.col("doc_id") % _N_BATCHES, **_SHEET,
+    )
     legs.append(
         datasheet_registry_fold(sheet_reg)
         .filter(~F.col("metric").isin(*_EST_METRICS))

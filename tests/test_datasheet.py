@@ -179,3 +179,40 @@ def test_datasheet_stream_matches_batch_and_rerun_noop(spark, tmp_path):
     assert sorted(
         map(tuple, wh.read("ds_reg").drop("sketch").collect())
     ) == state
+
+
+def test_batch_blocks_fused_equals_per_batch_union(spark):
+    """r16 fusion pin (guide §2.1): the grouped-by-batch builder must
+    produce the same registry rows as the per-batch loop (minus the
+    distinct legs the per-batch form filters out anyway), sketch
+    registers included (register state is deterministic for identical
+    inputs), and the fold over either registry must agree."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.datasheet import (
+        datasheet_batch_block,
+        datasheet_batch_blocks,
+        datasheet_registry_fold,
+    )
+
+    kw = dict(id_col="doc_id", text_col="text", lang_col="lang",
+              source_col="source", length_bucket=2)
+    whole = _docs(spark, 0, 120)
+    fused = datasheet_batch_blocks(
+        whole, batch_col=F.col("doc_id") % 3, **kw
+    )
+    loop = None
+    for b in range(3):
+        blk = datasheet_batch_block(
+            whole.filter(F.col("doc_id") % 3 == b), batch_id=b, **kw
+        )
+        loop = blk if loop is None else loop.unionByName(blk)
+    rows = lambda df: sorted(
+        (r["batch_id"], r["section"], r["metric"], r["k"], r["value"],
+         bytes(r["sketch"]) if r["sketch"] is not None else None)
+        for r in df.collect()
+    )
+    assert rows(fused) == rows(loop)
+    assert _sheet(datasheet_registry_fold(fused)) == _sheet(
+        datasheet_registry_fold(loop)
+    )

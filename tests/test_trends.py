@@ -188,3 +188,41 @@ def test_null_points_excluded_consistently(spark):
     assert r["n"] == 2  # only the complete observations count
     num, den, icept = _fit([(1, 2), (3, 6)])
     assert (int(r["slope_num"]), int(r["slope_den"])) == (num, den)
+
+
+def test_sums_by_batch_equals_per_batch_union(spark):
+    """r16 fusion pin (guide §2.1): ONE grouped pass over batch_col must
+    produce row-identical sums blocks to the per-batch filter loop —
+    including when one batch is empty (neither form emits rows for it)."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.operators.trends import (
+        SUM_COLS,
+        trend_batch_sums,
+        trend_sums_by_batch,
+    )
+
+    whole = _pts(spark, 0, 600)
+    fused = trend_sums_by_batch(
+        whole, group_cols=["g"], x_col="x", y_col="y",
+        batch_col=F.col("x") % 3,
+    )
+    loop = None
+    for b in range(3):
+        blk = trend_batch_sums(
+            whole.filter(F.col("x") % 3 == b),
+            group_cols=["g"], x_col="x", y_col="y", batch_id=b,
+        )
+        loop = blk if loop is None else loop.unionByName(blk)
+    key = lambda r: (r["batch_id"], r["g"])
+    rows = lambda df: sorted(
+        tuple(r[c] for c in ("batch_id", "g", *SUM_COLS)) for r in df.collect()
+    )
+    assert rows(fused) == rows(loop)
+    # empty batch: x % 3 never hits 7 — the fused form emits nothing for
+    # it, exactly like the per-batch loop's empty-slice group-by
+    fused7 = trend_sums_by_batch(
+        whole.filter(F.col("x") < 0), group_cols=["g"], x_col="x",
+        y_col="y", batch_col=F.col("x") % 3,
+    )
+    assert fused7.count() == 0
