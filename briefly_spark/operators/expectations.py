@@ -86,6 +86,23 @@ def fk(table: str, col: str, parent: str, parent_col: str, dim: bool = False) ->
     return Check("fk", table, (col,), parent=parent, parent_cols=(parent_col,), dim=dim)
 
 
+def _violation_pred(c: Check):
+    """Row-level violation predicate for the CONDITIONAL kinds — the one
+    source of truth :func:`expectation_report` (per-table agg) and
+    :func:`expectation_report_runs` (per-slice agg) both count.  Never
+    NULL: NULL-column semantics are folded in per kind (in_range ignores
+    NULL values, accepted counts them — a NULL is not an accepted value).
+    Returns None for the join/distinct kinds."""
+    if c.kind == "not_null":
+        return F.col(c.cols[0]).isNull()
+    if c.kind == "in_range":
+        col = F.col(c.cols[0])
+        return col.isNotNull() & ((col < c.lo) | (col > c.hi))
+    if c.kind == "accepted":
+        return ~F.coalesce(F.col(c.cols[0]).isin(list(c.values)), F.lit(False))
+    return None
+
+
 def _check_name(c: Check) -> str:
     base = f"{c.kind}({', '.join(c.cols)})"
     if c.kind == "in_range":
@@ -174,21 +191,9 @@ def expectation_report(
 
         for c in tchecks:
             i = len(agg_exprs)
-            if c.kind == "not_null":
-                expr = F.sum(
-                    F.when(F.col(c.cols[0]).isNull(), 1).otherwise(0)
-                )
-            elif c.kind == "in_range":
-                col = F.col(c.cols[0])
-                expr = F.sum(
-                    F.when(col.isNotNull() & ((col < c.lo) | (col > c.hi)), 1)
-                    .otherwise(0)
-                )
-            elif c.kind == "accepted":
-                col = F.col(c.cols[0])
-                expr = F.sum(
-                    F.when(col.isin(list(c.values)), 0).otherwise(1)
-                )
+            viol = _violation_pred(c)
+            if viol is not None:
+                expr = F.sum(F.when(viol, 1).otherwise(0))
             elif c.kind == "unique":
                 present = None
                 for x in c.cols:
@@ -281,6 +286,59 @@ def expectation_report(
     return out.select(
         "table", "check", "n_rows", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def expectation_report_runs(
+    df: DataFrame, runs: dict[int, "F.Column"], checks: list[Check]
+) -> DataFrame:
+    """The X119 anomaly-history shape in ONE aggregate pass (r16, guide
+    §2.1): the SAME conditional checks evaluated over several
+    predicate-sliced runs of one table — (run × check) conditional counts
+    from a single scan, instead of one :func:`expectation_report` scan
+    per run (the slices usually overlap, so per-run scans re-read the
+    same rows).  Output: (run_id, check, n_rows, n_violations) — exactly
+    the rows ``expectation_report`` emits for ``df.filter(pred)`` per
+    run, by construction: n_rows = Σ(pred), violations = Σ(pred ∧
+    violation), with the shared row-level :func:`_violation_pred`.
+    Conditional kinds only (unique/fk need per-slice distinct/join
+    passes — callers with those keep the per-run report)."""
+    agg_exprs = []
+    kv_structs = []
+    for r, pred in runs.items():
+        i = len(agg_exprs)
+        agg_exprs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"v{i}")
+        )
+        for c in checks:
+            viol = _violation_pred(c)
+            if viol is None:
+                raise ValueError(
+                    f"expectation_report_runs: check {_check_name(c)!r} is "
+                    f"{c.kind!r} — only conditional kinds share one pass"
+                )
+            j = len(agg_exprs)
+            agg_exprs.append(
+                F.sum(F.when(pred & viol, 1).otherwise(0))
+                .cast("long").alias(f"v{j}")
+            )
+            kv_structs.append(
+                F.struct(
+                    F.lit(int(r)).cast("long").alias("run_id"),
+                    F.lit(_check_name(c)).alias("check"),
+                    F.coalesce(F.col(f"v{i}"), F.lit(0))
+                    .cast("long").alias("n_rows"),
+                    F.coalesce(F.col(f"v{j}"), F.lit(0))
+                    .cast("long").alias("n_violations"),
+                )
+            )
+    row = df.agg(*agg_exprs)
+    kv = F.explode(F.array(*kv_structs)).alias("kv")
+    return row.select(kv).select(
+        F.col("kv.run_id").alias("run_id"),
+        F.col("kv.check").alias("check"),
+        F.col("kv.n_rows").alias("n_rows"),
+        F.col("kv.n_violations").alias("n_violations"),
     )
 
 

@@ -79,7 +79,7 @@ from briefly_spark.operators.expectations import (
     accepted,
     column_profiles,
     expectation_anomalies,
-    expectation_report,
+    expectation_report_runs,
     histogram_drift,
     in_range,
     not_null,
@@ -184,18 +184,21 @@ def _spark_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       [("n_a", "n_a"), ("n_b", "n_b"),
                        ("term_fp", "term_fp")]))
 
-    # X119 — anomaly detection over a 4-run expectation-metrics history
-    hist = None
-    for r in range(_N_RUNS):
-        rep = expectation_report(
-            spark, {f"run{r}": li.filter(_run_filter(r))},
-            _anomaly_checks(f"run{r}"),
-        ).select(
-            F.lit(r).cast("long").alias("run_id"),
-            F.lit("lineitem").alias("table"),
-            "check", "n_rows", "n_violations",
-        )
-        hist = rep if hist is None else hist.unionByName(rep)
+    # X119 — anomaly detection over a 4-run expectation-metrics history.
+    # r16: the four runs are GROWING slices of one table (they share most
+    # rows), so the per-run report loop re-scanned lineitem 4× for 12
+    # conditional counts; expectation_report_runs computes the whole
+    # (run × check) grid in ONE aggregate pass — rows identical by the
+    # shared _violation_pred (guide §2.1).
+    hist = expectation_report_runs(
+        li,
+        {r: F.expr(_run_filter(r)) for r in range(_N_RUNS)},
+        _anomaly_checks("lineitem"),
+    ).select(
+        "run_id",
+        F.lit("lineitem").alias("table"),
+        "check", "n_rows", "n_violations",
+    )
     anom = expectation_anomalies(hist, min_history=3)
     legs.append(_long(anom, "anomalies", "check",
                       [("latest_run", "latest_run"), ("n_prior", "n_prior"),

@@ -650,3 +650,45 @@ def test_profiles_mirror_sums_fixed_point_exactly(spark):
     con.register("t", pd.DataFrame(rows, columns=["c"]))
     want = sorted(map(tuple, con.execute(sql_column_profiles("t", ["c"])).fetchall()))
     assert got == want  # bit-exact incl. mean_fp
+
+
+def test_report_runs_equals_per_run_reports(spark, sf_dir):
+    """r16 fusion pin (guide §2.1): the one-pass (run × check) grid must
+    equal the per-run expectation_report over the filtered slices."""
+    from pyspark.sql import functions as F
+
+    from briefly_spark.catalog import load_table
+    from briefly_spark.operators.expectations import (
+        accepted,
+        expectation_report,
+        expectation_report_runs,
+        in_range,
+        not_null,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        in_range("t", "l_discount", 0.0, 0.05),
+        accepted("t", "l_returnflag", "A", "N"),
+        not_null("t", "l_shipdate"),
+    ]
+    preds = {r: f"l_orderkey % 7 < {2 * (r + 1)}" for r in range(4)}
+    fused = {
+        (r["run_id"], r["check"]): (r["n_rows"], r["n_violations"])
+        for r in expectation_report_runs(
+            li, {k: F.expr(p) for k, p in preds.items()}, checks
+        ).collect()
+    }
+    for run, p in preds.items():
+        rep = expectation_report(spark, {"t": li.filter(p)}, checks)
+        for r in rep.collect():
+            assert fused[(run, r["check"])] == (r["n_rows"], r["n_violations"]), (
+                run, r["check"],
+            )
+    # non-conditional kinds refuse loudly
+    import pytest
+
+    from briefly_spark.operators.expectations import unique
+
+    with pytest.raises(ValueError, match="unique"):
+        expectation_report_runs(li, {0: F.lit(True)}, [unique("t", "l_orderkey")])
