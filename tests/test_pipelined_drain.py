@@ -105,15 +105,20 @@ def test_prefetch_discard_on_convergence(spark, tmp_path):
 
     wh = _ingest(spark, tmp_path, "wh_oneround")
     n = wh.table_rows(J.ARTICLES)
-    J.run_until_drained(wh, batch_size=n + 10)  # everything in round 1
     sc = wh.spark.sparkContext
-    leaked = []
-    for _ in range(50):  # unpersist is async — poll up to ~5 s
-        leaked = [
-            str(rdd_info)
+
+    def cached_ids():
+        return {
+            rdd_info.id()
             for rdd_info in sc._jsc.sc().getRDDStorageInfo()
             if rdd_info.numCachedPartitions() > 0
-        ]
+        }
+
+    before = cached_ids()  # the session is shared — diff, don't assert empty
+    J.run_until_drained(wh, batch_size=n + 10)  # everything in round 1
+    leaked = set()
+    for _ in range(50):  # unpersist is async — poll up to ~5 s
+        leaked = cached_ids() - before
         if not leaked:
             break
         time.sleep(0.1)
