@@ -164,67 +164,72 @@ def expectation_report(
     for tname, tchecks in by_table.items():
         df = tables[tname]
         nrows = F.count(F.lit(1)).cast("long")
-        # ONE scan for every conditional AND unique check on this table: a
-        # single agg, then the per-check rows exploded out of its one row.
-        # A union of per-check selects over the same agg frame would
+        # ONE scan for every conditional check on this table: a single
+        # agg, then the per-check rows exploded out of its one row.  A
+        # union of per-check selects over the same agg frame would
         # re-plan (and re-scan) the aggregate once per arm — Spark has no
-        # cross-branch common-subtree reuse (ADVICE r09).  r16: the unique
-        # checks join the same agg (previously one extra pass per unique
-        # check): uniqueness is asserted over PRESENT keys, and
-        # ``count(DISTINCT c1, c2)`` skips rows with ANY null component —
-        # exactly the old ``na.drop(subset=cols)`` semantics — so the
-        # keyed row count folds in as a conditional count and the
-        # violation count as (keyed − distinct), value-identical including
-        # on empty tables (all legs coalesce to 0).  Each table carries at
-        # most one distinct-aggregate here, so no Expand blow-up.
-        agg_exprs: list = []
-        kv_structs: list = []
-
-        def _kv(name: str, n_rows_col, viol_col) -> None:
-            kv_structs.append(
-                F.struct(
-                    F.lit(name).alias("check"),
-                    n_rows_col.cast("long").alias("n_rows"),
-                    F.coalesce(viol_col, F.lit(0)).cast("long").alias("n_violations"),
-                )
-            )
-
+        # cross-branch common-subtree reuse (ADVICE r09).  The unique
+        # checks deliberately KEEP their own pass: folding them into this
+        # agg was tried at r16 and measured SLOWER (Spark's
+        # single-distinct rewrite keys the partial aggregate on the
+        # distinct columns, so the conditional sums ride a
+        # one-row-per-key shuffle instead of a one-row-per-partition
+        # one — the fusion saved one narrow scan and paid a corpus-keyed
+        # shuffle of the extra buffers; q147 +0.3 s at sf0.1 isolated
+        # alternation, and strictly worse at 100 TB where the distinct
+        # key count grows with the corpus).
+        cond_aggs = []
+        cond_names = []
         for c in tchecks:
-            i = len(agg_exprs)
             viol = _violation_pred(c)
-            if viol is not None:
-                expr = F.sum(F.when(viol, 1).otherwise(0))
-            elif c.kind == "unique":
-                present = None
-                for x in c.cols:
-                    p = F.col(x).isNotNull()
-                    present = p if present is None else (present & p)
-                agg_exprs.append(
-                    F.sum(F.when(present, 1).otherwise(0))
-                    .cast("long").alias(f"v{i}")
-                )
-                agg_exprs.append(
-                    F.count_distinct(*[F.col(x) for x in c.cols])
-                    .cast("long").alias(f"v{i + 1}")
-                )
-                keyed = F.coalesce(F.col(f"v{i}"), F.lit(0))
-                _kv(_check_name(c), keyed, keyed - F.col(f"v{i + 1}"))
+            if viol is None:
                 continue
-            else:
-                continue
-            agg_exprs.append(expr.cast("long").alias(f"v{i}"))
-            _kv(_check_name(c), F.col("n_rows_all"), F.col(f"v{i}"))
-        if kv_structs:
-            row = df.agg(nrows.alias("n_rows_all"), *agg_exprs)
-            kv = F.explode(F.array(*kv_structs)).alias("kv")
+            cond_names.append(_check_name(c))
+            cond_aggs.append(
+                F.sum(F.when(viol, 1).otherwise(0))
+                .cast("long").alias(f"v{len(cond_aggs)}")
+            )
+        if cond_aggs:
+            row = df.agg(nrows.alias("n_rows"), *cond_aggs)
+            kv = F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.coalesce(F.col(f"v{i}"), F.lit(0))
+                        .cast("long")
+                        .alias("n_violations"),
+                    )
+                    for i, name in enumerate(cond_names)
+                ])
+            ).alias("kv")
             frames.append(
-                row.select(kv).select(
+                row.select("n_rows", kv).select(
                     F.lit(tname).alias("table"),
                     F.col("kv.check").alias("check"),
-                    F.col("kv.n_rows").alias("n_rows"),
+                    "n_rows",
                     F.col("kv.n_violations").alias("n_violations"),
                 )
             )
+        for c in tchecks:
+            if c.kind == "unique":
+                # uniqueness is asserted over PRESENT keys (rows with a
+                # NULL key component are not counted here — compose with
+                # not_null to assert presence; count_distinct drops NULLs,
+                # so the subtraction must too)
+                keyed = df.na.drop(subset=list(c.cols))
+                row = keyed.agg(
+                    nrows.alias("n_rows"),
+                    (
+                        F.count(F.lit(1)) - F.count_distinct(*[F.col(x) for x in c.cols])
+                    ).cast("long").alias("n_violations"),
+                )
+                frames.append(
+                    row.select(
+                        F.lit(tname).alias("table"),
+                        F.lit(_check_name(c)).alias("check"),
+                        "n_rows", "n_violations",
+                    )
+                )
         # ONE pass over the child for ALL its fk checks (r16; previously
         # one child scan per relationship): chain a LEFT join per parent
         # against its DISTINCT key set (dedup ⇒ at most one match per
